@@ -1,0 +1,116 @@
+package graft
+
+import graft.gen.Generator
+import graft.plan.SemanticQuery
+import org.apache.spark.sql.SparkSession
+
+/** Scratch driver for local iteration: `sbt "runMain graft.Dev"`. */
+object Dev {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cat = TpchCatalog.build("/root/testdata/sf0.001")
+    val gen = new Generator(spark, cat)
+
+    def show(name: String, q: SemanticQuery): Unit = {
+      println(s"=== $name")
+      try gen.plan(q).show(8, truncate = false)
+      catch { case e: Throwable =>
+        println(s"FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+
+    show("q1 simple agg", SemanticQuery(
+      metrics = Seq("lineitem.quantity", "lineitem.net_revenue", "lineitem.item_count"),
+      dimensions = Seq("lineitem.returnflag", "lineitem.linestatus"),
+      orderBy = Seq("returnflag", "linestatus")))
+
+    show("multi-hop join", SemanticQuery(
+      metrics = Seq("lineitem.net_revenue"),
+      dimensions = Seq("region.name"),
+      orderBy = Seq("name")))
+
+    show("time grain + filter", SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.order_count"),
+      dimensions = Seq("orders.order_date__month"),
+      filters = Seq("orders.orderstatus = 'F'"),
+      orderBy = Seq("order_date__month"), limit = Some(5)))
+
+    show("fanout symmetric", SemanticQuery(
+      metrics = Seq("customer.total_acctbal", "customer.customer_count"),
+      dimensions = Seq("orders.orderstatus"),
+      orderBy = Seq("orderstatus")))
+
+    show("multi-fact split", SemanticQuery(
+      metrics = Seq("orders.revenue", "lineitem.quantity"),
+      dimensions = Seq("customer.mktsegment"),
+      orderBy = Seq("mktsegment")))
+
+    show("ratio + derived", SemanticQuery(
+      metrics = Seq("orders.aov", "orders.open_revenue_share"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("orderpriority")))
+
+    show("cumulative", SemanticQuery(
+      metrics = Seq("orders.cumulative_revenue", "orders.revenue"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month"), limit = Some(6)))
+
+    show("mom", SemanticQuery(
+      metrics = Seq("orders.revenue_mom"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month"), limit = Some(6)))
+
+    show("conversion", SemanticQuery(metrics = Seq("events.signup_conversion")))
+
+    show("retention", SemanticQuery(
+      metrics = Seq("events.signup_retention"),
+      orderBy = Seq("cohort_date", "period"), limit = Some(10)))
+
+    show("cohort", SemanticQuery(metrics = Seq("events.multi_type_users")))
+
+    show("having + totals", SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderpriority"),
+      filters = Seq("orders.revenue > 1000000"),
+      withTotals = true))
+
+    show("ungrouped", SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus"),
+      ungrouped = true, limit = Some(3), orderBy = Seq("o_orderkey")))
+
+    show("security", SemanticQuery(
+      metrics = Seq("orders_secured.revenue"),
+      dimensions = Seq("orders_secured.orderstatus"),
+      user = Map("role" -> "analyst", "status" -> "F")))
+
+    show("graph ratio metric", SemanticQuery(metrics = Seq("revenue_per_item")))
+
+    show("segment + relative date", SemanticQuery(
+      metrics = Seq("orders.order_count"),
+      segments = Seq("orders.fulfilled"),
+      filters = Seq("orders.order_date >= 'last 400 weeks'"),
+      anchorDate = Some("1999-01-01")))
+
+    // probes — these SHOULD fail with clear errors
+    show("PROBE security: no role", SemanticQuery(
+      metrics = Seq("orders_secured.revenue"), user = Map("status" -> "F")))
+    show("PROBE median under fan-out", SemanticQuery(
+      metrics = Seq("customer.median_acctbal"),
+      dimensions = Seq("orders.orderstatus")))
+    show("PROBE m2o chain keeps median legal", SemanticQuery(
+      metrics = Seq("lineitem.median_quantity"),
+      dimensions = Seq("part.brand"),
+      filters = Seq("customer.mktsegment = 'AUTOMOBILE'"), limit = Some(3)))
+    show("PROBE unknown metric", SemanticQuery(metrics = Seq("orders.nope")))
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,207 @@
+package graft
+
+import graft.model._
+import graft.model.ModelSource.Parquet
+
+/** Semantic graph over the driver-generated TPC-H-ish testdata
+  * (TESTDATA.md / FIXTURES.md §B):
+  *
+  *   lineitem ↘N:1 orders ↘N:1 customer ↘N:1 nation ↘N:1 region
+  *   lineitem ↘N:1 part, supplier;  supplier ↘N:1 nation
+  *   events: standalone event-grain model for funnel/window metrics
+  *
+  * The customer→orders edge doubles as the one_to_many fan-out test bed
+  * (symmetric aggregation gate, FIXTURES.md fanout_symmetric_aggregation).
+  */
+object TpchCatalog {
+
+  private def t(name: String) = Parquet(s"{dir}/$name.parquet")
+
+  val region = Model(
+    name = "region", source = t("region"), primaryKey = Seq("r_regionkey"),
+    dimensions = Seq(
+      Dimension("name", sql = Some("r_name")),
+      Dimension("regionkey", DimType.Numeric, sql = Some("r_regionkey"))),
+    metrics = Seq(Metric("region_count", agg = Some("count"))))
+
+  val nation = Model(
+    name = "nation", source = t("nation"), primaryKey = Seq("n_nationkey"),
+    dimensions = Seq(
+      Dimension("name", sql = Some("n_name")),
+      Dimension("nationkey", DimType.Numeric, sql = Some("n_nationkey"))),
+    metrics = Seq(Metric("nation_count", agg = Some("count"))),
+    relationships = Seq(
+      Relationship("region", "many_to_one", foreignKey = Seq("n_regionkey"))))
+
+  val customer = Model(
+    name = "customer", source = t("customer"), primaryKey = Seq("c_custkey"),
+    dimensions = Seq(
+      Dimension("name", sql = Some("c_name")),
+      Dimension("mktsegment", sql = Some("c_mktsegment")),
+      Dimension("acctbal", DimType.Numeric, sql = Some("c_acctbal"))),
+    metrics = Seq(
+      Metric("customer_count", agg = Some("count")),
+      Metric("total_acctbal", agg = Some("sum"), sql = Some("c_acctbal")),
+      Metric("avg_acctbal", agg = Some("avg"), sql = Some("c_acctbal")),
+      Metric("median_acctbal", agg = Some("median"), sql = Some("c_acctbal"))),
+    relationships = Seq(
+      Relationship("nation", "many_to_one", foreignKey = Seq("c_nationkey")),
+      Relationship("orders", "one_to_many", foreignKey = Seq("o_custkey"))),
+    segments = Seq(
+      Segment("automobile", "{model}.mktsegment = 'AUTOMOBILE'")))
+
+  val orders = Model(
+    name = "orders", source = t("orders"), primaryKey = Seq("o_orderkey"),
+    dimensions = Seq(
+      Dimension("orderstatus", sql = Some("o_orderstatus")),
+      Dimension("orderpriority", sql = Some("o_orderpriority")),
+      Dimension("totalprice", DimType.Numeric, sql = Some("o_totalprice")),
+      Dimension("order_date", DimType.Time, sql = Some("o_orderdate"),
+        granularity = Some("day")),
+      Dimension("is_high_value", DimType.Bool, sql = Some("o_totalprice > 200000"))),
+    metrics = Seq(
+      Metric("order_count", agg = Some("count")),
+      Metric("revenue", agg = Some("sum"), sql = Some("o_totalprice")),
+      Metric("avg_order_value", agg = Some("avg"), sql = Some("o_totalprice")),
+      Metric("max_order_value", agg = Some("max"), sql = Some("o_totalprice")),
+      Metric("min_order_value", agg = Some("min"), sql = Some("o_totalprice")),
+      Metric("distinct_customers", agg = Some("count_distinct"), sql = Some("o_custkey")),
+      Metric("open_revenue", agg = Some("sum"), sql = Some("o_totalprice"),
+        filters = Seq("orders.orderstatus = 'O'")),
+      Metric("aov", metricType = Some("ratio"),
+        numerator = Some("orders.revenue"), denominator = Some("orders.order_count")),
+      Metric("revenue_per_customer", metricType = Some("ratio"),
+        numerator = Some("orders.revenue"), denominator = Some("orders.distinct_customers")),
+      Metric("open_revenue_share", metricType = Some("derived"),
+        sql = Some("open_revenue / revenue")),
+      Metric("cumulative_revenue", metricType = Some("cumulative"),
+        baseMetric = Some("revenue")),
+      Metric("revenue_3m", metricType = Some("cumulative"),
+        baseMetric = Some("revenue"), window = Some("3 month")),
+      Metric("revenue_ytd", metricType = Some("cumulative"),
+        baseMetric = Some("revenue"), grainToDate = Some("year")),
+      Metric("revenue_mom", metricType = Some("time_comparison"),
+        baseMetric = Some("revenue"), comparison = Some("mom"),
+        calculation = Some("percent_change")),
+      Metric("revenue_yoy_diff", metricType = Some("time_comparison"),
+        baseMetric = Some("revenue"), comparison = Some("yoy"),
+        calculation = Some("difference"))),
+    relationships = Seq(
+      Relationship("customer", "many_to_one", foreignKey = Seq("o_custkey"))),
+    segments = Seq(
+      Segment("fulfilled", "{model}.orderstatus = 'F'"),
+      Segment("recent", "{model}.order_date >= '1998-01-01'")),
+    defaultTimeDimension = Some("order_date"))
+
+  val lineitem = Model(
+    name = "lineitem", source = t("lineitem"),
+    primaryKey = Seq("l_orderkey", "l_linenumber"),
+    dimensions = Seq(
+      Dimension("returnflag", sql = Some("l_returnflag")),
+      Dimension("linestatus", sql = Some("l_linestatus")),
+      Dimension("shipdate", DimType.Time, sql = Some("l_shipdate"),
+        granularity = Some("day"))),
+    metrics = Seq(
+      Metric("quantity", agg = Some("sum"), sql = Some("l_quantity")),
+      Metric("item_count", agg = Some("count")),
+      Metric("net_revenue", agg = Some("sum"),
+        sql = Some("l_extendedprice * (1 - l_discount)")),
+      Metric("avg_quantity", agg = Some("avg"), sql = Some("l_quantity")),
+      Metric("median_quantity", agg = Some("median"), sql = Some("l_quantity")),
+      Metric("stddev_quantity", agg = Some("stddev"), sql = Some("l_quantity")),
+      Metric("stddev_pop_quantity", agg = Some("stddev_pop"), sql = Some("l_quantity")),
+      Metric("var_quantity", agg = Some("variance"), sql = Some("l_quantity")),
+      Metric("var_pop_quantity", agg = Some("variance_pop"), sql = Some("l_quantity")),
+      Metric("distinct_parts", agg = Some("count_distinct"), sql = Some("l_partkey")),
+      Metric("approx_parts", agg = Some("approx_count_distinct"), sql = Some("l_partkey"))),
+    relationships = Seq(
+      Relationship("orders", "many_to_one", foreignKey = Seq("l_orderkey")),
+      Relationship("part", "many_to_one", foreignKey = Seq("l_partkey")),
+      Relationship("supplier", "many_to_one", foreignKey = Seq("l_suppkey"))),
+    defaultTimeDimension = Some("shipdate"))
+
+  val part = Model(
+    name = "part", source = t("part"), primaryKey = Seq("p_partkey"),
+    dimensions = Seq(
+      Dimension("brand", sql = Some("p_brand")),
+      Dimension("ptype", sql = Some("p_type")),
+      Dimension("size", DimType.Numeric, sql = Some("p_size"))),
+    metrics = Seq(
+      Metric("part_count", agg = Some("count")),
+      Metric("avg_retail", agg = Some("avg"), sql = Some("p_retailprice"))))
+
+  val supplier = Model(
+    name = "supplier", source = t("supplier"), primaryKey = Seq("s_suppkey"),
+    dimensions = Seq(Dimension("name", sql = Some("s_name"))),
+    metrics = Seq(
+      Metric("supplier_count", agg = Some("count")),
+      Metric("total_s_acctbal", agg = Some("sum"), sql = Some("s_acctbal"))),
+    relationships = Seq(
+      Relationship("nation", "many_to_one", foreignKey = Seq("s_nationkey"))))
+
+  val events = Model(
+    name = "events", source = t("events"), primaryKey = Seq("event_id"),
+    dimensions = Seq(
+      Dimension("event_type"),
+      Dimension("user_id", DimType.Numeric),
+      // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
+      // and the dimension converts (micros precision is plenty here)
+      Dimension("ts", DimType.Time, sql = Some("timestamp_micros(ts div 1000)"),
+        granularity = Some("day")),
+      Dimension("value", DimType.Numeric)),
+    metrics = Seq(
+      Metric("event_count", agg = Some("count")),
+      Metric("total_value", agg = Some("sum"), sql = Some("value")),
+      Metric("active_users", agg = Some("count_distinct"), sql = Some("user_id")),
+      Metric("cumulative_value", metricType = Some("cumulative"),
+        baseMetric = Some("total_value")),
+      Metric("value_wow", metricType = Some("time_comparison"),
+        baseMetric = Some("total_value"), comparison = Some("wow"),
+        calculation = Some("percent_change")),
+      Metric("signup_conversion", metricType = Some("conversion"),
+        entity = Some("user_id"),
+        baseFilter = Some("event_type = 'signup'"),
+        conversionFilter = Some("event_type = 'purchase'"),
+        conversionWindow = Some("7 day")),
+      Metric("signup_retention", metricType = Some("retention"),
+        entity = Some("user_id"),
+        baseFilter = Some("event_type = 'signup'"),
+        conversionFilter = Some("event_type IN ('click','view','purchase')"),
+        retentionGrain = Some("day"), retentionPeriods = Some(7)),
+      Metric("multi_type_users", metricType = Some("cohort"),
+        entity = Some("user_id"),
+        sql = Some("count(distinct event_type)"),
+        having = Some("value >= 4"),
+        outerAgg = Some("count")),
+      // semi-additive: per-user last observed value, summed across users
+      Metric("last_value_total", agg = Some("sum"), sql = Some("value"),
+        nonAdditive = Some(NonAdditiveDimension("ts", "max", Seq("user_id")))),
+      Metric("purchase_value", agg = Some("sum"), sql = Some("value"),
+        filters = Seq("events.event_type = 'purchase'"))),
+    segments = Seq(Segment("purchases", "{model}.event_type = 'purchase'")),
+    defaultTimeDimension = Some("ts"))
+
+  /** Secured view over orders: deny-by-default role gate + row filter
+    * templated on the user's nation attribute (reference: security.py:40). */
+  val ordersSecured = Model(
+    name = "orders_secured", source = t("orders"), primaryKey = Seq("o_orderkey"),
+    dimensions = Seq(
+      Dimension("orderstatus", sql = Some("o_orderstatus")),
+      Dimension("order_date", DimType.Time, sql = Some("o_orderdate"),
+        granularity = Some("day"))),
+    metrics = Seq(
+      Metric("revenue", agg = Some("sum"), sql = Some("o_totalprice")),
+      Metric("order_count", agg = Some("count"))),
+    security = Some(SecurityPolicy("analyst_only",
+      rowFilters = Seq("orderstatus = '{{user.status}}'"),
+      allowedRoles = Set("analyst"))))
+
+  def build(dataDir: String): Catalog =
+    Catalog(dataDir = dataDir)
+      .add(region, nation, customer, orders, lineitem, part, supplier,
+        events, ordersSecured)
+      .addGraphMetric(
+        Metric("revenue_per_item", metricType = Some("ratio"),
+          numerator = Some("orders.revenue"), denominator = Some("lineitem.item_count")))
+}

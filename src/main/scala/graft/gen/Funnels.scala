@@ -1,0 +1,161 @@
+package graft.gen
+
+import graft.functions.Exprs
+import graft.plan.{FieldRef, SemanticQuery}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Conversion / retention / cohort metric generators — multi-stage DataFrame
+  * plans (reference: sql/generator.py:5210-5700 conversion,
+  * :4998-5209 retention, :4694-4997 cohort).
+  *
+  * These operate on a single event-grain model; query dimensions must come
+  * from that model. Every stage is a distributed groupBy/join — no driver
+  * loops — so the plans scale with executors.
+  */
+final class Funnels(spark: SparkSession, gen: Generator) {
+
+  private val cat = gen.catRef
+
+  def plan(q: SemanticQuery): DataFrame = {
+    val (modelName, m) = gen.metricOf(q.metrics.head)
+    val model = cat.model(modelName)
+
+    // base frame: scan + security + all query filters (single-model scope)
+    var df = cat.scan(spark, model)
+    model.security.foreach { pol =>
+      pol.rowFilters.foreach(f => df = df.filter(Exprs.toColumn(
+        gen.toModelScope(model, Exprs.parse(spark, Exprs.renderUser(f, q.user))))))
+    }
+    (q.filters ++ segmentSql(q)).foreach { f =>
+      val e = Exprs.rewriteRelativeDates(
+        Exprs.parse(spark, Exprs.interpolate(f, q.parameters)), q.anchorDate)
+      df = df.filter(Exprs.toColumn(gen.toModelScope(model, e)))
+    }
+
+    val dims = q.dimensions.map { r =>
+      val fr = FieldRef.parse(r)
+      require(fr.model == modelName,
+        s"Funnel-metric dimensions must come from '$modelName', got '$r'")
+      fr
+    }
+    def dimCol(fr: FieldRef): Column =
+      Exprs.toColumn(gen.localField(model, fr.outName)).as(fr.outName)
+    def local(sql: String): Column =
+      Exprs.toColumn(gen.toModelScope(model, Exprs.parse(spark, sql)))
+
+    val entity = m.entity.getOrElse(throw new IllegalArgumentException(
+      s"Metric '${m.name}' needs entity"))
+    val timeDim = model.defaultTimeDimension.getOrElse(
+      throw new IllegalArgumentException(s"Model '$modelName' needs default_time_dimension"))
+    val ts = Exprs.toColumn(gen.localField(model, timeDim))
+
+    m.kind match {
+      case "conversion" => conversion(q, df, m.name, dims, dimCol, local,
+        col(entity), ts,
+        m.baseFilter.get, m.conversionFilter.get,
+        m.conversionWindow.getOrElse("7 day"))
+      case "retention" => retention(q, df, m.name, local, col(entity), ts,
+        m.baseFilter.get, m.conversionFilter.get,
+        m.retentionGrain.getOrElse("day"), m.retentionPeriods.getOrElse(7))
+      case "cohort" => cohort(q, df, m, dims, dimCol, local, col(entity))
+    }
+  }
+
+  private def segmentSql(q: SemanticQuery): Seq[String] = q.segments.map { ref =>
+    val fr = FieldRef.parse(ref)
+    cat.model(fr.model).segment(fr.field).get.sql.replace("{model}", fr.model)
+  }
+
+  /** Entity-level conversion rate: of entities with a base event, the share
+    * that fire a conversion event within the window after ANY base event. */
+  private def conversion(q: SemanticQuery, df: DataFrame, name: String,
+      dims: Seq[FieldRef], dimCol: FieldRef => Column, local: String => Column,
+      entity: Column, ts: Column, baseFilter: String, convFilter: String,
+      window: String): DataFrame = {
+
+    val (n, unit) = new WindowMetrics(spark, gen).parseWindow(window)
+    val dimCols = dims.map(dimCol)
+    val base = df.filter(local(baseFilter))
+      .select((entity.as("__e") +: ts.as("__t") +: dimCols): _*)
+    val conv = df.filter(local(convFilter))
+      .select(entity.as("__ce"), ts.as("__ct"))
+
+    val within = col("__ct") >= col("__t") &&
+      col("__ct") <= col("__t") + expr(s"INTERVAL $n $unit")
+    val j = base.join(conv, col("__ce") === col("__e") && within, "left")
+
+    val perEntity = j
+      .groupBy(col("__e") +: dims.map(d => col(d.outName)): _*)
+      .agg(max(when(col("__ct").isNotNull, 1).otherwise(0)).as("__conv"))
+    val out = perEntity
+      .groupBy(dims.map(d => col(d.outName)): _*)
+      .agg(
+        count(lit(1)).as("base_entities"),
+        sum(col("__conv")).as("converted_entities"),
+        (sum(col("__conv")) / count(lit(1))).as(name))
+    gen.shape(q, out)
+  }
+
+  /** Cohort retention curve: first qualifying event fixes the cohort, then
+    * distinct activity periods are counted per (cohort, periods-since). */
+  private def retention(q: SemanticQuery, df: DataFrame, name: String,
+      local: String => Column, entity: Column, ts: Column,
+      cohortFilter: String, activityFilter: String,
+      grain: String, periods: Int): DataFrame = {
+
+    val cohorts = df.filter(local(cohortFilter))
+      .groupBy(entity.as("__e"))
+      .agg(min(date_trunc(grain, ts)).as("cohort_date"))
+    val activity = df.filter(local(activityFilter))
+      .select(entity.as("__ae"), date_trunc(grain, ts).as("__ad"))
+      .distinct()
+
+    val periodsSince = grain match {
+      case "day"   => datediff(col("__ad"), col("cohort_date"))
+      case "week"  => (datediff(col("__ad"), col("cohort_date")) / 7).cast("int")
+      case "month" => months_between(col("__ad"), col("cohort_date")).cast("int")
+    }
+    val joined = cohorts
+      .join(activity, col("__ae") === col("__e"))
+      .withColumn("period", periodsSince)
+      .filter(col("period").between(0, periods))
+
+    val sizes = cohorts.groupBy(col("cohort_date"))
+      .agg(countDistinct(col("__e")).as("cohort_size"))
+    val retained = joined.groupBy(col("cohort_date"), col("period"))
+      .agg(countDistinct(col("__e")).as("retained"))
+
+    val out = retained.join(sizes, Seq("cohort_date"))
+      .select(col("cohort_date"), col("period"), col("cohort_size"),
+        col("retained"),
+        (col("retained").cast("double") / col("cohort_size")).as(name))
+    gen.shape(q, out)
+  }
+
+  /** Two-stage cohort metric: per-entity inner aggregate gated by HAVING,
+    * then an outer aggregate over qualifying entities. */
+  private def cohort(q: SemanticQuery, df: DataFrame, m: graft.model.Metric,
+      dims: Seq[FieldRef], dimCol: FieldRef => Column,
+      local: String => Column, entity: Column): DataFrame = {
+
+    val dimCols = dims.map(dimCol)
+    val inner = df
+      .groupBy((entity.as("__e") +: dimCols): _*)
+      .agg(local(m.sql.getOrElse(throw new IllegalArgumentException(
+        s"Cohort metric '${m.name}' needs sql (inner aggregate)"))).as("value"))
+    val qualified = m.having match {
+      case Some(h) => inner.filter(expr(h))
+      case None    => inner
+    }
+    val outer = m.outerAgg.getOrElse("count") match {
+      case "count" => count(lit(1))
+      case "sum"   => sum(col("value"))
+      case "avg"   => avg(col("value"))
+    }
+    val grouped =
+      if (dims.isEmpty) qualified.agg(outer.as(m.name))
+      else qualified.groupBy(dims.map(d => col(d.outName)): _*).agg(outer.as(m.name))
+    gen.shape(q, grouped)
+  }
+}

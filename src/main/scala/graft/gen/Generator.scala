@@ -1,0 +1,634 @@
+package graft.gen
+
+import graft.functions.Exprs
+import graft.graph.{JoinHop, SemanticGraph}
+import graft.model._
+import graft.plan.{FieldRef, Grains, SemanticQuery}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Compiles a [[SemanticQuery]] into a composed DataFrame plan.
+  *
+  * Design (SURVEY §7.1): emit declarative DataFrame plans, never SQL strings —
+  * Catalyst then handles predicate pushdown, column pruning, join physical
+  * strategy (broadcast for small dims), and whole-stage codegen. Our job is
+  * the *semantic* planning Catalyst cannot do: join-path resolution, join
+  * pruning, fan-out-safe aggregation strategy, metric-type lowering, security
+  * injection (reference pipeline: sidemantic/sql/generator.py:961).
+  *
+  * Internal column naming: `<model>__<field>[__<grain>]`; metric inputs as
+  * `<model>__<metric>__raw`. Final select renames to user-facing short names.
+  */
+final class Generator(spark: SparkSession, cat: Catalog) {
+
+  val graph = new SemanticGraph(cat)
+
+  import Exprs.{attr, conjuncts, parse => parseE, rewriteAttrs, toColumn}
+
+  // ------------------------------------------------------------------
+  // Reference resolution
+  // ------------------------------------------------------------------
+
+  private case class DimRef(model: String, dim: Dimension, grain: Option[String]) {
+    def outName: String = dim.name + grain.map("__" + _).getOrElse("")
+    def innerName: String = s"${model}__$outName"
+  }
+
+  private case class MetricRef(model: String, metric: Metric) {
+    def rawName: String = s"${model}__${metric.name}__raw"
+  }
+
+  private def dimRef(ref: String): DimRef = {
+    val fr = FieldRef.parse(ref)
+    val m = cat.model(fr.model)
+    val d = m.dimension(fr.field).getOrElse(throw new IllegalArgumentException(
+      s"Unknown dimension '${fr.field}' on model '${fr.model}'"))
+    require(d.public, s"Dimension '${ref}' is not public") // field visibility
+    DimRef(fr.model, d, fr.grain)
+  }
+
+  private def metricRef(ref: String): MetricRef = {
+    val (mOpt, met) = cat.resolveMetric(ref)
+    require(met.public, s"Metric '$ref' is not public")
+    MetricRef(mOpt.map(_.name).getOrElse(""), met)
+  }
+
+  /** Simple-aggregate dependencies of a metric (transitive through
+    * derived/ratio/cumulative/time_comparison). */
+  private def simpleDeps(mr: MetricRef): Seq[MetricRef] = mr.metric.kind match {
+    case "simple" => Seq(mr)
+    case "ratio" =>
+      Seq(mr.metric.numerator, mr.metric.denominator).flatten
+        .flatMap(r => simpleDeps(resolveDep(mr, r)))
+    case "derived" =>
+      metricNameRefs(mr).flatMap(r => simpleDeps(r))
+    case "cumulative" | "time_comparison" =>
+      simpleDeps(resolveDep(mr, mr.metric.baseMetric.getOrElse(
+        throw new IllegalArgumentException(s"Metric '${mr.metric.name}' needs base_metric"))))
+    case _ => Nil // funnel kinds plan their own pipelines
+  }
+
+  /** Resolve a dependency reference relative to the referring metric's model. */
+  private def resolveDep(from: MetricRef, ref: String): MetricRef =
+    if (ref.contains(".")) metricRef(ref)
+    else {
+      val owner = cat.models.get(from.model)
+      owner.flatMap(_.metric(ref)) match {
+        case Some(met) => MetricRef(from.model, met)
+        case None => metricRef(ref) // graph-level
+      }
+    }
+
+  /** Metric names referenced inside a derived formula. */
+  private def metricNameRefs(mr: MetricRef): Seq[MetricRef] = {
+    val formula = mr.metric.sql.getOrElse(throw new IllegalArgumentException(
+      s"Derived metric '${mr.metric.name}' needs sql"))
+    Exprs.refs(spark, formula).flatMap {
+      case Seq(m, f) if cat.models.get(m).exists(_.metric(f).isDefined) =>
+        Some(MetricRef(m, cat.model(m).metric(f).get))
+      case Seq(f) =>
+        cat.models.get(mr.model).flatMap(_.metric(f)).map(MetricRef(mr.model, _))
+          .orElse(cat.graphMetrics.get(f).map(MetricRef("", _)))
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Filter handling
+  // ------------------------------------------------------------------
+
+  /** A classified filter conjunct. */
+  private sealed trait Where
+  private case class PushDown(model: String, e: Expression) extends Where
+  private case class OuterWhere(e: Expression) extends Where
+  private case class HavingF(e: Expression) extends Where
+
+  /** Two-part refs in an expression, as (model, fieldWithGrain). */
+  private def fieldRefsIn(e: Expression): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ListBuffer[(String, String)]()
+    e.foreach {
+      case ua: UnresolvedAttribute if ua.nameParts.size == 2 =>
+        out += ((ua.nameParts.head, ua.nameParts(1)))
+      case _ => ()
+    }
+    out.toList
+  }
+
+  private def isMetricRefPair(m: String, f: String): Boolean =
+    cat.models.get(m).exists(_.metric(f).isDefined)
+
+  private def classify(q: SemanticQuery): Seq[Where] = {
+    val segFilters = q.segments.map { ref =>
+      val fr = FieldRef.parse(ref)
+      val seg = cat.model(fr.model).segment(fr.field).getOrElse(
+        throw new IllegalArgumentException(s"Unknown segment '$ref'"))
+      seg.sql.replace("{model}", fr.model)
+    }
+    (q.filters ++ segFilters).flatMap { raw =>
+      val interpolated = Exprs.interpolate(raw, q.parameters)
+      val e0 = Exprs.rewriteRelativeDates(parseE(spark, interpolated), q.anchorDate)
+      conjuncts(e0).map { c =>
+        val refs = fieldRefsIn(c)
+        require(refs.nonEmpty, s"Filter '$raw' must reference model.field")
+        if (refs.exists { case (m, f) => isMetricRefPair(m, f) }) HavingF(c)
+        else {
+          val models = refs.map(_._1).distinct
+          if (models.size == 1) PushDown(models.head, c) else OuterWhere(c)
+        }
+      }
+    }
+  }
+
+  /** Rewrite a query-scope expression (`model.field` refs) to model-local
+    * scope: dim refs become the dim's own SQL (with grain trunc), other
+    * fields become bare physical columns. */
+  private[gen] def toModelScope(model: Model, e: Expression): Expression =
+    rewriteAttrs(e) {
+      case Seq(m, f) if m == model.name => Some(localField(model, f))
+      case Seq(f) => Some(localField(model, f))
+      case _ => None
+    }
+
+  private[gen] def localField(model: Model, fieldWithGrain: String): Expression = {
+    val (field, grain) = splitGrain(model, fieldWithGrain)
+    val base = model.dimension(field) match {
+      case Some(d) => parseE(spark, d.expr)
+      case None    => attr(field)
+    }
+    grain.map(g => Exprs.truncExpr(g, base)).getOrElse(base)
+  }
+
+  private[gen] def splitGrain(model: Model, f: String): (String, Option[String]) =
+    f.split("__") match {
+      case Array(base, g) if Grains.isGrain(g) && model.dimension(base).isDefined =>
+        (base, Some(g.toLowerCase))
+      case _ => (f, None)
+    }
+
+  /** Rewrite query-scope refs to joined-frame column names (`model__field`). */
+  private def toJoinedScope(e: Expression, defaultModel: Option[String]): Expression =
+    rewriteAttrs(e) {
+      case Seq(m, f) if cat.models.contains(m) => Some(attr(s"${m}__$f"))
+      case Seq(f) if defaultModel.isDefined => Some(attr(s"${defaultModel.get}__$f"))
+      case _ => None
+    }
+
+  // ------------------------------------------------------------------
+  // Per-model frame ("CTE"): scan → security → pushed filters → projection
+  // ------------------------------------------------------------------
+
+  private case class Needed(
+      dims: Set[(String, Option[String])] = Set.empty, // (dimName, grain)
+      raws: Set[String] = Set.empty,                   // metric names
+      phys: Set[String] = Set.empty                    // passthrough phys cols
+  ) {
+    def ++(o: Needed): Needed = Needed(dims ++ o.dims, raws ++ o.raws, phys ++ o.phys)
+  }
+
+  /** Route a needed field to dim-vs-phys so projection names stay unique. */
+  private def needField(model: Model, fieldWithGrain: String): Needed = {
+    val (field, grain) = splitGrain(model, fieldWithGrain)
+    if (model.dimension(field).isDefined) Needed(dims = Set((field, grain)))
+    else Needed(phys = Set(fieldWithGrain))
+  }
+
+  private def modelFrame(model: Model, needed: Needed,
+      pushed: Seq[Expression], user: Map[String, String]): DataFrame = {
+    var df = cat.scan(spark, model)
+    // deny-by-default access gate + row-level filters, injected before any
+    // join so fan-out cannot leak rows (reference: generator.py:879-960)
+    model.security.foreach { pol =>
+      if (pol.allowedRoles.nonEmpty)
+        require(user.get("role").exists(pol.allowedRoles.contains),
+          s"Access denied to model '${model.name}'")
+      pol.rowFilters.foreach { f =>
+        df = df.filter(toColumn(toModelScope(model, parseE(spark, Exprs.renderUser(f, user)))))
+      }
+    }
+    pushed.foreach(e => df = df.filter(toColumn(toModelScope(model, e))))
+    val dimCols = needed.dims.toSeq.sortBy(_._1).map { case (dn, grain) =>
+      val d = model.dimension(dn).get
+      val base = parseE(spark, d.expr)
+      val e = grain.map(g => Exprs.truncExpr(g, base)).getOrElse(base)
+      toColumn(e).as(s"${model.name}__$dn${grain.map("__" + _).getOrElse("")}")
+    }
+    val rawCols = needed.raws.toSeq.sorted.flatMap { mn =>
+      val met = model.metric(mn).get
+      met.sql.map(s => toColumn(toModelScope(model, parseE(spark, s)))
+        .as(s"${model.name}__${mn}__raw"))
+    }
+    val physCols = needed.phys.toSeq.sorted.map(c =>
+      col(c).as(s"${model.name}__$c"))
+    df.select(dimCols ++ rawCols ++ physCols: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Aggregation lowering
+  // ------------------------------------------------------------------
+
+  /** Raw input column for a metric in the joined frame; count() without sql
+    * aggregates a literal. */
+  private def rawInput(mr: MetricRef): Column =
+    if (mr.metric.sql.isDefined) col(mr.rawName) else lit(1L)
+
+  /** Metric-level filters → agg(CASE WHEN f THEN x END)
+    * (reference: generator.py:4540-4577). */
+  private def filteredInput(mr: MetricRef): Column = {
+    val raw = rawInput(mr)
+    if (mr.metric.filters.isEmpty) raw
+    else {
+      val cond = mr.metric.filters
+        .map(f => toColumn(toJoinedScope(parseE(spark, f), Some(mr.model))))
+        .reduce(_ && _)
+      when(cond, raw)
+    }
+  }
+
+  private def aggColumn(mr: MetricRef): Column = {
+    val in = filteredInput(mr)
+    val c = mr.metric.agg.get match {
+      case "sum"            => sum(in)
+      case "count"          => count(in)
+      case "count_distinct" => countDistinct(in)
+      case "approx_count_distinct" => approx_count_distinct(in)
+      case "avg"            => avg(in)
+      case "min"            => min(in)
+      case "max"            => max(in)
+      case "median"         => median(in)
+      case "stddev"         => stddev_samp(in)
+      case "stddev_pop"     => stddev_pop(in)
+      case "variance"       => var_samp(in)
+      case "variance_pop"   => var_pop(in)
+    }
+    fillNulls(mr, c).as(mr.metric.name)
+  }
+
+  private def fillNulls(mr: MetricRef, c: Column): Column =
+    mr.metric.fillNullsWith.map(v => coalesce(c, expr(v))).getOrElse(c)
+
+  /** Fan-out-safe aggregation over a deduplicated frame: rows are distinct
+    * (dims, pk, value) — matches the reference's symmetric-aggregate
+    * semantics (SUM(DISTINCT hash·K + v), symmetric_aggregate.py:20-162)
+    * without the hash-collision risk or decimal-overflow discipline. */
+  private def symmetricAggColumn(mr: MetricRef, pkCols: Seq[String]): Column = {
+    val in = filteredInput(mr)
+    val pk = if (pkCols.size == 1) col(pkCols.head)
+             else concat_ws("§", pkCols.map(col): _*)
+    val c = mr.metric.agg.get match {
+      case "sum"   => sum(in)
+      case "count" => countDistinct(when(in.isNotNull, pk))
+      case "avg"   => sum(in) / countDistinct(when(in.isNotNull, pk))
+      case "min"   => min(in)
+      case "max"   => max(in)
+      case "count_distinct"        => countDistinct(in)
+      case "approx_count_distinct" => approx_count_distinct(in)
+      case other => throw new IllegalArgumentException(
+        s"Metric '${mr.metric.name}': agg '$other' cannot be made fan-out safe " +
+          "(no distributive decomposition) — reference raises here too " +
+          "(symmetric_aggregate.py:147-159)")
+    }
+    fillNulls(mr, c).as(mr.metric.name)
+  }
+
+  // ------------------------------------------------------------------
+  // Standard path
+  // ------------------------------------------------------------------
+
+  def plan(q: SemanticQuery): DataFrame = {
+    val requested = q.metrics.map(metricRef)
+    val kinds = requested.map(_.metric.kind).toSet
+    if (kinds.exists(Set("cumulative", "time_comparison")))
+      new WindowMetrics(spark, this).plan(q)
+    else if (kinds.exists(Set("conversion", "retention", "cohort"))) {
+      require(requested.size == 1,
+        "conversion/retention/cohort metrics must be queried alone")
+      new Funnels(spark, this).plan(q)
+    } else planAggregate(q, finalShape = true)
+  }
+
+  /** Aggregated frame at the requested dim grain, fan-out handled.
+    * When finalShape, also applies derived/ratio composition, HAVING,
+    * ordering, limit/offset and user-facing renames. */
+  private[gen] def planAggregate(q: SemanticQuery, finalShape: Boolean): DataFrame = {
+    val dims = q.dimensions.map(dimRef)
+    val requested = q.metrics.map(metricRef)
+    val simples = requested.flatMap(simpleDeps).distinctBy(m => (m.model, m.metric.name))
+    require(simples.forall(_.model.nonEmpty),
+      "Graph-level metrics must resolve to model metrics")
+
+    val wheres = classify(q)
+    val pushed = wheres.collect { case p: PushDown => p }
+    val outer = wheres.collect { case o: OuterWhere => o }
+    val having = wheres.collect { case h: HavingF => h }
+
+    val filterModels =
+      (pushed.map(_.model) ++ outer.flatMap(o => fieldRefsIn(o.e).map(_._1))).distinct
+    val metricFilterModels = simples.flatMap(_.metric.filters)
+      .flatMap(f => fieldRefsIn(parseE(spark, f)).map(_._1))
+    val allModels = (simples.map(_.model) ++ dims.map(_.model) ++
+      filterModels ++ metricFilterModels).distinct.filter(_.nonEmpty)
+    require(allModels.nonEmpty, "Query references no models")
+
+    val base = simples.headOption.map(_.model).getOrElse(dims.head.model)
+    val hops = graph.joinPlan(base, allModels.filterNot(_ == base))
+    val fanned = graph.fannedOutModels(base, hops)
+
+    val atRisk = simples.filter(mr =>
+      fanned(mr.model) && !AggKind.FanoutSafe(mr.metric.agg.get))
+
+    val aggregated: DataFrame =
+      if (q.ungrouped) {
+        return ungroupedSelect(q, dims, simples, pushed, outer, hops, base)
+      } else if (atRisk.isEmpty) {
+        singlePass(q, dims, simples, pushed, outer, hops, base, Set.empty)
+      } else if (multiFactLegal(q, dims, simples)) {
+        multiFactSplit(q, dims, simples)
+      } else {
+        singlePass(q, dims, simples, pushed, outer, hops, base,
+          atRisk.map(_.model).toSet)
+      }
+
+    if (!finalShape) aggregated
+    else finish(q, aggregated, dims, requested, simples, having)
+  }
+
+  /** True when every metric model can reach all dims without fan-out, so
+    * each fact can aggregate independently at the shared grain
+    * (reference: _needs_preaggregation_for_fanout, generator.py:2586-2651). */
+  private def multiFactLegal(q: SemanticQuery, dims: Seq[DimRef],
+      simples: Seq[MetricRef]): Boolean = {
+    val metricModels = simples.map(_.model).distinct
+    metricModels.size > 1 && metricModels.forall { m =>
+      val others = dims.map(_.model).distinct.filterNot(_ == m)
+      try {
+        val hops = graph.joinPlan(m, others)
+        val fanned = graph.fannedOutModels(m, hops)
+        simples.filter(_.model == m).forall(mr =>
+          !fanned(m) || AggKind.FanoutSafe(mr.metric.agg.get))
+      } catch { case _: IllegalArgumentException => false }
+    }
+  }
+
+  /** Join all model frames then aggregate once. Models in `dedupModels`
+    * carry fan-out-unsafe metrics: their metrics aggregate over a frame
+    * deduplicated on (dims, pk, value) — the symmetric-aggregate route. */
+  private def singlePass(q: SemanticQuery, dims: Seq[DimRef],
+      simples: Seq[MetricRef], pushed: Seq[PushDown], outer: Seq[OuterWhere],
+      hops: Seq[JoinHop], base: String, dedupModels: Set[String]): DataFrame = {
+
+    val joined = buildJoined(q, dims, simples, pushed, outer, hops, base,
+      extraPk = dedupModels)
+    val dimCols = dims.map(d => col(d.innerName))
+
+    def grouped(df: DataFrame, aggs: Seq[Column]): DataFrame =
+      if (q.withTotals) {
+        val flag = (if (dims.nonEmpty) grouping(dimCols.head) else lit(0)).as("_is_total")
+        df.groupingSets(Seq(dimCols, Seq.empty[Column]), dimCols: _*)
+          .agg(aggs.head, (aggs.tail :+ flag): _*)
+      } else if (dims.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(dimCols: _*).agg(aggs.head, aggs.tail: _*)
+
+    if (dedupModels.isEmpty) {
+      if (simples.isEmpty) return joined.select(dimCols: _*).distinct()
+      grouped(joined, simples.map(aggColumn))
+    } else {
+      // partial aggregates per dedup class, then stitched back on the dims
+      val safe = simples.filterNot(mr => dedupModels(mr.model))
+      val partials = scala.collection.mutable.ListBuffer[DataFrame]()
+      if (safe.nonEmpty) partials += grouped(joined, safe.map(aggColumn))
+      for (m <- dedupModels.toSeq.sorted) {
+        val ms = simples.filter(_.model == m)
+        val pkCols = cat.model(m).primaryKey.map(k => s"${m}__$k")
+        require(pkCols.nonEmpty, s"Symmetric aggregation needs a primary_key on '$m'")
+        val valueCols = ms.flatMap(mr =>
+          if (mr.metric.sql.isDefined) Seq(mr.rawName) else Nil)
+        val dedupKeys = (dims.map(_.innerName) ++ pkCols ++ valueCols).distinct
+        val deduped = joined.dropDuplicates(dedupKeys)
+        partials += grouped(deduped, ms.map(symmetricAggColumn(_, pkCols)))
+      }
+      stitch(partials.toSeq, dims.map(_.innerName) ++
+        (if (q.withTotals) Seq("_is_total") else Nil))
+    }
+  }
+
+  /** Full-outer join partial aggregates on the dim columns (null-safe),
+    * coalescing the key columns. */
+  private def stitch(partials: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    partials.reduce { (l, r) =>
+      if (keys.isEmpty) l.crossJoin(r)
+      else {
+        val rr = keys.foldLeft(r)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
+        val cond = keys.map(k => l(k) <=> rr(s"__r_$k")).reduce(_ && _)
+        val j = l.join(rr, cond, "full_outer")
+        val merged = keys.foldLeft(j)((df, k) =>
+          df.withColumn(k, coalesce(df(k), df(s"__r_$k"))))
+        merged.drop(keys.map(k => s"__r_$k"): _*)
+      }
+    }
+
+  /** Each fact model aggregates to the shared dim grain independently, then
+    * the grains are FULL-joined and COALESCEd
+    * (reference: _generate_with_preaggregation, generator.py:2652-2921). */
+  private def multiFactSplit(q: SemanticQuery, dims: Seq[DimRef],
+      simples: Seq[MetricRef]): DataFrame = {
+    val byModel = simples.groupBy(_.model).toSeq.sortBy(_._1)
+    val crossModelOuter = classify(q).collect { case o: OuterWhere => o }
+    require(crossModelOuter.forall { o =>
+      val ms = fieldRefsIn(o.e).map(_._1).toSet
+      byModel.map(_._1).count(ms.contains) <= 1
+    }, "Cross-fact filters are not supported with the multi-fact split route")
+    val partials = byModel.map { case (m, ms) =>
+      val sub = q.copy(
+        metrics = ms.map(mr => s"$m.${mr.metric.name}"),
+        orderBy = Nil, limit = None, offset = None, withTotals = false)
+      planAggregate(sub, finalShape = false)
+    }
+    stitch(partials, dims.map(_.innerName))
+  }
+
+  /** Build the joined multi-model frame with everything later stages need. */
+  private def buildJoined(q: SemanticQuery, dims: Seq[DimRef],
+      simples: Seq[MetricRef], pushed: Seq[PushDown], outer: Seq[OuterWhere],
+      hops: Seq[JoinHop], base: String, extraPk: Set[String]): DataFrame = {
+
+    val models = (base +: hops.map(_.toModel)).distinct
+    var needed: Map[String, Needed] = models.map(_ -> Needed()).toMap
+    def need(m: String, n: Needed): Unit =
+      needed = needed.updated(m, needed(m) ++ n)
+
+    dims.foreach(d => need(d.model, Needed(dims = Set((d.dim.name, d.grain)))))
+    simples.foreach { mr =>
+      need(mr.model, Needed(raws = Set(mr.metric.name)))
+      mr.metric.filters.foreach { f =>
+        fieldRefsIn(parseE(spark, f)).foreach { case (m, fld) =>
+          if (needed.contains(m)) need(m, needField(cat.model(m), fld)) }
+      }
+    }
+    outer.foreach(o => fieldRefsIn(o.e).foreach { case (m, fld) =>
+      if (needed.contains(m)) need(m, needField(cat.model(m), fld)) })
+    hops.foreach { h =>
+      need(h.fromModel, Needed(phys = h.fromKeys.toSet))
+      need(h.toModel, Needed(phys = h.toKeys.toSet))
+      h.sqlOn.foreach { on =>
+        val e = parseE(spark,
+          on.replace("{from}", h.fromModel).replace("{to}", h.toModel))
+        fieldRefsIn(e).foreach { case (m, fld) =>
+          if (needed.contains(m)) need(m, needField(cat.model(m), fld)) }
+      }
+    }
+    extraPk.foreach(m => need(m, Needed(phys = cat.model(m).primaryKey.toSet)))
+
+    val pushedByModel = pushed.groupBy(_.model)
+    // a filtered join target must use INNER so filter semantics survive the
+    // LEFT default (reference: generator.py:2549-2586)
+    val filteredModels = pushedByModel.keySet
+
+    val frames: Map[String, DataFrame] = models.map { m =>
+      m -> modelFrame(cat.model(m), needed(m),
+        pushedByModel.getOrElse(m, Nil).map(_.e), q.user)
+    }.toMap
+
+    var joined = frames(base)
+    for (h <- hops) {
+      val right = frames(h.toModel)
+      if (h.cross) joined = joined.crossJoin(right)
+      else {
+        val cond = h.sqlOn match {
+          case Some(on) =>
+            val e = parseE(spark,
+              on.replace("{from}", h.fromModel).replace("{to}", h.toModel))
+            toColumn(toJoinedScope(e, None))
+          case None =>
+            h.fromKeys.zip(h.toKeys).map { case (fk, tk) =>
+              col(s"${h.fromModel}__$fk") === col(s"${h.toModel}__$tk")
+            }.reduce(_ && _)
+        }
+        val joinType = if (filteredModels(h.toModel)) "inner" else "left"
+        joined = joined.join(right, cond, joinType)
+      }
+    }
+    outer.foldLeft(joined)((df, o) => df.filter(toColumn(toJoinedScope(o.e, None))))
+  }
+
+  /** Drill-to-detail: raw rows, PKs projected, no GROUP BY
+    * (reference: generator.py:971,989). */
+  private def ungroupedSelect(q: SemanticQuery, dims: Seq[DimRef],
+      simples: Seq[MetricRef], pushed: Seq[PushDown], outer: Seq[OuterWhere],
+      hops: Seq[JoinHop], base: String): DataFrame = {
+    val joined = buildJoined(q, dims, simples, pushed, outer, hops, base,
+      extraPk = Set(base))
+    val pkCols = cat.model(base).primaryKey.map(k =>
+      col(s"${base}__$k").as(k))
+    val dimCols = dims.map(d => col(d.innerName).as(d.outName))
+    val rawCols = simples.filter(_.metric.sql.isDefined)
+      .map(mr => col(mr.rawName).as(mr.metric.name))
+    val out = joined.select(pkCols ++ dimCols ++ rawCols: _*)
+    shape(q, out)
+  }
+
+  /** Compose derived/ratio metrics, apply HAVING, rename, order, limit. */
+  private def finish(q: SemanticQuery, aggregated: DataFrame, dims: Seq[DimRef],
+      requested: Seq[MetricRef], simples: Seq[MetricRef],
+      having: Seq[HavingF]): DataFrame = {
+
+    var df = aggregated
+    // available metric output columns (by bare name and model.name)
+    var avail: Map[String, String] =
+      simples.flatMap(mr => Seq(mr.metric.name -> mr.metric.name,
+        s"${mr.model}.${mr.metric.name}" -> mr.metric.name)).toMap
+
+    // iterate ratio/derived until all requested are materialized
+    var pending = requested.filterNot(mr => avail.contains(mr.metric.name))
+      .filter(mr => Set("ratio", "derived")(mr.metric.kind))
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      progress = false
+      pending.foreach { mr =>
+        val depsReady = mr.metric.kind match {
+          case "ratio" =>
+            Seq(mr.metric.numerator.get, mr.metric.denominator.get)
+              .forall(r => avail.contains(stripModel(r)) || avail.contains(r))
+          case "derived" =>
+            metricNameRefs(mr).forall(d => avail.contains(d.metric.name))
+        }
+        if (depsReady) {
+          df = df.withColumn(mr.metric.name, computedColumn(mr, avail))
+          avail += (mr.metric.name -> mr.metric.name)
+          avail += (s"${mr.model}.${mr.metric.name}" -> mr.metric.name)
+          progress = true
+        }
+      }
+      pending = pending.filterNot(mr => avail.contains(mr.metric.name))
+    }
+    require(pending.isEmpty,
+      s"Unresolvable metric dependencies: ${pending.map(_.metric.name)}")
+
+    // fill_nulls on requested simple metrics must also cover nulls introduced
+    // by the multi-fact full-outer stitch, so reapply post-aggregation
+    requested.filter(_.metric.isSimple).foreach { mr =>
+      mr.metric.fillNullsWith.foreach(v =>
+        df = df.withColumn(mr.metric.name, coalesce(col(mr.metric.name), expr(v))))
+    }
+
+    having.foreach { h =>
+      val e = rewriteAttrs(h.e) {
+        case Seq(m, f) if isMetricRefPair(m, f) => Some(attr(f))
+        case _ => None
+      }
+      df = df.filter(toColumn(e))
+    }
+
+    val dimOut = dims.map(d => col(d.innerName).as(d.outName))
+    val metOut = requested.map(mr => col(mr.metric.name))
+    val totalCol = if (q.withTotals) Seq(col("_is_total")) else Nil
+    shape(q, df.select(dimOut ++ metOut ++ totalCol: _*))
+  }
+
+  private def stripModel(ref: String): String =
+    if (ref.contains(".")) ref.split('.')(1) else ref
+
+  private def computedColumn(mr: MetricRef, avail: Map[String, String]): Column = {
+    val c = mr.metric.kind match {
+      case "ratio" =>
+        val num = col(avail(stripModel(mr.metric.numerator.get)))
+        val den = col(avail(stripModel(mr.metric.denominator.get)))
+        num / nullif(den, lit(0)) // safe divide (reference: generator.py:4498)
+      case "derived" =>
+        val e = rewriteAttrs(parseE(spark, mr.metric.sql.get)) { parts =>
+          val key = parts.mkString(".")
+          avail.get(key).orElse(avail.get(parts.last)).map(attr(_))
+        }
+        toColumn(e)
+    }
+    fillNulls(mr, c)
+  }
+
+  /** ORDER BY / LIMIT / OFFSET on the shaped output. */
+  private[gen] def shape(q: SemanticQuery, df0: DataFrame): DataFrame = {
+    var df = df0
+    if (q.orderBy.nonEmpty) {
+      val cols = q.orderBy.map { o =>
+        if (o.startsWith("-")) col(o.drop(1)).desc else col(o).asc
+      }
+      df = df.orderBy(cols: _*)
+    }
+    q.offset.foreach(n => df = df.offset(n))
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  // accessors for sibling planners
+  private[gen] def catRef: Catalog = cat
+  private[gen] def dimRefsOf(q: SemanticQuery): Seq[(String, String, Option[String])] =
+    q.dimensions.map { r => val d = dimRef(r); (d.model, d.dim.name, d.grain) }
+  private[gen] def simpleDepRefs(mr: String): Seq[String] = {
+    val m = metricRef(mr)
+    simpleDeps(m).map(d => s"${d.model}.${d.metric.name}")
+  }
+  private[gen] def metricOf(ref: String): (String, Metric) = {
+    val mr = metricRef(ref); (mr.model, mr.metric)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Explicit model registry (no global mutable context — reference's implicit
+  * `with SemanticLayer()` registration, core/registry.py, is replaced by an
+  * immutable catalog). Also hosts graph-level metrics (metrics defined over
+  * other models' metrics, not owned by one model).
+  */
+final case class Catalog(
+    models: Map[String, Model] = Map.empty,
+    graphMetrics: Map[String, Metric] = Map.empty,
+    dataDir: String = ""
+) {
+
+  def add(ms: Model*): Catalog = {
+    val resolved = ms.map(resolveExtends)
+    resolved.foreach(Validation.validate(_, this))
+    copy(models = models ++ resolved.map(m => m.name -> m))
+  }
+
+  def addGraphMetric(ms: Metric*): Catalog =
+    copy(graphMetrics = graphMetrics ++ ms.map(m => m.name -> m))
+
+  def model(name: String): Model =
+    models.getOrElse(name, throw new IllegalArgumentException(
+      s"Unknown model '$name'. Known: ${models.keys.toSeq.sorted.mkString(", ")}"))
+
+  /** Field-level merge inheritance (reference: core/inheritance.py:11,94). */
+  private def resolveExtends(m: Model): Model = m.extendsModel match {
+    case None => m
+    case Some(parentName) =>
+      val p = model(parentName) // parent must already be registered (cycle-safe)
+      m.copy(
+        primaryKey = if (m.primaryKey.nonEmpty) m.primaryKey else p.primaryKey,
+        dimensions = mergeByName(p.dimensions, m.dimensions)(_.name),
+        metrics = mergeByName(p.metrics, m.metrics)(_.name),
+        relationships = mergeByName(p.relationships, m.relationships)(_.to),
+        segments = mergeByName(p.segments, m.segments)(_.name),
+        defaultTimeDimension = m.defaultTimeDimension.orElse(p.defaultTimeDimension),
+        extendsModel = None
+      )
+  }
+
+  private def mergeByName[T](parent: Seq[T], child: Seq[T])(key: T => String): Seq[T] = {
+    val childKeys = child.map(key).toSet
+    parent.filterNot(x => childKeys(key(x))) ++ child
+  }
+
+  /** Physical scan for a model. Filters/pruning applied later compose into
+    * this scan via Catalyst pushdown (PushedFilters/ReadSchema at the file
+    * source), so the scan itself stays unprojected here. */
+  def scan(spark: SparkSession, m: Model): DataFrame = m.source match {
+    case ModelSource.Parquet(pattern) =>
+      spark.read.parquet(pattern.replace("{dir}", dataDir))
+    case ModelSource.Table(t)   => spark.table(t)
+    case ModelSource.SqlView(s) => spark.sql(s)
+  }
+
+  def withDataDir(dir: String): Catalog = copy(dataDir = dir)
+
+  /** Locate a metric by "model.metric" or graph-level bare name. */
+  def resolveMetric(ref: String): (Option[Model], Metric) = ref.split('.') match {
+    case Array(mName, metName) =>
+      val m = model(mName)
+      (Some(m), m.metric(metName).getOrElse(throw new IllegalArgumentException(
+        s"Unknown metric '$metName' on model '$mName'")))
+    case Array(bare) =>
+      graphMetrics.get(bare) match {
+        case Some(gm) => (None, gm)
+        case None => throw new IllegalArgumentException(s"Unknown graph metric '$bare'")
+      }
+    case _ => throw new IllegalArgumentException(s"Bad metric ref '$ref'")
+  }
+}
+
+/** Plan-time validation (reference: core/validation.py + security.py:61). */
+object Validation {
+  def validate(m: Model, cat: Catalog): Unit = {
+    val dupDims = m.dimensions.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupDims.isEmpty, s"Model '${m.name}': duplicate dimensions ${dupDims.mkString(",")}")
+    val dupMets = m.metrics.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dupMets.isEmpty, s"Model '${m.name}': duplicate metrics ${dupMets.mkString(",")}")
+    m.metrics.foreach { met =>
+      met.agg.foreach(a => require(AggKind.All(a),
+        s"Model '${m.name}' metric '${met.name}': unknown agg '$a'"))
+      met.metricType.foreach(t => require(
+        Set("ratio", "derived", "cumulative", "time_comparison",
+          "conversion", "retention", "cohort")(t),
+        s"Model '${m.name}' metric '${met.name}': unknown type '$t'"))
+    }
+    m.defaultTimeDimension.foreach { td =>
+      require(m.dimension(td).exists(_.dimType == DimType.Time),
+        s"Model '${m.name}': default_time_dimension '$td' is not a time dimension")
+    }
+  }
+}

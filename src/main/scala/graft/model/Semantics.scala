@@ -1,0 +1,180 @@
+package graft.model
+
+/** Core semantic-layer metadata model.
+  *
+  * From-scratch Spark-native equivalent of the reference's semantic
+  * abstractions (sidemantic/core/model.py:16, dimension.py:8, metric.py:10,
+  * relationship.py:8, segment.py:6, pre_aggregation.py:35, security.py:40).
+  * Pure metadata — all physical execution is delegated to Catalyst.
+  */
+
+/** Semantic dimension types (reference: sidemantic/core/dimension.py:15). */
+sealed trait DimType
+object DimType {
+  case object Categorical extends DimType
+  case object Time        extends DimType
+  case object Bool        extends DimType
+  case object Numeric     extends DimType
+}
+
+/** A queryable attribute of a model.
+  *
+  * @param sql expression over the model's physical columns (single-part
+  *            references); None means a physical column of the same name.
+  * @param granularity default time grain for Time dims (second..year).
+  */
+final case class Dimension(
+    name: String,
+    dimType: DimType = DimType.Categorical,
+    sql: Option[String] = None,
+    granularity: Option[String] = None,
+    label: Option[String] = None,
+    parent: Option[String] = None, // hierarchy metadata (drill up/down)
+    public: Boolean = true
+) {
+  def expr: String = sql.getOrElse(name)
+}
+
+/** Aggregation kinds (reference: sidemantic/core/metric.py:36-52). */
+object AggKind {
+  val All: Set[String] = Set(
+    "sum", "count", "count_distinct", "approx_count_distinct", "avg",
+    "min", "max", "median", "stddev", "stddev_pop", "variance", "variance_pop")
+  /** Idempotent under row duplication (fan-out safe as-is). */
+  val FanoutSafe: Set[String] =
+    Set("min", "max", "count_distinct", "approx_count_distinct")
+  /** No distributive decomposition exists — must raise under fan-out
+    * (reference: symmetric_aggregate.py:147-159). */
+  val NonDecomposable: Set[String] =
+    Set("median", "stddev", "stddev_pop", "variance", "variance_pop")
+}
+
+/** Time-comparison offsets (reference: core/time_intelligence.py). */
+object Comparison {
+  val Offsets = Map("dod" -> "day", "wow" -> "week", "mom" -> "month",
+    "qoq" -> "quarter", "yoy" -> "year", "prior" -> "prior")
+}
+
+/** Semi-additive metric config (reference: metric.py:368). */
+final case class NonAdditiveDimension(
+    name: String,                    // time dim the metric is non-additive over
+    windowChoice: String = "max",    // "max" (last snapshot) | "min" (first)
+    windowGroupings: Seq[String] = Nil // extra per-entity groupings (e.g. account)
+)
+
+/** A measure or computed metric.
+  *
+  * Exactly one "kind" applies:
+  *   - agg defined              → simple aggregate over `sql` expr
+  *   - metricType = ratio       → numerator / nullif(denominator, 0)
+  *   - metricType = derived     → `sql` formula over other metric names
+  *   - metricType = cumulative  → running total of baseMetric (window/grainToDate)
+  *   - metricType = time_comparison → lag of baseMetric by comparison offset
+  *   - metricType = conversion  → entity funnel base→conversion within window
+  *   - metricType = retention   → cohort retention curve
+  *   - metricType = cohort      → two-stage per-entity agg then outer agg
+  */
+final case class Metric(
+    name: String,
+    agg: Option[String] = None,
+    sql: Option[String] = None,
+    metricType: Option[String] = None,
+    filters: Seq[String] = Nil,
+    fillNullsWith: Option[String] = None,
+    label: Option[String] = None,
+    public: Boolean = true,
+    // ratio
+    numerator: Option[String] = None,
+    denominator: Option[String] = None,
+    offsetWindow: Option[String] = None, // e.g. "1 month" lag on denominator
+    // cumulative / time_comparison
+    baseMetric: Option[String] = None,
+    window: Option[String] = None,        // e.g. "7 day" trailing window
+    grainToDate: Option[String] = None,   // e.g. "month" → MTD, "year" → YTD
+    comparison: Option[String] = None,    // dod|wow|mom|qoq|yoy|prior
+    calculation: Option[String] = None,   // difference|percent_change|ratio
+    // conversion / retention / cohort
+    entity: Option[String] = None,          // entity dimension (e.g. user_id)
+    baseFilter: Option[String] = None,      // base-event predicate
+    conversionFilter: Option[String] = None,
+    conversionWindow: Option[String] = None, // e.g. "7 day"
+    retentionPeriods: Option[Int] = None,
+    retentionGrain: Option[String] = None,   // day|week|month
+    having: Option[String] = None,           // cohort qualification gate
+    outerAgg: Option[String] = None,         // cohort outer aggregation
+    nonAdditive: Option[NonAdditiveDimension] = None
+) {
+  def isSimple: Boolean = metricType.isEmpty && agg.isDefined
+  def kind: String = metricType.getOrElse("simple")
+}
+
+/** Join edge between models (reference: relationship.py:8).
+  *
+  * @param foreignKey key column(s) on the owning (from) model
+  * @param primaryKey key column(s) on the related (to) model; defaults to
+  *                   the to-model's primary key
+  * @param through    junction model name for many_to_many
+  * @param sqlOn      custom join condition with {from}/{to} model refs
+  */
+final case class Relationship(
+    to: String,
+    relType: String, // many_to_one | one_to_one | one_to_many | many_to_many | cross
+    foreignKey: Seq[String] = Nil,
+    primaryKey: Seq[String] = Nil,
+    through: Option[String] = None,
+    throughForeignKey: Seq[String] = Nil,
+    relatedForeignKey: Seq[String] = Nil,
+    sqlOn: Option[String] = None
+)
+
+/** Named reusable filter; `{model}` refers to the owning model. */
+final case class Segment(name: String, sql: String, public: Boolean = true)
+
+/** Row/field security (reference: core/security.py:40). Deny-by-default
+  * access gate; row filters templated over user attributes `{{user.attr}}`. */
+final case class SecurityPolicy(
+    name: String,
+    rowFilters: Seq[String] = Nil, // rendered with user attrs, pushed pre-join
+    allowedRoles: Set[String] = Set.empty // empty = everyone
+)
+
+/** Materialized rollup definition (reference: pre_aggregation.py:35). */
+final case class PreAggregation(
+    name: String,
+    measures: Seq[String],            // metric names (simple aggs only)
+    dimensions: Seq[String] = Nil,    // dim names
+    timeDimension: Option[String] = None,
+    granularity: Option[String] = None,  // stored grain
+    partitionGranularity: Option[String] = None
+)
+
+/** How a model binds to physical data. */
+sealed trait ModelSource
+object ModelSource {
+  /** Parquet path; `{dir}` is substituted with the data directory at plan time. */
+  final case class Parquet(pathPattern: String) extends ModelSource
+  /** Catalog table name (spark.table). */
+  final case class Table(name: String) extends ModelSource
+  /** Derived table — arbitrary Spark SQL. */
+  final case class SqlView(sql: String) extends ModelSource
+}
+
+/** A semantic model: a dataset + its dimensions/metrics/join edges.
+  * (reference: core/model.py:16) */
+final case class Model(
+    name: String,
+    source: ModelSource,
+    primaryKey: Seq[String] = Nil,
+    dimensions: Seq[Dimension] = Nil,
+    metrics: Seq[Metric] = Nil,
+    relationships: Seq[Relationship] = Nil,
+    segments: Seq[Segment] = Nil,
+    security: Option[SecurityPolicy] = None,
+    defaultTimeDimension: Option[String] = None,
+    defaultGrain: Option[String] = None,
+    extendsModel: Option[String] = None
+) {
+  def dimension(n: String): Option[Dimension] = dimensions.find(_.name == n)
+  def metric(n: String): Option[Metric] = metrics.find(_.name == n)
+  def segment(n: String): Option[Segment] = segments.find(_.name == n)
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+
+/** Narrow bridge into Spark's `private[sql]` surface: wrap a Catalyst
+  * Expression back into a public Column, and reach the session's SQL parser.
+  * Kept to two one-liners so the engine touches no other internals.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def parser(spark: SparkSession): ParserInterface =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+}
