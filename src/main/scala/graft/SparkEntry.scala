@@ -1,13 +1,796 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.gen.{Generator, TableCalcs}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.plan.SemanticQuery
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data pipeline operators), each with an
+  * equivalent DuckDB oracle in `oracleSql` where the operator is
+  * SQL-expressible (hash-based ops get the weaker rows-only check).
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - money sums are DECIMAL(18,x) casts (exact, order-independent);
+  *   - ratios/averages divide in double with identical expression shape;
+  *   - avg/stddev/median outputs round(…, 4) on both sides (double
+  *     summation order differs between engines);
+  *   - integer outputs are BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def gen(s: SparkSession, dir: String): Generator =
+    new Generator(s, TpchCatalog.build(dir))
+
+  private def q(s: SparkSession, dir: String)(query: SemanticQuery): DataFrame =
+    gen(s, dir).plan(query)
+
+  private def round4(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c).cast("double"), 4)))
+
+  private def asLong(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Flagship: multi-hop star join, lineitem→orders→customer→nation→region. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q(spark, "/root/testdata/sf0.001")(SemanticQuery(
+      metrics = Seq("lineitem.net_revenue", "lineitem.quantity"),
+      dimensions = Seq("region.name"),
+      orderBy = Seq("name")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1/2.2/2.5 scans, projections, aggregations ----
+    "q_simple_agg" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("lineitem.quantity", "lineitem.net_revenue", "lineitem.item_count"),
+      dimensions = Seq("lineitem.returnflag", "lineitem.linestatus"),
+      orderBy = Seq("returnflag", "linestatus")))),
+
+    "q_agg_minmax" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.min_order_value", "orders.max_order_value", "orders.order_count"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("orderpriority")))),
+
+    "q_agg_avg" -> ((s, d) => round4(q(s, d)(SemanticQuery(
+      metrics = Seq("orders.avg_order_value"),
+      dimensions = Seq("orders.orderstatus"),
+      orderBy = Seq("orderstatus"))), "avg_order_value")),
+
+    "q_count_distinct" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.distinct_customers"),
+      dimensions = Seq("orders.orderstatus"),
+      orderBy = Seq("orderstatus")))),
+
+    "q_stats" -> ((s, d) => round4(q(s, d)(SemanticQuery(
+      metrics = Seq("lineitem.median_quantity", "lineitem.stddev_quantity",
+        "lineitem.stddev_pop_quantity", "lineitem.var_quantity",
+        "lineitem.var_pop_quantity"),
+      dimensions = Seq("lineitem.returnflag"),
+      orderBy = Seq("returnflag"))),
+      "median_quantity", "stddev_quantity", "stddev_pop_quantity",
+      "var_quantity", "var_pop_quantity")),
+
+    // approx HLL sketch differs from DuckDB's by design → rows-only check
+    "q_approx_distinct" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("lineitem.approx_parts"),
+      dimensions = Seq("lineitem.returnflag"),
+      orderBy = Seq("returnflag")))),
+
+    // ---- §2.2 time grains, filters, segments, relative dates ----
+    "q_time_grain_month" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.order_count"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month")))),
+
+    "q_time_grain_week" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("lineitem.quantity"),
+      dimensions = Seq("lineitem.shipdate__week"),
+      filters = Seq("lineitem.shipdate >= '1996-01-01'",
+        "lineitem.shipdate < '1996-03-01'"),
+      orderBy = Seq("shipdate__week")))),
+
+    "q_filter_pushdown" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("lineitem.net_revenue"),
+      dimensions = Seq("nation.name"),
+      filters = Seq("orders.orderstatus = 'F'",
+        "lineitem.shipdate >= '1997-01-01'"),
+      orderBy = Seq("name")))),
+
+    "q_metric_filter" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.open_revenue", "orders.revenue"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("orderpriority")))),
+
+    "q_having" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderpriority"),
+      filters = Seq("orders.revenue > 70000000"),
+      orderBy = Seq("orderpriority")))),
+
+    "q_segment" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("customer.customer_count"),
+      dimensions = Seq("nation.name"),
+      segments = Seq("customer.automobile"),
+      orderBy = Seq("name")))),
+
+    "q_relative_date" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.order_count"),
+      dimensions = Seq("orders.orderstatus"),
+      filters = Seq("orders.order_date >= 'last 100 weeks'"),
+      anchorDate = Some("1999-01-01"),
+      orderBy = Seq("orderstatus")))),
+
+    "q_parameter" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus"),
+      filters = Seq("orders.orderpriority = '{{prio}}'"),
+      parameters = Map("prio" -> "1-URGENT"),
+      orderBy = Seq("orderstatus")))),
+
+    "q_bool_dimension" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.order_count"),
+      dimensions = Seq("orders.is_high_value"),
+      orderBy = Seq("is_high_value")))),
+
+    // ---- §2.3 joins ----
+    // orders→customer→nation→region: 3-hop chain with no shorter route
+    "q_multi_hop" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.order_count"),
+      dimensions = Seq("region.name"),
+      orderBy = Seq("name")))),
+
+    "q_many_to_many" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("supplier.supplier_count"),
+      dimensions = Seq("part.brand"),
+      orderBy = Seq("brand")))),
+
+    // ---- §2.4 fan-out safety ----
+    "q_fanout_symmetric" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("customer.total_acctbal", "customer.customer_count"),
+      dimensions = Seq("orders.orderstatus"),
+      orderBy = Seq("orderstatus")))),
+
+    "q_fanout_avg" -> ((s, d) => round4(q(s, d)(SemanticQuery(
+      metrics = Seq("customer.avg_acctbal"),
+      dimensions = Seq("orders.orderstatus"),
+      orderBy = Seq("orderstatus"))), "avg_acctbal")),
+
+    "q_multifact" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue", "lineitem.quantity"),
+      dimensions = Seq("customer.mktsegment"),
+      orderBy = Seq("mktsegment")))),
+
+    "q_semi_additive" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("events.last_value_total"),
+      dimensions = Seq("events.ts__month"),
+      orderBy = Seq("ts__month")))),
+
+    // ---- §2.5 derived / ratio / fill_nulls / totals / ungrouped ----
+    "q_ratio" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.aov", "orders.revenue_per_customer"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("orderpriority")))),
+
+    "q_derived" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.open_revenue_share"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("orderpriority")))),
+
+    "q_graph_metric" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("revenue_per_item")))),
+
+    "q_fill_nulls" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("events.purchase_value"),
+      dimensions = Seq("events.event_type"),
+      orderBy = Seq("event_type")))),
+
+    "q_with_totals" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderpriority"),
+      withTotals = true,
+      orderBy = Seq("_is_total", "orderpriority")))),
+
+    "q_ungrouped" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus"),
+      ungrouped = true,
+      orderBy = Seq("o_orderkey"), limit = Some(10)))),
+
+    "q_order_limit_offset" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("-revenue"), limit = Some(3), offset = Some(1)))),
+
+    // ---- §2.6 window metrics ----
+    "q_cumulative" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.cumulative_revenue", "orders.revenue"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month")))),
+
+    "q_cumulative_window" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue_3m"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month")))),
+
+    "q_grain_to_date" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue_ytd"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month")))),
+
+    "q_time_comparison" -> ((s, d) => round4(q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue_mom"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month"))), "revenue_mom")),
+
+    "q_yoy_difference" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue_yoy_diff"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month")))),
+
+    // ---- §2.7 funnels ----
+    "q_conversion" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("events.signup_conversion")))),
+
+    "q_retention" -> ((s, d) => asLong(q(s, d)(SemanticQuery(
+      metrics = Seq("events.signup_retention"),
+      orderBy = Seq("cohort_date", "period"))), "period")),
+
+    "q_cohort" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("events.multi_type_users")))),
+
+    // ---- §2.8 top-n + §1.1 table calculations ----
+    "q_topn" -> ((s, d) => TableCalcs.topN(q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.order_date__month"))),
+      "revenue", 3).orderBy("order_date__month")),
+
+    "q_tablecalc_pct" -> ((s, d) => TableCalcs.percentOfTotal(
+      q(s, d)(SemanticQuery(
+        metrics = Seq("orders.revenue"),
+        dimensions = Seq("orders.orderstatus"))),
+      "revenue", "revenue_share").orderBy("orderstatus")),
+
+    "q_tablecalc_running" -> ((s, d) => TableCalcs.runningTotal(
+      q(s, d)(SemanticQuery(
+        metrics = Seq("orders.revenue"),
+        dimensions = Seq("orders.order_date__month"))),
+      "revenue", Seq("order_date__month"), "running_revenue")
+      .orderBy("order_date__month")),
+
+    "q_tablecalc_rank" -> ((s, d) => asLong(TableCalcs.rankBy(
+      q(s, d)(SemanticQuery(
+        metrics = Seq("orders.revenue"),
+        dimensions = Seq("orders.orderpriority"))),
+      "revenue", "revenue_rank").orderBy("orderpriority"), "revenue_rank")),
+
+    "q_tablecalc_moving_avg" -> ((s, d) => round4(TableCalcs.movingAverage(
+      q(s, d)(SemanticQuery(
+        metrics = Seq("orders.revenue"),
+        dimensions = Seq("orders.order_date__month"))),
+      "revenue", Seq("order_date__month"), 3, "revenue_ma3")
+      .orderBy("order_date__month"), "revenue_ma3")),
+
+    // ---- §1.1 security ----
+    "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
+      dimensions = Seq("orders_secured.orderstatus"),
+      user = Map("role" -> "analyst", "status" -> "F"),
+      orderBy = Seq("orderstatus")))),
+
+    // ---- pipeline ops: dedup ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d), "doc_id", "text")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashLSH(docs(s, d), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      asLong(Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxDistance = 3)
+        .orderBy("id_a", "id_b"), "hamming")),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardWithinBlocks(
+        docs(s, d).filter(col("doc_id") < 200), "doc_id", "text", "source",
+        n = 4, threshold = 0.25)
+        .orderBy("block", "id_a", "id_b")),
+
+    // ---- pipeline ops: similarity search ----
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      asLong(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank"), "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      asLong(Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", 5, numPlanes = 6)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank"), "rank")
+    }),
+
+    "q_embedding_neardup" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.9, numPlanes = 6)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- pipeline ops: text analysis ----
+    "q_lang_id" -> ((s, d) =>
+      docs(s, d).withColumn("predicted", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")),
+
+    "q_quality" -> ((s, d) =>
+      asLong(TextAnalysis.qualityFeatures(
+        docs(s, d).filter(col("doc_id") < 20), "text")
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+          col("digit_ratio"), col("stopword_ratio"), col("quality_score"))
+        .orderBy("doc_id"), "n_tokens")),
+
+    "q_token_count" -> ((s, d) =>
+      asLong(docs(s, d).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id"), "ws_tokens", "bpeish_tokens")),
+
+    "q_fingerprint" -> ((s, d) =>
+      docs(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---- pipeline ops: multimodal plumbing (stubbed codec) ----
+    "q_multimodal" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(
+        docs(s, d).filter(col("doc_id") < 50), "doc_id", "text")
+      val decoded = Multimodal.decodeAndFeaturize(media, "media_id", "content")
+      Multimodal.resizePlan(decoded, "width", "height", 512)
+        .select("media_id", "width", "height", "target_width", "target_height",
+          "needs_resize")
+        .orderBy("media_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_simple_agg" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |  sum(l_quantity) AS quantity,
+        |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) AS net_revenue,
+        |  count(*) AS item_count
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  min(o_totalprice) AS min_order_value,
+        |  max(o_totalprice) AS max_order_value,
+        |  count(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_avg" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  round(avg(o_totalprice), 4) AS avg_order_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  count(DISTINCT o_custkey) AS distinct_customers
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stats" ->
+      """SELECT l_returnflag AS returnflag,
+        |  round(median(l_quantity), 4) AS median_quantity,
+        |  round(stddev_samp(l_quantity), 4) AS stddev_quantity,
+        |  round(stddev_pop(l_quantity), 4) AS stddev_pop_quantity,
+        |  round(var_samp(l_quantity), 4) AS var_quantity,
+        |  round(var_pop(l_quantity), 4) AS var_pop_quantity
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_grain_month" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_grain_week" ->
+      """SELECT date_trunc('week', l_shipdate) AS shipdate__week,
+        |  sum(l_quantity) AS quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-03-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // lineitem reaches nation via the supplier shortcut (2 hops — the BFS
+    // unique-shortest path, since part↔supplier junction edges exist);
+    // the orders join is only pulled in for its filter
+    "q_filter_pushdown" ->
+      """SELECT n.n_name AS name,
+        |  sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(18,4))) AS net_revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus = 'F' AND l.l_shipdate >= '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_metric_filter" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'O'
+        |      THEN cast(o_totalprice as decimal(18,2)) END) AS open_revenue,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders GROUP BY 1
+        |HAVING sum(cast(o_totalprice as decimal(18,2))) > 70000000
+        |ORDER BY 1""".stripMargin,
+
+    "q_segment" ->
+      """SELECT n.n_name AS name, count(*) AS customer_count
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_mktsegment = 'AUTOMOBILE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_relative_date" ->
+      """SELECT o_orderstatus AS orderstatus, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1999-01-01' - INTERVAL 700 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_parameter" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bool_dimension" ->
+      """SELECT o_totalprice > 200000 AS is_high_value, count(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_multi_hop" ->
+      """SELECT r.r_name AS name,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_many_to_many" ->
+      """SELECT p.p_brand AS brand, count(DISTINCT s.s_suppkey) AS supplier_count
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fanout_symmetric" ->
+      """SELECT orderstatus,
+        |  sum(acct) AS total_acctbal, count(DISTINCT ck) AS customer_count
+        |FROM (SELECT DISTINCT o.o_orderstatus AS orderstatus,
+        |        c.c_custkey AS ck, cast(c.c_acctbal as decimal(18,2)) AS acct
+        |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fanout_avg" ->
+      """SELECT orderstatus,
+        |  round(sum(acct) / count(DISTINCT ck), 4) AS avg_acctbal
+        |FROM (SELECT DISTINCT o.o_orderstatus AS orderstatus,
+        |        c.c_custkey AS ck, c.c_acctbal AS acct
+        |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_multifact" ->
+      """SELECT COALESCE(a.mktsegment, b.mktsegment) AS mktsegment,
+        |  a.revenue, b.quantity
+        |FROM (SELECT c.c_mktsegment AS mktsegment,
+        |        sum(cast(o.o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |      GROUP BY 1) a
+        |FULL JOIN (SELECT c.c_mktsegment AS mktsegment, sum(l.l_quantity) AS quantity
+        |      FROM lineitem l
+        |      JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |      JOIN customer c ON o.o_custkey = c.c_custkey
+        |      GROUP BY 1) b ON a.mktsegment = b.mktsegment
+        |ORDER BY 1""".stripMargin,
+
+    "q_semi_additive" ->
+      """SELECT month AS ts__month, sum(v) AS last_value_total
+        |FROM (SELECT date_trunc('month', ts) AS month, user_id,
+        |        cast(value as decimal(18,2)) AS v, ts,
+        |        max(ts) OVER (PARTITION BY date_trunc('month', ts), user_id) AS mx
+        |      FROM events)
+        |WHERE ts = mx GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ratio" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(*) as double) AS aov,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(DISTINCT o_custkey) as double) AS revenue_per_customer
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_derived" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  cast(sum(CASE WHEN o_orderstatus = 'O'
+        |        THEN cast(o_totalprice as decimal(18,2)) END) as double)
+        |    / cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    AS open_revenue_share
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_graph_metric" ->
+      """SELECT cast((SELECT sum(cast(o_totalprice as decimal(18,2))) FROM orders) as double)
+        |  / cast((SELECT count(*) FROM lineitem) as double) AS revenue_per_item""".stripMargin,
+
+    "q_fill_nulls" ->
+      """SELECT event_type,
+        |  COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |      THEN cast(value as decimal(18,2)) END), 0.0) AS purchase_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_with_totals" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS _is_total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), ())
+        |ORDER BY 3, 1""".stripMargin,
+
+    "q_ungrouped" ->
+      """SELECT o_orderkey, o_orderstatus AS orderstatus,
+        |  cast(o_totalprice as decimal(18,2)) AS revenue
+        |FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+
+    "q_order_limit_offset" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders GROUP BY 1
+        |ORDER BY revenue DESC LIMIT 3 OFFSET 1""".stripMargin,
+
+    "q_cumulative" ->
+      """SELECT order_date__month,
+        |  sum(revenue) OVER (ORDER BY order_date__month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_revenue,
+        |  revenue
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
+    "q_cumulative_window" ->
+      """SELECT order_date__month,
+        |  sum(revenue) OVER (ORDER BY mkey
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS revenue_3m
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        year(date_trunc('month', o_orderdate)) * 12
+        |          + month(date_trunc('month', o_orderdate)) AS mkey,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1, 2)
+        |ORDER BY 1""".stripMargin,
+
+    "q_grain_to_date" ->
+      """SELECT order_date__month,
+        |  sum(revenue) OVER (PARTITION BY date_trunc('year', order_date__month)
+        |    ORDER BY order_date__month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ytd
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
+    "q_time_comparison" ->
+      """SELECT order_date__month,
+        |  round((cast(revenue as double) - cast(prev as double))
+        |    / NULLIF(cast(prev as double), 0), 4) AS revenue_mom
+        |FROM (SELECT order_date__month, revenue,
+        |        lag(revenue, 1) OVER (ORDER BY order_date__month) AS prev
+        |      FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |              sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |            FROM orders GROUP BY 1))
+        |ORDER BY 1""".stripMargin,
+
+    "q_yoy_difference" ->
+      """SELECT order_date__month,
+        |  revenue - lag(revenue, 12) OVER (ORDER BY order_date__month)
+        |    AS revenue_yoy_diff
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
+    "q_conversion" ->
+      """SELECT CAST(count(*) AS BIGINT) AS base_entities,
+        |  CAST(sum(conv) AS BIGINT) AS converted_entities,
+        |  cast(sum(conv) as double) / cast(count(*) as double) AS signup_conversion
+        |FROM (SELECT e1.user_id,
+        |        max(CASE WHEN e2.event_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+        |      FROM events e1
+        |      LEFT JOIN events e2 ON e2.user_id = e1.user_id
+        |        AND e2.event_type = 'purchase'
+        |        AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 7 DAY
+        |      WHERE e1.event_type = 'signup'
+        |      GROUP BY 1)""".stripMargin,
+
+    "q_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_date
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS active_date
+        |  FROM events WHERE event_type IN ('click','view','purchase')),
+        |joined AS (
+        |  SELECT c.cohort_date,
+        |    date_diff('day', c.cohort_date, a.active_date) AS period, c.user_id
+        |  FROM cohorts c JOIN activity a ON a.user_id = c.user_id
+        |  WHERE date_diff('day', c.cohort_date, a.active_date) BETWEEN 0 AND 7),
+        |sizes AS (
+        |  SELECT cohort_date, count(DISTINCT user_id) AS cohort_size
+        |  FROM cohorts GROUP BY 1),
+        |ret AS (
+        |  SELECT cohort_date, period, count(DISTINCT user_id) AS retained
+        |  FROM joined GROUP BY 1, 2)
+        |SELECT r.cohort_date, CAST(r.period AS BIGINT) AS period,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(r.retained AS BIGINT) AS retained,
+        |  cast(r.retained as double) / cast(s.cohort_size as double)
+        |    AS signup_retention
+        |FROM ret r JOIN sizes s ON r.cohort_date = s.cohort_date
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_cohort" ->
+      """SELECT CAST(count(*) AS BIGINT) AS multi_type_users
+        |FROM (SELECT user_id, count(DISTINCT event_type) AS value
+        |      FROM events GROUP BY 1)
+        |WHERE value >= 4""".stripMargin,
+
+    "q_topn" ->
+      """SELECT order_date__month, revenue FROM (
+        |  SELECT order_date__month, revenue,
+        |    row_number() OVER (ORDER BY revenue DESC, order_date__month) AS rn
+        |  FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |          sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |        FROM orders GROUP BY 1))
+        |WHERE rn <= 3 ORDER BY 1""".stripMargin,
+
+    "q_tablecalc_pct" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    / cast(sum(sum(cast(o_totalprice as decimal(18,2)))) OVER () as double)
+        |    AS revenue_share
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tablecalc_running" ->
+      """SELECT order_date__month, revenue,
+        |  sum(revenue) OVER (ORDER BY order_date__month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_revenue
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
+    "q_tablecalc_rank" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  CAST(rank() OVER (ORDER BY sum(cast(o_totalprice as decimal(18,2))) DESC)
+        |    AS BIGINT) AS revenue_rank
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tablecalc_moving_avg" ->
+      """SELECT order_date__month, revenue,
+        |  round(avg(cast(revenue as double)) OVER (ORDER BY order_date__month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS revenue_ma3
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
+    "q_security" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs
+        |FROM (SELECT * FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+        |          ORDER BY doc_id) AS rn
+        |        FROM documents)
+        |      WHERE rn = 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(text) - 3, 1) + 1),
+        |      i -> substr(text, i, 4))) AS g
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  cast(len(list_intersect(a.g, b.g)) as double)
+        |    / cast(len(list_distinct(list_concat(a.g, b.g))) as double) AS jaccard
+        |FROM grams a JOIN grams b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE cast(len(list_intersect(a.g, b.g)) as double)
+        |    / cast(len(list_distinct(list_concat(a.g, b.g))) as double) >= 0.25
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_ann_cosine" ->
+      """SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
+        |  CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT query_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sim DESC, neighbor_id) AS rn
+        |      FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |              list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |                / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+        |                   * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+        |                AS sim
+        |            FROM embeddings c, embeddings q
+        |            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id))
+        |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // argmax by (score, lang) with ties to the lexicographically larger
+    // lang — same rule as Spark's greatest() over (score, lang) structs
+    "q_lang_id" ->
+      """SELECT lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |       WHEN s_en >= s_de THEN 'en'
+        |       ELSE 'de' END AS predicted,
+        |  count(*) AS n_docs
+        |FROM (SELECT lang,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        |      ['der','die','das','und','ist','nicht','ein','ich','zu','mit'])) AS s_de,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        |      ['the','and','of','to','a','in','is','it','you','that'])) AS s_en,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        |      ['el','la','los','y','es','no','un','una','que','en'])) AS s_es,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        |      ['le','la','les','et','est','pas','un','une','je','dans'])) AS s_fr
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |  cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |    as double) / length(text) AS punct_ratio,
+        |  cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    as double) / length(text) AS digit_ratio,
+        |  cast(len(list_intersect(
+        |      list_distinct(string_split_regex(lower(text), '\s+')),
+        |      ['the','and','of','to','a','in','is','it','you','that'])) as double)
+        |    / len(list_distinct(string_split_regex(lower(text), '\s+')))
+        |    AS stopword_ratio,
+        |  least(1.0, cast(len(string_split_regex(lower(text), '\s+')) as double) / 20) * 0.4
+        |    + (1.0 - least(1.0, (cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) as double) / length(text)) * 5)) * 0.2
+        |    + (1.0 - least(1.0, (cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as double) / length(text)) * 5)) * 0.2
+        |    + least(1.0, (cast(len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), ['the','and','of','to','a','in','is','it','you','that'])) as double) / len(list_distinct(string_split_regex(lower(text), '\s+')))) * 4) * 0.2
+        |    AS quality_score
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |    AS bpeish_tokens
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+  )
 }

@@ -41,7 +41,7 @@ object TpchCatalog {
       Dimension("acctbal", DimType.Numeric, sql = Some("c_acctbal"))),
     metrics = Seq(
       Metric("customer_count", agg = Some("count")),
-      Metric("total_acctbal", agg = Some("sum"), sql = Some("c_acctbal")),
+      Metric("total_acctbal", agg = Some("sum"), sql = Some("cast(c_acctbal as decimal(18,2))")),
       Metric("avg_acctbal", agg = Some("avg"), sql = Some("c_acctbal")),
       Metric("median_acctbal", agg = Some("median"), sql = Some("c_acctbal"))),
     relationships = Seq(
@@ -61,19 +61,19 @@ object TpchCatalog {
       Dimension("is_high_value", DimType.Bool, sql = Some("o_totalprice > 200000"))),
     metrics = Seq(
       Metric("order_count", agg = Some("count")),
-      Metric("revenue", agg = Some("sum"), sql = Some("o_totalprice")),
+      Metric("revenue", agg = Some("sum"), sql = Some("cast(o_totalprice as decimal(18,2))")),
       Metric("avg_order_value", agg = Some("avg"), sql = Some("o_totalprice")),
       Metric("max_order_value", agg = Some("max"), sql = Some("o_totalprice")),
       Metric("min_order_value", agg = Some("min"), sql = Some("o_totalprice")),
       Metric("distinct_customers", agg = Some("count_distinct"), sql = Some("o_custkey")),
-      Metric("open_revenue", agg = Some("sum"), sql = Some("o_totalprice"),
+      Metric("open_revenue", agg = Some("sum"), sql = Some("cast(o_totalprice as decimal(18,2))"),
         filters = Seq("orders.orderstatus = 'O'")),
       Metric("aov", metricType = Some("ratio"),
         numerator = Some("orders.revenue"), denominator = Some("orders.order_count")),
       Metric("revenue_per_customer", metricType = Some("ratio"),
         numerator = Some("orders.revenue"), denominator = Some("orders.distinct_customers")),
       Metric("open_revenue_share", metricType = Some("derived"),
-        sql = Some("open_revenue / revenue")),
+        sql = Some("cast(open_revenue as double) / cast(revenue as double)")),
       Metric("cumulative_revenue", metricType = Some("cumulative"),
         baseMetric = Some("revenue")),
       Metric("revenue_3m", metricType = Some("cumulative"),
@@ -105,7 +105,7 @@ object TpchCatalog {
       Metric("quantity", agg = Some("sum"), sql = Some("l_quantity")),
       Metric("item_count", agg = Some("count")),
       Metric("net_revenue", agg = Some("sum"),
-        sql = Some("l_extendedprice * (1 - l_discount)")),
+        sql = Some("cast(l_extendedprice * (1 - l_discount) as decimal(18,4))")),
       Metric("avg_quantity", agg = Some("avg"), sql = Some("l_quantity")),
       Metric("median_quantity", agg = Some("median"), sql = Some("l_quantity")),
       Metric("stddev_quantity", agg = Some("stddev"), sql = Some("l_quantity")),
@@ -128,14 +128,18 @@ object TpchCatalog {
       Dimension("size", DimType.Numeric, sql = Some("p_size"))),
     metrics = Seq(
       Metric("part_count", agg = Some("count")),
-      Metric("avg_retail", agg = Some("avg"), sql = Some("p_retailprice"))))
+      Metric("avg_retail", agg = Some("avg"), sql = Some("p_retailprice"))),
+    relationships = Seq(
+      // partsupp-style junction: part ↔ supplier through lineitem
+      Relationship("supplier", "many_to_many", through = Some("lineitem"),
+        throughForeignKey = Seq("l_partkey"), relatedForeignKey = Seq("l_suppkey"))))
 
   val supplier = Model(
     name = "supplier", source = t("supplier"), primaryKey = Seq("s_suppkey"),
     dimensions = Seq(Dimension("name", sql = Some("s_name"))),
     metrics = Seq(
       Metric("supplier_count", agg = Some("count")),
-      Metric("total_s_acctbal", agg = Some("sum"), sql = Some("s_acctbal"))),
+      Metric("total_s_acctbal", agg = Some("sum"), sql = Some("cast(s_acctbal as decimal(18,2))"))),
     relationships = Seq(
       Relationship("nation", "many_to_one", foreignKey = Seq("s_nationkey"))))
 
@@ -152,7 +156,7 @@ object TpchCatalog {
       Dimension("value", DimType.Numeric)),
     metrics = Seq(
       Metric("event_count", agg = Some("count")),
-      Metric("total_value", agg = Some("sum"), sql = Some("value")),
+      Metric("total_value", agg = Some("sum"), sql = Some("cast(value as decimal(18,2))")),
       Metric("active_users", agg = Some("count_distinct"), sql = Some("user_id")),
       Metric("cumulative_value", metricType = Some("cumulative"),
         baseMetric = Some("total_value")),
@@ -175,10 +179,10 @@ object TpchCatalog {
         having = Some("value >= 4"),
         outerAgg = Some("count")),
       // semi-additive: per-user last observed value, summed across users
-      Metric("last_value_total", agg = Some("sum"), sql = Some("value"),
+      Metric("last_value_total", agg = Some("sum"), sql = Some("cast(value as decimal(18,2))"),
         nonAdditive = Some(NonAdditiveDimension("ts", "max", Seq("user_id")))),
-      Metric("purchase_value", agg = Some("sum"), sql = Some("value"),
-        filters = Seq("events.event_type = 'purchase'"))),
+      Metric("purchase_value", agg = Some("sum"), sql = Some("cast(value as decimal(18,2))"),
+        filters = Seq("events.event_type = 'purchase'"), fillNullsWith = Some("0.0"))),
     segments = Seq(Segment("purchases", "{model}.event_type = 'purchase'")),
     defaultTimeDimension = Some("ts"))
 
@@ -191,7 +195,7 @@ object TpchCatalog {
       Dimension("order_date", DimType.Time, sql = Some("o_orderdate"),
         granularity = Some("day"))),
     metrics = Seq(
-      Metric("revenue", agg = Some("sum"), sql = Some("o_totalprice")),
+      Metric("revenue", agg = Some("sum"), sql = Some("cast(o_totalprice as decimal(18,2))")),
       Metric("order_count", agg = Some("count"))),
     security = Some(SecurityPolicy("analyst_only",
       rowFilters = Seq("orderstatus = '{{user.status}}'"),

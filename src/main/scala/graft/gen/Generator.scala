@@ -336,8 +336,17 @@ final class Generator(spark: SparkSession, cat: Catalog) {
     val hops = graph.joinPlan(base, allModels.filterNot(_ == base))
     val fanned = graph.fannedOutModels(base, hops)
 
+    // semi-additive metrics interact badly with every fan-out strategy —
+    // reference rejects the combination too (generator.py:1205-1210)
+    simples.filter(_.metric.nonAdditive.isDefined).foreach { mr =>
+      require(!fanned(mr.model),
+        s"Semi-additive metric '${mr.metric.name}' cannot be queried across " +
+          "a fan-out join")
+    }
+
     val atRisk = simples.filter(mr =>
-      fanned(mr.model) && !AggKind.FanoutSafe(mr.metric.agg.get))
+      mr.metric.nonAdditive.isEmpty &&
+        fanned(mr.model) && !AggKind.FanoutSafe(mr.metric.agg.get))
 
     val aggregated: DataFrame =
       if (q.ungrouped) {
@@ -385,22 +394,39 @@ final class Generator(spark: SparkSession, cat: Catalog) {
 
     def grouped(df: DataFrame, aggs: Seq[Column]): DataFrame =
       if (q.withTotals) {
-        val flag = (if (dims.nonEmpty) grouping(dimCols.head) else lit(0)).as("_is_total")
+        val flag = (if (dims.nonEmpty) grouping(dimCols.head).cast("int")
+                    else lit(0)).as("_is_total")
         df.groupingSets(Seq(dimCols, Seq.empty[Column]), dimCols: _*)
           .agg(aggs.head, (aggs.tail :+ flag): _*)
       } else if (dims.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(dimCols: _*).agg(aggs.head, aggs.tail: _*)
 
-    if (dedupModels.isEmpty) {
+    val (semiAdd, plain) = simples.partition(_.metric.nonAdditive.isDefined)
+
+    if (dedupModels.isEmpty && semiAdd.isEmpty) {
       if (simples.isEmpty) return joined.select(dimCols: _*).distinct()
       grouped(joined, simples.map(aggColumn))
     } else {
-      // partial aggregates per dedup class, then stitched back on the dims
-      val safe = simples.filterNot(mr => dedupModels(mr.model))
+      // partial aggregates per strategy class, then stitched back on the dims
+      val safe = plain.filterNot(mr => dedupModels(mr.model))
       val partials = scala.collection.mutable.ListBuffer[DataFrame]()
       if (safe.nonEmpty) partials += grouped(joined, safe.map(aggColumn))
+      // semi-additive: keep only rows at the min/max snapshot of the
+      // non-additive time dim per (dims × groupings), then aggregate
+      // (reference: sql/generator.py:147-274, :3391-3630)
+      for (((model, na), ms) <- semiAdd
+             .groupBy(mr => (mr.model, mr.metric.nonAdditive.get)).toSeq
+             .sortBy(_._2.head.metric.name)) {
+        val tCol = col(s"${model}__${na.name}")
+        val partCols = dims.map(_.innerName) ++
+          na.windowGroupings.map(g => s"${model}__$g")
+        val w = Window.partitionBy(partCols.map(col): _*)
+        val snap = (if (na.windowChoice == "min") min(tCol) else max(tCol)).over(w)
+        val marked = joined.withColumn("__snap", snap).filter(tCol === col("__snap"))
+        partials += grouped(marked, ms.map(aggColumn))
+      }
       for (m <- dedupModels.toSeq.sorted) {
-        val ms = simples.filter(_.model == m)
+        val ms = plain.filter(_.model == m)
         val pkCols = cat.model(m).primaryKey.map(k => s"${m}__$k")
         require(pkCols.nonEmpty, s"Symmetric aggregation needs a primary_key on '$m'")
         val valueCols = ms.flatMap(mr =>
@@ -480,6 +506,12 @@ final class Generator(spark: SparkSession, cat: Catalog) {
       }
     }
     extraPk.foreach(m => need(m, Needed(phys = cat.model(m).primaryKey.toSet)))
+    // semi-additive metrics need their snapshot dim + window groupings
+    simples.flatMap(mr => mr.metric.nonAdditive.map(mr.model -> _)).foreach {
+      case (m, na) =>
+        need(m, needField(cat.model(m), na.name))
+        na.windowGroupings.foreach(g => need(m, needField(cat.model(m), g)))
+    }
 
     val pushedByModel = pushed.groupBy(_.model)
     // a filtered join target must use INNER so filter semantics survive the
@@ -593,9 +625,12 @@ final class Generator(spark: SparkSession, cat: Catalog) {
   private def computedColumn(mr: MetricRef, avail: Map[String, String]): Column = {
     val c = mr.metric.kind match {
       case "ratio" =>
-        val num = col(avail(stripModel(mr.metric.numerator.get)))
-        val den = col(avail(stripModel(mr.metric.denominator.get)))
-        num / nullif(den, lit(0)) // safe divide (reference: generator.py:4498)
+        // double division on both operands: deterministic across engines
+        // and avoids decimal-scale explosion; NULLIF(den, 0) safe divide
+        // (reference: generator.py:4498)
+        val num = col(avail(stripModel(mr.metric.numerator.get))).cast("double")
+        val den = col(avail(stripModel(mr.metric.denominator.get))).cast("double")
+        num / when(den =!= 0, den)
       case "derived" =>
         val e = rewriteAttrs(parseE(spark, mr.metric.sql.get)) { parts =>
           val key = parts.mkString(".")

@@ -81,10 +81,12 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
           val k = offsetPeriods(m.comparison.getOrElse("prior"), queryGrain)
           val win = Window.partitionBy(otherDims.map(col): _*).orderBy(col(timeName))
           val prev = lag(base, k).over(win)
+          val prevD = prev.cast("double")
           val c = m.calculation.getOrElse("percent_change") match {
             case "difference"     => base - prev
-            case "percent_change" => (base - prev) / when(prev =!= 0, prev)
-            case "ratio"          => base / when(prev =!= 0, prev)
+            case "percent_change" =>
+              (base.cast("double") - prevD) / when(prevD =!= 0, prevD)
+            case "ratio"          => base.cast("double") / when(prevD =!= 0, prevD)
           }
           df = df.withColumn(m.name, c)
         case _ => ()

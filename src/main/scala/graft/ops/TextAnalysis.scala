@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text analysis operators for corpus curation: language identification,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (whole-stage codegen, no UDFs) so they run at scan
+  * speed over 100 TB.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "je", "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "un", "una", "que", "en"))
+
+  private def tokens(textCol: Column): Column = split(lower(textCol), "\\s+")
+
+  /** Per-language stopword hit counts as a map. */
+  def langScores(textCol: Column): Column =
+    map(profiles.toSeq.sortBy(_._1).flatMap { case (lang, words) =>
+      Seq(lit(lang),
+        size(array_intersect(array_distinct(tokens(textCol)),
+          typedlit(words))).cast("double"))
+    }: _*)
+
+  /** Predicted language = argmax of stopword hits; 'und' (undetermined)
+    * when nothing matches. */
+  def langId(textCol: Column): Column = {
+    val sorted = profiles.toSeq.sortBy(_._1)
+    val scores = sorted.map { case (lang, words) =>
+      struct(size(array_intersect(array_distinct(tokens(textCol)),
+        typedlit(words))).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*) // struct compare: score first, then lang
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features + a composite score in [0, 1]:
+    * length, token count, mean token length, punctuation ratio, stopword
+    * ratio, digit ratio. The score mirrors common corpus-quality
+    * heuristics (length bounds, low punctuation/digit noise, healthy
+    * stopword density). */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val en = typedlit(profiles("en"))
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        length(regexp_replace(t, "\\s+", "")).cast("double") / size(toks))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+          / length(t))
+      .withColumn("digit_ratio",
+        (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+          / length(t))
+      .withColumn("stopword_ratio",
+        size(array_intersect(array_distinct(toks), en)).cast("double")
+          / size(array_distinct(toks)))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 20) * lit(0.4)
+          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * 5)) * lit(0.2)
+          + (lit(1.0) - least(lit(1.0), col("digit_ratio") * 5)) * lit(0.2)
+          + least(lit(1.0), col("stopword_ratio") * 4) * lit(0.2))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(textCol: Column): Column = size(tokens(textCol))
+
+  /** BPE-ish token estimate: word pieces (letters / digits / single other
+    * glyphs) via regex — the pre-tokenization split most BPE vocabularies
+    * use. */
+  def bpeishTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Rolling-hash document fingerprint: minimum xxhash64 over character
+    * 8-grams of the first `cap` chars (winnowing-style min-sampling —
+    * stable under small edits, unlike a whole-doc hash). */
+  def fingerprint(textCol: String, cap: Int = 4096): Column =
+    expr(s"array_min(transform(sequence(1, greatest(length(substring($textCol, 1, $cap)) - 7, 1)), " +
+      s"i -> xxhash64(substring(substring($textCol, 1, $cap), i, 8))))")
+}
