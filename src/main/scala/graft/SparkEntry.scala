@@ -273,6 +273,20 @@ object SparkEntry {
       "revenue", Seq("order_date__month"), 3, "revenue_ma3")
       .orderBy("order_date__month"), "revenue_ma3")),
 
+    // ---- §4.1 pre-aggregation routing ----
+    "q_preagg_route" -> ((s, d) => {
+      val cat = TpchCatalog.build(d)
+      val store = new graft.preagg.PreAggStore(s, cat,
+        s"${System.getProperty("java.io.tmpdir")}/graft_preagg_${math.abs(d.hashCode)}")
+      store.materialize("orders", cat.model("orders").preAggregations.head)
+      val g2 = new Generator(s, cat, Some(store))
+      round4(g2.plan(SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.order_count", "orders.avg_order_value"),
+        dimensions = Seq("orders.orderstatus", "orders.order_date__month"),
+        filters = Seq("orders.orderpriority = '1-URGENT'"),
+        orderBy = Seq("orderstatus", "order_date__month"))), "avg_order_value")
+    }),
+
     // ---- §1.1 security ----
     "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
@@ -698,6 +712,15 @@ object SparkEntry {
         |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |      FROM orders GROUP BY 1)
         |ORDER BY 1""".stripMargin,
+
+    "q_preagg_route" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  date_trunc('month', o_orderdate) AS order_date__month,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count,
+        |  round(avg(o_totalprice), 4) AS avg_order_value
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_security" ->
       """SELECT o_orderstatus AS orderstatus,

@@ -91,7 +91,14 @@ object TpchCatalog {
     segments = Seq(
       Segment("fulfilled", "{model}.orderstatus = 'F'"),
       Segment("recent", "{model}.order_date >= '1998-01-01'")),
-    defaultTimeDimension = Some("order_date"))
+    defaultTimeDimension = Some("order_date"),
+    preAggregations = Seq(
+      PreAggregation("daily",
+        measures = Seq("revenue", "order_count", "avg_order_value",
+          "max_order_value"),
+        dimensions = Seq("orderstatus", "orderpriority"),
+        timeDimension = Some("order_date"), granularity = Some("day"),
+        partitionGranularity = Some("month"))))
 
   val lineitem = Model(
     name = "lineitem", source = t("lineitem"),

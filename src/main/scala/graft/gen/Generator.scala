@@ -22,7 +22,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * Internal column naming: `<model>__<field>[__<grain>]`; metric inputs as
   * `<model>__<metric>__raw`. Final select renames to user-facing short names.
   */
-final class Generator(spark: SparkSession, cat: Catalog) {
+final class Generator(spark: SparkSession, cat: Catalog,
+    preagg: Option[graft.preagg.PreAggStore] = None) {
 
   val graph = new SemanticGraph(cat)
 
@@ -298,6 +299,10 @@ final class Generator(spark: SparkSession, cat: Catalog) {
   // ------------------------------------------------------------------
 
   def plan(q: SemanticQuery): DataFrame = {
+    // pre-aggregation routing first (reference route order,
+    // generator.py:1258); fall through when no rollup matches
+    if (q.usePreAggs)
+      preagg.flatMap(_.plan(q)).foreach(df => return df)
     val requested = q.metrics.map(metricRef)
     val kinds = requested.map(_.metric.kind).toSet
     if (kinds.exists(Set("cumulative", "time_comparison")))

@@ -172,7 +172,8 @@ final case class Model(
     security: Option[SecurityPolicy] = None,
     defaultTimeDimension: Option[String] = None,
     defaultGrain: Option[String] = None,
-    extendsModel: Option[String] = None
+    extendsModel: Option[String] = None,
+    preAggregations: Seq[PreAggregation] = Nil
 ) {
   def dimension(n: String): Option[Dimension] = dimensions.find(_.name == n)
   def metric(n: String): Option[Metric] = metrics.find(_.name == n)

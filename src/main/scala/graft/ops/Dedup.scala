@@ -117,7 +117,8 @@ object Dedup {
     l.join(r, Seq("c", "v"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxDistance)
       .select("id_a", "id_b", "hamming")
   }

@@ -1,0 +1,123 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline operators on small controlled inputs. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "a"),  // near dup of 1
+    (4L, "completely different text about spark engines and catalyst", "b"),
+    (5L, "der hund ist nicht ein katze und ich bin zu haus mit", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("exact duplicate groups report copies and keeper") {
+    val g = Dedup.exactDuplicateGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("copies") == 2 && g(0).getAs[Long]("keeper_id") == 1)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips distinct docs") {
+    val pairs = Dedup.minHashLSH(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dups
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at distance 0, near dups within 16") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDistance = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard within blocks respects blocking") {
+    val pairs = Dedup.ngramJaccardWithinBlocks(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L))) // different block, never compared
+  }
+
+  test("brute-force cosine top-k ranks the identical vector first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", "vec_id", 2).collect()
+    assert(top.length == 2)
+    assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+    assert(math.abs(top(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("LSH buckets put identical vectors together") {
+    val vecs = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f)),
+      (3L, Array.fill(8)(-1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, numPlanes = 4, dim = 8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("language id separates english and german profiles") {
+    val out = docs.withColumn("predicted", TextAnalysis.langId(col("text")))
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(5L) == "de")
+  }
+
+  test("token counts: bpe-ish >= whitespace for punctuated text") {
+    val df = Seq((1L, "hello, world! it's 42 degrees")).toDF("id", "text")
+      .select(TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 5 && r.getInt(1) > r.getInt(0))
+  }
+
+  test("fingerprint is stable for identical text, differs otherwise") {
+    val fp = docs.select($"doc_id", TextAnalysis.fingerprint("text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  test("quality score lands in [0,1] and favors clean text") {
+    val out = TextAnalysis.qualityFeatures(docs, "text")
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("multimodal plumbing: decode batch keeps ids, resize plan bounds sides") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeAndFeaturize(media, "media_id", "content")
+    assert(decoded.count() == 5)
+    val planned = Multimodal.resizePlan(decoded, "width", "height", 128)
+    val rows = planned.collect()
+    assert(rows.forall(r =>
+      r.getAs[Int]("target_width") <= 128 && r.getAs[Int]("target_height") <= 128))
+    // identical bytes → identical fake decode output
+    val wh = decoded.select("media_id", "width").as[(Long, Int)].collect().toMap
+    assert(wh(1L) == wh(2L))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.gen.Generator
+import graft.plan.SemanticQuery
+import graft.preagg.PreAggStore
+import org.scalatest.funsuite.AnyFunSuite
+
+class PreAggSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = TpchCatalog.build(TestSpark.sfDir)
+  private lazy val base =
+    java.nio.file.Files.createTempDirectory("graft_preagg_test").toString
+  private lazy val store = new PreAggStore(spark, cat, base)
+  private lazy val pa = cat.model("orders").preAggregations.head
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame) =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("§"))
+
+  test("routed rollup query matches the base-table plan exactly") {
+    store.materialize("orders", pa)
+    val q = SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.order_count", "orders.max_order_value"),
+      dimensions = Seq("orders.orderstatus", "orders.order_date__month"),
+      filters = Seq("orders.orderpriority = '1-URGENT'"))
+    val routed = store.plan(q)
+    assert(routed.isDefined, "query should match the daily rollup")
+    val fromBase = new Generator(spark, cat).plan(q.copy(usePreAggs = false))
+    assert(collectSorted(routed.get) == collectSorted(fromBase))
+  }
+
+  test("generator auto-routes through the store") {
+    store.materialize("orders", pa)
+    val g = new Generator(spark, cat, Some(store))
+    val q = SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus"))
+    assert(collectSorted(g.plan(q)) ==
+      collectSorted(g.plan(q.copy(usePreAggs = false))))
+  }
+
+  test("week grain cannot roll up from a day-truncated month store — but day store can serve week") {
+    store.materialize("orders", pa)
+    // day-grain store CAN serve week queries
+    val weekQ = SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.order_date__week"))
+    assert(store.plan(weekQ).isDefined)
+  }
+
+  test("non-derivable metrics fall back to the base table") {
+    store.materialize("orders", pa)
+    val q = SemanticQuery(
+      metrics = Seq("orders.distinct_customers"), // count_distinct: no rollup
+      dimensions = Seq("orders.orderstatus"))
+    assert(store.plan(q).isEmpty)
+    // and the generator still answers it from base
+    val g = new Generator(spark, cat, Some(store))
+    assert(g.plan(q).count() == 3)
+  }
+
+  test("filters on non-rolled-up columns fall back") {
+    store.materialize("orders", pa)
+    val q = SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus"),
+      filters = Seq("orders.totalprice > 1000")) // not a rollup dim
+    assert(store.plan(q).isEmpty)
+  }
+
+  test("incremental refresh converges to the full rebuild") {
+    store.materialize("orders", pa)
+    val full = collectSorted(store.plan(SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.order_count"),
+      dimensions = Seq("orders.order_date__month"))).get)
+    // re-run an incremental pass over the tail; totals must be unchanged
+    store.refreshIncremental("orders", pa, "2000-01-15", lookback = 2)
+    val after = collectSorted(store.plan(SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.order_count"),
+      dimensions = Seq("orders.order_date__month"))).get)
+    assert(after == full)
+  }
+}
