@@ -278,7 +278,7 @@ object SparkEntry {
       val cat = TpchCatalog.build(d)
       val store = new graft.preagg.PreAggStore(s, cat,
         s"${System.getProperty("java.io.tmpdir")}/graft_preagg_${math.abs(d.hashCode)}")
-      store.materialize("orders", cat.model("orders").preAggregations.head)
+      store.materializeIfAbsent("orders", cat.model("orders").preAggregations.head)
       val g2 = new Generator(s, cat, Some(store))
       round4(g2.plan(SemanticQuery(
         metrics = Seq("orders.revenue", "orders.order_count", "orders.avg_order_value"),

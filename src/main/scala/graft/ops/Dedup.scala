@@ -29,12 +29,14 @@ object Dedup {
       .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keeper_id"))
       .filter(col("copies") > 1)
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum hash over the shingle set (shingle→minhash stage of the
-    * shingle→minhash→band→bucket-join pipeline). */
-  def minHashSignature(shinglesCol: String, numHashes: Int): Column =
+  /** MinHash signature over pre-hashed shingles: for each of `numHashes`
+    * seeded hash functions, the minimum re-mixed hash. Takes an
+    * `array<long>` column (hash the shingle strings ONCE into it first) —
+    * re-mixing 8-byte longs per seed is ~10× cheaper than re-hashing the
+    * shingle strings `numHashes` times. */
+  def minHashSignature(hashesCol: String, numHashes: Int): Column =
     expr(s"transform(sequence(0, ${numHashes - 1}), " +
-      s"seed -> array_min(transform($shinglesCol, s -> xxhash64(s, seed))))")
+      s"seed -> array_min(transform($hashesCol, h -> xxhash64(h, seed))))")
 
   /** Near-duplicate pairs via MinHash + LSH banding.
     *
@@ -50,51 +52,90 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val prepared = df
-      .select(col(idCol).as("id"),
-        expr(s"array_distinct(transform(sequence(1, greatest(size(split(lower($textCol), '\\\\s+')) - ${shingleSize - 1}, 1)), " +
-          s"i -> concat_ws(' ', slice(split(lower($textCol), '\\\\s+'), i, $shingleSize))))")
-          .as("sh"))
-      .withColumn("sig", minHashSignature("sh", numHashes))
+    // Spark's higher-order-function lambdas are CodegenFallback
+    // (interpreted, ~µs/element) — at corpus scale everything must stay
+    // inside whole-stage codegen. Shingles come from posexploded tokens +
+    // window lead() (no array lambdas), hashed once into (id, h) rows;
+    // the 64 seeded minima are then 64 plain aggregates keyed by doc id.
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__p", "__t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("__p")
+    val parts = col("__t") +: (1 until shingleSize).map(i =>
+      lead(col("__t"), i).over(w))
+    val exploded = toks
+      .withColumn("__s", concat_ws(" ", parts: _*))
+      .withColumn("__last", parts.last)
+      // valid shingle starts only — plus position 0 so a doc shorter than
+      // the shingle size still contributes its (truncated) single shingle
+      .filter(col("__last").isNotNull || col("__p") === 0)
+      .select(col("id"), xxhash64(col("__s")).as("__h"))
+      .distinct()
+      // consumed by three downstream joins — recomputing the tokenize/
+      // window/distinct pipeline per consumer triples the dominant cost
+      // (at warehouse scale this intermediate would be a materialized
+      // stage anyway)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
+    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
 
-    val banded = prepared.select(col("id"), col("sh"),
-      explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
-          s"'band', b, 'bucket', xxhash64(cast(slice(sig, b * $rows + 1, $rows) as string))))"))
-        .as("lsh"))
-      .select(col("id"), col("sh"), col("lsh.band"), col("lsh.bucket"))
+    // band bucket = hash of the band's signature rows (all codegen'd)
+    val bandStructs = (0 until bands).map { b =>
+      val cs = (b * rows until (b + 1) * rows).map(i => col(s"__m$i"))
+      struct(lit(b).as("band"), xxhash64(cs: _*).as("bucket"))
+    }
+    val banded = sigs
+      .select(col("id"), explode(array(bandStructs: _*)).as("lsh"))
+      .select(col("id"), col("lsh.band"), col("lsh.bucket"))
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
 
+    // exact-Jaccard verify as hash joins over the exploded shingle rows:
+    // |A∩B| = matches of (id_b, h) after attaching each candidate's id_a
+    // shingles; |A∪B| = |A|+|B|-|A∩B|. No array intersections, no shingle
+    // recomputation — everything stays in codegen'd joins/aggregates.
+    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("__n"))
+    val inter = candidates
+      .join(exploded.select(col("id").as("id_a"), col("__h")), Seq("id_a"))
+      .join(exploded.select(col("id").as("id_b"), col("__h")), Seq("id_b", "__h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
     candidates
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("__i"))
+      .join(sizes.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash over word hashes: bit b of the fingerprint is set when
-    * the population of tokens with bit b set outweighs those without. */
-  def simHash(textCol: String): Column =
+  /** 64-bit SimHash over a pre-hashed token array (`array<long>`): bit b
+    * of the fingerprint is set when the population of tokens with bit b
+    * set outweighs those without. Token hashing must be hoisted into its
+    * own column — inlining it here would re-tokenize the text 64 times. */
+  def simHashFromHashes(hashesCol: String): Column =
     expr(s"""
       aggregate(
         sequence(0, 63),
         0L,
         (acc, b) -> acc + shiftleft(
           CASE WHEN aggregate(
-            transform(split(lower($textCol), '\\\\s+'), t -> xxhash64(t)),
+            $hashesCol,
             0L,
             (s, h) -> s + CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
           ) > 0 THEN 1L ELSE 0L END, b))
     """)
+
+  /** SimHash of a text column (convenience wrapper for single use). */
+  def simHash(textCol: String): Column =
+    simHashFromHashes(s"transform(split(lower($textCol), '\\\\s+'), t -> xxhash64(t))")
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDistance`.
     *
@@ -107,7 +148,20 @@ object Dedup {
       maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
     val width = 64 / chunks
-    val withSig = df.select(col(idCol).as("id"), simHash(textCol).as("sig"))
+    // codegen path (see minHashLSH): explode tokens, one string hash each,
+    // then 64 per-bit sign sums as plain aggregates; the fingerprint is
+    // assembled from the 64 sums with scalar column math
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("__t"))
+      .select(col("id"), xxhash64(col("__t")).as("__h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$b"))
+    val sigExpr = (0 until 64).map(b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val withSig = exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sigExpr.as("sig"))
     val chunked = withSig.select(col("id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${chunks - 1}), c -> named_struct(" +
         s"'c', c, 'v', (sig >> (c * $width)) & ${(1L << width) - 1}))")).as("ch"))

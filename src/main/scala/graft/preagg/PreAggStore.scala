@@ -79,6 +79,15 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     path
   }
 
+  /** Build only when the rollup doesn't exist yet (source data is
+    * immutable per directory here; production refresh goes through
+    * [[refreshIncremental]]). */
+  def materializeIfAbsent(modelName: String, pa: PreAggregation): String = {
+    val path = rollupPath(modelName, pa)
+    if (new java.io.File(path, "_SUCCESS").exists()) path
+    else materialize(modelName, pa)
+  }
+
   /** Incremental refresh: recompute only partitions at/after the watermark
     * (reference: _refresh_incremental, pre_aggregation.py:718-789). The
     * lookback re-covers late-arriving data inside the window. */
