@@ -99,6 +99,30 @@ object Dev {
       filters = Seq("orders.order_date >= 'last 400 weeks'"),
       anchorDate = Some("1999-01-01")))
 
+    // semantic SQL front end
+    val front = new graft.sqlfront.SqlFront(spark, cat, gen)
+    println("=== sqlfront cross-model")
+    front.sql(
+      """SELECT customer.mktsegment, orders.revenue FROM orders
+        |WHERE orders.orderstatus = 'F' ORDER BY mktsegment""".stripMargin)
+      .show(5, truncate = false)
+    println("=== sqlfront passthrough")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .createOrReplaceTempView("raw_region")
+    front.sql("SELECT count(*) AS n FROM raw_region").show()
+
+    // native YAML loader on the reference's own fixture files
+    println("=== yaml loader (reference fixture)")
+    import spark.implicits._
+    Seq((1, "paid", 100), (2, "paid", 150), (3, "refunded", 50))
+      .toDF("order_id", "status", "amount").createOrReplaceTempView("fx_orders")
+    val fxCat = graft.load.YamlLoader.loadDirectory(
+      "/root/reference/tests/native-fixtures/basic_model/models",
+      name => graft.model.ModelSource.Table(s"fx_$name"))
+    new graft.gen.Generator(spark, fxCat).plan(SemanticQuery(
+      metrics = Seq("orders.total_revenue"),
+      dimensions = Seq("orders.status"), orderBy = Seq("status"))).show()
+
     // probes — these SHOULD fail with clear errors
     show("PROBE security: no role", SemanticQuery(
       metrics = Seq("orders_secured.revenue"), user = Map("status" -> "F")))

@@ -273,6 +273,25 @@ object SparkEntry {
       "revenue", Seq("order_date__month"), 3, "revenue_ma3")
       .orderBy("order_date__month"), "revenue_ma3")),
 
+    // ---- §2.12 semantic SQL front end ----
+    "q_sqlfront" -> ((s, d) => {
+      val cat = TpchCatalog.build(d)
+      new graft.sqlfront.SqlFront(s, cat, new Generator(s, cat)).sql(
+        """SELECT customer.mktsegment, orders.revenue, orders.order_count
+          |FROM orders
+          |WHERE orders.orderstatus = 'F'
+          |ORDER BY mktsegment""".stripMargin)
+    }),
+
+    "q_sqlfront_having" -> ((s, d) => {
+      val cat = TpchCatalog.build(d)
+      new graft.sqlfront.SqlFront(s, cat, new Generator(s, cat)).sql(
+        """SELECT orders.orderpriority, orders.revenue FROM orders
+          |GROUP BY orders.orderpriority
+          |HAVING orders.revenue > 70000000
+          |ORDER BY orderpriority""".stripMargin)
+    }),
+
     // ---- §4.1 pre-aggregation routing ----
     "q_preagg_route" -> ((s, d) => {
       val cat = TpchCatalog.build(d)
@@ -711,6 +730,21 @@ object SparkEntry {
         |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
         |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
+    "q_sqlfront" ->
+      """SELECT c.c_mktsegment AS mktsegment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sqlfront_having" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders GROUP BY 1
+        |HAVING sum(cast(o_totalprice as decimal(18,2))) > 70000000
         |ORDER BY 1""".stripMargin,
 
     "q_preagg_route" ->

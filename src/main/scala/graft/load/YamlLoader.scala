@@ -1,0 +1,215 @@
+package graft.load
+
+import graft.model._
+import org.yaml.snakeyaml.{LoaderOptions, Yaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+import scala.jdk.CollectionConverters._
+
+/** Loader for the reference's native YAML model format (version 1 —
+  * reference: docs/native-format.md, fixtures under tests/native-fixtures).
+  * A user of the reference can point this at their existing model files.
+  *
+  * Unknown model-level fields and unsupported versions are hard errors
+  * (matching the invalid_* fixture contract); `table:` resolution is
+  * pluggable so the same YAML binds to catalog tables, parquet
+  * directories, or test seeds.
+  */
+object YamlLoader {
+
+  type TableResolver = String => ModelSource
+
+  def defaultResolver: TableResolver = name => ModelSource.Table(name)
+
+  def loadString(yaml: String,
+      resolve: TableResolver = defaultResolver): Seq[Model] = {
+    val root = anyToScala(new Yaml(new SafeConstructor(new LoaderOptions()))
+      .load[Object](yaml)).asInstanceOf[Map[String, Any]]
+    val version = root.getOrElse("version", 1)
+    require(version == 1, s"Unsupported native-format version: $version")
+    root.getOrElse("models", Seq.empty).asInstanceOf[Seq[Any]]
+      .map(m => parseModel(m.asInstanceOf[Map[String, Any]], resolve))
+  }
+
+  def loadFile(path: String,
+      resolve: TableResolver = defaultResolver): Seq[Model] =
+    loadString(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"), resolve)
+
+  /** Load every *.yml in a directory into one catalog. */
+  def loadDirectory(dir: String, resolve: TableResolver = defaultResolver,
+      dataDir: String = ""): Catalog = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".yml") || f.getName.endsWith(".yaml"))
+      .sortBy(_.getName)
+    files.foldLeft(Catalog(dataDir = dataDir)) { (cat, f) =>
+      cat.add(loadFile(f.getPath, resolve): _*)
+    }
+  }
+
+  // ------------------------------------------------------------------
+
+  private val knownModelKeys = Set("name", "table", "sql", "source_uri",
+    "primary_key", "unique_keys", "dimensions", "metrics", "relationships",
+    "segments", "pre_aggregations", "default_time_dimension", "default_grain",
+    "extends", "description", "label", "security", "meta")
+
+  private def parseModel(m: Map[String, Any], resolve: TableResolver): Model = {
+    val unknown = m.keySet -- knownModelKeys
+    require(unknown.isEmpty,
+      s"Unknown field(s) ${unknown.mkString(", ")} in model '${m.getOrElse("name", "?")}'")
+    val name = m("name").toString
+    val source = (m.get("source_uri"), m.get("sql"), m.get("table")) match {
+      case (Some(uri), _, _) => ModelSource.Parquet(uri.toString)
+      case (_, Some(sql), _) => ModelSource.SqlView(sql.toString)
+      case (_, _, Some(t))   => resolve(t.toString)
+      case _                 => resolve(name)
+    }
+    Model(
+      name = name,
+      source = source,
+      primaryKey = strOrList(m.get("primary_key")),
+      dimensions = seqOfMaps(m.get("dimensions")).map(parseDimension),
+      metrics = seqOfMaps(m.get("metrics")).map(parseMetric),
+      relationships = seqOfMaps(m.get("relationships")).map(parseRelationship),
+      segments = seqOfMaps(m.get("segments")).map(s =>
+        Segment(s("name").toString, s("sql").toString)),
+      defaultTimeDimension = m.get("default_time_dimension").map(_.toString),
+      defaultGrain = m.get("default_grain").map(_.toString),
+      extendsModel = m.get("extends").map(_.toString),
+      preAggregations = seqOfMaps(m.get("pre_aggregations")).map(parsePreAgg))
+  }
+
+  private def parseDimension(d: Map[String, Any]): Dimension = {
+    val dimType = d.getOrElse("type", "categorical").toString match {
+      case "time"    => DimType.Time
+      case "boolean" => DimType.Bool
+      case "numeric" => DimType.Numeric
+      case _         => DimType.Categorical
+    }
+    Dimension(
+      name = d("name").toString,
+      dimType = dimType,
+      sql = d.get("sql").map(_.toString),
+      granularity = d.get("granularity").map(_.toString),
+      label = d.get("label").map(_.toString),
+      parent = d.get("parent").map(_.toString),
+      public = d.get("public").forall(_.toString.toBoolean))
+  }
+
+  private def parseMetric(m: Map[String, Any]): Metric = {
+    val mtype = m.get("type").map(_.toString)
+    val sql = m.get("sql").map(_.toString)
+    // `type: cumulative` uses `sql:` for its base metric reference in the
+    // native format (advanced_metrics fixture)
+    val isWindowType = mtype.exists(Set("cumulative", "time_comparison"))
+    Metric(
+      name = m("name").toString,
+      agg = m.get("agg").map(_.toString).filter(_ => !mtype.contains("cohort")),
+      sql = if (isWindowType) None
+            else mtype match {
+              case Some("cohort") => m.get("inner_metrics") match {
+                case Some(im) =>
+                  val inner = seqOfMaps(Some(im)).head
+                  Some(innerAggSql(inner))
+                case None => sql
+              }
+              case _ => sql
+            },
+      metricType = mtype,
+      filters = strList(m.get("filters")),
+      fillNullsWith = m.get("fill_nulls_with").map(_.toString),
+      numerator = m.get("numerator").map(_.toString),
+      denominator = m.get("denominator").map(_.toString),
+      offsetWindow = m.get("offset_window").map(_.toString),
+      baseMetric = m.get("base_metric").map(_.toString)
+        .orElse(if (isWindowType) sql else None),
+      window = m.get("window").map(_.toString),
+      grainToDate = m.get("grain_to_date").map(_.toString),
+      comparison = m.get("comparison_type").map(_.toString),
+      calculation = m.get("calculation").map(_.toString),
+      entity = m.get("entity").map(_.toString),
+      baseFilter = m.get("base_event").map(eventFilter)
+        .orElse(m.get("cohort_event").map(_.toString)),
+      conversionFilter = m.get("conversion_event").map(eventFilter)
+        .orElse(m.get("activity_event").map(_.toString)),
+      conversionWindow = m.get("conversion_window").map(_.toString),
+      retentionPeriods = m.get("periods").map(_.toString.toInt),
+      retentionGrain = m.get("retention_granularity").map(_.toString),
+      having = m.get("having").map { h =>
+        // HAVING references the inner metric by name → planner calls it `value`
+        seqOfMaps(m.get("inner_metrics")).headOption match {
+          case Some(inner) =>
+            h.toString.replaceAll(
+              raw"\b" + java.util.regex.Pattern.quote(inner("name").toString) + raw"\b",
+              "value")
+          case None => h.toString
+        }
+      },
+      outerAgg = if (mtype.contains("cohort")) m.get("agg").map(_.toString) else None,
+      nonAdditive = m.get("non_additive_dimension").map { nad =>
+        val nm = anyToScala(nad).asInstanceOf[Map[String, Any]]
+        NonAdditiveDimension(
+          name = nm("name").toString,
+          windowChoice = nm.getOrElse("window_choice", "max").toString,
+          windowGroupings = strList(nm.get("window_groupings")))
+      })
+  }
+
+  /** `base_event: signup` is shorthand for `event_type = 'signup'`;
+    * expressions pass through. */
+  private def eventFilter(v: Any): String = {
+    val s = v.toString
+    if (s.matches(raw"[A-Za-z_][A-Za-z0-9_]*")) s"event_type = '$s'" else s
+  }
+
+  private def innerAggSql(inner: Map[String, Any]): String = {
+    val agg = inner.getOrElse("agg", "count").toString
+    val target = inner.get("sql").map(_.toString).getOrElse("*")
+    agg match {
+      case "count_distinct" => s"count(distinct $target)"
+      case "count"          => if (target == "*") "count(*)" else s"count($target)"
+      case other            => s"$other($target)"
+    }
+  }
+
+  private def parseRelationship(r: Map[String, Any]): Relationship =
+    Relationship(
+      to = r("name").toString,
+      relType = r("type").toString,
+      foreignKey = strOrList(r.get("foreign_key")),
+      primaryKey = strOrList(r.get("primary_key")),
+      through = r.get("through").map(_.toString),
+      throughForeignKey = strOrList(r.get("through_foreign_key")),
+      relatedForeignKey = strOrList(r.get("related_foreign_key")),
+      sqlOn = r.get("sql").map(_.toString))
+
+  private def parsePreAgg(p: Map[String, Any]): PreAggregation =
+    PreAggregation(
+      name = p("name").toString,
+      measures = strList(p.get("measures")),
+      dimensions = strList(p.get("dimensions")),
+      timeDimension = p.get("time_dimension").map(_.toString),
+      granularity = p.get("granularity").map(_.toString),
+      partitionGranularity = p.get("partition_granularity").map(_.toString))
+
+  // ------------------------------------------------------------------
+
+  private def anyToScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> anyToScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(anyToScala).toSeq
+    case other => other
+  }
+
+  private def seqOfMaps(v: Option[Any]): Seq[Map[String, Any]] =
+    v.map(anyToScala).getOrElse(Seq.empty).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+
+  private def strList(v: Option[Any]): Seq[String] = v.map(anyToScala) match {
+    case Some(l: Seq[_]) => l.map(_.toString)
+    case Some(s)         => Seq(s.toString)
+    case None            => Nil
+  }
+
+  private def strOrList(v: Option[Any]): Seq[String] = strList(v)
+}
