@@ -36,6 +36,17 @@ object DevExplain {
       metrics = Seq("customer.total_acctbal"),
       dimensions = Seq("orders.orderstatus")))
 
+    // the user-facing explain surface: route + formatted physical plan
+    println("########## gen.explain output")
+    println(gen.explain(SemanticQuery(
+      metrics = Seq("customer.total_acctbal"),
+      dimensions = Seq("orders.orderstatus"))).linesIterator.take(12).mkString("\n"))
+    println(gen.explain(SemanticQuery(
+      metrics = Seq("orders.revenue", "lineitem.quantity"),
+      dimensions = Seq("customer.mktsegment"))).linesIterator.take(4).mkString("\n"))
+    println(gen.explain(SemanticQuery(
+      metrics = Seq("events.signup_retention"))).linesIterator.take(4).mkString("\n"))
+
     spark.stop()
   }
 }

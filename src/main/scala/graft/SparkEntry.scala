@@ -273,6 +273,21 @@ object SparkEntry {
       "revenue", Seq("order_date__month"), 3, "revenue_ma3")
       .orderBy("order_date__month"), "revenue_ma3")),
 
+    // ---- §2.2 timezone localization / §2.6 dimension window / saved query ----
+    "q_timezone" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.order_count"),
+      dimensions = Seq("orders.order_date__month"),
+      timezone = Some("America/New_York"),
+      orderBy = Seq("order_date__month")))),
+
+    "q_dim_window" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("events.event_count"),
+      dimensions = Seq("events.event_type", "events.next_event_type"),
+      orderBy = Seq("event_type", "next_event_type")))),
+
+    "q_saved_query" -> ((s, d) =>
+      gen(s, d).planSaved("revenue_by_priority")),
+
     // ---- §2.12 semantic SQL front end ----
     "q_sqlfront" -> ((s, d) => {
       val cat = TpchCatalog.build(d)
@@ -731,6 +746,27 @@ object SparkEntry {
         |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |      FROM orders GROUP BY 1)
         |ORDER BY 1""".stripMargin,
+
+    "q_timezone" ->
+      """SELECT date_trunc('month',
+        |    timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC'))
+        |    AS order_date__month,
+        |  count(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dim_window" ->
+      """SELECT event_type, next_event_type, count(*) AS event_count
+        |FROM (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+        |          AS next_event_type
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_saved_query" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sqlfront" ->
       """SELECT c.c_mktsegment AS mktsegment,

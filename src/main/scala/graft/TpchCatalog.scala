@@ -160,7 +160,11 @@ object TpchCatalog {
       // and the dimension converts (micros precision is plenty here)
       Dimension("ts", DimType.Time, sql = Some("timestamp_micros(ts div 1000)"),
         granularity = Some("day")),
-      Dimension("value", DimType.Numeric)),
+      Dimension("value", DimType.Numeric),
+      // dimension-level window (reference: core/dimension.py:105-112) —
+      // the raw nanos long orders identically to the timestamp
+      Dimension("next_event_type",
+        sql = Some("lead(event_type) over (partition by user_id order by ts)"))),
     metrics = Seq(
       Metric("event_count", agg = Some("count")),
       Metric("total_value", agg = Some("sum"), sql = Some("cast(value as decimal(18,2))")),
@@ -215,4 +219,8 @@ object TpchCatalog {
       .addGraphMetric(
         Metric("revenue_per_item", metricType = Some("ratio"),
           numerator = Some("orders.revenue"), denominator = Some("lineitem.item_count")))
+      .addSavedQuery("revenue_by_priority", graft.plan.SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.order_count"),
+        dimensions = Seq("orders.orderpriority"),
+        orderBy = Seq("orderpriority")))
 }

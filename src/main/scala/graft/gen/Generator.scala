@@ -146,6 +146,25 @@ final class Generator(spark: SparkSession, cat: Catalog,
   /** Rewrite a query-scope expression (`model.field` refs) to model-local
     * scope: dim refs become the dim's own SQL (with grain trunc), other
     * fields become bare physical columns. */
+  /** Query-level timezone: time dimensions localize before any grain
+    * truncation (reference: sql/generator.py:378-399; forces preagg
+    * bypass there and here — see matchQuery). Data timestamps are UTC. */
+  private val tzHolder = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
+  private def withTimezone[T](tz: Option[String])(f: => T): T = {
+    val prev = tzHolder.get(); tzHolder.set(tz)
+    try f finally tzHolder.set(prev)
+  }
+
+  private def localizeTime(model: Model, field: String, e: Expression): Expression =
+    tzHolder.get() match {
+      case Some(tz) if model.dimension(field).exists(_.dimType == DimType.Time) =>
+        Exprs.fn("from_utc_timestamp", e, Exprs.strLit(tz))
+      case _ => e
+    }
+
   private[gen] def toModelScope(model: Model, e: Expression): Expression =
     rewriteAttrs(e) {
       case Seq(m, f) if m == model.name => Some(localField(model, f))
@@ -155,10 +174,10 @@ final class Generator(spark: SparkSession, cat: Catalog,
 
   private[gen] def localField(model: Model, fieldWithGrain: String): Expression = {
     val (field, grain) = splitGrain(model, fieldWithGrain)
-    val base = model.dimension(field) match {
+    val base = localizeTime(model, field, model.dimension(field) match {
       case Some(d) => parseE(spark, d.expr)
       case None    => attr(field)
-    }
+    })
     grain.map(g => Exprs.truncExpr(g, base)).getOrElse(base)
   }
 
@@ -212,7 +231,7 @@ final class Generator(spark: SparkSession, cat: Catalog,
     pushed.foreach(e => df = df.filter(toColumn(toModelScope(model, e))))
     val dimCols = needed.dims.toSeq.sortBy(_._1).map { case (dn, grain) =>
       val d = model.dimension(dn).get
-      val base = parseE(spark, d.expr)
+      val base = localizeTime(model, dn, parseE(spark, d.expr))
       val e = grain.map(g => Exprs.truncExpr(g, base)).getOrElse(base)
       toColumn(e).as(s"${model.name}__$dn${grain.map("__" + _).getOrElse("")}")
     }
@@ -298,20 +317,60 @@ final class Generator(spark: SparkSession, cat: Catalog,
   // Standard path
   // ------------------------------------------------------------------
 
-  def plan(q: SemanticQuery): DataFrame = {
+  /** Route of the most recent plan() call, for explain output. */
+  @volatile var lastRoute: String = ""
+
+  /** Compile cache: identical requests reuse the composed plan
+    * (reference: generator.py:332-377,1041 — warm repeat compile). */
+  private val planCache =
+    new java.util.LinkedHashMap[SemanticQuery, DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SemanticQuery, DataFrame]): Boolean = size > 256
+    }
+
+  def plan(q: SemanticQuery): DataFrame = planCache.synchronized {
+    val hit = planCache.get(q)
+    if (hit != null) hit
+    else {
+      val df = compute(q)
+      planCache.put(q, df)
+      df
+    }
+  }
+
+  private def compute(q: SemanticQuery): DataFrame = withTimezone(q.timezone) {
     // pre-aggregation routing first (reference route order,
-    // generator.py:1258); fall through when no rollup matches
-    if (q.usePreAggs)
-      preagg.flatMap(_.plan(q)).foreach(df => return df)
+    // generator.py:1258); timezone localization bypasses rollups, which
+    // store UTC-truncated buckets (reference: generator.py:1038)
+    if (q.usePreAggs && q.timezone.isEmpty)
+      preagg.flatMap(_.plan(q)).foreach { df =>
+        lastRoute = "preagg"; return df
+      }
     val requested = q.metrics.map(metricRef)
     val kinds = requested.map(_.metric.kind).toSet
-    if (kinds.exists(Set("cumulative", "time_comparison")))
+    if (kinds.exists(Set("cumulative", "time_comparison"))) {
+      lastRoute = "window"
       new WindowMetrics(spark, this).plan(q)
-    else if (kinds.exists(Set("conversion", "retention", "cohort"))) {
+    } else if (kinds.exists(Set("conversion", "retention", "cohort"))) {
       require(requested.size == 1,
         "conversion/retention/cohort metrics must be queried alone")
+      lastRoute = kinds.intersect(Set("conversion", "retention", "cohort")).head
       new Funnels(spark, this).plan(q)
     } else planAggregate(q, finalShape = true)
+  }
+
+  /** Saved-query execution (reference: core/consumption.py SavedQuery). */
+  def planSaved(name: String): DataFrame =
+    plan(cat.savedQueries.getOrElse(name, throw new IllegalArgumentException(
+      s"Unknown saved query '$name'")))
+
+  /** Route + formatted physical plan, for debugging parity with the
+    * reference's explain diagnostics (query_rewriter.py:331). */
+  def explain(q: SemanticQuery): String = {
+    val df = plan(q)
+    s"route: $lastRoute\nmetrics: ${q.metrics.mkString(", ")}\n" +
+      s"dimensions: ${q.dimensions.mkString(", ")}\n" +
+      org.apache.spark.sql.GraftSqlBridge.explainString(df, "formatted")
   }
 
   /** Aggregated frame at the requested dim grain, fan-out handled.
@@ -355,12 +414,19 @@ final class Generator(spark: SparkSession, cat: Catalog,
 
     val aggregated: DataFrame =
       if (q.ungrouped) {
+        lastRoute = "ungrouped"
         return ungroupedSelect(q, dims, simples, pushed, outer, hops, base)
       } else if (atRisk.isEmpty) {
+        lastRoute = "standard"
         singlePass(q, dims, simples, pushed, outer, hops, base, Set.empty)
       } else if (multiFactLegal(q, dims, simples)) {
-        multiFactSplit(q, dims, simples)
+        // label set AFTER the split: its per-fact sub-plans recurse through
+        // planAggregate and would otherwise overwrite the route
+        val df = multiFactSplit(q, dims, simples)
+        lastRoute = "multi-fact-split"
+        df
       } else {
+        lastRoute = "symmetric-dedup"
         singlePass(q, dims, simples, pushed, outer, hops, base,
           atRisk.map(_.model).toSet)
       }

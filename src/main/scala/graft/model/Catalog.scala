@@ -10,6 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Catalog(
     models: Map[String, Model] = Map.empty,
     graphMetrics: Map[String, Metric] = Map.empty,
+    savedQueries: Map[String, graft.plan.SemanticQuery] = Map.empty,
     dataDir: String = ""
 ) {
 
@@ -21,6 +22,11 @@ final case class Catalog(
 
   def addGraphMetric(ms: Metric*): Catalog =
     copy(graphMetrics = graphMetrics ++ ms.map(m => m.name -> m))
+
+  /** Curated stored queries (reference: core/consumption.py:100,168 —
+    * Explores resolve to the same shape before planning). */
+  def addSavedQuery(name: String, q: graft.plan.SemanticQuery): Catalog =
+    copy(savedQueries = savedQueries + (name -> q))
 
   def model(name: String): Model =
     models.getOrElse(name, throw new IllegalArgumentException(

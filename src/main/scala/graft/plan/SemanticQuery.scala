@@ -20,6 +20,7 @@ final case class SemanticQuery(
     parameters: Map[String, String] = Map.empty,
     user: Map[String, String] = Map.empty, // security context attributes
     anchorDate: Option[String] = None,     // overrides current_date for relative dates
+    timezone: Option[String] = None,       // localize time dims before grain trunc
     usePreAggs: Boolean = true
 )
 

@@ -27,6 +27,18 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
   def rollupPath(model: String, pa: PreAggregation): String =
     s"$basePath/${model}_preagg_${pa.name}"
 
+  /** A rollup exists when its directory holds parquet data — dynamic
+    * partition overwrites don't leave a top-level _SUCCESS marker. */
+  def rollupExists(path: String): Boolean = {
+    val dir = new java.io.File(path)
+    def hasParquet(f: java.io.File, depth: Int): Boolean =
+      f.listFiles() != null && f.listFiles().exists { c =>
+        (c.isFile && c.getName.endsWith(".parquet")) ||
+          (c.isDirectory && depth > 0 && hasParquet(c, depth - 1))
+      }
+    dir.isDirectory && hasParquet(dir, 2)
+  }
+
   // ------------------------------------------------------------------
   // Materialization
   // ------------------------------------------------------------------
@@ -65,13 +77,34 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
       }
     }
 
+  /** Rollup aggregation of an arbitrary frame of the model's rows —
+    * shared by batch materialization and streaming maintenance. */
+  private[graft] def rollupOf(m: Model, pa: PreAggregation,
+      df: DataFrame): DataFrame = {
+    val dims = pa.dimensions.map(d => dimCol(m, d)) ++ timeCols(m, pa)
+    val aggs = pa.measures.flatMap(components(m, _)) :+ count(lit(1L)).as("__rows")
+    df.groupBy(dims: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two component frames additively (Σsum, Σcount, min, max) —
+    * legal because every stored measure is decomposable. */
+  private[graft] def mergeComponents(pa: PreAggregation, m: Model,
+      frames: DataFrame): DataFrame = {
+    val keyCols = frames.columns.filterNot(c =>
+      c.contains("__sum") || c.contains("__count") || c.contains("__min") ||
+        c.contains("__max") || c == "__rows")
+    val aggs = frames.columns.filterNot(keyCols.contains).map { c =>
+      if (c.contains("__min")) min(col(c)).as(c)
+      else if (c.contains("__max")) max(col(c)).as(c)
+      else sum(col(c)).as(c)
+    }.toSeq
+    frames.groupBy(keyCols.map(col).toSeq: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Full rebuild: one aggregated write, partitioned on the time bucket. */
   def materialize(modelName: String, pa: PreAggregation): String = {
     val m = cat.model(modelName)
-    val df = cat.scan(spark, m)
-    val dims = pa.dimensions.map(d => dimCol(m, d)) ++ timeCols(m, pa)
-    val aggs = pa.measures.flatMap(components(m, _)) :+ count(lit(1L)).as("__rows")
-    val rollup = df.groupBy(dims: _*).agg(aggs.head, aggs.tail: _*)
+    val rollup = rollupOf(m, pa, cat.scan(spark, m))
     val path = rollupPath(modelName, pa)
     val writer = rollup.write.mode("overwrite")
     (if (pa.partitionGranularity.isDefined) writer.partitionBy("__part")
@@ -84,8 +117,7 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     * [[refreshIncremental]]). */
   def materializeIfAbsent(modelName: String, pa: PreAggregation): String = {
     val path = rollupPath(modelName, pa)
-    if (new java.io.File(path, "_SUCCESS").exists()) path
-    else materialize(modelName, pa)
+    if (rollupExists(path)) path else materialize(modelName, pa)
   }
 
   /** Incremental refresh: recompute only partitions at/after the watermark
@@ -100,10 +132,7 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     val base = Exprs.column(spark, m.dimension(td).get.expr)
     val cutoff = date_trunc(pg, lit(watermark).cast("timestamp")) -
       expr(s"INTERVAL $lookback ${pg.toUpperCase}")
-    val df = cat.scan(spark, m).filter(base >= cutoff)
-    val dims = pa.dimensions.map(d => dimCol(m, d)) ++ timeCols(m, pa)
-    val aggs = pa.measures.flatMap(components(m, _)) :+ count(lit(1L)).as("__rows")
-    val rollup = df.groupBy(dims: _*).agg(aggs.head, aggs.tail: _*)
+    val rollup = rollupOf(m, pa, cat.scan(spark, m).filter(base >= cutoff))
     val path = rollupPath(modelName, pa)
     // dynamic partition overwrite replaces only the recomputed buckets
     rollup.write.mode("overwrite")
@@ -173,8 +202,7 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
         }
       }
       val path = rollupPath(m.name, pa)
-      if (dimsOk && measuresOk && filtersOk &&
-        new java.io.File(path).exists())
+      if (dimsOk && measuresOk && filtersOk && rollupExists(path))
         Some(Match(m, pa, path, dims, q.filters))
       else None
     } // prefer the narrowest matching rollup (fewest stored dimensions)

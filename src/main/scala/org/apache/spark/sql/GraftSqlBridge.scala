@@ -11,4 +11,7 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def parser(spark: SparkSession): ParserInterface =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
+  def explainString(df: Dataset[Row], mode: String): String =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution
+      .explainString(execution.ExplainMode.fromString(mode))
 }

@@ -1,0 +1,110 @@
+package graft
+
+import graft.model.PreAggregation
+import graft.plan.SemanticQuery
+import graft.preagg.PreAggStore
+import graft.streaming.StreamingRollup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val evPa = PreAggregation("ev_daily",
+    measures = Seq("event_count", "total_value"),
+    dimensions = Seq("event_type"),
+    timeDimension = Some("ts"), granularity = Some("day"),
+    partitionGranularity = Some("month"))
+
+  test("streaming rollup maintenance converges to the batch rollup") {
+    // catalog whose events model declares the rollup
+    val base = TpchCatalog.build(TestSpark.sfDir)
+    val events = base.model("events").copy(preAggregations = Seq(evPa))
+    val cat = base.add(events)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    // stage the source file as a stream input
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events-0.parquet"))
+
+    val store = new PreAggStore(spark, cat, s"$tmp/rollups")
+    val q = new StreamingRollup(spark, cat, store)
+      .maintain("events", evPa, src, s"$tmp/ckpt")
+    q.awaitTermination(120000)
+
+    val routed = store.plan(SemanticQuery(
+      metrics = Seq("events.event_count", "events.total_value"),
+      dimensions = Seq("events.event_type"),
+      orderBy = Seq("event_type")))
+    assert(routed.isDefined, "rollup should exist and match after streaming")
+    val got = routed.get.collect().map(_.toSeq).toSeq
+    val want = new graft.gen.Generator(spark, cat).plan(SemanticQuery(
+      metrics = Seq("events.event_count", "events.total_value"),
+      dimensions = Seq("events.event_type"),
+      orderBy = Seq("event_type"), usePreAggs = false))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("second batch of late files merges additively, not by overwrite") {
+    val base = TpchCatalog.build(TestSpark.sfDir)
+    val events = base.model("events").copy(preAggregations = Seq(evPa))
+    val cat = base.add(events)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events-0.parquet"))
+
+    val store = new PreAggStore(spark, cat, s"$tmp/rollups")
+    val roll = new StreamingRollup(spark, cat, store)
+    roll.maintain("events", evPa, src, s"$tmp/ckpt").awaitTermination(120000)
+
+    // a duplicate drop of the same file = a second batch of the same rows;
+    // counts must exactly double (additive merge, no replacement)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events-1.parquet"))
+    roll.maintain("events", evPa, src, s"$tmp/ckpt").awaitTermination(120000)
+
+    val after = store.plan(SemanticQuery(
+      metrics = Seq("events.event_count"),
+      dimensions = Seq("events.event_type"))).get
+      .agg(sum(col("event_count"))).collect()(0).getLong(0)
+    val single = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet").count()
+    assert(after == 2 * single)
+  }
+
+  test("watermarked windowed aggregation over the event stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/events-0.parquet"))
+    val schema = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val agg = stream
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ets", "1 hour")
+      .groupBy(window(col("ets"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_windows")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ev_windows")
+    val batch = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("ets"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() == batch.count())
+    assert(got.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      spark.read.parquet(s"${TestSpark.sfDir}/events.parquet").count())
+  }
+}
