@@ -379,14 +379,21 @@ final class Generator(spark: SparkSession, cat: Catalog,
   private[gen] def planAggregate(q: SemanticQuery, finalShape: Boolean): DataFrame = {
     val dims = q.dimensions.map(dimRef)
     val requested = q.metrics.map(metricRef)
-    val simples = requested.flatMap(simpleDeps).distinctBy(m => (m.model, m.metric.name))
-    require(simples.forall(_.model.nonEmpty),
-      "Graph-level metrics must resolve to model metrics")
 
     val wheres = classify(q)
     val pushed = wheres.collect { case p: PushDown => p }
     val outer = wheres.collect { case o: OuterWhere => o }
     val having = wheres.collect { case h: HavingF => h }
+
+    // metrics referenced only in HAVING still need computing (as hidden
+    // columns — finish() projects just the requested ones)
+    val havingMetrics = having.flatMap(h => fieldRefsIn(h.e))
+      .filter { case (m, f) => isMetricRefPair(m, f) }
+      .map { case (m, f) => metricRef(s"$m.$f") }
+    val simples = (requested ++ havingMetrics).flatMap(simpleDeps)
+      .distinctBy(m => (m.model, m.metric.name))
+    require(simples.forall(_.model.nonEmpty),
+      "Graph-level metrics must resolve to model metrics")
 
     val filterModels =
       (pushed.map(_.model) ++ outer.flatMap(o => fieldRefsIn(o.e).map(_._1))).distinct
@@ -537,9 +544,17 @@ final class Generator(spark: SparkSession, cat: Catalog,
       val ms = fieldRefsIn(o.e).map(_._1).toSet
       byModel.map(_._1).count(ms.contains) <= 1
     }, "Cross-fact filters are not supported with the multi-fact split route")
+    // HAVING filters stay with the OUTER query (finish applies them once);
+    // leaking them into sub-queries re-expands metrics across models and
+    // recurses the split forever
+    val nonHavingFilters = q.filters.filter { raw =>
+      val e = parseE(spark, Exprs.interpolate(raw, q.parameters))
+      !fieldRefsIn(e).exists { case (m, f) => isMetricRefPair(m, f) }
+    }
     val partials = byModel.map { case (m, ms) =>
       val sub = q.copy(
         metrics = ms.map(mr => s"$m.${mr.metric.name}"),
+        filters = nonHavingFilters,
         orderBy = Nil, limit = None, offset = None, withTotals = false)
       planAggregate(sub, finalShape = false)
     }
