@@ -123,6 +123,22 @@ object Dev {
       metrics = Seq("orders.total_revenue"),
       dimensions = Seq("orders.status"), orderBy = Seq("status"))).show()
 
+    // SparkSessionExtensions: semantic models in plain spark.sql
+    println("=== extensions: spark.sql over semantic models")
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val ext = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sqlfront.GraftExtensions)
+      .getOrCreate()
+    graft.sqlfront.GraftExtensions.register(ext, cat)
+    ext.sql("SELECT region.name, orders.revenue FROM orders ORDER BY name")
+      .show(5, truncate = false)
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+
     // probes — these SHOULD fail with clear errors
     show("PROBE security: no role", SemanticQuery(
       metrics = Seq("orders_secured.revenue"), user = Map("status" -> "F")))

@@ -39,6 +39,18 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
 
   // ------------------------------------------------------------------
 
+  /** Plan-level entry for the analyzer-rule integration: Some(df) when the
+    * plan is a semantic scope this front end understands. */
+  def rewritePlan(plan: LogicalPlan): Option[DataFrame] = rewrite(plan)
+
+  /** True when any relation in the plan names a semantic model. */
+  def referencesSemanticModel(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case ur: UnresolvedRelation
+          if ur.multipartIdentifier.size == 1 &&
+            cat.models.contains(ur.multipartIdentifier.head) => ()
+    }.isDefined
+
   private def rewrite(plan: LogicalPlan): Option[DataFrame] = plan match {
     case d: Distinct => d.child match {
       case u: Union => branchFrames(u).map(_.distinct())

@@ -14,4 +14,6 @@ object GraftSqlBridge {
   def explainString(df: Dataset[Row], mode: String): String =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution
       .explainString(execution.ExplainMode.fromString(mode))
+  def logicalPlan(df: Dataset[Row]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].logicalPlan
 }
