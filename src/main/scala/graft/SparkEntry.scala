@@ -241,6 +241,15 @@ object SparkEntry {
     "q_cohort" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("events.multi_type_users")))),
 
+    "q_funnel_steps" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("events.signup_funnel"),
+      orderBy = Seq("step")))),
+
+    "q_offset_ratio" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue_vs_prev_month"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month")))),
+
     // ---- §2.8 top-n + §1.1 table calculations ----
     "q_topn" -> ((s, d) => TableCalcs.topN(q(s, d)(SemanticQuery(
       metrics = Seq("orders.revenue"),
@@ -704,6 +713,35 @@ object SparkEntry {
         |FROM (SELECT user_id, count(DISTINCT event_type) AS value
         |      FROM events GROUP BY 1)
         |WHERE value >= 4""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH flags AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s0,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s1,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2
+        |  FROM events GROUP BY 1),
+        |counts AS (
+        |  SELECT CAST(sum(CASE WHEN s0 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+        |    CAST(sum(CASE WHEN s0 = 1 AND s1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(sum(CASE WHEN s0 = 1 AND s1 = 1 AND s2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r2
+        |  FROM flags)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS step, r0 AS entities,
+        |    cast(r0 as double) / NULLIF(cast(r0 as double), 0) AS signup_funnel FROM counts
+        |  UNION ALL SELECT 1, r1, cast(r1 as double) / NULLIF(cast(r0 as double), 0) FROM counts
+        |  UNION ALL SELECT 2, r2, cast(r2 as double) / NULLIF(cast(r0 as double), 0) FROM counts)
+        |ORDER BY step""".stripMargin,
+
+    "q_offset_ratio" ->
+      """SELECT order_date__month,
+        |  cast(revenue as double)
+        |    / NULLIF(cast(lag(revenue, 1) OVER (ORDER BY order_date__month) as double), 0)
+        |    AS revenue_vs_prev_month
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
 
     "q_topn" ->
       """SELECT order_date__month, revenue FROM (

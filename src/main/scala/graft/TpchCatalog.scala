@@ -85,7 +85,10 @@ object TpchCatalog {
         calculation = Some("percent_change")),
       Metric("revenue_yoy_diff", metricType = Some("time_comparison"),
         baseMetric = Some("revenue"), comparison = Some("yoy"),
-        calculation = Some("difference"))),
+        calculation = Some("difference")),
+      Metric("revenue_vs_prev_month", metricType = Some("ratio"),
+        numerator = Some("revenue"), denominator = Some("revenue"),
+        offsetWindow = Some("1 month"))),
     relationships = Seq(
       Relationship("customer", "many_to_one", foreignKey = Seq("o_custkey"))),
     segments = Seq(
@@ -148,7 +151,10 @@ object TpchCatalog {
       Metric("supplier_count", agg = Some("count")),
       Metric("total_s_acctbal", agg = Some("sum"), sql = Some("cast(s_acctbal as decimal(18,2))"))),
     relationships = Seq(
-      Relationship("nation", "many_to_one", foreignKey = Seq("s_nationkey"))))
+      // custom SQL join condition ({from}/{to} placeholders) — exercised by
+      // every lineitem→supplier→nation query (reference: relationship.py:46)
+      Relationship("nation", "many_to_one", foreignKey = Seq("s_nationkey"),
+        sqlOn = Some("{from}.s_nationkey = {to}.n_nationkey"))))
 
   val events = Model(
     name = "events", source = t("events"), primaryKey = Seq("event_id"),
@@ -184,6 +190,10 @@ object TpchCatalog {
         baseFilter = Some("event_type = 'signup'"),
         conversionFilter = Some("event_type IN ('click','view','purchase')"),
         retentionGrain = Some("day"), retentionPeriods = Some(7)),
+      Metric("signup_funnel", metricType = Some("funnel"),
+        entity = Some("user_id"),
+        steps = Seq("event_type = 'signup'", "event_type = 'purchase'",
+          "event_type = 'click'")),
       Metric("multi_type_users", metricType = Some("cohort"),
         entity = Some("user_id"),
         sql = Some("count(distinct event_type)"),

@@ -59,7 +59,34 @@ final class Funnels(spark: SparkSession, gen: Generator) {
         m.baseFilter.get, m.conversionFilter.get,
         m.retentionGrain.getOrElse("day"), m.retentionPeriods.getOrElse(7))
       case "cohort" => cohort(q, df, m, dims, dimCol, local, col(entity))
+      case "funnel" => funnelSteps(q, df, m, local, col(entity))
     }
+  }
+
+  /** N-step funnel: per-entity BOOL_OR flags per step → sequential AND →
+    * entities reached per step + rate vs step 0
+    * (reference: sql/generator.py:5420-5700). */
+  private def funnelSteps(q: SemanticQuery, df: DataFrame, m: graft.model.Metric,
+      local: String => Column, entity: Column): DataFrame = {
+    val n = m.steps.size
+    require(n >= 2, s"Funnel metric '${m.name}' needs at least 2 steps")
+    val flagAggs = m.steps.zipWithIndex.map { case (f, i) =>
+      max(when(local(f), 1).otherwise(0)).as(s"__s$i") }
+    val perEntity = df.groupBy(entity.as("__e"))
+      .agg(flagAggs.head, flagAggs.tail: _*)
+    // reached step i ⇔ every step ≤ i fired for the entity
+    val reached = m.steps.indices.map(i =>
+      (0 to i).map(j => col(s"__s$j") === 1).reduce(_ && _))
+    val countAggs = m.steps.indices.map(i =>
+      sum(when(reached(i), 1L).otherwise(0L)).as(s"__r$i"))
+    val counts = perEntity.agg(countAggs.head, countAggs.tail: _*)
+    val stackArgs = m.steps.indices
+      .map(i => s"cast($i as bigint), __r$i").mkString(", ")
+    counts
+      .select(expr(s"stack($n, $stackArgs) AS (step, entities)"), col("__r0"))
+      .withColumn(m.name,
+        col("entities").cast("double") / when(col("__r0") =!= 0, col("__r0")))
+      .drop("__r0")
   }
 
   private def segmentSql(q: SemanticQuery): Seq[String] = q.segments.map { ref =>

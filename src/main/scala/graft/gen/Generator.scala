@@ -348,13 +348,15 @@ final class Generator(spark: SparkSession, cat: Catalog,
       }
     val requested = q.metrics.map(metricRef)
     val kinds = requested.map(_.metric.kind).toSet
-    if (kinds.exists(Set("cumulative", "time_comparison"))) {
+    val offsetRatio = requested.exists(mr =>
+      mr.metric.kind == "ratio" && mr.metric.offsetWindow.isDefined)
+    if (kinds.exists(Set("cumulative", "time_comparison")) || offsetRatio) {
       lastRoute = "window"
       new WindowMetrics(spark, this).plan(q)
-    } else if (kinds.exists(Set("conversion", "retention", "cohort"))) {
+    } else if (kinds.exists(Set("conversion", "retention", "cohort", "funnel"))) {
       require(requested.size == 1,
-        "conversion/retention/cohort metrics must be queried alone")
-      lastRoute = kinds.intersect(Set("conversion", "retention", "cohort")).head
+        "conversion/retention/cohort/funnel metrics must be queried alone")
+      lastRoute = kinds.intersect(Set("conversion", "retention", "cohort", "funnel")).head
       new Funnels(spark, this).plan(q)
     } else planAggregate(q, finalShape = true)
   }

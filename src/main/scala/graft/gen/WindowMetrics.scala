@@ -26,6 +26,8 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
         case "cumulative" | "time_comparison" =>
           Seq(qualify(model, m.baseMetric.getOrElse(throw new IllegalArgumentException(
             s"Metric '${m.name}' needs base_metric"))))
+        case "ratio" if m.offsetWindow.isDefined =>
+          Seq(qualify(model, m.numerator.get), qualify(model, m.denominator.get))
         case _ => Seq(ref)
       }
     }.distinct
@@ -89,6 +91,14 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
             case "ratio"          => base.cast("double") / when(prevD =!= 0, prevD)
           }
           df = df.withColumn(m.name, c)
+        case "ratio" if m.offsetWindow.isDefined =>
+          // ratio with lagged denominator (reference: generator.py:6391)
+          val (n, unit) = parseWindow(m.offsetWindow.get)
+          val k = n * unitsPerGrain(unit, queryGrain)
+          val win = Window.partitionBy(otherDims.map(col): _*).orderBy(col(timeName))
+          val den = lag(col(strip(m.denominator.get)), k).over(win).cast("double")
+          df = df.withColumn(m.name,
+            col(strip(m.numerator.get)).cast("double") / when(den =!= 0, den))
         case _ => ()
       }
     }
@@ -111,6 +121,19 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
       case _ => throw new IllegalArgumentException(s"Bad window spec '$w'")
     }
   }
+
+  /** How many query-grain periods one offset unit spans. */
+  private def unitsPerGrain(unit: String, grain: String): Int =
+    (unit, grain) match {
+      case (u, g) if u == g    => 1
+      case ("week", "day")     => 7
+      case ("month", "day")    => 30 // calendar-naive; month grain preferred
+      case ("quarter", "month") => 3
+      case ("year", "month")   => 12
+      case ("year", "quarter") => 4
+      case _ => throw new IllegalArgumentException(
+        s"offset_window unit '$unit' unsupported at query grain '$grain'")
+    }
 
   /** Integer periods-since-epoch for a grain — the numeric RANGE key. */
   private def periodKey(t: Column, unit: String): Column = unit match {

@@ -47,6 +47,12 @@ final class SemanticGraph(cat: Catalog) {
     // duplicates would read as a false ambiguity in BFS
     .distinctBy(e => (e.from, e.to))
 
+  /** Custom `sql` conditions write {from}/{to} relative to the DECLARING
+    * model; traversing the edge backwards must swap them. */
+  private def invertPlaceholders(sqlOn: Option[String]): Option[String] =
+    sqlOn.map(_.replace("{from}", "{__swap__}")
+      .replace("{to}", "{from}").replace("{__swap__}", "{to}"))
+
   private def pkOf(name: String): Seq[String] = {
     val pk = cat.model(name).primaryKey
     require(pk.nonEmpty, s"Model '$name' used in a join needs a primary_key")
@@ -60,7 +66,7 @@ final class SemanticGraph(cat: Catalog) {
       val fk = if (r.foreignKey.nonEmpty) r.foreignKey else toKeys
       val fwd = JoinHop(owner.name, r.to, fk, toKeys, fanOut = false, oneToOne = o2o)
       val inv = JoinHop(r.to, owner.name, toKeys, fk,
-        fanOut = !o2o, oneToOne = o2o, sqlOn = r.sqlOn)
+        fanOut = !o2o, oneToOne = o2o, sqlOn = invertPlaceholders(r.sqlOn))
       Seq(Edge(owner.name, r.to, Seq(fwd.copy(sqlOn = r.sqlOn))),
           Edge(r.to, owner.name, Seq(inv)))
     case "one_to_many" =>
@@ -70,7 +76,8 @@ final class SemanticGraph(cat: Catalog) {
       Seq(Edge(owner.name, r.to,
             Seq(JoinHop(owner.name, r.to, ownerPk, fk, fanOut = true, sqlOn = r.sqlOn))),
           Edge(r.to, owner.name,
-            Seq(JoinHop(r.to, owner.name, fk, ownerPk, fanOut = false, sqlOn = r.sqlOn))))
+            Seq(JoinHop(r.to, owner.name, fk, ownerPk, fanOut = false,
+              sqlOn = invertPlaceholders(r.sqlOn)))))
     case "many_to_many" =>
       val junction = r.through.getOrElse(throw new IllegalArgumentException(
         s"many_to_many ${owner.name}→${r.to} needs 'through'"))

@@ -92,7 +92,7 @@ object Validation {
         s"Model '${m.name}' metric '${met.name}': unknown agg '$a'"))
       met.metricType.foreach(t => require(
         Set("ratio", "derived", "cumulative", "time_comparison",
-          "conversion", "retention", "cohort")(t),
+          "conversion", "retention", "cohort", "funnel")(t),
         s"Model '${m.name}' metric '${met.name}': unknown type '$t'"))
     }
     m.defaultTimeDimension.foreach { td =>

@@ -93,7 +93,8 @@ final case class Metric(
     grainToDate: Option[String] = None,   // e.g. "month" → MTD, "year" → YTD
     comparison: Option[String] = None,    // dod|wow|mom|qoq|yoy|prior
     calculation: Option[String] = None,   // difference|percent_change|ratio
-    // conversion / retention / cohort
+    // conversion / retention / cohort / funnel
+    steps: Seq[String] = Nil,               // N-step funnel predicates, in order
     entity: Option[String] = None,          // entity dimension (e.g. user_id)
     baseFilter: Option[String] = None,      // base-event predicate
     conversionFilter: Option[String] = None,
