@@ -249,19 +249,27 @@ final class Generator(spark: SparkSession, cat: Catalog,
   // Aggregation lowering
   // ------------------------------------------------------------------
 
-  /** Raw input column for a metric in the joined frame; count() without sql
-    * aggregates a literal. */
+  /** Raw input column for a metric in the joined frame. count() without
+    * sql counts the metric model's PRIMARY KEY, not literal rows — under a
+    * LEFT join, rows of other models with no match must contribute zero
+    * (composite_keys fixture: items without shipments count 0). */
   private def rawInput(mr: MetricRef): Column =
-    if (mr.metric.sql.isDefined) col(mr.rawName) else lit(1L)
+    if (mr.metric.sql.isDefined) col(mr.rawName)
+    else cat.model(mr.model).primaryKey.headOption
+      .map(pk => col(s"${mr.model}__$pk")).getOrElse(lit(1L))
 
   /** Metric-level filters → agg(CASE WHEN f THEN x END)
     * (reference: generator.py:4540-4577). */
+  /** Metric filter with the `{model}` placeholder bound to the owner. */
+  private def metricFilterE(mr: MetricRef, f: String): Expression =
+    parseE(spark, f.replace("{model}", mr.model))
+
   private def filteredInput(mr: MetricRef): Column = {
     val raw = rawInput(mr)
     if (mr.metric.filters.isEmpty) raw
     else {
       val cond = mr.metric.filters
-        .map(f => toColumn(toJoinedScope(parseE(spark, f), Some(mr.model))))
+        .map(f => toColumn(toJoinedScope(metricFilterE(mr, f), Some(mr.model))))
         .reduce(_ && _)
       when(cond, raw)
     }
@@ -378,7 +386,20 @@ final class Generator(spark: SparkSession, cat: Catalog,
   /** Aggregated frame at the requested dim grain, fan-out handled.
     * When finalShape, also applies derived/ratio composition, HAVING,
     * ordering, limit/offset and user-facing renames. */
-  private[gen] def planAggregate(q: SemanticQuery, finalShape: Boolean): DataFrame = {
+  private[gen] def planAggregate(q0: SemanticQuery, finalShape: Boolean): DataFrame = {
+    // default time dimension injection (reference: generator.py:1015):
+    // a dimension-less query over a model declaring BOTH
+    // default_time_dimension and default_grain groups by it implicitly
+    val q = if (q0.dimensions.isEmpty && q0.metrics.nonEmpty) {
+      val models = q0.metrics.map(FieldRef.parse(_).model).distinct
+        .flatMap(cat.models.get)
+      models match {
+        case Seq(m) if m.defaultTimeDimension.isDefined && m.defaultGrain.isDefined =>
+          q0.copy(dimensions = Seq(
+            s"${m.name}.${m.defaultTimeDimension.get}__${m.defaultGrain.get}"))
+        case _ => q0
+      }
+    } else q0
     val dims = q.dimensions.map(dimRef)
     val requested = q.metrics.map(metricRef)
 
@@ -399,13 +420,17 @@ final class Generator(spark: SparkSession, cat: Catalog,
 
     val filterModels =
       (pushed.map(_.model) ++ outer.flatMap(o => fieldRefsIn(o.e).map(_._1))).distinct
-    val metricFilterModels = simples.flatMap(_.metric.filters)
-      .flatMap(f => fieldRefsIn(parseE(spark, f)).map(_._1))
+    val metricFilterModels = simples
+      .flatMap(mr => mr.metric.filters.map(mr -> _))
+      .flatMap { case (mr, f) => fieldRefsIn(metricFilterE(mr, f)).map(_._1) }
     val allModels = (simples.map(_.model) ++ dims.map(_.model) ++
-      filterModels ++ metricFilterModels).distinct.filter(_.nonEmpty)
+      filterModels ++ metricFilterModels ++ q.baseModel).distinct.filter(_.nonEmpty)
     require(allModels.nonEmpty, "Query references no models")
 
-    val base = simples.headOption.map(_.model).getOrElse(dims.head.model)
+    // anchor: explicit base_model (reference: generator.py:84-101 —
+    // Explores pin the join graph), else the first metric's model
+    val base = q.baseModel
+      .getOrElse(simples.headOption.map(_.model).getOrElse(dims.head.model))
     val hops = graph.joinPlan(base, allModels.filterNot(_ == base))
     val fanned = graph.fannedOutModels(base, hops)
 
@@ -576,8 +601,12 @@ final class Generator(spark: SparkSession, cat: Catalog,
     dims.foreach(d => need(d.model, Needed(dims = Set((d.dim.name, d.grain)))))
     simples.foreach { mr =>
       need(mr.model, Needed(raws = Set(mr.metric.name)))
+      // count() without sql aggregates the model's pk — project it
+      if (mr.metric.sql.isEmpty)
+        cat.model(mr.model).primaryKey.headOption.foreach(pk =>
+          need(mr.model, Needed(phys = Set(pk))))
       mr.metric.filters.foreach { f =>
-        fieldRefsIn(parseE(spark, f)).foreach { case (m, fld) =>
+        fieldRefsIn(metricFilterE(mr, f)).foreach { case (m, fld) =>
           if (needed.contains(m)) need(m, needField(cat.model(m), fld)) }
       }
     }

@@ -49,9 +49,10 @@ object YamlLoader {
   // ------------------------------------------------------------------
 
   private val knownModelKeys = Set("name", "table", "sql", "source_uri",
-    "primary_key", "unique_keys", "dimensions", "metrics", "relationships",
-    "segments", "pre_aggregations", "default_time_dimension", "default_grain",
-    "extends", "description", "label", "security", "meta")
+    "primary_key", "primary_key_columns", "unique_keys", "dimensions",
+    "metrics", "relationships", "segments", "pre_aggregations",
+    "default_time_dimension", "default_grain", "extends", "description",
+    "label", "security", "meta")
 
   private def parseModel(m: Map[String, Any], resolve: TableResolver): Model = {
     val unknown = m.keySet -- knownModelKeys
@@ -67,7 +68,7 @@ object YamlLoader {
     Model(
       name = name,
       source = source,
-      primaryKey = strOrList(m.get("primary_key")),
+      primaryKey = strOrList(m.get("primary_key").orElse(m.get("primary_key_columns"))),
       dimensions = seqOfMaps(m.get("dimensions")).map(parseDimension),
       metrics = seqOfMaps(m.get("metrics")).map(parseMetric),
       relationships = seqOfMaps(m.get("relationships")).map(parseRelationship),
@@ -176,8 +177,8 @@ object YamlLoader {
     Relationship(
       to = r("name").toString,
       relType = r("type").toString,
-      foreignKey = strOrList(r.get("foreign_key")),
-      primaryKey = strOrList(r.get("primary_key")),
+      foreignKey = strOrList(r.get("foreign_key").orElse(r.get("foreign_key_columns"))),
+      primaryKey = strOrList(r.get("primary_key").orElse(r.get("primary_key_columns"))),
       through = r.get("through").map(_.toString),
       throughForeignKey = strOrList(r.get("through_foreign_key")),
       relatedForeignKey = strOrList(r.get("related_foreign_key")),

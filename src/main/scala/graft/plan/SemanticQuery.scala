@@ -21,6 +21,7 @@ final case class SemanticQuery(
     user: Map[String, String] = Map.empty, // security context attributes
     anchorDate: Option[String] = None,     // overrides current_date for relative dates
     timezone: Option[String] = None,       // localize time dims before grain trunc
+    baseModel: Option[String] = None,      // anchor the join graph (reference: base_model)
     usePreAggs: Boolean = true
 )
 
