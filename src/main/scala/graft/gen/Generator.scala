@@ -390,7 +390,8 @@ final class Generator(spark: SparkSession, cat: Catalog,
     // default time dimension injection (reference: generator.py:1015):
     // a dimension-less query over a model declaring BOTH
     // default_time_dimension and default_grain groups by it implicitly
-    val q = if (q0.dimensions.isEmpty && q0.metrics.nonEmpty) {
+    val q = if (q0.dimensions.isEmpty && q0.metrics.nonEmpty &&
+        q0.metrics.forall(_.contains("."))) { // graph-level metrics opt out
       val models = q0.metrics.map(FieldRef.parse(_).model).distinct
         .flatMap(cat.models.get)
       models match {
