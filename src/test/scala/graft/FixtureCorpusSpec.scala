@@ -15,6 +15,7 @@ class FixtureCorpusSpec extends AnyFunSuite {
     "multi_hop_joins" -> None,
     "composite_keys" -> Some("order_items"),
     "many_to_many_relationship" -> None,
+    "relationship_default_keys" -> None,
     "segments_metric_filters" -> None,
     "parameterized_filters" -> None,
     "statistical_aggregations" -> None,

@@ -28,16 +28,22 @@ object FixtureHarness {
 
     val queryFiles = new java.io.File(s"$dir/queries").listFiles()
       .filter(_.getName.endsWith(".query.yml")).sortBy(_.getName)
-    val expected = parseJsonish(read(s"$dir/expected/result.json"))
-      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
 
-    // single-query fixtures: result.json is that query's expected rows
-    require(queryFiles.length == 1,
-      s"harness handles single-query fixtures; $fixture has ${queryFiles.length}")
-    val q = parseQuery(read(queryFiles.head.getPath)).copy(baseModel = baseModel)
-    val got = gen.plan(q).collect().toSeq
-    val cols = gen.plan(q).columns.toSeq
-    compare(fixture, cols, got, expected)
+    queryFiles.foreach { qf =>
+      // expected file convention: <name>_by_<tail>.query.yml pairs with
+      // expected/<tail>_result.json when present, else the default
+      // expected/result.json
+      val tail = qf.getName.stripSuffix(".query.yml").split("_by_").last
+      val candidate = new java.io.File(s"$dir/expected/${tail}_result.json")
+      val expFile = if (candidate.exists()) candidate.getPath
+        else s"$dir/expected/result.json"
+      val expected = parseJsonish(read(expFile))
+        .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+      val q = parseQuery(read(qf.getPath)).copy(baseModel = baseModel)
+      val got = gen.plan(q).collect().toSeq
+      val cols = gen.plan(q).columns.toSeq
+      compare(s"$fixture/${qf.getName}", cols, got, expected)
+    }
   }
 
   // ---- seed/duckdb.sql → temp views --------------------------------
