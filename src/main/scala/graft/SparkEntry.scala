@@ -437,9 +437,12 @@ object SparkEntry {
         |  count(*) AS order_count
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // avg = exact decimal sum / count in double: deterministic under any
+    // partitioning on both engines (avg(double) is order-dependent)
     "q_agg_avg" ->
       """SELECT o_orderstatus AS orderstatus,
-        |  round(avg(o_totalprice), 4) AS avg_order_value
+        |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(o_totalprice) as double), 4) AS avg_order_value
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_count_distinct" ->
@@ -545,9 +548,10 @@ object SparkEntry {
 
     "q_fanout_avg" ->
       """SELECT orderstatus,
-        |  round(sum(acct) / count(DISTINCT ck), 4) AS avg_acctbal
+        |  round(cast(sum(acct) as double)
+        |    / cast(count(DISTINCT ck) as double), 4) AS avg_acctbal
         |FROM (SELECT DISTINCT o.o_orderstatus AS orderstatus,
-        |        c.c_custkey AS ck, c.c_acctbal AS acct
+        |        c.c_custkey AS ck, cast(c.c_acctbal as decimal(18,2)) AS acct
         |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -826,7 +830,8 @@ object SparkEntry {
         |  date_trunc('month', o_orderdate) AS order_date__month,
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
         |  count(*) AS order_count,
-        |  round(avg(o_totalprice), 4) AS avg_order_value
+        |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(o_totalprice) as double), 4) AS avg_order_value
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 

@@ -42,7 +42,8 @@ object TpchCatalog {
     metrics = Seq(
       Metric("customer_count", agg = Some("count")),
       Metric("total_acctbal", agg = Some("sum"), sql = Some("cast(c_acctbal as decimal(18,2))")),
-      Metric("avg_acctbal", agg = Some("avg"), sql = Some("c_acctbal")),
+      Metric("avg_acctbal", agg = Some("avg"),
+        sql = Some("cast(c_acctbal as decimal(18,2))")),
       Metric("median_acctbal", agg = Some("median"), sql = Some("c_acctbal"))),
     relationships = Seq(
       Relationship("nation", "many_to_one", foreignKey = Seq("c_nationkey")),
@@ -62,7 +63,8 @@ object TpchCatalog {
     metrics = Seq(
       Metric("order_count", agg = Some("count")),
       Metric("revenue", agg = Some("sum"), sql = Some("cast(o_totalprice as decimal(18,2))")),
-      Metric("avg_order_value", agg = Some("avg"), sql = Some("o_totalprice")),
+      Metric("avg_order_value", agg = Some("avg"),
+        sql = Some("cast(o_totalprice as decimal(18,2))")),
       Metric("max_order_value", agg = Some("max"), sql = Some("o_totalprice")),
       Metric("min_order_value", agg = Some("min"), sql = Some("o_totalprice")),
       Metric("distinct_customers", agg = Some("count_distinct"), sql = Some("o_custkey")),

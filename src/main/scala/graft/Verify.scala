@@ -17,8 +17,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Decimal metrics are computed exactly (order-independent sums) but
+    // emitted as double at this boundary: the driver's compare stringifies
+    // the DuckDB side through float64, where a decimal's trailing zeros
+    // ('6548929.20' vs '6548929.2') would hash-mismatch despite equal values.
+    def canon(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.schema.fields.foldLeft(df) { (acc, f) =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.DecimalType =>
+            acc.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast("double"))
+          case _ => acc
+        }
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try canon(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

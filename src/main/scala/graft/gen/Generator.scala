@@ -282,7 +282,11 @@ final class Generator(spark: SparkSession, cat: Catalog,
       case "count"          => count(in)
       case "count_distinct" => countDistinct(in)
       case "approx_count_distinct" => approx_count_distinct(in)
-      case "avg"            => avg(in)
+      // sum/count in double, not avg(): over a decimal input the sum is
+      // exact and order-independent, so the final double is deterministic
+      // under any partitioning — avg(decimal) would yield an engine-
+      // specific decimal scale, and avg(double) an order-dependent sum
+      case "avg"            => sum(in).cast("double") / count(in).cast("double")
       case "min"            => min(in)
       case "max"            => max(in)
       case "median"         => median(in)
@@ -308,7 +312,8 @@ final class Generator(spark: SparkSession, cat: Catalog,
     val c = mr.metric.agg.get match {
       case "sum"   => sum(in)
       case "count" => countDistinct(when(in.isNotNull, pk))
-      case "avg"   => sum(in) / countDistinct(when(in.isNotNull, pk))
+      case "avg"   => sum(in).cast("double") /
+                      countDistinct(when(in.isNotNull, pk)).cast("double")
       case "min"   => min(in)
       case "max"   => max(in)
       case "count_distinct"        => countDistinct(in)
