@@ -89,7 +89,7 @@ object Dev {
     show("security", SemanticQuery(
       metrics = Seq("orders_secured.revenue"),
       dimensions = Seq("orders_secured.orderstatus"),
-      user = Map("role" -> "analyst", "status" -> "F")))
+      user = Some(Map("role" -> "analyst", "status" -> "F"))))
 
     show("graph ratio metric", SemanticQuery(metrics = Seq("revenue_per_item")))
 
@@ -141,7 +141,7 @@ object Dev {
 
     // probes — these SHOULD fail with clear errors
     show("PROBE security: no role", SemanticQuery(
-      metrics = Seq("orders_secured.revenue"), user = Map("status" -> "F")))
+      metrics = Seq("orders_secured.revenue"), user = Some(Map("status" -> "F"))))
     show("PROBE median under fan-out", SemanticQuery(
       metrics = Seq("customer.median_acctbal"),
       dimensions = Seq("orders.orderstatus")))

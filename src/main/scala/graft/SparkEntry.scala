@@ -334,7 +334,7 @@ object SparkEntry {
     "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
       dimensions = Seq("orders_secured.orderstatus"),
-      user = Map("role" -> "analyst", "status" -> "F"),
+      user = Some(Map("role" -> "analyst", "status" -> "F")),
       orderBy = Seq("orderstatus")))),
 
     // ---- pipeline ops: dedup ----

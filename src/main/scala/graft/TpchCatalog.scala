@@ -220,9 +220,9 @@ object TpchCatalog {
     metrics = Seq(
       Metric("revenue", agg = Some("sum"), sql = Some("cast(o_totalprice as decimal(18,2))")),
       Metric("order_count", agg = Some("count"))),
-    security = Some(SecurityPolicy("analyst_only",
-      rowFilters = Seq("orderstatus = '{{user.status}}'"),
-      allowedRoles = Set("analyst"))))
+    security = Some(SecurityPolicy(
+      access = Some("user.role IN ('analyst', 'admin')"),
+      rowFilters = Seq("orderstatus = {{ user.status }}"))))
 
   def build(dataDir: String): Catalog =
     Catalog(dataDir = dataDir)

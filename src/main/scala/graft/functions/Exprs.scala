@@ -131,7 +131,42 @@ object Exprs {
         java.util.regex.Matcher.quoteReplacement(v))
     }
 
-  /** `{{user.attr}}` rendering for security filters (core/security.py:201). */
-  def renderUser(sql: String, user: Map[String, String]): String =
-    interpolate(sql.replaceAll(raw"\{\{\s*user\.", "{{"), user)
+  /** Render a user attribute value as an escaped type-correct SQL literal
+    * (core/security.py value safety): bare numerics/booleans, NULL for
+    * missing is an error (StrictUndefined analog), quoted+escaped strings
+    * otherwise — so a value like "1 OR 1=1" cannot escape its predicate. */
+  def userLiteral(v: String): String = {
+    val isNum = v.nonEmpty && raw"-?\d+(\.\d+)?".r.matches(v)
+    val isBool = v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")
+    if (isNum || isBool) v
+    else "'" + v.replace("'", "''") + "'"
+  }
+
+  /** `{{user.attr}}` rendering for security filters (core/security.py:201).
+    * Author quotes around the placeholder are stripped before rendering
+    * ('{{user.x}}' and {{user.x}} are equivalent, docs/security.md); a
+    * referenced attribute the caller did not supply raises rather than
+    * rendering empty (StrictUndefined). */
+  def renderUser(sql: String, user: Map[String, String]): String = {
+    val ref = raw"'?\{\{\s*user\.([A-Za-z0-9_]+)\s*\}\}'?".r
+    ref.replaceAllIn(sql, m => {
+      val k = m.group(1)
+      val v = user.getOrElse(k, throw new IllegalArgumentException(
+        s"Row filter references user attribute '$k' not supplied by the caller"))
+      java.util.regex.Matcher.quoteReplacement(userLiteral(v))
+    })
+  }
+
+  /** Rewrite `user.attr` references in an access-gate expression to typed
+    * literals; also accepts bracket list syntax (`in ['a','b']`) for
+    * compatibility with reference-style gates. */
+  def renderUserExpr(sqlExpr: String, user: Map[String, String]): String = {
+    val ref = raw"\buser\.([A-Za-z0-9_]+)".r
+    val rendered = ref.replaceAllIn(sqlExpr, m => {
+      val k = m.group(1)
+      java.util.regex.Matcher.quoteReplacement(
+        user.get(k).map(userLiteral).getOrElse("NULL"))
+    })
+    rendered.replace('[', '(').replace(']', ')')
+  }
 }

@@ -25,7 +25,8 @@ final class Funnels(spark: SparkSession, gen: Generator) {
     var df = cat.scan(spark, model)
     model.security.foreach { pol =>
       pol.rowFilters.foreach(f => df = df.filter(Exprs.toColumn(
-        gen.toModelScope(model, Exprs.parse(spark, Exprs.renderUser(f, q.user))))))
+        gen.toModelScope(model, Exprs.parse(spark,
+          Exprs.renderUser(f, q.user.getOrElse(Map.empty)))))))
     }
     (q.filters ++ segmentSql(q)).foreach { f =>
       val e = Exprs.rewriteRelativeDates(

@@ -216,16 +216,26 @@ final class Generator(spark: SparkSession, cat: Catalog,
   }
 
   private def modelFrame(model: Model, needed: Needed,
-      pushed: Seq[Expression], user: Map[String, String]): DataFrame = {
+      pushed: Seq[Expression], user: Option[Map[String, String]]): DataFrame = {
     var df = cat.scan(spark, model)
     // deny-by-default access gate + row-level filters, injected before any
-    // join so fan-out cannot leak rows (reference: generator.py:879-960)
+    // join so fan-out cannot leak rows (reference: generator.py:879-960,
+    // docs/security.md): a secured model with no user_attributes supplied
+    // is denied rather than run unscoped.
     model.security.foreach { pol =>
-      if (pol.allowedRoles.nonEmpty)
-        require(user.get("role").exists(pol.allowedRoles.contains),
+      val attrs = user.getOrElse(throw new SecurityException(
+        s"Model '${model.name}' has a security policy; query supplied no user attributes"))
+      pol.access.foreach { gate =>
+        val rendered = Exprs.renderUserExpr(gate, attrs)
+        val allowed =
+          try !spark.range(1).where(expr(rendered)).isEmpty
+          catch { case e: Exception => throw new SecurityException(
+            s"Access gate for '${model.name}' failed to evaluate: $rendered (${e.getMessage})") }
+        if (!allowed) throw new SecurityException(
           s"Access denied to model '${model.name}'")
+      }
       pol.rowFilters.foreach { f =>
-        df = df.filter(toColumn(toModelScope(model, parseE(spark, Exprs.renderUser(f, user)))))
+        df = df.filter(toColumn(toModelScope(model, parseE(spark, Exprs.renderUser(f, attrs)))))
       }
     }
     pushed.foreach(e => df = df.filter(toColumn(toModelScope(model, e))))

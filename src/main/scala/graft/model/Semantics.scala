@@ -131,12 +131,18 @@ final case class Relationship(
 /** Named reusable filter; `{model}` refers to the owning model. */
 final case class Segment(name: String, sql: String, public: Boolean = true)
 
-/** Row/field security (reference: core/security.py:40). Deny-by-default
-  * access gate; row filters templated over user attributes `{{user.attr}}`. */
+/** Row/field security (reference: core/security.py:40-57, docs/security.md).
+  * Two independent controls, both deny-by-default when the model declares a
+  * policy and the query supplies no user attributes:
+  *  - `access`: boolean gate — a SQL boolean expression over `user.attr`
+  *    references (e.g. "user.role IN ('analyst','admin')"); None = allow.
+  *  - `rowFilters`: SQL templates over `{{ user.attr }}`, AND-ed into the
+  *    model's own frame before any join (fan-out-safe row scoping).
+  * Attribute values render as escaped type-correct SQL literals — a value
+  * like "1 OR 1=1" cannot escape its predicate (security.py value safety). */
 final case class SecurityPolicy(
-    name: String,
-    rowFilters: Seq[String] = Nil, // rendered with user attrs, pushed pre-join
-    allowedRoles: Set[String] = Set.empty // empty = everyone
+    access: Option[String] = None,  // boolean expr over user.*; None = allow
+    rowFilters: Seq[String] = Nil   // rendered with user attrs, pushed pre-join
 )
 
 /** Materialized rollup definition (reference: pre_aggregation.py:35). */

@@ -18,7 +18,10 @@ final case class SemanticQuery(
     ungrouped: Boolean = false,        // drill-to-detail: raw rows, no GROUP BY
     withTotals: Boolean = false,       // GROUPING SETS ((dims),()) + _is_total
     parameters: Map[String, String] = Map.empty,
-    user: Map[String, String] = Map.empty, // security context attributes
+    // Security context: None = no user_attributes supplied (denied on any
+    // secured model — deny-by-default, reference docs/security.md); Some(Map())
+    // = authenticated user with no attributes.
+    user: Option[Map[String, String]] = None,
     anchorDate: Option[String] = None,     // overrides current_date for relative dates
     timezone: Option[String] = None,       // localize time dims before grain trunc
     baseModel: Option[String] = None,      // anchor the join graph (reference: base_model)

@@ -125,13 +125,23 @@ class GeneratorSpec extends AnyFunSuite {
   test("security row filter + role gate") {
     val got = gen.plan(SemanticQuery(
       metrics = Seq("orders_secured.order_count"),
-      user = Map("role" -> "analyst", "status" -> "F")))
+      user = Some(Map("role" -> "analyst", "status" -> "F"))))
     val want = sql("SELECT count(*) FROM orders WHERE o_orderstatus = 'F'")
     assert(rows(got) == rows(want))
-    intercept[IllegalArgumentException] {
+    // access gate: role missing from attributes → denied
+    intercept[SecurityException] {
       gen.plan(SemanticQuery(metrics = Seq("orders_secured.order_count"),
-        user = Map("status" -> "F"))).collect()
+        user = Some(Map("status" -> "F")))).collect()
     }
+    // deny-by-default: secured model, no user attributes supplied at all
+    intercept[SecurityException] {
+      gen.plan(SemanticQuery(metrics = Seq("orders_secured.order_count"))).collect()
+    }
+    // injection: attribute value cannot escape its predicate
+    val inj = gen.plan(SemanticQuery(
+      metrics = Seq("orders_secured.order_count"),
+      user = Some(Map("role" -> "analyst", "status" -> "F' OR '1'='1"))))
+    assert(inj.collect().head.getLong(0) == 0L)
   }
 
   test("median under genuine fan-out raises") {
