@@ -55,6 +55,8 @@ def canon(v):
 
 def spark_rows(path):
     files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise RuntimeError(f"no parquet files in {path} (failed/empty write?)")
     tbl = pq.read_table(files if len(files) > 1 else files[0])
     names = sorted(tbl.column_names)
     cols = {c: tbl.column(c).to_pylist() for c in names}
@@ -84,7 +86,12 @@ def main(sf_dir, out_dir, only):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path) or (only and name not in only):
             continue
-        snames, srows, stypes = spark_rows(path)
+        try:
+            snames, srows, stypes = spark_rows(path)
+        except Exception as e:
+            bad.append(name)
+            print(f"x {name}: SPARK OUTPUT ERROR {e}")
+            continue
         if name not in oracles:
             rows_only.append(name)
             continue

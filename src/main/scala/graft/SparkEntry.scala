@@ -193,6 +193,14 @@ object SparkEntry {
       withTotals = true,
       orderBy = Seq("_is_total", "orderpriority")))),
 
+    // totals over a fan-out route: the grand-total bucket re-dedups on
+    // (pk, value) only, so a customer spanning k order statuses counts once
+    "q_totals_fanout" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("customer.total_acctbal"),
+      dimensions = Seq("orders.orderstatus"),
+      withTotals = true,
+      orderBy = Seq("_is_total", "orderstatus")))),
+
     "q_ungrouped" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders.revenue"),
       dimensions = Seq("orders.orderstatus"),
@@ -228,6 +236,16 @@ object SparkEntry {
     "q_yoy_difference" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders.revenue_yoy_diff"),
       dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month")))),
+
+    // sparse series: all of 1995 filtered out — exact-period comparison
+    // yields NULL for 1996 (no 1995 baseline); a row-lag would silently
+    // compare 1996 months against 1994
+    "q_yoy_sparse" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue_yoy_diff"),
+      dimensions = Seq("orders.order_date__month"),
+      filters = Seq(
+        "orders.order_date < '1995-01-01' OR orders.order_date >= '1996-01-01'"),
       orderBy = Seq("order_date__month")))),
 
     // ---- §2.7 funnels ----
@@ -610,6 +628,31 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), ())
         |ORDER BY 3, 1""".stripMargin,
+
+    "q_totals_fanout" ->
+      """SELECT orderstatus, sum(acct) AS total_acctbal, 0 AS _is_total
+        |FROM (SELECT DISTINCT o.o_orderstatus AS orderstatus, c.c_custkey AS ck,
+        |        cast(c.c_acctbal as decimal(18,2)) AS acct
+        |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT NULL AS orderstatus, sum(acct) AS total_acctbal, 1 AS _is_total
+        |FROM (SELECT DISTINCT c.c_custkey AS ck,
+        |        cast(c.c_acctbal as decimal(18,2)) AS acct
+        |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+        |ORDER BY 3, 1""".stripMargin,
+
+    "q_yoy_sparse" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |    sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |  FROM orders
+        |  WHERE o_orderdate < '1995-01-01' OR o_orderdate >= '1996-01-01'
+        |  GROUP BY 1)
+        |SELECT a.order_date__month, a.revenue - b.revenue AS revenue_yoy_diff
+        |FROM m a LEFT JOIN m b
+        |  ON b.order_date__month = a.order_date__month - INTERVAL 1 YEAR
+        |ORDER BY 1""".stripMargin,
 
     "q_ungrouped" ->
       """SELECT o_orderkey, o_orderstatus AS orderstatus,

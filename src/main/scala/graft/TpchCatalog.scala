@@ -224,10 +224,32 @@ object TpchCatalog {
       access = Some("user.role IN ('analyst', 'admin')"),
       rowFilters = Seq("orderstatus = {{ user.status }}"))))
 
+  /** Secured event-grain view with an access gate and NO row filters — the
+    * exact shape whose funnel-path enforcement the shared securedScan
+    * guarantees (conversion/retention/cohort plans must deny-by-default
+    * like the standard path). */
+  val eventsSecured = Model(
+    name = "events_secured", source = t("events"), primaryKey = Seq("event_id"),
+    dimensions = Seq(
+      Dimension("event_type"),
+      Dimension("user_id", DimType.Numeric),
+      Dimension("ts", DimType.Time, sql = Some("timestamp_micros(ts div 1000)"),
+        granularity = Some("day"))),
+    metrics = Seq(
+      Metric("event_count", agg = Some("count")),
+      Metric("signup_conversion", metricType = Some("conversion"),
+        entity = Some("user_id"),
+        baseFilter = Some("event_type = 'signup'"),
+        conversionFilter = Some("event_type = 'purchase'"),
+        conversionWindow = Some("7 day"))),
+    security = Some(SecurityPolicy(
+      access = Some("user.role IN ('analyst', 'admin')"))),
+    defaultTimeDimension = Some("ts"))
+
   def build(dataDir: String): Catalog =
     Catalog(dataDir = dataDir)
       .add(region, nation, customer, orders, lineitem, part, supplier,
-        events, ordersSecured)
+        events, ordersSecured, eventsSecured)
       .addGraphMetric(
         Metric("revenue_per_item", metricType = Some("ratio"),
           numerator = Some("orders.revenue"), denominator = Some("lineitem.item_count")))

@@ -139,34 +139,45 @@ object Exprs {
     val isNum = v.nonEmpty && raw"-?\d+(\.\d+)?".r.matches(v)
     val isBool = v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false")
     if (isNum || isBool) v
-    else "'" + v.replace("'", "''") + "'"
+    // backslashes double too: Spark's parser treats backslash as an escape
+    // inside string literals (escapedStringLiterals=false default), so
+    // quote-doubling alone would let a value like  \' OR 1=1 --  escape
+    else "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
   }
 
   /** `{{user.attr}}` rendering for security filters (core/security.py:201).
-    * Author quotes around the placeholder are stripped before rendering
-    * ('{{user.x}}' and {{user.x}} are equivalent, docs/security.md); a
-    * referenced attribute the caller did not supply raises rather than
-    * rendering empty (StrictUndefined). */
+    * PAIRED author quotes around the placeholder are stripped before
+    * rendering ('{{user.x}}' and {{user.x}} are equivalent, the reference's
+    * _HUGGING_QUOTES); an unpaired quote adjacent to a placeholder belongs
+    * to the surrounding SQL and is preserved. A referenced attribute the
+    * caller did not supply raises rather than rendering empty
+    * (StrictUndefined). */
   def renderUser(sql: String, user: Map[String, String]): String = {
-    val ref = raw"'?\{\{\s*user\.([A-Za-z0-9_]+)\s*\}\}'?".r
-    ref.replaceAllIn(sql, m => {
-      val k = m.group(1)
-      val v = user.getOrElse(k, throw new IllegalArgumentException(
+    def lookup(k: String): String = user.getOrElse(k,
+      throw new IllegalArgumentException(
         s"Row filter references user attribute '$k' not supplied by the caller"))
-      java.util.regex.Matcher.quoteReplacement(userLiteral(v))
-    })
+    val hugged = raw"""(['"])\s*\{\{\s*user\.([A-Za-z0-9_]+)\s*\}\}\s*\1""".r
+    val bare = raw"\{\{\s*user\.([A-Za-z0-9_]+)\s*\}\}".r
+    val pass1 = hugged.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(userLiteral(lookup(m.group(2)))))
+    bare.replaceAllIn(pass1, m =>
+      java.util.regex.Matcher.quoteReplacement(userLiteral(lookup(m.group(1)))))
   }
 
   /** Rewrite `user.attr` references in an access-gate expression to typed
     * literals; also accepts bracket list syntax (`in ['a','b']`) for
-    * compatibility with reference-style gates. */
+    * compatibility with reference-style gates. Bracket lists rewrite in
+    * list context only, BEFORE value substitution, so brackets inside
+    * rendered values (e.g. role "ops[eu]") survive untouched. */
   def renderUserExpr(sqlExpr: String, user: Map[String, String]): String = {
+    val listified = raw"(?i)(\bin\s*)\[((?:'[^']*'|[^\[\]'])*)\]".r.replaceAllIn(sqlExpr,
+      m => java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + "(" + m.group(2) + ")"))
     val ref = raw"\buser\.([A-Za-z0-9_]+)".r
-    val rendered = ref.replaceAllIn(sqlExpr, m => {
+    ref.replaceAllIn(listified, m => {
       val k = m.group(1)
       java.util.regex.Matcher.quoteReplacement(
         user.get(k).map(userLiteral).getOrElse("NULL"))
     })
-    rendered.replace('[', '(').replace(']', ')')
   }
 }

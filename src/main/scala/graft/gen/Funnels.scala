@@ -21,13 +21,10 @@ final class Funnels(spark: SparkSession, gen: Generator) {
     val (modelName, m) = gen.metricOf(q.metrics.head)
     val model = cat.model(modelName)
 
-    // base frame: scan + security + all query filters (single-model scope)
-    var df = cat.scan(spark, model)
-    model.security.foreach { pol =>
-      pol.rowFilters.foreach(f => df = df.filter(Exprs.toColumn(
-        gen.toModelScope(model, Exprs.parse(spark,
-          Exprs.renderUser(f, q.user.getOrElse(Map.empty)))))))
-    }
+    // base frame: the shared enforcement point (deny-by-default, access
+    // gate, row filters) + all query filters (single-model scope) — funnel
+    // plans get exactly the same security semantics as the standard path
+    var df = gen.securedScan(model, q.user)
     (q.filters ++ segmentSql(q)).foreach { f =>
       val e = Exprs.rewriteRelativeDates(
         Exprs.parse(spark, Exprs.interpolate(f, q.parameters)), q.anchorDate)

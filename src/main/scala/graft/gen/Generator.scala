@@ -215,29 +215,51 @@ final class Generator(spark: SparkSession, cat: Catalog,
     else Needed(phys = Set(fieldWithGrain))
   }
 
-  private def modelFrame(model: Model, needed: Needed,
-      pushed: Seq[Expression], user: Option[Map[String, String]]): DataFrame = {
+  /** Access-gate results cached per rendered expression: after user-literal
+    * substitution the gate is a constant, so one driver-side evaluation per
+    * (gate, user-values) pair serves every subsequent compile. */
+  private val gateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def evalGate(modelName: String, rendered: String): Boolean =
+    gateCache.computeIfAbsent(rendered, _ =>
+      try {
+        // literal-only expression over a one-row local relation: analyzed +
+        // constant-folded on the driver, no Spark job is launched
+        val row = spark.sql(s"SELECT CAST(($rendered) AS BOOLEAN)").head()
+        java.lang.Boolean.valueOf(!row.isNullAt(0) && row.getBoolean(0))
+      } catch {
+        case e: SecurityException => throw e
+        case e: Exception => throw new SecurityException(
+          s"Access gate for '$modelName' failed to evaluate: $rendered (${e.getMessage})")
+      })
+
+  /** The one enforcement point for every scan path — standard aggregation,
+    * funnels/retention/cohorts, windows (reference: generator.py:879-960,
+    * docs/security.md). Deny-by-default: a secured model queried with no
+    * user attributes raises rather than running unscoped; the access gate
+    * and row filters are applied before any join so fan-out cannot leak. */
+  private[gen] def securedScan(model: Model,
+      user: Option[Map[String, String]]): DataFrame = {
     var df = cat.scan(spark, model)
-    // deny-by-default access gate + row-level filters, injected before any
-    // join so fan-out cannot leak rows (reference: generator.py:879-960,
-    // docs/security.md): a secured model with no user_attributes supplied
-    // is denied rather than run unscoped.
     model.security.foreach { pol =>
       val attrs = user.getOrElse(throw new SecurityException(
         s"Model '${model.name}' has a security policy; query supplied no user attributes"))
       pol.access.foreach { gate =>
         val rendered = Exprs.renderUserExpr(gate, attrs)
-        val allowed =
-          try !spark.range(1).where(expr(rendered)).isEmpty
-          catch { case e: Exception => throw new SecurityException(
-            s"Access gate for '${model.name}' failed to evaluate: $rendered (${e.getMessage})") }
-        if (!allowed) throw new SecurityException(
+        if (!evalGate(model.name, rendered)) throw new SecurityException(
           s"Access denied to model '${model.name}'")
       }
       pol.rowFilters.foreach { f =>
         df = df.filter(toColumn(toModelScope(model, parseE(spark, Exprs.renderUser(f, attrs)))))
       }
     }
+    df
+  }
+
+  private def modelFrame(model: Model, needed: Needed,
+      pushed: Seq[Expression], user: Option[Map[String, String]]): DataFrame = {
+    var df = securedScan(model, user)
     pushed.foreach(e => df = df.filter(toColumn(toModelScope(model, e))))
     val dimCols = needed.dims.toSeq.sortBy(_._1).map { case (dn, grain) =>
       val d = model.dimension(dn).get
@@ -532,6 +554,21 @@ final class Generator(spark: SparkSession, cat: Catalog,
       val safe = plain.filterNot(mr => dedupModels(mr.model))
       val partials = scala.collection.mutable.ListBuffer[DataFrame]()
       if (safe.nonEmpty) partials += grouped(joined, safe.map(aggColumn))
+      // detail+total union for strategies whose per-bucket input frame
+      // depends on the grouping (dedup keys / snapshot windows include the
+      // dims): the grand-total bucket must recompute its frame WITHOUT the
+      // dims, or a pk appearing under k distinct dim values counts k times
+      def detailPlusTotal(detailFrame: DataFrame, totalFrame: DataFrame,
+          aggs: Seq[Column]): DataFrame = {
+        val detail = (if (dims.isEmpty) detailFrame.agg(aggs.head, aggs.tail: _*)
+                      else detailFrame.groupBy(dimCols: _*).agg(aggs.head, aggs.tail: _*))
+          .withColumn("_is_total", lit(0))
+        val total0 = totalFrame.agg(aggs.head, aggs.tail: _*)
+          .withColumn("_is_total", lit(1))
+        val total = dims.foldLeft(total0)((t, dm) =>
+          t.withColumn(dm.innerName, lit(null)))
+        detail.unionByName(total.select(detail.columns.map(col): _*))
+      }
       // semi-additive: keep only rows at the min/max snapshot of the
       // non-additive time dim per (dims × groupings), then aggregate
       // (reference: sql/generator.py:147-274, :3391-3630)
@@ -539,12 +576,16 @@ final class Generator(spark: SparkSession, cat: Catalog,
              .groupBy(mr => (mr.model, mr.metric.nonAdditive.get)).toSeq
              .sortBy(_._2.head.metric.name)) {
         val tCol = col(s"${model}__${na.name}")
-        val partCols = dims.map(_.innerName) ++
-          na.windowGroupings.map(g => s"${model}__$g")
-        val w = Window.partitionBy(partCols.map(col): _*)
-        val snap = (if (na.windowChoice == "min") min(tCol) else max(tCol)).over(w)
-        val marked = joined.withColumn("__snap", snap).filter(tCol === col("__snap"))
-        partials += grouped(marked, ms.map(aggColumn))
+        def snapFrame(partCols: Seq[String]): DataFrame = {
+          val w = Window.partitionBy(partCols.map(col): _*)
+          val snap = (if (na.windowChoice == "min") min(tCol) else max(tCol)).over(w)
+          joined.withColumn("__snap", snap).filter(tCol === col("__snap"))
+        }
+        val groupings = na.windowGroupings.map(g => s"${model}__$g")
+        val detailFrame = snapFrame(dims.map(_.innerName) ++ groupings)
+        if (!q.withTotals) partials += grouped(detailFrame, ms.map(aggColumn))
+        else partials += detailPlusTotal(detailFrame, snapFrame(groupings),
+          ms.map(aggColumn))
       }
       for (m <- dedupModels.toSeq.sorted) {
         val ms = plain.filter(_.model == m)
@@ -554,7 +595,10 @@ final class Generator(spark: SparkSession, cat: Catalog,
           if (mr.metric.sql.isDefined) Seq(mr.rawName) else Nil)
         val dedupKeys = (dims.map(_.innerName) ++ pkCols ++ valueCols).distinct
         val deduped = joined.dropDuplicates(dedupKeys)
-        partials += grouped(deduped, ms.map(symmetricAggColumn(_, pkCols)))
+        val aggs = ms.map(symmetricAggColumn(_, pkCols))
+        if (!q.withTotals) partials += grouped(deduped, aggs)
+        else partials += detailPlusTotal(deduped,
+          joined.dropDuplicates((pkCols ++ valueCols).distinct), aggs)
       }
       stitch(partials.toSeq, dims.map(_.innerName) ++
         (if (q.withTotals) Seq("_is_total") else Nil))
@@ -594,14 +638,18 @@ final class Generator(spark: SparkSession, cat: Catalog,
       val e = parseE(spark, Exprs.interpolate(raw, q.parameters))
       !fieldRefsIn(e).exists { case (m, f) => isMetricRefPair(m, f) }
     }
+    // withTotals propagates into each per-fact sub-plan (each computes its
+    // own grand-total bucket) and `_is_total` joins the stitch keys so the
+    // total rows of every fact line up in the full-outer stitch
     val partials = byModel.map { case (m, ms) =>
       val sub = q.copy(
         metrics = ms.map(mr => s"$m.${mr.metric.name}"),
         filters = nonHavingFilters,
-        orderBy = Nil, limit = None, offset = None, withTotals = false)
+        orderBy = Nil, limit = None, offset = None)
       planAggregate(sub, finalShape = false)
     }
-    stitch(partials, dims.map(_.innerName))
+    stitch(partials, dims.map(_.innerName) ++
+      (if (q.withTotals) Seq("_is_total") else Nil))
   }
 
   /** Build the joined multi-model frame with everything later stages need. */

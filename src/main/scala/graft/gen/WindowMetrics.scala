@@ -79,10 +79,16 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
           }
           df = df.withColumn(m.name, c)
         case "time_comparison" =>
+          // exact-period lookup via self-join on the calendar-shifted period
+          // (reference: generator.py:4112-4128) — NOT a row lag: a missing
+          // period in a sparse series yields NULL instead of silently
+          // comparing the wrong row, and yoy at day grain follows the
+          // calendar across leap years
+          val pn = s"__prior_${m.name}"
+          df = priorJoin(df, strip(m.baseMetric.get), pn, otherDims, timeName,
+            t => offsetTime(t, m.comparison.getOrElse("prior"), queryGrain))
           val base = col(strip(m.baseMetric.get))
-          val k = offsetPeriods(m.comparison.getOrElse("prior"), queryGrain)
-          val win = Window.partitionBy(otherDims.map(col): _*).orderBy(col(timeName))
-          val prev = lag(base, k).over(win)
+          val prev = col(pn)
           val prevD = prev.cast("double")
           val c = m.calculation.getOrElse("percent_change") match {
             case "difference"     => base - prev
@@ -90,15 +96,17 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
               (base.cast("double") - prevD) / when(prevD =!= 0, prevD)
             case "ratio"          => base.cast("double") / when(prevD =!= 0, prevD)
           }
-          df = df.withColumn(m.name, c)
+          df = df.withColumn(m.name, c).drop(pn)
         case "ratio" if m.offsetWindow.isDefined =>
-          // ratio with lagged denominator (reference: generator.py:6391)
+          // ratio with exact-period offset denominator (generator.py:6391)
           val (n, unit) = parseWindow(m.offsetWindow.get)
-          val k = n * unitsPerGrain(unit, queryGrain)
-          val win = Window.partitionBy(otherDims.map(col): _*).orderBy(col(timeName))
-          val den = lag(col(strip(m.denominator.get)), k).over(win).cast("double")
+          val pn = s"__prior_${m.name}"
+          df = priorJoin(df, strip(m.denominator.get), pn, otherDims, timeName,
+            t => shiftBack(t, n, unit))
+          val den = col(pn).cast("double")
           df = df.withColumn(m.name,
             col(strip(m.numerator.get)).cast("double") / when(den =!= 0, den))
+            .drop(pn)
         case _ => ()
       }
     }
@@ -122,17 +130,48 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
     }
   }
 
-  /** How many query-grain periods one offset unit spans. */
-  private def unitsPerGrain(unit: String, grain: String): Int =
-    (unit, grain) match {
-      case (u, g) if u == g    => 1
-      case ("week", "day")     => 7
-      case ("month", "day")    => 30 // calendar-naive; month grain preferred
-      case ("quarter", "month") => 3
-      case ("year", "month")   => 12
-      case ("year", "quarter") => 4
-      case _ => throw new IllegalArgumentException(
-        s"offset_window unit '$unit' unsupported at query grain '$grain'")
+  /** Left-join the aggregated frame to itself on (otherDims, shifted time):
+    * each row picks up `valueName` of its exact comparison period as
+    * `outName` (NULL when that period has no row). Post-aggregation frames
+    * are grain-cardinality small, so the extra shuffle join is cheap at any
+    * data scale — and it is the only correct lookup on sparse series. */
+  private def priorJoin(df: DataFrame, valueName: String, outName: String,
+      otherDims: Seq[String], timeName: String,
+      shift: Column => Column): DataFrame = {
+    val prior = df.select(
+      otherDims.map(n => col(n).as(s"__p_$n")) ++
+        Seq(col(timeName).as("__p_t"), col(valueName).as(outName)): _*)
+    val cond = (otherDims.map(n => col(n) <=> col(s"__p_$n")) :+
+      (shift(col(timeName)).cast("timestamp") === col("__p_t").cast("timestamp")))
+      .reduce(_ && _)
+    df.join(prior, cond, "left")
+      .drop("__p_t").drop(otherDims.map(n => s"__p_$n"): _*)
+  }
+
+  /** Calendar shift back by n units, preserving grain alignment. */
+  private def shiftBack(t: Column, n: Int, unit: String): Column = unit match {
+    case "day"     => t - expr(s"INTERVAL $n DAY")
+    case "week"    => t - expr(s"INTERVAL ${n * 7} DAY")
+    case "month"   => add_months(t, -n)
+    case "quarter" => add_months(t, -3 * n)
+    case "year"    => add_months(t, -12 * n)
+  }
+
+  /** The comparison period for a row's period: calendar arithmetic, exact
+    * across leap years (reference: generator.py:4023-4128). */
+  private def offsetTime(t: Column, comparison: String, grain: String): Column =
+    (comparison.toLowerCase, grain) match {
+      case ("prior", g)       => shiftBack(t, 1, g)
+      case ("dod", "day")     => shiftBack(t, 1, "day")
+      case ("wow", "day")     => shiftBack(t, 1, "week")
+      case ("wow", "week")    => shiftBack(t, 1, "week")
+      case ("mom", "month")   => shiftBack(t, 1, "month")
+      case ("qoq", "month") | ("qoq", "quarter") => shiftBack(t, 1, "quarter")
+      case ("yoy", "day")     => t - expr("INTERVAL 1 YEAR") // leap-aware
+      case ("yoy", "week")    => shiftBack(t, 52, "week") // whole weeks keep alignment
+      case ("yoy", g) if Set("month", "quarter", "year")(g) => shiftBack(t, 1, "year")
+      case (c, g) => throw new IllegalArgumentException(
+        s"time_comparison '$c' unsupported at grain '$g'")
     }
 
   /** Integer periods-since-epoch for a grain — the numeric RANGE key. */
@@ -144,23 +183,4 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
     case "year"    => year(t).cast("long")
   }
 
-  /** Comparison offset in units of the query grain
-    * (reference: generator.py:4023-4078). */
-  private def offsetPeriods(comparison: String, grain: String): Int =
-    (comparison.toLowerCase, grain) match {
-      case ("prior", _)        => 1
-      case ("dod", "day")      => 1
-      case ("wow", "day")      => 7
-      case ("wow", "week")     => 1
-      case ("mom", "month")    => 1
-      case ("qoq", "month")    => 3
-      case ("qoq", "quarter")  => 1
-      case ("yoy", "day")      => 365
-      case ("yoy", "week")     => 52
-      case ("yoy", "month")    => 12
-      case ("yoy", "quarter")  => 4
-      case ("yoy", "year")     => 1
-      case (c, g) => throw new IllegalArgumentException(
-        s"time_comparison '$c' unsupported at grain '$g'")
-    }
 }

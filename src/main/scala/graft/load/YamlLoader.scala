@@ -77,7 +77,32 @@ object YamlLoader {
       defaultTimeDimension = m.get("default_time_dimension").map(_.toString),
       defaultGrain = m.get("default_grain").map(_.toString),
       extendsModel = m.get("extends").map(_.toString),
+      security = m.get("security").map(parseSecurity),
       preAggregations = seqOfMaps(m.get("pre_aggregations")).map(parsePreAgg))
+  }
+
+  /** `security:` block → SecurityPolicy (reference: core/security.py:40,
+    * docs/security.md). The reference's Jinja boolean gate
+    * (`"{{ user.role == 'admin' }}"`) normalizes to a SQL boolean
+    * expression over `user.*`; literal `true` means no gate, literal
+    * `false` denies outright. Silently dropping this block would load a
+    * secured model as unrestricted, so unknown keys are hard errors. */
+  private def parseSecurity(v: Any): SecurityPolicy = {
+    val sm = anyToScala(v).asInstanceOf[Map[String, Any]]
+    val unknown = sm.keySet -- Set("access", "row_filters")
+    require(unknown.isEmpty,
+      s"Unknown field(s) ${unknown.mkString(", ")} in security policy")
+    val access = sm.get("access").flatMap {
+      case b: java.lang.Boolean => if (b) None else Some("false")
+      case other =>
+        val s0 = other.toString.trim
+        val inner =
+          if (s0.startsWith("{{") && s0.endsWith("}}")) s0.drop(2).dropRight(2).trim
+          else s0
+        val sqlized = inner.replace("==", "=").replace("!=", "<>")
+        if (sqlized.equalsIgnoreCase("true")) None else Some(sqlized)
+    }
+    SecurityPolicy(access = access, rowFilters = strList(sm.get("row_filters")))
   }
 
   private def parseDimension(d: Map[String, Any]): Dimension = {
