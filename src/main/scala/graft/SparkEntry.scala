@@ -252,9 +252,9 @@ object SparkEntry {
     "q_conversion" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("events.signup_conversion")))),
 
-    "q_retention" -> ((s, d) => asLong(q(s, d)(SemanticQuery(
+    "q_retention" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("events.signup_retention"),
-      orderBy = Seq("cohort_date", "period"))), "period")),
+      orderBy = Seq("cohort_date", "days_since")))),
 
     "q_cohort" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("events.multi_type_users")))),
@@ -699,7 +699,7 @@ object SparkEntry {
     "q_time_comparison" ->
       """SELECT order_date__month,
         |  round((cast(revenue as double) - cast(prev as double))
-        |    / NULLIF(cast(prev as double), 0), 4) AS revenue_mom
+        |    / NULLIF(cast(prev as double), 0) * 100, 4) AS revenue_mom
         |FROM (SELECT order_date__month, revenue,
         |        lag(revenue, 1) OVER (ORDER BY order_date__month) AS prev
         |      FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
@@ -729,29 +729,31 @@ object SparkEntry {
         |      WHERE e1.event_type = 'signup'
         |      GROUP BY 1)""".stripMargin,
 
+    // reference retention contract: fixed column names + retention_pct ×100
+    // (generator.py:5178-5205)
     "q_retention" ->
       """WITH cohorts AS (
-        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_date
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
         |activity AS (
-        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS active_date
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date
         |  FROM events WHERE event_type IN ('click','view','purchase')),
         |joined AS (
         |  SELECT c.cohort_date,
-        |    date_diff('day', c.cohort_date, a.active_date) AS period, c.user_id
+        |    date_diff('day', c.cohort_date, a.active_date) AS p, c.user_id
         |  FROM cohorts c JOIN activity a ON a.user_id = c.user_id
-        |  WHERE date_diff('day', c.cohort_date, a.active_date) BETWEEN 0 AND 7),
+        |    AND a.active_date >= c.cohort_date
+        |  WHERE date_diff('day', c.cohort_date, a.active_date) <= 7),
         |sizes AS (
         |  SELECT cohort_date, count(DISTINCT user_id) AS cohort_size
         |  FROM cohorts GROUP BY 1),
         |ret AS (
-        |  SELECT cohort_date, period, count(DISTINCT user_id) AS retained
+        |  SELECT cohort_date, p, count(DISTINCT user_id) AS active_users
         |  FROM joined GROUP BY 1, 2)
-        |SELECT r.cohort_date, CAST(r.period AS BIGINT) AS period,
+        |SELECT r.cohort_date, CAST(r.p AS BIGINT) AS days_since,
+        |  CAST(r.active_users AS BIGINT) AS active_users,
         |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
-        |  CAST(r.retained AS BIGINT) AS retained,
-        |  cast(r.retained as double) / cast(s.cohort_size as double)
-        |    AS signup_retention
+        |  round(r.active_users * 100.0 / s.cohort_size, 1) AS retention_pct
         |FROM ret r JOIN sizes s ON r.cohort_date = s.cohort_date
         |ORDER BY 1, 2""".stripMargin,
 
@@ -802,7 +804,7 @@ object SparkEntry {
     "q_tablecalc_pct" ->
       """SELECT o_orderstatus AS orderstatus,
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
-        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) * 100
         |    / cast(sum(sum(cast(o_totalprice as decimal(18,2)))) OVER () as double)
         |    AS revenue_share
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

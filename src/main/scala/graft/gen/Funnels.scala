@@ -27,11 +27,16 @@ final class Funnels(spark: SparkSession, gen: Generator) {
     var df = gen.securedScan(model, q.user)
     (q.filters ++ segmentSql(q)).foreach { f =>
       val e = Exprs.rewriteRelativeDates(
-        Exprs.parse(spark, Exprs.interpolate(f, q.parameters)), q.anchorDate)
+        Exprs.parse(spark, Exprs.interpolate(f, gen.mergedParams(q))), q.anchorDate)
       df = df.filter(Exprs.toColumn(gen.toModelScope(model, e)))
     }
 
-    val dims = q.dimensions.map { r =>
+    // cohort metrics may carry their own output dims (entity_dimensions,
+    // reference: metric.py cohort contract) — appended to the query dims
+    val metricDims =
+      if (m.kind == "cohort") m.entityDimensions.map(d => s"$modelName.$d")
+      else Nil
+    val dims = (q.dimensions ++ metricDims).distinct.map { r =>
       val fr = FieldRef.parse(r)
       require(fr.model == modelName,
         s"Funnel-metric dimensions must come from '$modelName', got '$r'")
@@ -44,8 +49,12 @@ final class Funnels(spark: SparkSession, gen: Generator) {
 
     val entity = m.entity.getOrElse(throw new IllegalArgumentException(
       s"Metric '${m.name}' needs entity"))
-    val timeDim = model.defaultTimeDimension.getOrElse(
-      throw new IllegalArgumentException(s"Model '$modelName' needs default_time_dimension"))
+    // default_time_dimension, falling back to the first time-typed dim
+    // (reference: generator.py:5104-5110)
+    val timeDim = model.defaultTimeDimension
+      .orElse(model.dimensions.find(_.dimType == graft.model.DimType.Time).map(_.name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Model '$modelName' needs a time dimension for funnel metrics"))
     val ts = Exprs.toColumn(gen.localField(model, timeDim))
 
     m.kind match {
@@ -122,40 +131,55 @@ final class Funnels(spark: SparkSession, gen: Generator) {
     gen.shape(q, out)
   }
 
-  /** Cohort retention curve: first qualifying event fixes the cohort, then
-    * distinct activity periods are counted per (cohort, periods-since). */
+  /** Cohort retention curve, on the reference's fixed output contract
+    * (generator.py:5178-5205): cohort_date is a DATE, the period column is
+    * `<grain>s_since`, and `retention_pct` = round(active·100/size, 1) —
+    * these names hold regardless of the metric's own name. */
   private def retention(q: SemanticQuery, df: DataFrame, name: String,
       local: String => Column, entity: Column, ts: Column,
       cohortFilter: String, activityFilter: String,
       grain: String, periods: Int): DataFrame = {
 
+    def trunc(c: Column): Column = grain match {
+      case "day"   => to_date(c)
+      case "week"  => to_date(date_trunc("week", c))
+      case "month" => to_date(date_trunc("month", c))
+    }
     val cohorts = df.filter(local(cohortFilter))
       .groupBy(entity.as("__e"))
-      .agg(min(date_trunc(grain, ts)).as("cohort_date"))
+      .agg(min(trunc(ts)).as("cohort_date"))
     val activity = df.filter(local(activityFilter))
-      .select(entity.as("__ae"), date_trunc(grain, ts).as("__ad"))
+      .select(entity.as("__ae"), trunc(ts).as("__ad"))
       .distinct()
 
     val periodsSince = grain match {
       case "day"   => datediff(col("__ad"), col("cohort_date"))
       case "week"  => (datediff(col("__ad"), col("cohort_date")) / 7).cast("int")
-      case "month" => months_between(col("__ad"), col("cohort_date")).cast("int")
+      case "month" => (year(col("__ad")) - year(col("cohort_date"))) * 12 +
+                      (month(col("__ad")) - month(col("cohort_date")))
+    }
+    val label = grain match {
+      case "day" => "days_since"; case "week" => "weeks_since"
+      case "month" => "months_since"
     }
     val joined = cohorts
-      .join(activity, col("__ae") === col("__e"))
-      .withColumn("period", periodsSince)
-      .filter(col("period").between(0, periods))
+      .join(activity, col("__ae") === col("__e") && col("__ad") >= col("cohort_date"))
+      .withColumn("__p", periodsSince)
+      .filter(col("__p") <= periods)
 
     val sizes = cohorts.groupBy(col("cohort_date"))
       .agg(countDistinct(col("__e")).as("cohort_size"))
-    val retained = joined.groupBy(col("cohort_date"), col("period"))
-      .agg(countDistinct(col("__e")).as("retained"))
+    val retained = joined.groupBy(col("cohort_date"), col("__p"))
+      .agg(countDistinct(col("__e")).as("active_users"))
 
     val out = retained.join(sizes, Seq("cohort_date"))
-      .select(col("cohort_date"), col("period"), col("cohort_size"),
-        col("retained"),
-        (col("retained").cast("double") / col("cohort_size")).as(name))
-    gen.shape(q, out)
+      .select(col("cohort_date"), col("__p").cast("long").as(label),
+        col("active_users"), col("cohort_size"),
+        round(col("active_users") * lit(100.0) / col("cohort_size"), 1)
+          .as("retention_pct"))
+    // reference default ordering when the query specifies none
+    gen.shape(q,
+      if (q.orderBy.isEmpty) out.orderBy(col("cohort_date"), col(label)) else out)
   }
 
   /** Two-stage cohort metric: per-entity inner aggregate gated by HAVING,

@@ -48,8 +48,25 @@ final class Generator(spark: SparkSession, cat: Catalog,
     val d = m.dimension(fr.field).getOrElse(throw new IllegalArgumentException(
       s"Unknown dimension '${fr.field}' on model '${fr.model}'"))
     require(d.public, s"Dimension '${ref}' is not public") // field visibility
+    // supported_granularities contract (reference: dimension.py): a grain
+    // outside the declared list is a compile error, not a silent truncation
+    fr.grain.foreach { g =>
+      require(d.supportedGranularities.isEmpty || d.supportedGranularities.contains(g),
+        s"Dimension '$ref': granularity '$g' not in supported_granularities " +
+          d.supportedGranularities.mkString("[", ", ", "]"))
+    }
     DimRef(fr.model, d, fr.grain)
   }
+
+  /** Merged parameter map: package-level defaults overridden per query. */
+  private[gen] def mergedParams(q: SemanticQuery): Map[String, String] =
+    cat.paramDefaults ++ q.parameters
+
+  /** Output column by metric name — namespaced graph metrics carry dots
+    * ("finance.revenue_per_order"), which col() would parse as a struct
+    * access without backticks. */
+  private def outCol(name: String): org.apache.spark.sql.Column =
+    if (name.contains(".")) col(s"`$name`") else col(name)
 
   private def metricRef(ref: String): MetricRef = {
     val (mOpt, met) = cat.resolveMetric(ref)
@@ -129,7 +146,7 @@ final class Generator(spark: SparkSession, cat: Catalog,
       seg.sql.replace("{model}", fr.model)
     }
     (q.filters ++ segFilters).flatMap { raw =>
-      val interpolated = Exprs.interpolate(raw, q.parameters)
+      val interpolated = Exprs.interpolate(raw, mergedParams(q))
       val e0 = Exprs.rewriteRelativeDates(parseE(spark, interpolated), q.anchorDate)
       conjuncts(e0).map { c =>
         val refs = fieldRefsIn(c)
@@ -635,7 +652,7 @@ final class Generator(spark: SparkSession, cat: Catalog,
     // leaking them into sub-queries re-expands metrics across models and
     // recurses the split forever
     val nonHavingFilters = q.filters.filter { raw =>
-      val e = parseE(spark, Exprs.interpolate(raw, q.parameters))
+      val e = parseE(spark, Exprs.interpolate(raw, mergedParams(q)))
       !fieldRefsIn(e).exists { case (m, f) => isMetricRefPair(m, f) }
     }
     // withTotals propagates into each per-fact sub-plan (each computes its
@@ -795,7 +812,7 @@ final class Generator(spark: SparkSession, cat: Catalog,
     }
 
     val dimOut = dims.map(d => col(d.innerName).as(d.outName))
-    val metOut = requested.map(mr => col(mr.metric.name))
+    val metOut = requested.map(mr => outCol(mr.metric.name))
     val totalCol = if (q.withTotals) Seq(col("_is_total")) else Nil
     shape(q, df.select(dimOut ++ metOut ++ totalCol: _*))
   }

@@ -18,25 +18,29 @@ object TableCalcs {
   private def part(partitionBy: Seq[String]) =
     Window.partitionBy(partitionBy.map(col): _*)
 
-  /** value / sum(value) over the partition (percent_of_total). Double
-    * division keeps the result type stable regardless of input scale. */
+  /** value·100 / sum(value) over the partition — percent form ×100, the
+    * reference's contract (table_calc_processor.py:184). Double division
+    * keeps the result type stable regardless of input scale. */
   def percentOfTotal(df: DataFrame, value: String, as: String,
       partitionBy: Seq[String] = Nil): DataFrame =
-    df.withColumn(as, col(value).cast("double") /
+    df.withColumn(as, col(value).cast("double") * 100 /
       sum(col(value)).over(part(partitionBy)).cast("double"))
 
-  /** value / sum(value) over a *column* partition while partitioned rows
-    * stay at row grain (percent_of_column_total). */
+  /** value·100 / sum(value) over a *column* partition while partitioned
+    * rows stay at row grain (percent_of_column_total). */
   def percentOfColumnTotal(df: DataFrame, value: String, columns: Seq[String],
       as: String): DataFrame =
-    df.withColumn(as, col(value) / sum(col(value)).over(part(columns)))
+    df.withColumn(as, col(value).cast("double") * 100 /
+      sum(col(value)).over(part(columns)).cast("double"))
 
-  /** value / lag(value) - 1 ordered by `orderBy` (percent_of_previous). */
+  /** (value − lag(value))·100 / lag(value) ordered by `orderBy`
+    * (percent_of_previous, ×100 — table_calc_processor.py:197). */
   def percentOfPrevious(df: DataFrame, value: String, orderBy: Seq[String],
       as: String, partitionBy: Seq[String] = Nil): DataFrame = {
     val w = part(partitionBy).orderBy(orderBy.map(col): _*)
     val prev = lag(col(value), 1).over(w).cast("double")
-    df.withColumn(as, col(value).cast("double") / when(prev =!= 0, prev) - 1)
+    df.withColumn(as,
+      (col(value).cast("double") - prev) * 100 / when(prev =!= 0, prev))
   }
 
   /** Running total ordered by `orderBy`. */

@@ -92,8 +92,9 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
           val prevD = prev.cast("double")
           val c = m.calculation.getOrElse("percent_change") match {
             case "difference"     => base - prev
+            // percent form ×100, the reference's contract (generator.py:6428)
             case "percent_change" =>
-              (base.cast("double") - prevD) / when(prevD =!= 0, prevD)
+              (base.cast("double") - prevD) / when(prevD =!= 0, prevD) * 100
             case "ratio"          => base.cast("double") / when(prevD =!= 0, prevD)
           }
           df = df.withColumn(m.name, c).drop(pn)

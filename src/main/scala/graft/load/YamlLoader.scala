@@ -20,29 +20,74 @@ object YamlLoader {
 
   def defaultResolver: TableResolver = name => ModelSource.Table(name)
 
-  def loadString(yaml: String,
-      resolve: TableResolver = defaultResolver): Seq[Model] = {
-    val root = anyToScala(new Yaml(new SafeConstructor(new LoaderOptions()))
+  /** Everything a native package can declare beyond its models: graph-level
+    * metrics (`metrics:` at the top level, names may be namespaced like
+    * "finance.revenue_per_order") and typed parameters with defaults
+    * (reference: core/parameter.py). */
+  final case class Loaded(
+      models: Seq[Model],
+      graphMetrics: Seq[Metric] = Nil,
+      paramDefaults: Map[String, String] = Map.empty)
+
+  private[load] def parseYamlMap(yaml: String): Map[String, Any] =
+    anyToScala(new Yaml(new SafeConstructor(new LoaderOptions()))
       .load[Object](yaml)).asInstanceOf[Map[String, Any]]
+
+  def loadPackageString(yaml: String,
+      resolve: TableResolver = defaultResolver): Loaded = {
+    val root = parseYamlMap(yaml)
     val version = root.getOrElse("version", 1)
     require(version == 1, s"Unsupported native-format version: $version")
-    root.getOrElse("models", Seq.empty).asInstanceOf[Seq[Any]]
-      .map(m => parseModel(m.asInstanceOf[Map[String, Any]], resolve))
+    Loaded(
+      models = root.getOrElse("models", Seq.empty).asInstanceOf[Seq[Any]]
+        .map(m => parseModelMap(m.asInstanceOf[Map[String, Any]], resolve)),
+      graphMetrics = seqOfMaps(root.get("metrics")).map(parseMetric),
+      paramDefaults = seqOfMaps(root.get("parameters")).flatMap { p =>
+        p.get("default_value").map(v =>
+          p("name").toString -> formatParamDefault(p.get("type"), v))
+      }.toMap)
   }
+
+  /** Typed default formatting (reference: parameter.py format_value):
+    * numbers/booleans interpolate bare, strings as quoted literals. */
+  private def formatParamDefault(ptype: Option[Any], v: Any): String =
+    ptype.map(_.toString).getOrElse("string") match {
+      case "number" | "unquoted" => v.toString
+      case "boolean"             => v.toString
+      case "date" | "string"     => s"'${v.toString.replace("'", "''")}'"
+      case _                     => s"'${v.toString.replace("'", "''")}'"
+    }
+
+  def loadString(yaml: String,
+      resolve: TableResolver = defaultResolver): Seq[Model] =
+    loadPackageString(yaml, resolve).models
+
+  def loadPackageFile(path: String,
+      resolve: TableResolver = defaultResolver): Loaded =
+    loadPackageString(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"), resolve)
 
   def loadFile(path: String,
       resolve: TableResolver = defaultResolver): Seq[Model] =
-    loadString(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8"), resolve)
+    loadPackageFile(path, resolve).models
 
-  /** Load every *.yml in a directory into one catalog. */
+  /** Load every *.yml / *.yaml / *.sql in a directory into one catalog
+    * (mixed directories are a supported layout — mixed_yaml_sql_directory
+    * fixture; .sql files route through [[SqlModelLoader]]). */
   def loadDirectory(dir: String, resolve: TableResolver = defaultResolver,
       dataDir: String = ""): Catalog = {
     val files = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".yml") || f.getName.endsWith(".yaml"))
+      .filter(f => Seq(".yml", ".yaml", ".sql").exists(f.getName.endsWith))
       .sortBy(_.getName)
     files.foldLeft(Catalog(dataDir = dataDir)) { (cat, f) =>
-      cat.add(loadFile(f.getPath, resolve): _*)
+      if (f.getName.endsWith(".sql"))
+        cat.add(SqlModelLoader.loadFile(f.getPath, resolve): _*)
+      else {
+        val pkg = loadPackageFile(f.getPath, resolve)
+        cat.add(pkg.models: _*)
+          .addGraphMetric(pkg.graphMetrics: _*)
+          .withParamDefaults(pkg.paramDefaults)
+      }
     }
   }
 
@@ -50,11 +95,13 @@ object YamlLoader {
 
   private val knownModelKeys = Set("name", "table", "sql", "source_uri",
     "primary_key", "primary_key_columns", "unique_keys", "dimensions",
-    "metrics", "relationships", "segments", "pre_aggregations",
+    "metrics", "measures", "relationships", "segments", "pre_aggregations",
     "default_time_dimension", "default_grain", "extends", "description",
-    "label", "security", "meta")
+    "label", "security", "meta", "auto_dimensions",
+    "sql_metrics", "sql_segments", "sql_dimensions")
 
-  private def parseModel(m: Map[String, Any], resolve: TableResolver): Model = {
+  private[load] def parseModelMap(m: Map[String, Any],
+      resolve: TableResolver): Model = {
     val unknown = m.keySet -- knownModelKeys
     require(unknown.isEmpty,
       s"Unknown field(s) ${unknown.mkString(", ")} in model '${m.getOrElse("name", "?")}'")
@@ -65,15 +112,22 @@ object YamlLoader {
       case (_, _, Some(t))   => resolve(t.toString)
       case _                 => resolve(name)
     }
+    // embedded SQL definition blocks inside YAML models
+    // (embedded_sql_blocks fixture): parsed with the statement grammar
+    val embedded = Seq("sql_dimensions", "sql_metrics", "sql_segments")
+      .flatMap(k => m.get(k).map(v => SqlModelLoader.parseStatements(v.toString)))
     Model(
       name = name,
       source = source,
       primaryKey = strOrList(m.get("primary_key").orElse(m.get("primary_key_columns"))),
-      dimensions = seqOfMaps(m.get("dimensions")).map(parseDimension),
-      metrics = seqOfMaps(m.get("metrics")).map(parseMetric),
+      dimensions = seqOfMaps(m.get("dimensions")).map(parseDimension) ++
+        embedded.flatMap(_.dimensions),
+      metrics = (seqOfMaps(m.get("metrics")) ++ seqOfMaps(m.get("measures")))
+        .map(parseMetric) ++ embedded.flatMap(_.metrics),
       relationships = seqOfMaps(m.get("relationships")).map(parseRelationship),
       segments = seqOfMaps(m.get("segments")).map(s =>
-        Segment(s("name").toString, s("sql").toString)),
+        Segment(s("name").toString, s("sql").toString)) ++
+        embedded.flatMap(_.segments),
       defaultTimeDimension = m.get("default_time_dimension").map(_.toString),
       defaultGrain = m.get("default_grain").map(_.toString),
       extendsModel = m.get("extends").map(_.toString),
@@ -115,8 +169,9 @@ object YamlLoader {
     Dimension(
       name = d("name").toString,
       dimType = dimType,
-      sql = d.get("sql").map(_.toString),
+      sql = d.get("sql").orElse(d.get("expr")).map(_.toString),
       granularity = d.get("granularity").map(_.toString),
+      supportedGranularities = strList(d.get("supported_granularities")),
       label = d.get("label").map(_.toString),
       parent = d.get("parent").map(_.toString),
       public = d.get("public").forall(_.toString.toBoolean))
@@ -124,7 +179,10 @@ object YamlLoader {
 
   private def parseMetric(m: Map[String, Any]): Metric = {
     val mtype = m.get("type").map(_.toString)
-    val sql = m.get("sql").map(_.toString)
+    // `expr` (measures-style aliases) and `measure` (derived formula in the
+    // native_aliases fixture) are accepted spellings of `sql`
+    val sql = m.get("sql").orElse(m.get("expr")).orElse(m.get("measure"))
+      .map(_.toString)
     // `type: cumulative` uses `sql:` for its base metric reference in the
     // native format (advanced_metrics fixture)
     val isWindowType = mtype.exists(Set("cumulative", "time_comparison"))
@@ -172,6 +230,7 @@ object YamlLoader {
         }
       },
       outerAgg = if (mtype.contains("cohort")) m.get("agg").map(_.toString) else None,
+      entityDimensions = strList(m.get("entity_dimensions")),
       nonAdditive = m.get("non_additive_dimension").map { nad =>
         val nm = anyToScala(nad).asInstanceOf[Map[String, Any]]
         NonAdditiveDimension(
@@ -205,8 +264,10 @@ object YamlLoader {
       foreignKey = strOrList(r.get("foreign_key").orElse(r.get("foreign_key_columns"))),
       primaryKey = strOrList(r.get("primary_key").orElse(r.get("primary_key_columns"))),
       through = r.get("through").map(_.toString),
-      throughForeignKey = strOrList(r.get("through_foreign_key")),
-      relatedForeignKey = strOrList(r.get("related_foreign_key")),
+      throughForeignKey = strOrList(r.get("through_foreign_key")
+        .orElse(r.get("through_foreign_key_columns"))),
+      relatedForeignKey = strOrList(r.get("related_foreign_key")
+        .orElse(r.get("related_foreign_key_columns"))),
       sqlOn = r.get("sql").map(_.toString))
 
   private def parsePreAgg(p: Map[String, Any]): PreAggregation =

@@ -11,8 +11,12 @@ final case class Catalog(
     models: Map[String, Model] = Map.empty,
     graphMetrics: Map[String, Metric] = Map.empty,
     savedQueries: Map[String, graft.plan.SemanticQuery] = Map.empty,
+    paramDefaults: Map[String, String] = Map.empty, // pre-formatted literals
     dataDir: String = ""
 ) {
+
+  def withParamDefaults(ps: Map[String, String]): Catalog =
+    copy(paramDefaults = paramDefaults ++ ps)
 
   def add(ms: Model*): Catalog = {
     val resolved = ms.map(resolveExtends)
@@ -65,19 +69,22 @@ final case class Catalog(
 
   def withDataDir(dir: String): Catalog = copy(dataDir = dir)
 
-  /** Locate a metric by "model.metric" or graph-level bare name. */
-  def resolveMetric(ref: String): (Option[Model], Metric) = ref.split('.') match {
-    case Array(mName, metName) =>
-      val m = model(mName)
-      (Some(m), m.metric(metName).getOrElse(throw new IllegalArgumentException(
-        s"Unknown metric '$metName' on model '$mName'")))
-    case Array(bare) =>
-      graphMetrics.get(bare) match {
-        case Some(gm) => (None, gm)
-        case None => throw new IllegalArgumentException(s"Unknown graph metric '$bare'")
+  /** Locate a metric by "model.metric", a graph-level bare name, or a
+    * namespaced graph-level name ("finance.revenue_per_order" — top-level
+    * metric contracts use dots without a backing model). */
+  def resolveMetric(ref: String): (Option[Model], Metric) =
+    graphMetrics.get(ref) match {
+      case Some(gm) => (None, gm)
+      case None => ref.split('.') match {
+        case Array(mName, metName) =>
+          val m = model(mName)
+          (Some(m), m.metric(metName).getOrElse(throw new IllegalArgumentException(
+            s"Unknown metric '$metName' on model '$mName'")))
+        case Array(bare) =>
+          throw new IllegalArgumentException(s"Unknown graph metric '$bare'")
+        case _ => throw new IllegalArgumentException(s"Bad metric ref '$ref'")
       }
-    case _ => throw new IllegalArgumentException(s"Bad metric ref '$ref'")
-  }
+    }
 }
 
 /** Plan-time validation (reference: core/validation.py + security.py:61). */
@@ -98,6 +105,15 @@ object Validation {
     m.defaultTimeDimension.foreach { td =>
       require(m.dimension(td).exists(_.dimType == DimType.Time),
         s"Model '${m.name}': default_time_dimension '$td' is not a time dimension")
+    }
+    // pre-aggregation references must resolve (invalid_preaggregation_reference)
+    m.preAggregations.foreach { pa =>
+      pa.measures.foreach(ms => require(m.metric(ms).isDefined,
+        s"Model '${m.name}' pre_aggregation '${pa.name}': unknown measure '$ms'"))
+      pa.dimensions.foreach(d => require(m.dimension(d).isDefined,
+        s"Model '${m.name}' pre_aggregation '${pa.name}': unknown dimension '$d'"))
+      pa.timeDimension.foreach(td => require(m.dimension(td).isDefined,
+        s"Model '${m.name}' pre_aggregation '${pa.name}': unknown time_dimension '$td'"))
     }
   }
 }

@@ -28,6 +28,7 @@ final case class Dimension(
     dimType: DimType = DimType.Categorical,
     sql: Option[String] = None,
     granularity: Option[String] = None,
+    supportedGranularities: Seq[String] = Nil, // empty = all grains allowed
     label: Option[String] = None,
     parent: Option[String] = None, // hierarchy metadata (drill up/down)
     public: Boolean = true
@@ -103,6 +104,7 @@ final case class Metric(
     retentionGrain: Option[String] = None,   // day|week|month
     having: Option[String] = None,           // cohort qualification gate
     outerAgg: Option[String] = None,         // cohort outer aggregation
+    entityDimensions: Seq[String] = Nil,     // cohort output dims (metric-owned)
     nonAdditive: Option[NonAdditiveDimension] = None
 ) {
   def isSimple: Boolean = metricType.isEmpty && agg.isDefined

@@ -2,29 +2,35 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The reference's native fixtures, run verbatim through the generic
-  * harness: seed SQL → temp views, model YAML → YamlLoader, query YAML →
-  * planner, expected/result.json → comparison. */
+/** The reference's FULL native fixture corpus, driven by its manifest.yml:
+  * every valid fixture compiles and its manifest queries match their
+  * expected result rows; every invalid fixture refuses to load; rewrite
+  * (semantic SQL) queries execute through SqlFront. */
 class FixtureCorpusSpec extends AnyFunSuite {
 
   // composite_keys' expected rows keep order_items without shipments
   // (item 102 → count 0): the reference runtime anchors the join graph at
   // the dimension-preserving model there, which the explicit base_model
   // anchor reproduces (reference: generator.py:84-101)
-  private val fixtures: Seq[(String, Option[String])] = Seq(
-    "multi_hop_joins" -> None,
-    "composite_keys" -> Some("order_items"),
-    "many_to_many_relationship" -> None,
-    "relationship_default_keys" -> None,
-    "segments_metric_filters" -> None,
-    "parameterized_filters" -> None,
-    "statistical_aggregations" -> None,
-    "default_time_dimension" -> None,
-    "custom_relationship_sql" -> None)
+  private val baseOverrides: Map[String, String] =
+    Map("composite_keys" -> "order_items")
 
-  fixtures.foreach { case (f, base) =>
-    test(s"native fixture: $f") {
-      FixtureHarness.run(TestSpark.spark, f, base)
+  FixtureHarness.manifest().foreach { fx =>
+    if (fx.valid) {
+      test(s"native fixture: ${fx.name}") {
+        FixtureHarness.run(TestSpark.spark, fx, baseOverrides.get(fx.name))
+      }
+      fx.rewriteSqls.zipWithIndex.foreach { case (sql, i) =>
+        test(s"native fixture (sql rewrite $i): ${fx.name}") {
+          FixtureHarness.runRewrite(TestSpark.spark, fx.name, sql)
+        }
+      }
+    } else {
+      test(s"native fixture (invalid): ${fx.name}") {
+        intercept[IllegalArgumentException] {
+          FixtureHarness.loadCatalog(TestSpark.spark.newSession(), fx.name)
+        }
+      }
     }
   }
 }
