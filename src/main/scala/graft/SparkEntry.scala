@@ -348,6 +348,25 @@ object SparkEntry {
         orderBy = Seq("orderstatus", "order_date__month"))), "avg_order_value")
     }),
 
+    // ---- §2.13 external adapters: Cube ----
+    // the reference's own cube fixture, bound to the TPC-H orders table
+    // through a derived view (sql_table resolution is pluggable)
+    "q_adapter_cube" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey AS id, o_orderstatus AS status,
+             |  o_orderdate AS created_at, o_custkey AS customer_id,
+             |  cast(o_totalprice as decimal(18,2)) AS amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val models = graft.adapters.CubeAdapter.loadFile(
+        "/root/reference/tests/fixtures/cube/orders.yml", resolve)
+      val cat = graft.model.Catalog().add(models.filter(_.name == "orders"): _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.count", "orders.avg_order_value"),
+        dimensions = Seq("orders.status"),
+        orderBy = Seq("status"))), "avg_order_value")
+    }),
+
     // ---- §1.1 security ----
     "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
@@ -879,6 +898,14 @@ object SparkEntry {
         |    / cast(count(o_totalprice) as double), 4) AS avg_order_value
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_adapter_cube" ->
+      """SELECT o_orderstatus AS status,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS "count",
+        |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(o_totalprice) as double), 4) AS avg_order_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_security" ->
       """SELECT o_orderstatus AS orderstatus,
