@@ -17,6 +17,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide aggregates (LSH plane dots, simhash bit-sums) need per-
+      // function codegen splitting or they overflow janino's 64 KB limit
+      .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

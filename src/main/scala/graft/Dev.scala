@@ -12,6 +12,9 @@ object Dev {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide aggregates (LSH plane dots, simhash bit-sums) need per-
+      // function codegen splitting or they overflow janino's 64 KB limit
+      .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -130,6 +133,9 @@ object Dev {
     val ext = org.apache.spark.sql.SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide aggregates (LSH plane dots, simhash bit-sums) need per-
+      // function codegen splitting or they overflow janino's 64 KB limit
+      .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.sqlfront.GraftExtensions)
       .getOrCreate()

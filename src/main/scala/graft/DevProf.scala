@@ -11,6 +11,9 @@ object DevProf {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide aggregates (LSH plane dots, simhash bit-sums) need per-
+      // function codegen splitting or they overflow janino's 64 KB limit
+      .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,11 +38,11 @@ object DevProf {
     time("ann brute")(Similarity.bruteForceTopK(emb, q,
       "vec_id", "embedding", "vec_id", 5).count())
     time("ann lsh 1st")(Similarity.lshTopK(emb, q,
-      "vec_id", "embedding", "vec_id", 5, numPlanes = 6).count())
+      "vec_id", "embedding", "vec_id", 5, bands = 16, planesPerBand = 3).count())
     time("ann lsh 2nd")(Similarity.lshTopK(emb, q,
-      "vec_id", "embedding", "vec_id", 5, numPlanes = 6).count())
+      "vec_id", "embedding", "vec_id", 5, bands = 16, planesPerBand = 3).count())
     time("neardup")(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-      0.9, 6).count())
+      0.4, 16, 4).count())
     spark.stop()
   }
 }

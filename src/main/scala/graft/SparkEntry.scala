@@ -408,15 +408,26 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       asLong(Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", "vec_id", 5, numPlanes = 6)
+        "vec_id", "embedding", "vec_id", 5, bands = 16, planesPerBand = 3)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank"), "rank")
     }),
 
     "q_embedding_neardup" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.9, numPlanes = 6)
+      // the synthetic embeddings are near-uniform (max pairwise cosine
+      // ≈ 0.6), so plant deterministic near-duplicate twins
+      // (v + 0.25·rotate(v), cosine ≈ 0.97) and run the operator in its
+      // design regime: high-threshold near-dup detection, where banded
+      // LSH prunes candidates instead of degenerating to all-pairs
+      val twins = emb.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
+        threshold = 0.9, bands = 16, planesPerBand = 8)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),

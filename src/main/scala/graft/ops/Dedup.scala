@@ -48,7 +48,7 @@ object Dedup {
     */
   def minHashLSH(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
@@ -56,7 +56,7 @@ object Dedup {
     // (interpreted, ~µs/element) — at corpus scale everything must stay
     // inside whole-stage codegen. Shingles come from posexploded tokens +
     // window lead() (no array lambdas), hashed once into (id, h) rows;
-    // the 64 seeded minima are then 64 plain aggregates keyed by doc id.
+    // the seeded minima are then plain aggregates keyed by doc id.
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__p", "__t")))
     val w = org.apache.spark.sql.expressions.Window
@@ -71,14 +71,20 @@ object Dedup {
       .filter(col("__last").isNotNull || col("__p") === 0)
       .select(col("id"), xxhash64(col("__s")).as("__h"))
       .distinct()
-      // consumed by three downstream joins — recomputing the tokenize/
-      // window/distinct pipeline per consumer triples the dominant cost
-      // (at warehouse scale this intermediate would be a materialized
-      // stage anyway)
+      // consumed by the signature aggregation AND both sides of the
+      // Jaccard-verify join; unpersisted before this method returns
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-seed re-mix with 32-bit murmur over the 8-byte shingle hash:
+    // roughly half the ALU work of a full xxhash64 per (shingle, seed),
+    // and overflow-free under ANSI mode (multiplicative mixing of longs
+    // would throw on overflow in Spark 4's default ANSI dialect)
     val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
-    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      min(hash(col("__h"), lit(i))).as(s"__m$i"))
+    // distinct-shingle count rides the same aggregation: the union size
+    // for Jaccard needs no second pass over the shingle rows
+    val sigs = exploded.groupBy("id")
+      .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("__n")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band bucket = hash of the band's signature rows (all codegen'd)
     val bandStructs = (0 until bands).map { b =>
@@ -89,8 +95,18 @@ object Dedup {
       .select(col("id"), explode(array(bandStructs: _*)).as("lsh"))
       .select(col("id"), col("lsh.band"), col("lsh.bucket"))
 
-    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+    // skew cap: a band-bucket holding b docs yields b²/2 candidate pairs;
+    // buckets beyond `maxBucketSize` (boilerplate/empty-doc clusters) are
+    // dropped rather than joined — the standard LSH guard against a hot
+    // key turning the candidate join quadratic
+    val bucketCounts = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > 1 && col("__bc") <= maxBucketSize)
+      .select("band", "bucket")
+    val keyed = banded.join(bucketCounts, Seq("band", "bucket"))
+
+    val candidates = keyed.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(keyed.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -100,12 +116,12 @@ object Dedup {
     // |A∩B| = matches of (id_b, h) after attaching each candidate's id_a
     // shingles; |A∪B| = |A|+|B|-|A∩B|. No array intersections, no shingle
     // recomputation — everything stays in codegen'd joins/aggregates.
-    val sizes = exploded.groupBy("id").agg(count(lit(1)).as("__n"))
+    val sizes = sigs.select(col("id"), col("__n"))
     val inter = candidates
       .join(exploded.select(col("id").as("id_a"), col("__h")), Seq("id_a"))
       .join(exploded.select(col("id").as("id_b"), col("__h")), Seq("id_b", "__h"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
-    candidates
+    val out = candidates
       .join(inter, Seq("id_a", "id_b"), "left")
       .na.fill(0L, Seq("__i"))
       .join(sizes.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
@@ -114,6 +130,14 @@ object Dedup {
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+    // materialize the (small) verified-pair set, then release every cached
+    // intermediate — a lazy return would leak the shingle cache (≈ corpus
+    // size × shingle factor) into the caller's session for its lifetime
+    val result = out.localCheckpoint(true)
+    exploded.unpersist(false)
+    sigs.unpersist(false)
+    result
   }
 
   /** 64-bit SimHash over a pre-hashed token array (`array<long>`): bit b

