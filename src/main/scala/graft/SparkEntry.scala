@@ -334,6 +334,26 @@ object SparkEntry {
           |ORDER BY orderpriority""".stripMargin)
     }),
 
+    // WITH query: semantic CTE planned by the generator, plain-SQL outer
+    // shell over the materialized view (reference: query_rewriter.py:917)
+    "q_sqlfront_cte" -> ((s, d) => {
+      val cat = TpchCatalog.build(d)
+      new graft.sqlfront.SqlFront(s, cat, new Generator(s, cat)).sql(
+        """WITH seg AS (
+          |  SELECT orders.orderpriority, orders.revenue FROM orders
+          |)
+          |SELECT orderpriority, revenue FROM seg
+          |WHERE revenue > 70000000
+          |ORDER BY orderpriority""".stripMargin)
+    }),
+
+    // cross-model `metrics` virtual table (reference: query_rewriter.py:2616)
+    "q_sqlfront_metrics" -> ((s, d) => {
+      val cat = TpchCatalog.build(d)
+      new graft.sqlfront.SqlFront(s, cat, new Generator(s, cat)).sql(
+        "SELECT orders.revenue, revenue_per_item FROM metrics")
+    }),
+
     // ---- §4.1 pre-aggregation routing ----
     "q_preagg_route" -> ((s, d) => {
       val cat = TpchCatalog.build(d)
@@ -365,6 +385,22 @@ object SparkEntry {
         metrics = Seq("orders.revenue", "orders.count", "orders.avg_order_value"),
         dimensions = Seq("orders.status"),
         orderBy = Seq("status"))), "avg_order_value")
+    }),
+
+    // join-key routing: the orders rollup stores o_custkey, so a query
+    // grouped by nation (orders→customer→nation) still reads the rollup
+    // and joins the small dimension models instead of scanning the fact
+    "q_preagg_join" -> ((s, d) => {
+      val cat = TpchCatalog.build(d)
+      val store = new graft.preagg.PreAggStore(s, cat,
+        s"${System.getProperty("java.io.tmpdir")}/graft_preagg_${math.abs(d.hashCode)}")
+      store.materializeIfAbsent("orders",
+        cat.model("orders").preAggregations.find(_.name == "daily_by_customer").get)
+      val g2 = new Generator(s, cat, Some(store))
+      g2.plan(SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.order_count"),
+        dimensions = Seq("nation.name"),
+        orderBy = Seq("name")))
     }),
 
     // ---- §1.1 security ----
@@ -900,6 +936,19 @@ object SparkEntry {
         |HAVING sum(cast(o_totalprice as decimal(18,2))) > 70000000
         |ORDER BY 1""".stripMargin,
 
+    "q_sqlfront_cte" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders GROUP BY 1
+        |HAVING sum(cast(o_totalprice as decimal(18,2))) > 70000000
+        |ORDER BY 1""".stripMargin,
+
+    "q_sqlfront_metrics" ->
+      """SELECT
+        |  (SELECT sum(cast(o_totalprice as decimal(18,2))) FROM orders) AS revenue,
+        |  cast((SELECT sum(cast(o_totalprice as decimal(18,2))) FROM orders) as double)
+        |    / cast((SELECT count(*) FROM lineitem) as double) AS revenue_per_item""".stripMargin,
+
     "q_preagg_route" ->
       """SELECT o_orderstatus AS orderstatus,
         |  date_trunc('month', o_orderdate) AS order_date__month,
@@ -909,6 +958,15 @@ object SparkEntry {
         |    / cast(count(o_totalprice) as double), 4) AS avg_order_value
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_preagg_join" ->
+      """SELECT n.n_name AS name,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_adapter_cube" ->
       """SELECT o_orderstatus AS status,

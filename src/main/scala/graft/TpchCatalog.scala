@@ -103,6 +103,13 @@ object TpchCatalog {
           "max_order_value"),
         dimensions = Seq("orderstatus", "orderpriority"),
         timeDimension = Some("order_date"), granularity = Some("day"),
+        partitionGranularity = Some("month")),
+      // stores the customer fk so joined dashboard queries (dims from
+      // customer/nation/region) can still route to the rollup
+      PreAggregation("daily_by_customer",
+        measures = Seq("revenue", "order_count"),
+        dimensions = Seq("o_custkey"),
+        timeDimension = Some("order_date"), granularity = Some("day"),
         partitionGranularity = Some("month"))))
 
   val lineitem = Model(

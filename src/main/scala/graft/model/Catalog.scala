@@ -110,7 +110,10 @@ object Validation {
     m.preAggregations.foreach { pa =>
       pa.measures.foreach(ms => require(m.metric(ms).isDefined,
         s"Model '${m.name}' pre_aggregation '${pa.name}': unknown measure '$ms'"))
-      pa.dimensions.foreach(d => require(m.dimension(d).isDefined,
+      // stored dimensions may also be raw relationship foreign keys
+      // (join-key routing stores the fk so joined queries can route)
+      pa.dimensions.foreach(d => require(m.dimension(d).isDefined ||
+        m.relationships.exists(_.foreignKey.contains(d)),
         s"Model '${m.name}' pre_aggregation '${pa.name}': unknown dimension '$d'"))
       pa.timeDimension.foreach(td => require(m.dimension(td).isDefined,
         s"Model '${m.name}' pre_aggregation '${pa.name}': unknown time_dimension '$td'"))

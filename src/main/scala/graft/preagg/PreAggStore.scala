@@ -24,19 +24,27 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
 
+  private lazy val graph = new graft.graph.SemanticGraph(cat)
+
   def rollupPath(model: String, pa: PreAggregation): String =
     s"$basePath/${model}_preagg_${pa.name}"
 
   /** A rollup exists when its directory holds parquet data — dynamic
-    * partition overwrites don't leave a top-level _SUCCESS marker. */
+    * partition overwrites don't leave a top-level _SUCCESS marker. Goes
+    * through the Hadoop FileSystem API so the store works identically on
+    * local disk, HDFS, and object stores (a java.io.File check is always
+    * false off the local machine and would silently re-materialize or
+    * fall back on every routed query in a real deployment). */
   def rollupExists(path: String): Boolean = {
-    val dir = new java.io.File(path)
-    def hasParquet(f: java.io.File, depth: Int): Boolean =
-      f.listFiles() != null && f.listFiles().exists { c =>
-        (c.isFile && c.getName.endsWith(".parquet")) ||
-          (c.isDirectory && depth > 0 && hasParquet(c, depth - 1))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquet(dir: org.apache.hadoop.fs.Path, depth: Int): Boolean =
+      fs.listStatus(dir).exists { st =>
+        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+          (st.isDirectory && depth > 0 && hasParquet(st.getPath, depth - 1))
       }
-    dir.isDirectory && hasParquet(dir, 2)
+    try fs.getFileStatus(p).isDirectory && hasParquet(p, 2)
+    catch { case _: java.io.FileNotFoundException => false }
   }
 
   // ------------------------------------------------------------------
@@ -62,8 +70,11 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     }
   }
 
+  /** Stored rollup dimensions may be declared dimensions OR raw join-key
+    * columns (join-key routing stores the fk so joined queries can route —
+    * reference: sql/generator.py:6581-6845). */
   private def dimCol(m: Model, dim: String): Column =
-    Exprs.column(spark, m.dimension(dim).get.expr).as(dim)
+    Exprs.column(spark, m.dimension(dim).map(_.expr).getOrElse(dim)).as(dim)
 
   private def timeCols(m: Model, pa: PreAggregation): Seq[Column] =
     pa.timeDimension.toSeq.flatMap { td =>
@@ -161,7 +172,8 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
   }
 
   private case class Match(model: Model, pa: PreAggregation, path: String,
-      dims: Seq[FieldRef], filters: Seq[String])
+      dims: Seq[FieldRef], ownFilters: Seq[String],
+      hops: Seq[graft.graph.JoinHop], foreignFilters: Map[String, Seq[String]])
 
   private def matchQuery(q: SemanticQuery): Option[Match] = {
     if (q.ungrouped || q.withTotals || q.segments.nonEmpty) return None
@@ -175,18 +187,51 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
       Seq("sum", "count", "avg", "min", "max").contains(met.agg.get))) return None
 
     val dims = q.dimensions.map(FieldRef.parse)
-    if (dims.exists(_.model != m.name)) return None
+
+    // filters split by referenced model: own-model conjuncts must hit
+    // rolled-up columns; foreign conjuncts push into that model's frame
+    var ownFilters = Seq.empty[String]
+    var foreignFilters = Map.empty[String, Seq[String]].withDefaultValue(Nil)
+    q.filters.foreach { f =>
+      val refModels = Exprs.refs(spark, Exprs.interpolate(f, q.parameters))
+        .collect { case Seq(mm, _) => mm }.distinct
+      refModels match {
+        case Seq(mm) if mm == m.name => ownFilters :+= f
+        case Seq(mm) if cat.models.contains(mm) =>
+          foreignFilters += mm -> (foreignFilters(mm) :+ f)
+        case _ => return None // cross-model or unqualified filter — bail
+      }
+    }
+    val foreignModels = (dims.map(_.model) ++ foreignFilters.keys).distinct
+      .filterNot(_ == m.name)
+
+    // join-key routing (reference: generator.py:6581-6845): dims from other
+    // models are reachable when the rollup stores the first-hop foreign
+    // keys and the join path cannot multiply rollup rows (every hop is a
+    // key-equality hop and the rollup's model never fans out)
+    val hops: Seq[graft.graph.JoinHop] =
+      if (foreignModels.isEmpty) Nil
+      else try {
+        val hs = graph.joinPlan(m.name, foreignModels)
+        if (hs.exists(h => h.cross || h.sqlOn.isDefined)) return None
+        if (graph.fannedOutModels(m.name, hs)(m.name)) return None
+        hs
+      } catch { case _: IllegalArgumentException => return None }
 
     m.preAggregations.view.flatMap { pa =>
       val dimsOk = dims.forall { d =>
-        if (pa.dimensions.contains(d.field) && d.grain.isEmpty) true
+        if (d.model != m.name) true // foreign dims come from the join
+        else if (pa.dimensions.contains(d.field) && d.grain.isEmpty) true
         else pa.timeDimension.contains(d.field) && d.grain.exists(g =>
           canRollup(pa.granularity.getOrElse("day"), g))
       }
+      // every first-hop foreign key must be stored in the rollup
+      val keysOk = hops.filter(_.fromModel == m.name)
+        .forall(_.fromKeys.forall(pa.dimensions.contains))
       val measuresOk = q.metrics.map(FieldRef.parse(_).field)
         .forall(pa.measures.contains)
-      // every filter conjunct must reference only rolled-up columns
-      val filtersOk = q.filters.forall { f =>
+      // every own-model filter conjunct must reference only rolled-up columns
+      val filtersOk = ownFilters.forall { f =>
         Exprs.refs(spark, Exprs.interpolate(f, q.parameters)).forall {
           case Seq(mm, fld) =>
             mm == m.name && {
@@ -202,8 +247,8 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
         }
       }
       val path = rollupPath(m.name, pa)
-      if (dimsOk && measuresOk && filtersOk && rollupExists(path))
-        Some(Match(m, pa, path, dims, q.filters))
+      if (dimsOk && keysOk && measuresOk && filtersOk && rollupExists(path))
+        Some(Match(m, pa, path, dims, ownFilters, hops, foreignFilters))
       else None
     } // prefer the narrowest matching rollup (fewest stored dimensions)
       .toSeq.sortBy(mt => mt.pa.dimensions.size).headOption
@@ -219,13 +264,36 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
       case None => col(field)
     }
 
+  /** Local-scope rewrite for a dimension model's filters (pushed into the
+    * dim frame before the routed join). */
+  private def foreignScope(dm: Model,
+      e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    Exprs.rewriteAttrs(e) {
+      case Seq(mm, f) if mm == dm.name => Some(foreignField(dm, f))
+      case Seq(f) => Some(foreignField(dm, f))
+      case _ => None
+    }
+
+  private def foreignField(dm: Model, fieldWithGrain: String) = {
+    val (field, grain) = fieldWithGrain.split("__") match {
+      case Array(b, g) if Grains.isGrain(g) && dm.dimension(b).isDefined =>
+        (b, Some(g))
+      case _ => (fieldWithGrain, None)
+    }
+    val base = dm.dimension(field) match {
+      case Some(d) => Exprs.parse(spark, d.expr)
+      case None    => UnresolvedAttribute(Seq(field))
+    }
+    grain.map(g => Exprs.truncExpr(g, base)).getOrElse(base)
+  }
+
   /** Try to serve the query from a rollup. None = no usable rollup; the
     * caller falls back to the base-table plan (the reference's fallback-
     * with-recompile, semantic_layer.py:798-849). */
   def plan(q: SemanticQuery): Option[DataFrame] = matchQuery(q).map { mt =>
     var df = spark.read.parquet(mt.path)
     // rewrite query filters into rollup scope
-    mt.filters.foreach { f =>
+    mt.ownFilters.foreach { f =>
       val e = Exprs.rewriteRelativeDates(
         Exprs.parse(spark, Exprs.interpolate(f, q.parameters)), q.anchorDate)
       val rewritten = Exprs.rewriteAttrs(e) {
@@ -239,7 +307,38 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
       }
       df = df.filter(Exprs.toColumn(rewritten))
     }
-    val dimCols = mt.dims.map(d => rollupCol(mt, d.field, d.grain).as(d.outName))
+    // join-key routing: attach dimension models on the stored foreign keys
+    // (dim frames are small — Catalyst broadcasts them; the rollup stays
+    // partitioned, so the routed joined query still reads pre-aggregated
+    // data instead of the fact table)
+    mt.hops.foreach { h =>
+      val dm = cat.model(h.toModel)
+      var frame = cat.scan(spark, dm)
+      mt.foreignFilters(h.toModel).foreach { f =>
+        val e = Exprs.rewriteRelativeDates(
+          Exprs.parse(spark, Exprs.interpolate(f, q.parameters)), q.anchorDate)
+        frame = frame.filter(Exprs.toColumn(foreignScope(dm, e)))
+      }
+      val laterKeys = mt.hops.filter(_.fromModel == h.toModel).flatMap(_.fromKeys)
+      val keySel = (h.toKeys ++ laterKeys).distinct
+        .map(k => col(k).as(s"${h.toModel}__$k"))
+      val dimSel = mt.dims.filter(_.model == h.toModel).map { d =>
+        val c = Exprs.toColumn(foreignField(dm,
+          d.field + d.grain.map("__" + _).getOrElse("")))
+        c.as(d.outName)
+      }
+      val cond = h.fromKeys.zip(h.toKeys).map { case (fk, tk) =>
+        val left = if (h.fromModel == mt.model.name) col(fk)
+                   else col(s"${h.fromModel}__$fk")
+        left === col(s"${h.toModel}__$tk")
+      }.reduce(_ && _)
+      val joinType =
+        if (mt.foreignFilters(h.toModel).nonEmpty) "inner" else "left"
+      df = df.join(frame.select(keySel ++ dimSel: _*), cond, joinType)
+    }
+    val dimCols = mt.dims.map(d =>
+      if (d.model == mt.model.name) rollupCol(mt, d.field, d.grain).as(d.outName)
+      else col(d.outName))
     val aggCols = q.metrics.map { ref =>
       val name = FieldRef.parse(ref).field
       val met = mt.model.metric(name).get

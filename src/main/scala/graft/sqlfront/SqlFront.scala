@@ -4,7 +4,7 @@ import graft.gen.Generator
 import graft.model.Catalog
 import graft.plan.{FieldRef, SemanticQuery}
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedHaving, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, SortOrder, Ascending}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -52,6 +52,7 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
     }.isDefined
 
   private def rewrite(plan: LogicalPlan): Option[DataFrame] = plan match {
+    case w: UnresolvedWith => withCtes(w)
     case d: Distinct => d.child match {
       case u: Union => branchFrames(u).map(_.distinct())
       case _        => single(plan)
@@ -63,8 +64,51 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
     case e: Except =>
       for (lf <- rewrite(e.left); rf <- rewrite(e.right))
         yield if (e.isAll) lf.exceptAll(rf) else lf.except(rf)
-    case other => single(other)
+    case other => single(other).orElse(hybridSubqueries(other))
   }
+
+  /** WITH query (reference: query_rewriter.py:917-1107): each CTE compiles
+    * independently — semantic scopes through the planner, plain SQL (which
+    * may reference earlier CTEs) through Spark — and registers as a temp
+    * view under its own name; the main body then compiles in the same way.
+    * Engaged only when something in the query is semantic, so pure-SQL WITH
+    * queries pass through Spark untouched with no view side effects. */
+  private def withCtes(w: UnresolvedWith): Option[DataFrame] = {
+    val defs = w.cteRelations.map(_._2)
+    val semantic = (w.child +: defs.map(_.child))
+      .exists(p => referencesSemanticModel(p) || referencesMetricsTable(p))
+    if (!semantic) return None
+    w.cteRelations.foreach { case (name, sa, _) =>
+      val df = rewrite(sa.child)
+        .getOrElse(GraftSqlBridge.dataFrame(spark, sa.child))
+      df.createOrReplaceTempView(name)
+    }
+    Some(rewrite(w.child).getOrElse(GraftSqlBridge.dataFrame(spark, w.child)))
+  }
+
+  /** Subquery-in-FROM recursion: replace each aliased semantic sub-scope
+    * with a temp view of its planned DataFrame, then run the remaining
+    * (plain-SQL) outer shell through Spark. */
+  private val subCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def hybridSubqueries(plan: LogicalPlan): Option[DataFrame] = {
+    var found = false
+    val replaced = plan.transformUp {
+      case sa @ SubqueryAlias(ident, child) if single(child).isDefined =>
+        val df = single(child).get
+        found = true
+        val view = s"__graft_sub_${subCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        SubqueryAlias(ident, UnresolvedRelation(Seq(view)))
+    }
+    if (found) Some(GraftSqlBridge.dataFrame(spark, replaced)) else None
+  }
+
+  private def referencesMetricsTable(plan: LogicalPlan): Boolean =
+    plan.collectFirst {
+      case ur: UnresolvedRelation
+          if ur.multipartIdentifier == Seq("metrics") &&
+            !cat.models.contains("metrics") => ()
+    }.isDefined
 
   private def branchFrames(u: Union): Option[DataFrame] = {
     val frames = u.children.map(rewrite)
@@ -119,8 +163,12 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
         ur.multipartIdentifier.head
       case _ => return None
     }
-    if (!cat.models.contains(modelName)) return None
-    val model = cat.model(modelName)
+    // `FROM metrics` is the cross-model virtual scope (reference:
+    // query_rewriter.py:2616-2623): select items may reference ANY model's
+    // fields (qualified) or graph-level metrics (bare); joins come from
+    // the semantic graph exactly as in structured queries.
+    val isMetricsScope = modelName == "metrics" && !cat.models.contains("metrics")
+    if (!isMetricsScope && !cat.models.contains(modelName)) return None
 
     // classify select items: metric vs dimension references by name
     var metrics = Seq.empty[String]
@@ -132,34 +180,57 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
         case a @ Alias(child, name)    => (child, Some(name))
         case other                     => (other: Expression, None)
       }
-      val ref = e match {
-        case ua: UnresolvedAttribute if ua.nameParts.size == 2 =>
-          s"${ua.nameParts.head}.${ua.nameParts(1)}"
-        case ua: UnresolvedAttribute if ua.nameParts.size == 1 =>
-          s"$modelName.${ua.nameParts.head}"
+      e match {
+        case _: UnresolvedStar =>
+          // SELECT * expands to every dimension + metric of the model
+          // (reference: query_rewriter.py:5912-5935; refused on the
+          // cross-model metrics scope there and here)
+          if (isMetricsScope) throw new IllegalArgumentException(
+            "SELECT * is not supported with FROM metrics; select fields explicitly")
+          val model = cat.model(modelName)
+          dims ++= model.dimensions.filter(_.public).map(d => s"$modelName.${d.name}")
+          metrics ++= model.metrics.filter(m => m.public && m.kind != "conversion" &&
+            m.kind != "retention" && m.kind != "cohort" && m.kind != "funnel")
+            .map(m => s"$modelName.${m.name}")
+        case ua: UnresolvedAttribute if ua.nameParts.size <= 2 =>
+          val bare = ua.nameParts.size == 1
+          val ref =
+            if (!bare) s"${ua.nameParts.head}.${ua.nameParts(1)}"
+            else if (isMetricsScope) ua.nameParts.head // graph metric
+            else s"$modelName.${ua.nameParts.head}"
+          if (!ref.contains(".")) {
+            require(cat.graphMetrics.contains(ref), s"'$ref' is not a graph-level metric")
+            metrics :+= ref
+            alias.foreach(a => renames :+= (ref, a))
+          } else {
+            val fr = FieldRef.parse(ref)
+            val owner = cat.model(fr.model)
+            if (owner.metric(fr.field).isDefined) {
+              metrics :+= ref
+              alias.foreach(a => renames :+= (fr.field, a))
+            } else if (owner.dimension(fr.field).isDefined) {
+              dims :+= ref
+              alias.foreach(a => renames :+= (fr.outName, a))
+            } else throw new IllegalArgumentException(
+              s"'$ref' is neither a metric nor a dimension of '${fr.model}'")
+          }
         case _ => throw new IllegalArgumentException(
           s"Semantic SQL select items must be metric/dimension references, got: ${e.sql}")
       }
-      val fr = FieldRef.parse(ref)
-      val owner = cat.model(fr.model)
-      if (owner.metric(fr.field).isDefined ||
-        (fr.model == "" && cat.graphMetrics.contains(fr.field))) {
-        metrics :+= ref
-        alias.foreach(a => renames :+= (fr.field, a))
-      } else if (owner.dimension(fr.field).isDefined) {
-        dims :+= ref
-        alias.foreach(a => renames :+= (fr.outName, a))
-      } else throw new IllegalArgumentException(
-        s"'$ref' is neither a metric nor a dimension of '${fr.model}'")
     }
 
     // GROUP BY, when written out, must echo the dimensions exactly
+    // (bare names on the metrics scope resolve through the selected dims)
+    val bareToDim = dims.map(d => FieldRef.parse(d))
+      .map(fr => fr.field -> s"${fr.model}.${fr.field}").toMap
     groupBy.filter(_.nonEmpty).foreach { g =>
       val groupRefs = g.map {
         case ua: UnresolvedAttribute => ua.nameParts.takeRight(2).mkString(".")
         case other => throw new IllegalArgumentException(
           s"GROUP BY must reference dimensions, got: ${other.sql}")
-      }.map(r => if (r.contains(".")) r else s"$modelName.$r").toSet
+      }.map(r => if (r.contains(".")) r
+        else if (isMetricsScope) bareToDim.getOrElse(r, r)
+        else s"$modelName.$r").toSet
       val dimSet = dims.map(d => FieldRef.parse(d))
         .map(fr => s"${fr.model}.${fr.field}${fr.grain.map("__" + _).getOrElse("")}").toSet
       require(groupRefs == dimSet,

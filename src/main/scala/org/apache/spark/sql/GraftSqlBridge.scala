@@ -16,4 +16,7 @@ object GraftSqlBridge {
       .explainString(execution.ExplainMode.fromString(mode))
   def logicalPlan(df: Dataset[Row]): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+  def dataFrame(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -29,6 +29,26 @@ class PreAggSpec extends AnyFunSuite {
     assert(collectSorted(routed.get) == collectSorted(fromBase))
   }
 
+  test("join-key routing: foreign dims served from the fk-bearing rollup") {
+    val paJoin = cat.model("orders").preAggregations
+      .find(_.name == "daily_by_customer").get
+    store.materialize("orders", paJoin)
+    // two-hop dim (orders→customer→nation) with a foreign filter
+    val q = SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.order_count"),
+      dimensions = Seq("nation.name"),
+      filters = Seq("customer.mktsegment = 'AUTOMOBILE'"))
+    val routed = store.plan(q)
+    assert(routed.isDefined, "joined query should route via the stored fk")
+    val fromBase = new Generator(spark, cat).plan(q.copy(usePreAggs = false))
+    assert(collectSorted(routed.get) == collectSorted(fromBase))
+    // a rollup without the fk cannot serve the joined query
+    val qUnrouteable = SemanticQuery(
+      metrics = Seq("orders.max_order_value"),
+      dimensions = Seq("nation.name"))
+    assert(store.plan(qUnrouteable).isEmpty)
+  }
+
   test("generator auto-routes through the store") {
     store.materialize("orders", pa)
     val g = new Generator(spark, cat, Some(store))

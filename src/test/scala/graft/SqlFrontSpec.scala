@@ -15,6 +15,59 @@ class SqlFrontSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().toSeq.map(_.toSeq)
 
+  test("WITH: semantic CTE + plain-SQL outer shell") {
+    val viaSql = front.sql(
+      """WITH seg AS (
+        |  SELECT orders.orderpriority, orders.revenue FROM orders
+        |)
+        |SELECT orderpriority, revenue FROM seg
+        |WHERE revenue > 70000000 ORDER BY orderpriority""".stripMargin)
+    val viaApi = gen.plan(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderpriority"),
+      filters = Seq("orders.revenue > 70000000"),
+      orderBy = Seq("orderpriority")))
+    assert(rows(viaSql) == rows(viaApi))
+  }
+
+  test("WITH: plain CTE feeding a second plain CTE, no semantic refs — passthrough") {
+    val s = spark; import s.implicits._
+    Seq((1, "a"), (2, "b")).toDF("n", "s").createOrReplaceTempView("plain_rows")
+    val got = front.sql(
+      """WITH a AS (SELECT n FROM plain_rows),
+        |     b AS (SELECT n + 1 AS m FROM a)
+        |SELECT sum(m) AS total FROM b""".stripMargin).collect()
+    assert(got(0).getLong(0) == 5L)
+  }
+
+  test("metrics virtual table: cross-model fields and graph metrics") {
+    val viaSql = front.sql(
+      "SELECT orders.revenue, revenue_per_item FROM metrics")
+    val viaApi = gen.plan(SemanticQuery(
+      metrics = Seq("orders.revenue", "revenue_per_item")))
+    assert(rows(viaSql) == rows(viaApi))
+    // SELECT * is refused on the metrics scope, like the reference
+    intercept[IllegalArgumentException] {
+      front.sql("SELECT * FROM metrics")
+    }
+  }
+
+  test("SELECT * expands to the model's dimensions and metrics") {
+    val df = front.sql("SELECT * FROM region")
+    assert(df.columns.toSeq == Seq("name", "regionkey", "region_count"))
+    assert(df.count() == 5)
+  }
+
+  test("subquery in FROM: semantic inner scope under a plain outer query") {
+    val got = front.sql(
+      """SELECT upper(orderpriority) AS p, revenue
+        |FROM (SELECT orders.orderpriority, orders.revenue FROM orders) t
+        |WHERE revenue > 70000000 ORDER BY p""".stripMargin)
+    assert(got.columns.toSeq == Seq("p", "revenue"))
+    assert(got.count() >= 1)
+    assert(got.collect().forall(_.getString(0).head.isDigit))
+  }
+
   test("simple semantic select compiles to the structured query") {
     val viaSql = front.sql(
       "SELECT orders.orderstatus, orders.revenue FROM orders ORDER BY orderstatus")

@@ -81,6 +81,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == 2 * single)
   }
 
+  test("restart replay does not double-count (idempotent per-batch deltas)") {
+    val base = TpchCatalog.build(TestSpark.sfDir)
+    val events = base.model("events").copy(preAggregations = Seq(evPa))
+    val cat = base.add(events)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events-0.parquet"))
+
+    val store = new PreAggStore(spark, cat, s"$tmp/rollups")
+    val roll = new StreamingRollup(spark, cat, store)
+    roll.maintain("events", evPa, src, s"$tmp/ckpt").awaitTermination(120000)
+    def total(): Long = store.plan(SemanticQuery(
+      metrics = Seq("events.event_count"),
+      dimensions = Seq("events.event_type"))).get
+      .agg(sum(col("event_count"))).collect()(0).getLong(0)
+    val first = total()
+
+    // simulate a failure between the rollup write and the checkpoint
+    // commit: wipe the checkpoint so the stream REPLAYS the same files as
+    // the same batch ids — the per-batch delta overwrites itself, so the
+    // totals must not move (the round-2 read-merge-write design doubled)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.delete(p)
+    }
+    rm(java.nio.file.Paths.get(s"$tmp/ckpt"))
+    roll.maintain("events", evPa, src, s"$tmp/ckpt").awaitTermination(120000)
+    assert(total() == first, "replayed batch must not change the rollup")
+
+    // compaction folds the deltas without changing totals
+    roll.compact("events", evPa)
+    assert(total() == first, "compaction must preserve totals")
+  }
+
   test("watermarked windowed aggregation over the event stream") {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream3").toString
