@@ -315,6 +315,11 @@ object SparkEntry {
     "q_saved_query" -> ((s, d) =>
       gen(s, d).planSaved("revenue_by_priority")),
 
+    // explore contract: defaults fill the selection, the mandatory
+    // orderstatus filter always applies (reference: consumption.py:100)
+    "q_explore" -> ((s, d) =>
+      gen(s, d).planExplore("fulfilled_orders")),
+
     // ---- §2.12 semantic SQL front end ----
     "q_sqlfront" -> ((s, d) => {
       val cat = TpchCatalog.build(d)
@@ -935,6 +940,13 @@ object SparkEntry {
         |FROM orders GROUP BY 1
         |HAVING sum(cast(o_totalprice as decimal(18,2))) > 70000000
         |ORDER BY 1""".stripMargin,
+
+    "q_explore" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sqlfront_cte" ->
       """SELECT o_orderpriority AS orderpriority,

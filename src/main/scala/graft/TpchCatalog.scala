@@ -264,4 +264,18 @@ object TpchCatalog {
         metrics = Seq("orders.revenue", "orders.order_count"),
         dimensions = Seq("orders.orderpriority"),
         orderBy = Seq("orderpriority")))
+      // curated entrypoint with allowlists + a mandatory filter
+      // (reference: core/consumption.py:100)
+      .addExplore(Explore(
+        name = "fulfilled_orders",
+        model = "orders",
+        allowedDimensions = Some(Seq("orderpriority", "orderstatus")),
+        allowedMetrics = Some(Seq("revenue", "order_count", "aov")),
+        defaultDimensions = Seq("orderpriority"),
+        defaultMetrics = Seq("revenue", "order_count"),
+        filters = Seq("orders.orderstatus = 'F'"),
+        defaultOrderBy = Seq("orderpriority"),
+        maxLimit = Some(1000),
+        governance = Some(Governance(owner = Some("finance"),
+          status = Some("active"), certification = Some("certified")))))
 }

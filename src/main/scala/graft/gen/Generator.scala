@@ -428,6 +428,47 @@ final class Generator(spark: SparkSession, cat: Catalog,
     plan(cat.savedQueries.getOrElse(name, throw new IllegalArgumentException(
       s"Unknown saved query '$name'")))
 
+  /** Resolve a caller request through an Explore contract and plan it
+    * (reference: core/consumption.py:100-210): bare names qualify against
+    * the base model, defaults fill omitted selections, allowlists reject
+    * out-of-contract fields, mandatory filters always apply, and the limit
+    * clamps to max_limit. The explore's base model anchors the join graph. */
+  def planExplore(name: String, q0: SemanticQuery = SemanticQuery()): DataFrame = {
+    val ex = cat.explores.getOrElse(name, throw new IllegalArgumentException(
+      s"Unknown explore '$name'"))
+    val dims = (if (q0.dimensions.nonEmpty) q0.dimensions
+                else ex.defaultDimensions).map(ex.qualify)
+    val mets = (if (q0.metrics.nonEmpty) q0.metrics
+                else ex.defaultMetrics).map(ex.qualify)
+    ex.allowedDimensions.map(_.map(ex.qualify).toSet).foreach(s =>
+      dims.foreach(d => require(s(d),
+        s"Explore '$name': dimension '$d' is not allowed")))
+    ex.allowedMetrics.map(_.map(ex.qualify).toSet).foreach(s =>
+      mets.foreach(m => require(s(m),
+        s"Explore '$name': metric '$m' is not allowed")))
+    val callerFilters =
+      if (q0.filters.nonEmpty) q0.filters else ex.defaultFilters
+    ex.allowedFilterFields.map(_.map(ex.qualify).toSet).foreach { s =>
+      callerFilters.foreach { f =>
+        Exprs.refs(spark, Exprs.interpolate(f, mergedParams(q0))).collect {
+          case Seq(m, fld) => s"$m.$fld"
+        }.foreach(r => require(s(r),
+          s"Explore '$name': filter field '$r' is not allowed"))
+      }
+    }
+    val limit = (q0.limit.orElse(ex.defaultLimit), ex.maxLimit) match {
+      case (Some(l), Some(mx)) => Some(math.min(l, mx))
+      case (None, mx)          => mx
+      case (l, None)           => l
+    }
+    plan(q0.copy(
+      metrics = mets, dimensions = dims,
+      filters = callerFilters ++ ex.filters,
+      orderBy = if (q0.orderBy.nonEmpty) q0.orderBy else ex.defaultOrderBy,
+      limit = limit,
+      baseModel = q0.baseModel.orElse(Some(ex.model))))
+  }
+
   /** Route + formatted physical plan, for debugging parity with the
     * reference's explain diagnostics (query_rewriter.py:331). */
   def explain(q: SemanticQuery): String = {

@@ -27,6 +27,7 @@ object YamlLoader {
   final case class Loaded(
       models: Seq[Model],
       graphMetrics: Seq[Metric] = Nil,
+      explores: Seq[Explore] = Nil,
       paramDefaults: Map[String, String] = Map.empty)
 
   private[load] def parseYamlMap(yaml: String): Map[String, Any] =
@@ -42,6 +43,7 @@ object YamlLoader {
       models = root.getOrElse("models", Seq.empty).asInstanceOf[Seq[Any]]
         .map(m => parseModelMap(m.asInstanceOf[Map[String, Any]], resolve)),
       graphMetrics = seqOfMaps(root.get("metrics")).map(parseMetric),
+      explores = seqOfMaps(root.get("explores")).map(parseExplore),
       paramDefaults = seqOfMaps(root.get("parameters")).flatMap { p =>
         p.get("default_value").map(v =>
           p("name").toString -> formatParamDefault(p.get("type"), v))
@@ -86,6 +88,7 @@ object YamlLoader {
         val pkg = loadPackageFile(f.getPath, resolve)
         cat.add(pkg.models: _*)
           .addGraphMetric(pkg.graphMetrics: _*)
+          .addExplore(pkg.explores: _*)
           .withParamDefaults(pkg.paramDefaults)
       }
     }
@@ -98,7 +101,9 @@ object YamlLoader {
     "metrics", "measures", "relationships", "segments", "pre_aggregations",
     "default_time_dimension", "default_grain", "extends", "description",
     "label", "security", "meta", "auto_dimensions",
-    "sql_metrics", "sql_segments", "sql_dimensions")
+    "sql_metrics", "sql_segments", "sql_dimensions",
+    "owner", "domain", "category", "tags", "status", "certification",
+    "visibility", "deprecation", "freshness")
 
   private[load] def parseModelMap(m: Map[String, Any],
       resolve: TableResolver): Model = {
@@ -132,7 +137,51 @@ object YamlLoader {
       defaultGrain = m.get("default_grain").map(_.toString),
       extendsModel = m.get("extends").map(_.toString),
       security = m.get("security").map(parseSecurity),
+      governance = parseGovernance(m),
       preAggregations = seqOfMaps(m.get("pre_aggregations")).map(parsePreAgg))
+  }
+
+  /** Governance metadata keys (reference: core/governance.py:22) shared by
+    * models, metrics, and explores. */
+  private def parseGovernance(m: Map[String, Any]): Option[Governance] = {
+    val keys = Seq("owner", "domain", "category", "tags", "status",
+      "certification", "visibility", "deprecation")
+    if (!keys.exists(k => m.get(k).flatMap(Option(_)).isDefined)) None
+    else {
+      val dep = m.get("deprecation").flatMap(Option(_))
+        .map(anyToScala(_).asInstanceOf[Map[String, Any]])
+      Some(Governance(
+        owner = m.get("owner").map(_.toString),
+        domain = m.get("domain").map(_.toString),
+        category = m.get("category").map(_.toString),
+        tags = strList(m.get("tags")),
+        status = m.get("status").map(_.toString),
+        certification = m.get("certification").map(_.toString),
+        visibility = m.get("visibility").map(_.toString).getOrElse("public"),
+        deprecationMessage = dep.flatMap(_.get("message")).map(_.toString),
+        replacedBy = dep.flatMap(_.get("replaced_by")).map(_.toString)))
+    }
+  }
+
+  /** Top-level `explores:` (reference: core/consumption.py:100). */
+  private def parseExplore(e: Map[String, Any]): Explore = {
+    def optList(k: String): Option[Seq[String]] =
+      e.get(k).flatMap(Option(_)).map(_ => strList(e.get(k)))
+    Explore(
+      name = e("name").toString,
+      model = e("model").toString,
+      label = e.get("label").map(_.toString),
+      allowedDimensions = optList("allowed_dimensions"),
+      allowedMetrics = optList("allowed_metrics"),
+      allowedFilterFields = optList("allowed_filter_fields"),
+      defaultDimensions = strList(e.get("default_dimensions")),
+      defaultMetrics = strList(e.get("default_metrics")),
+      filters = strList(e.get("filters")),
+      defaultFilters = strList(e.get("default_filters")),
+      defaultOrderBy = strList(e.get("default_order_by")),
+      defaultLimit = e.get("default_limit").flatMap(Option(_)).map(_.toString.toInt),
+      maxLimit = e.get("max_limit").flatMap(Option(_)).map(_.toString.toInt),
+      governance = parseGovernance(e))
   }
 
   /** `security:` block → SecurityPolicy (reference: core/security.py:40,
@@ -231,6 +280,7 @@ object YamlLoader {
       },
       outerAgg = if (mtype.contains("cohort")) m.get("agg").map(_.toString) else None,
       entityDimensions = strList(m.get("entity_dimensions")),
+      governance = parseGovernance(m),
       nonAdditive = m.get("non_additive_dimension").map { nad =>
         val nm = anyToScala(nad).asInstanceOf[Map[String, Any]]
         NonAdditiveDimension(

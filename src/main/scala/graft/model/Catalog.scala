@@ -11,12 +11,18 @@ final case class Catalog(
     models: Map[String, Model] = Map.empty,
     graphMetrics: Map[String, Metric] = Map.empty,
     savedQueries: Map[String, graft.plan.SemanticQuery] = Map.empty,
+    explores: Map[String, Explore] = Map.empty,
     paramDefaults: Map[String, String] = Map.empty, // pre-formatted literals
     dataDir: String = ""
 ) {
 
   def withParamDefaults(ps: Map[String, String]): Catalog =
     copy(paramDefaults = paramDefaults ++ ps)
+
+  def addExplore(es: Explore*): Catalog = {
+    es.foreach(Validation.validateExplore(_, this))
+    copy(explores = explores ++ es.map(e => e.name -> e))
+  }
 
   def add(ms: Model*): Catalog = {
     val resolved = ms.map(resolveExtends)
@@ -89,7 +95,43 @@ final case class Catalog(
 
 /** Plan-time validation (reference: core/validation.py + security.py:61). */
 object Validation {
+
+  private def checkGovernance(g: Governance, where: String): Unit = {
+    g.status.foreach(s => require(Set("draft", "active", "deprecated")(s),
+      s"$where: unknown governance status '$s'"))
+    g.certification.foreach(c => require(
+      Set("certified", "verified", "uncertified")(c),
+      s"$where: unknown certification '$c'"))
+    require(Set("public", "internal", "private")(g.visibility),
+      s"$where: unknown visibility '${g.visibility}'")
+  }
+
+  def validateExplore(e: Explore, cat: Catalog): Unit = {
+    require(cat.models.contains(e.model),
+      s"Explore '${e.name}': unknown base model '${e.model}'")
+    e.governance.foreach(checkGovernance(_, s"Explore '${e.name}'"))
+    // defaults must themselves be allowed (consumption.py:135-160)
+    e.allowedDimensions.foreach { al =>
+      val s = al.map(e.qualify).toSet
+      e.defaultDimensions.map(e.qualify).foreach(d => require(s(d),
+        s"Explore '${e.name}': default dimension '$d' is not allowed"))
+    }
+    e.allowedMetrics.foreach { al =>
+      val s = al.map(e.qualify).toSet
+      e.defaultMetrics.map(e.qualify).foreach(m => require(s(m),
+        s"Explore '${e.name}': default metric '$m' is not allowed"))
+    }
+    (e.defaultLimit, e.maxLimit) match {
+      case (Some(d), Some(mx)) => require(d <= mx,
+        s"Explore '${e.name}': default_limit exceeds max_limit")
+      case _ => ()
+    }
+  }
+
   def validate(m: Model, cat: Catalog): Unit = {
+    m.governance.foreach(checkGovernance(_, s"Model '${m.name}'"))
+    m.metrics.foreach(met => met.governance.foreach(
+      checkGovernance(_, s"Metric '${m.name}.${met.name}'")))
     val dupDims = m.dimensions.groupBy(_.name).filter(_._2.size > 1).keys
     require(dupDims.isEmpty, s"Model '${m.name}': duplicate dimensions ${dupDims.mkString(",")}")
     val dupMets = m.metrics.groupBy(_.name).filter(_._2.size > 1).keys

@@ -84,6 +84,7 @@ final case class Metric(
     fillNullsWith: Option[String] = None,
     label: Option[String] = None,
     public: Boolean = true,
+    governance: Option[Governance] = None,
     // ratio
     numerator: Option[String] = None,
     denominator: Option[String] = None,
@@ -132,6 +133,43 @@ final case class Relationship(
 
 /** Named reusable filter; `{model}` refers to the owning model. */
 final case class Segment(name: String, sql: String, public: Boolean = true)
+
+/** Non-enforcing governance metadata (reference: core/governance.py:22):
+  * trust and lifecycle description — authorization stays with
+  * [[SecurityPolicy]]. */
+final case class Governance(
+    owner: Option[String] = None,
+    domain: Option[String] = None,
+    category: Option[String] = None,
+    tags: Seq[String] = Nil,
+    status: Option[String] = None,        // draft | active | deprecated
+    certification: Option[String] = None, // certified | verified | uncertified
+    visibility: String = "public",        // public | internal | private
+    deprecationMessage: Option[String] = None,
+    replacedBy: Option[String] = None)
+
+/** Curated entrypoint over the semantic graph (reference:
+  * core/consumption.py:100 — Hex calls the same concept a View):
+  * allowlists constrain callers, defaults fill omitted selections, and
+  * `filters` are mandatory on every query. Bare field names qualify
+  * against the base model. */
+final case class Explore(
+    name: String,
+    model: String, // base model — pins the join graph anchor
+    label: Option[String] = None,
+    allowedDimensions: Option[Seq[String]] = None, // None = unrestricted
+    allowedMetrics: Option[Seq[String]] = None,
+    allowedFilterFields: Option[Seq[String]] = None,
+    defaultDimensions: Seq[String] = Nil,
+    defaultMetrics: Seq[String] = Nil,
+    filters: Seq[String] = Nil, // mandatory, ANDed into every query
+    defaultFilters: Seq[String] = Nil,
+    defaultOrderBy: Seq[String] = Nil,
+    defaultLimit: Option[Int] = None,
+    maxLimit: Option[Int] = None,
+    governance: Option[Governance] = None) {
+  def qualify(v: String): String = if (v.contains(".")) v else s"$model.$v"
+}
 
 /** Row/field security (reference: core/security.py:40-57, docs/security.md).
   * Two independent controls, both deny-by-default when the model declares a
@@ -182,9 +220,36 @@ final case class Model(
     defaultTimeDimension: Option[String] = None,
     defaultGrain: Option[String] = None,
     extendsModel: Option[String] = None,
-    preAggregations: Seq[PreAggregation] = Nil
+    preAggregations: Seq[PreAggregation] = Nil,
+    governance: Option[Governance] = None
 ) {
   def dimension(n: String): Option[Dimension] = dimensions.find(_.name == n)
   def metric(n: String): Option[Metric] = metrics.find(_.name == n)
   def segment(n: String): Option[Segment] = segments.find(_.name == n)
+
+  // ---- dimension hierarchies (reference: core/model.py:132-196) ----
+
+  /** Root-to-dim path along `parent` links, cycle-safe. */
+  def hierarchyPath(dimName: String): Seq[String] = dimension(dimName) match {
+    case None => Nil
+    case Some(d) =>
+      var path = List(d.name)
+      var visited = Set(d.name)
+      var cur: Option[Dimension] = Some(d)
+      while (cur.exists(_.parent.exists(p => !visited(p)))) {
+        val p = cur.get.parent.get
+        path = p :: path
+        visited += p
+        cur = dimension(p)
+      }
+      path
+  }
+
+  /** Child dimension to drill down into (the dim whose parent is this). */
+  def drillDown(dimName: String): Option[String] =
+    dimensions.find(_.parent.contains(dimName)).map(_.name)
+
+  /** Parent dimension to drill up to. */
+  def drillUp(dimName: String): Option[String] =
+    dimension(dimName).flatMap(_.parent)
 }
