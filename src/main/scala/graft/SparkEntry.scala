@@ -64,6 +64,21 @@ object SparkEntry {
       dimensions = Seq("orders.orderstatus"),
       orderBy = Seq("orderstatus")))),
 
+    "q_count_distinct_multi" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.custkey_status_pairs"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("orderpriority")))),
+
+    "q_bsl_total" -> ((s, d) => round4(q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.revenue_share_of_total"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("orderpriority"))), "revenue_share_of_total")),
+
+    "q_window_expr" -> ((s, d) => round4(q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue_ma3m"),
+      dimensions = Seq("orders.order_date__month"),
+      orderBy = Seq("order_date__month"))), "revenue_ma3m")),
+
     "q_stats" -> ((s, d) => round4(q(s, d)(SemanticQuery(
       metrics = Seq("lineitem.median_quantity", "lineitem.stddev_quantity",
         "lineitem.stddev_pop_quantity", "lineitem.var_quantity",
@@ -538,6 +553,31 @@ object SparkEntry {
       """SELECT o_orderstatus AS orderstatus,
         |  count(DISTINCT o_custkey) AS distinct_customers
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_count_distinct_multi" ->
+      """SELECT o_orderpriority AS orderpriority,
+        |  count(DISTINCT CASE WHEN o_custkey IS NULL OR o_orderstatus IS NULL
+        |    THEN NULL ELSE (o_custkey, o_orderstatus) END) AS custkey_status_pairs
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bsl_total" ->
+      """SELECT orderpriority, revenue,
+        |  round(cast(revenue as double) / cast(total as double), 4)
+        |    AS revenue_share_of_total
+        |FROM (SELECT o_orderpriority AS orderpriority,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |        sum(sum(cast(o_totalprice as decimal(18,2)))) OVER () AS total
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
+    "q_window_expr" ->
+      """SELECT order_date__month,
+        |  round(avg(cast(revenue as double)) OVER (ORDER BY order_date__month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS revenue_ma3m
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
 
     "q_stats" ->
       """SELECT l_returnflag AS returnflag,

@@ -90,7 +90,19 @@ object TpchCatalog {
         calculation = Some("difference")),
       Metric("revenue_vs_prev_month", metricType = Some("ratio"),
         numerator = Some("revenue"), denominator = Some("revenue"),
-        offsetWindow = Some("1 month"))),
+        offsetWindow = Some("1 month")),
+      // multi-argument COUNT(DISTINCT a, b): distinct tuples
+      Metric("custkey_status_pairs", agg = Some("count_distinct"),
+        sql = Some("o_custkey, o_orderstatus")),
+      // BSL-style share-of-total: total(x) → SUM(SUM(x)) OVER ()
+      // (reference: generator.py:4358-4460)
+      Metric("revenue_share_of_total", metricType = Some("derived"),
+        sql = Some("cast(revenue as double) / cast(total(revenue) as double)")),
+      // arbitrary window_expression + window_frame passthrough
+      // (reference: core/metric.py:299-308)
+      Metric("revenue_ma3m", metricType = Some("cumulative"),
+        windowExpression = Some("avg(cast(revenue as double))"),
+        windowFrame = Some("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"))),
     relationships = Seq(
       Relationship("customer", "many_to_one", foreignKey = Seq("o_custkey"))),
     segments = Seq(

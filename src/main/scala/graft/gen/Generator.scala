@@ -286,12 +286,43 @@ final class Generator(spark: SparkSession, cat: Catalog,
     }
     val rawCols = needed.raws.toSeq.sorted.flatMap { mn =>
       val met = model.metric(mn).get
-      met.sql.map(s => toColumn(toModelScope(model, parseE(spark, s)))
+      met.sql.map(s => toColumn(rawMetricExpr(model, s))
         .as(s"${model.name}__${mn}__raw"))
     }
     val physCols = needed.phys.toSeq.sorted.map(c =>
       col(c).as(s"${model.name}__$c"))
     df.select(dimCols ++ rawCols ++ physCols: _*)
+  }
+
+  /** Metric input expression. A top-level comma list ("a, b") is the
+    * multi-argument COUNT(DISTINCT a, b) form: it materializes as a
+    * null-guarded struct, so countDistinct counts distinct TUPLES and a
+    * row with ANY null component is excluded (SQL semantics — a bare
+    * struct would count null-bearing tuples). */
+  private def rawMetricExpr(model: Model, s: String): Expression =
+    try toModelScope(model, parseE(spark, s))
+    catch {
+      case _: Exception if s.contains(",") =>
+        val parts = splitTopLevel(s)
+        require(parts.size > 1, s"Unparseable metric sql: $s")
+        val guarded = s"CASE WHEN ${parts.map(p => s"($p) IS NULL")
+          .mkString(" OR ")} THEN NULL ELSE struct($s) END"
+        toModelScope(model, parseE(spark, guarded))
+    }
+
+  /** Split on commas outside parens/quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var depth = 0; var inQ = false; val cur = new StringBuilder
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toList
   }
 
   // ------------------------------------------------------------------
@@ -861,6 +892,30 @@ final class Generator(spark: SparkSession, cat: Catalog,
   private def stripModel(ref: String): String =
     if (ref.contains(".")) ref.split('.')(1) else ref
 
+  /** Expand BSL-style `total(metric)` calls to all-rows window aggregates of
+    * the post-aggregation result column (reference: generator.py:4358-4460
+    * builds SUM(SUM(x)) OVER (); the inner aggregate is already a result
+    * column here, so the outer collapses to <agg>(col) OVER ()). Only
+    * aggregations with an exact two-level decomposition are legal. */
+  private def expandAllCalls(owner: String, formula: String): String =
+    raw"(?i)\btotal\(\s*([A-Za-z0-9_\.]+)\s*\)".r.replaceAllIn(formula, mm => {
+      val ref = mm.group(1)
+      val dep =
+        if (ref.contains(".")) metricRef(ref)
+        else cat.models.get(owner).flatMap(_.metric(ref))
+          .map(MetricRef(owner, _)).getOrElse(metricRef(ref))
+      val outer = dep.metric.agg match {
+        case Some("sum") | Some("count") => "sum"
+        case Some("min") => "min"
+        case Some("max") => "max"
+        case other => throw new IllegalArgumentException(
+          s"total(${ref}): agg '${other.getOrElse(dep.metric.kind)}' has no " +
+            "exact grand-total decomposition (sum/count/min/max only)")
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"$outer(${stripModel(ref)}) OVER ()")
+    })
+
   private def computedColumn(mr: MetricRef, avail: Map[String, String]): Column = {
     val c = mr.metric.kind match {
       case "ratio" =>
@@ -871,7 +926,8 @@ final class Generator(spark: SparkSession, cat: Catalog,
         val den = col(avail(stripModel(mr.metric.denominator.get))).cast("double")
         num / when(den =!= 0, den)
       case "derived" =>
-        val e = rewriteAttrs(parseE(spark, mr.metric.sql.get)) { parts =>
+        val expanded = expandAllCalls(mr.model, mr.metric.sql.get)
+        val e = rewriteAttrs(parseE(spark, expanded)) { parts =>
           val key = parts.mkString(".")
           avail.get(key).orElse(avail.get(parts.last)).map(attr(_))
         }

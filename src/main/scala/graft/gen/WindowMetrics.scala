@@ -23,6 +23,15 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
     val mets = q.metrics.map(r => (r, gen.metricOf(r)))
     val innerRefs = mets.flatMap { case (ref, (model, m)) =>
       m.kind match {
+        case "cumulative" if m.windowExpression.isDefined =>
+          // arbitrary window expression: its metric references become the
+          // inner aggregates (reference: core/metric.py:299-308)
+          graft.functions.Exprs.refs(spark, m.windowExpression.get).collect {
+            case Seq(f) if cat.model(model).metric(f).isDefined =>
+              s"$model.$f"
+            case Seq(mm, f) if cat.models.get(mm).exists(_.metric(f).isDefined) =>
+              s"$mm.$f"
+          }
         case "cumulative" | "time_comparison" =>
           Seq(qualify(model, m.baseMetric.getOrElse(throw new IllegalArgumentException(
             s"Metric '${m.name}' needs base_metric"))))
@@ -53,6 +62,16 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
 
     mets.foreach { case (_, (model, m)) =>
       m.kind match {
+        case "cumulative" if m.windowExpression.isDefined =>
+          // raw window passthrough: expression + optional frame/order go to
+          // Spark's window support verbatim (interval RANGE frames are not
+          // supported by Spark and surface as analysis errors)
+          val orderCol = m.windowOrder.getOrElse(timeName)
+          val part = if (otherDims.isEmpty) ""
+                     else s"PARTITION BY ${otherDims.mkString(", ")} "
+          val frame = m.windowFrame.map(" " + _).getOrElse("")
+          df = df.withColumn(m.name, expr(
+            s"${m.windowExpression.get} OVER (${part}ORDER BY $orderCol$frame)"))
         case "cumulative" =>
           val base = col(strip(m.baseMetric.get))
           val c = (m.window, m.grainToDate) match {

@@ -258,6 +258,9 @@ object YamlLoader {
         .orElse(if (isWindowType) sql else None),
       window = m.get("window").map(_.toString),
       grainToDate = m.get("grain_to_date").map(_.toString),
+      windowExpression = m.get("window_expression").map(_.toString),
+      windowFrame = m.get("window_frame").map(_.toString),
+      windowOrder = m.get("window_order").map(_.toString),
       comparison = m.get("comparison_type").map(_.toString),
       calculation = m.get("calculation").map(_.toString),
       entity = m.get("entity").map(_.toString),

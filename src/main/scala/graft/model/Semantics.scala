@@ -93,6 +93,12 @@ final case class Metric(
     baseMetric: Option[String] = None,
     window: Option[String] = None,        // e.g. "7 day" trailing window
     grainToDate: Option[String] = None,   // e.g. "month" → MTD, "year" → YTD
+    // arbitrary window passthrough (reference: core/metric.py:299-308):
+    // raw window-function SQL over inner metric columns + optional frame
+    // and order column; frames pass through to Spark's window support
+    windowExpression: Option[String] = None,
+    windowFrame: Option[String] = None,
+    windowOrder: Option[String] = None,
     comparison: Option[String] = None,    // dod|wow|mom|qoq|yoy|prior
     calculation: Option[String] = None,   // difference|percent_change|ratio
     // conversion / retention / cohort / funnel
