@@ -423,6 +423,25 @@ object SparkEntry {
         orderBy = Seq("name")))
     }),
 
+    // second external adapter: the reference's hex orders fixture bound
+    // to the TPC-H orders table through a derived view
+    "q_adapter_hex" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey AS id, o_custkey AS customer_id,
+             |  cast(o_totalprice as decimal(18,2)) AS amount,
+             |  o_orderstatus AS status, o_orderdate AS created_at
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val orders = graft.adapters.HexAdapter.loadFile(
+        "/root/reference/tests/fixtures/hex/orders.yml", resolve)
+      val cat = graft.model.Catalog().add(orders: _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.order_count",
+          "orders.completed_revenue", "orders.conversion_rate"),
+        dimensions = Seq("orders.status"),
+        orderBy = Seq("status"))), "conversion_rate")
+    }),
+
     // ---- §1.1 security ----
     "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
@@ -1026,6 +1045,18 @@ object SparkEntry {
         |  count(*) AS "count",
         |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
         |    / cast(count(o_totalprice) as double), 4) AS avg_order_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_hex" ->
+      """SELECT o_orderstatus AS status,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count,
+        |  sum(CASE WHEN o_orderstatus = 'completed'
+        |      THEN cast(o_totalprice as decimal(18,2)) END) AS completed_revenue,
+        |  round(cast(sum(IF(o_orderstatus = 'completed',
+        |        cast(o_totalprice as decimal(18,2)), 0)) as double)
+        |    / cast(sum(cast(o_totalprice as decimal(18,2))) as double), 4)
+        |    AS conversion_rate
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_security" ->

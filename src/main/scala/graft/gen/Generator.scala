@@ -74,6 +74,14 @@ final class Generator(spark: SparkSession, cat: Catalog,
     MetricRef(mOpt.map(_.name).getOrElse(""), met)
   }
 
+  /** Dependency resolution without the visibility gate: hidden metrics are
+    * legal as internal inputs (ratio numerators, derived terms) — `public:
+    * false` only blocks direct requests. */
+  private def metricRefInternal(ref: String): MetricRef = {
+    val (mOpt, met) = cat.resolveMetric(ref)
+    MetricRef(mOpt.map(_.name).getOrElse(""), met)
+  }
+
   /** Simple-aggregate dependencies of a metric (transitive through
     * derived/ratio/cumulative/time_comparison). */
   private def simpleDeps(mr: MetricRef): Seq[MetricRef] = mr.metric.kind match {
@@ -91,12 +99,12 @@ final class Generator(spark: SparkSession, cat: Catalog,
 
   /** Resolve a dependency reference relative to the referring metric's model. */
   private def resolveDep(from: MetricRef, ref: String): MetricRef =
-    if (ref.contains(".")) metricRef(ref)
+    if (ref.contains(".")) metricRefInternal(ref)
     else {
       val owner = cat.models.get(from.model)
       owner.flatMap(_.metric(ref)) match {
         case Some(met) => MetricRef(from.model, met)
-        case None => metricRef(ref) // graph-level
+        case None => metricRefInternal(ref) // graph-level
       }
     }
 
