@@ -442,6 +442,24 @@ object SparkEntry {
         orderBy = Seq("status"))), "conversion_rate")
     }),
 
+    // third external adapter: the reference's superset orders dataset
+    "q_adapter_superset" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey AS id, o_orderstatus AS status,
+             |  cast(o_totalprice as decimal(18,2)) AS amount,
+             |  o_orderdate AS created_at
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val m = graft.adapters.SupersetAdapter.loadFile(
+        "/root/reference/tests/fixtures/superset/orders.yaml", resolve)
+      val cat = graft.model.Catalog().add(m)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders.count", "orders.total_revenue",
+          "orders.avg_order_value"),
+        dimensions = Seq("orders.status"),
+        orderBy = Seq("status"))), "avg_order_value")
+    }),
+
     // ---- §1.1 security ----
     "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
@@ -1057,6 +1075,15 @@ object SparkEntry {
         |        cast(o_totalprice as decimal(18,2)), 0)) as double)
         |    / cast(sum(cast(o_totalprice as decimal(18,2))) as double), 4)
         |    AS conversion_rate
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_superset" ->
+      """SELECT o_orderstatus AS status,
+        |  count(*) AS "count",
+        |  sum(cast(o_totalprice as decimal(18,2))) AS total_revenue,
+        |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(cast(o_totalprice as decimal(18,2))) as double), 4)
+        |    AS avg_order_value
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_security" ->
