@@ -74,7 +74,7 @@ object Dev {
 
     show("retention", SemanticQuery(
       metrics = Seq("events.signup_retention"),
-      orderBy = Seq("cohort_date", "period"), limit = Some(10)))
+      orderBy = Seq("cohort_date", "days_since"), limit = Some(10)))
 
     show("cohort", SemanticQuery(metrics = Seq("events.multi_type_users")))
 

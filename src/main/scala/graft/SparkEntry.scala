@@ -460,6 +460,31 @@ object SparkEntry {
         orderBy = Seq("status"))), "avg_order_value")
     }),
 
+    // fourth external adapter: the reference's dbt MetricFlow fixture —
+    // entity-based joins (orders→customers via the "customer" entity) and
+    // graph-level metrics (bare-name simple alias + measure-ref ratio)
+    "q_adapter_metricflow" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t.endsWith("orders"))
+            s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               |  o_orderdate AS created_at, o_orderstatus AS status,
+               |  cast(o_totalprice as decimal(18,2)) AS order_amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS customer_id, c_mktsegment AS region,
+               |  c_name AS tier
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.MetricFlowAdapter.loadFile(
+        "/root/reference/tests/fixtures/metricflow/semantic_models.yml", resolve)
+      val cat = graft.adapters.MetricFlowAdapter.toCatalog(imp)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.order_count",
+          "average_order_value"),
+        dimensions = Seq("customers.region"),
+        orderBy = Seq("region"))), "average_order_value")
+    }),
+
     // ---- §1.1 security ----
     "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
@@ -1085,6 +1110,15 @@ object SparkEntry {
         |    / cast(count(cast(o_totalprice as decimal(18,2))) as double), 4)
         |    AS avg_order_value
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_metricflow" ->
+      """SELECT c.c_mktsegment AS region,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count,
+        |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(*) as double), 4) AS average_order_value
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_security" ->
       """SELECT o_orderstatus AS orderstatus,
