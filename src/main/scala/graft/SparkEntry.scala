@@ -460,6 +460,54 @@ object SparkEntry {
         orderBy = Seq("status"))), "avg_order_value")
     }),
 
+    // sixth external adapter: the reference's Rill metrics view — raw SQL
+    // aggregate expressions decomposed into native metrics (COUNT(*),
+    // SUM, AVG, COUNT(CASE WHEN ...)); status recoded as for lookml
+    "q_adapter_rill" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey AS id, o_custkey AS customer_id,
+             |  CASE WHEN o_orderstatus = 'F' THEN 'completed'
+             |       ELSE 'pending' END AS status,
+             |  cast(o_totalprice as decimal(18,2)) AS amount,
+             |  o_orderdate AS created_at,
+             |  'US' AS country, 'electronics' AS product_type
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val imp = graft.adapters.RillAdapter.loadFile(
+        "/root/reference/tests/fixtures/rill/orders.yaml", resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders.total_orders", "orders.total_revenue",
+          "orders.avg_order_value", "orders.completed_orders"),
+        dimensions = Seq("orders.status"),
+        orderBy = Seq("status"))), "avg_order_value")
+    }),
+
+    // fifth external adapter: the reference's LookML orders view — lkml
+    // parsing, filtered measures (Looker filter expressions), and the
+    // NULLIF ratio idiom lifted to a first-class ratio metric. TPC-H
+    // status recodes to completed/pending so the filtered measure is
+    // exercised on real rows.
+    "q_adapter_lookml" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey AS id, o_custkey AS customer_id,
+             |  CASE WHEN o_orderstatus = 'F' THEN 'completed'
+             |       ELSE 'pending' END AS status,
+             |  cast(o_totalprice as decimal(18,2)) AS amount,
+             |  o_orderdate AS created_at
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val imp = graft.adapters.LookMLAdapter.loadFile(
+        "/root/reference/tests/fixtures/lookml/orders.lkml", resolve)
+      val cat = graft.model.Catalog().add(
+        imp.models.filter(_.name == "orders"): _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders.count", "orders.revenue",
+          "orders.completed_revenue", "orders.conversion_rate"),
+        dimensions = Seq("orders.status"),
+        orderBy = Seq("status"))), "conversion_rate")
+    }),
+
     // fourth external adapter: the reference's dbt MetricFlow fixture —
     // entity-based joins (orders→customers via the "customer" entity) and
     // graph-level metrics (bare-name simple alias + measure-ref ratio)
@@ -1109,6 +1157,29 @@ object SparkEntry {
         |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
         |    / cast(count(cast(o_totalprice as decimal(18,2))) as double), 4)
         |    AS avg_order_value
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_rill" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 'completed'
+        |            ELSE 'pending' END AS status,
+        |  count(*) AS total_orders,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS total_revenue,
+        |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(o_totalprice) as double), 4) AS avg_order_value,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS completed_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_lookml" ->
+      """SELECT CASE WHEN o_orderstatus = 'F' THEN 'completed'
+        |            ELSE 'pending' END AS status,
+        |  count(*) AS "count",
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  sum(CASE WHEN o_orderstatus = 'F'
+        |      THEN cast(o_totalprice as decimal(18,2)) END) AS completed_revenue,
+        |  round(cast(sum(CASE WHEN o_orderstatus = 'F'
+        |        THEN cast(o_totalprice as decimal(18,2)) END) as double)
+        |    / cast(sum(cast(o_totalprice as decimal(18,2))) as double), 4)
+        |    AS conversion_rate
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_adapter_metricflow" ->
