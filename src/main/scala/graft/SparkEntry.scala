@@ -593,7 +593,7 @@ object SparkEntry {
           .as("embedding"))
       val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
       Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
-        threshold = 0.9, bands = 16, planesPerBand = 8)
+        threshold = 0.9, bands = 16) // planesPerBand auto-tunes to t=0.9
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),

@@ -78,8 +78,11 @@ object LkmlParser {
     private def sqlBody(): String = {
       val start = i
       while (i + 1 < s.length && !(s.charAt(i) == ';' && s.charAt(i + 1) == ';')) i += 1
-      val out = s.substring(start, math.min(i, s.length)).trim
-      if (i + 1 < s.length) i += 2
+      val terminated = i + 1 < s.length // loop stopped on `;;`
+      val out =
+        if (terminated) s.substring(start, i).trim
+        else { i = s.length; s.substring(start).trim } // unterminated: keep last char
+      if (terminated) i += 2
       out
     }
 

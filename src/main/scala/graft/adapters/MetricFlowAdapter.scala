@@ -131,6 +131,31 @@ object MetricFlowAdapter {
         p.copy(model = p.model.copy(metrics = p.model.metrics ++ folded)) else p)
     }
 
+    // A simple metric whose name equals its measure but adds a filter /
+    // fill_nulls_with must NOT replace the shared measure (other metrics
+    // referencing the measure would silently inherit the filter). Rename
+    // the raw measure to `<name>__base` up front; Ctx.resolveMeasure routes
+    // measure inputs to the raw one, the filtered clone takes the public name.
+    val shadowed: Set[String] = seqOfMaps(root.get("metrics")).flatMap { md =>
+      for {
+        name <- md.get("name").map(_.toString)
+        if md.getOrElse("type", "simple").toString == "simple"
+        tp = mapOf(md.get("type_params")).getOrElse(Map.empty)
+        measure <- tp.get("measure").orElse(md.get("measure")).flatMap(refName)
+        if measure == name
+        fill = tp.get("measure").orElse(md.get("measure")).flatMap {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+            .get("fill_nulls_with").flatMap(Option(_))
+          case _ => None
+        }
+        if md.get("filter").flatMap(Option(_)).isDefined || fill.isDefined
+      } yield name
+    }.toSet
+    if (shadowed.nonEmpty)
+      parsed = parsed.map(p => p.copy(model = p.model.copy(
+        metrics = p.model.metrics.map(m =>
+          if (shadowed(m.name)) m.copy(name = m.name + "__base") else m))))
+
     // Top-level metrics (legacy and latest share the shape).
     var graphMetrics = Vector.empty[Metric]
     var retained = Map.empty[String, Map[String, Any]]
@@ -166,8 +191,21 @@ object MetricFlowAdapter {
       Map.empty
     val modelByName: Map[String, ParsedModel] =
       parsed.map(p => p.model.name -> p).toMap
+    /** Resolve a measure reference to its in-model metric name. A top-level
+      * metric that shadows its same-named measure (filter / fill_nulls_with)
+      * renames the raw measure to `<n>__base`; measure inputs (ratio,
+      * cumulative, derived) must keep reading the raw, unfiltered one
+      * (ref adapters/metricflow.py keeps measure and metric separate). */
+    def resolveMeasure(name: String): Option[String] =
+      if (measureOwner.contains(name + "__base")) Some(name + "__base")
+      else if (measureOwner.contains(name)) Some(name)
+      else None
     def qualifyMeasure(name: String): Option[String] =
-      measureOwner.get(name).map(m => s"$m.$name")
+      resolveMeasure(name).map(m => s"${measureOwner(m)}.$m")
+    /** Saved queries name public metrics, not raw measures. */
+    def qualifyMetric(name: String): Option[String] =
+      if (measureOwner.contains(name)) Some(s"${measureOwner(name)}.$name")
+      else qualifyMeasure(name)
   }
 
   // ------------------------------------------------------------------
@@ -373,7 +411,11 @@ object MetricFlowAdapter {
     Some(Metric(
       name = name,
       agg = Some(agg),
-      sql = md.get("expr").flatMap(Option(_)).map(_.toString),
+      // MetricFlow defaults expr to the measure name; anchoring to the
+      // primary key would silently aggregate the wrong column
+      // (ref adapters/metricflow.py:156-162)
+      sql = md.get("expr").flatMap(Option(_)).map(_.toString)
+        .orElse(if (agg != "count") Some(name) else None),
       label = md.get("label").map(_.toString),
       filters = strList(meta.get("filters")),
       nonAdditive = nonAdditive))
@@ -412,9 +454,11 @@ object MetricFlowAdapter {
 
     md.getOrElse("type", "simple").toString match {
       case "simple" =>
-        val measure = tp.get("measure").orElse(md.get("measure"))
+        val measureRef = tp.get("measure").orElse(md.get("measure"))
           .flatMap(refName).getOrElse(return TopMetric.Skip)
-        val owner = ctx.measureOwner.getOrElse(measure, return TopMetric.Skip)
+        val measure = ctx.resolveMeasure(measureRef)
+          .getOrElse(return TopMetric.Skip)
+        val owner = ctx.measureOwner(measure)
         val base = ctx.modelByName(owner).model.metric(measure).get
         val pm = ctx.modelByName(owner)
         val fill = tp.get("measure").orElse(md.get("measure")).flatMap {
@@ -426,10 +470,10 @@ object MetricFlowAdapter {
           filters = base.filters ++ filter.map(translateJinjaLocal(_, pm)).toSeq,
           fillNullsWith = fill.orElse(base.fillNullsWith))
         val alias =
-          if (name == measure) None
+          if (name == measureRef) None
           else Some(Metric(name, metricType = Some("derived"),
             sql = Some(s"$owner.$name"), label = label))
-        if (name == measure && filter.isEmpty && fill.isEmpty) TopMetric.Skip
+        if (name == measureRef && filter.isEmpty && fill.isEmpty) TopMetric.Skip
         else TopMetric.OnModel(owner, clone, alias)
 
       case "ratio" =>
@@ -508,11 +552,13 @@ object MetricFlowAdapter {
     // lift: rate-flavored, both measures on one model, CASE WHEN predicates
     val lifted = for {
       _ <- Option(()).filter(_ => calculation == "conversion_rate")
-      owner <- ctx.measureOwner.get(base.get)
-      if ctx.measureOwner.get(conversion.get).contains(owner)
+      baseName <- ctx.resolveMeasure(base.get)
+      convName <- ctx.resolveMeasure(conversion.get)
+      owner <- ctx.measureOwner.get(baseName)
+      if ctx.measureOwner.get(convName).contains(owner)
       pm = ctx.modelByName(owner)
-      baseM <- pm.model.metric(base.get) if baseM.agg.contains("sum")
-      convM <- pm.model.metric(conversion.get) if convM.agg.contains("sum")
+      baseM <- pm.model.metric(baseName) if baseM.agg.contains("sum")
+      convM <- pm.model.metric(convName) if convM.agg.contains("sum")
       basePred <- baseM.sql.collect { case CaseWhenPred(p) => p }
       convPred <- convM.sql.collect { case CaseWhenPred(p) => p }
       entityCol = pm.entityColumns.getOrElse(entity.get, entity.get)
@@ -542,7 +588,7 @@ object MetricFlowAdapter {
         // a graph-level alias keeps the bare name queryable; otherwise the
         // metric lives on its owning model and needs qualification
         val metrics = strList(qp.get("metrics")).map(m =>
-          if (graphNames(m)) m else ctx.qualifyMeasure(m).getOrElse(m))
+          if (graphNames(m)) m else ctx.qualifyMetric(m).getOrElse(m))
         val dims = strList(qp.get("group_by")).flatMap(g => parseGroupBy(g, ctx))
         val where = qp.get("where").flatMap(Option(_)) match {
           case Some(l: Seq[_]) => l.map(w => translateJinja(w.toString, ctx))

@@ -80,15 +80,16 @@ object RillAdapter {
 
     var dims = seqOfMaps(root.get("dimensions")).flatMap { d =>
       // nameless dimensions are skipped (matching upstream Rill, which
-      // requires a name or column); a column-only entry names itself
-      val dn = d.get("name").map(_.toString)
-        .orElse(d.get("column").map(_.toString))
-        .getOrElse(return None)
-      Some(Dimension(
-        name = dn,
-        sql = d.get("expression").map(_.toString.trim)
-          .orElse(d.get("column").map(_.toString)).filter(_ != dn),
-        label = d.get("display_name").map(_.toString)))
+      // requires a name or column); a column-only entry names itself.
+      // No `return` here — that would be a non-local return dropping the view.
+      d.get("name").map(_.toString)
+        .orElse(d.get("column").map(_.toString)).map { dn =>
+        Dimension(
+          name = dn,
+          sql = d.get("expression").map(_.toString.trim)
+            .orElse(d.get("column").map(_.toString)).filter(_ != dn),
+          label = d.get("display_name").map(_.toString))
+      }
     }
 
     // timeseries column → time dimension
@@ -100,10 +101,12 @@ object RillAdapter {
     }
 
     val metrics = seqOfMaps(root.get("measures")).flatMap { m =>
-      val mn = m.get("name").map(_.toString).getOrElse(return None)
-      m.get("expression").map(_.toString.trim).map(e =>
-        expressionToMetrics(mn, e, m.get("display_name").map(_.toString)))
-        .getOrElse(Nil)
+      // nameless measures are skipped entry-wise, not view-wise
+      m.get("name").map(_.toString).toSeq.flatMap { mn =>
+        m.get("expression").map(_.toString.trim).map(e =>
+          expressionToMetrics(mn, e, m.get("display_name").map(_.toString)))
+          .getOrElse(Nil)
+      }
     }
 
     val security = parseSecurity(root.get("security"))

@@ -767,8 +767,15 @@ final class Generator(spark: SparkSession, cat: Catalog,
         cat.model(mr.model).primaryKey.headOption.foreach(pk =>
           need(mr.model, Needed(phys = Set(pk))))
       mr.metric.filters.foreach { f =>
-        fieldRefsIn(metricFilterE(mr, f)).foreach { case (m, fld) =>
+        val fe = metricFilterE(mr, f)
+        fieldRefsIn(fe).foreach { case (m, fld) =>
           if (needed.contains(m)) need(m, needField(cat.model(m), fld)) }
+        // bare refs default to the metric's own model (toJoinedScope rule)
+        fe.foreach {
+          case ua: UnresolvedAttribute if ua.nameParts.size == 1 =>
+            need(mr.model, needField(cat.model(mr.model), ua.nameParts.head))
+          case _ => ()
+        }
       }
     }
     outer.foreach(o => fieldRefsIn(o.e).foreach { case (m, fld) =>

@@ -160,12 +160,35 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, candidates
-    * from banded LSH buckets (the embedding analog of Dedup.minHashLSH). */
+    * from banded LSH buckets (the embedding analog of Dedup.minHashLSH).
+    *
+    * `planesPerBand = 0` (the default) auto-tunes to the threshold: the
+    * largest p that keeps ≥ 95% expected recall for a pair AT the
+    * threshold angle — per-plane agreement s = 1 − acos(t)/π, require
+    * s^p ≥ 1 − 0.05^(1/bands). Larger p ⇒ exponentially fewer random
+    * collisions (candidate pairs), so always take the largest p recall
+    * permits: at t=0.9 that's p=11 (random-pair collision ≈ 0.5^11 per
+    * band) where a fixed p=8 let ~7% of ALL pairs through as candidates
+    * — the verify stage, not the keying, is what burns time at scale. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.4, bands: Int = 16, planesPerBand: Int = 4,
+      threshold: Double = 0.4, bands: Int = 16, planesPerBand: Int = 0,
       dim: Int = 64, seed: Int = 42): DataFrame = {
+    val p =
+      if (planesPerBand > 0) planesPerBand
+      else {
+        val s = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
+        val target = 1.0 - math.pow(0.05, 1.0 / bands)
+        math.max(2, math.min(24, (math.log(target) / math.log(s)).toInt))
+      }
+    // the keys frame feeds BOTH sides of the self-join: persist it so the
+    // posexplode→plane-dot aggregation runs once, not twice. It is narrow
+    // (id, band, bucket ≈ 24 B × bands rows — nowhere near corpus size),
+    // and released before returning; the vectors are NOT persisted — the
+    // verify joins re-read them from the (column-pruned) source scan,
+    // which at corpus scale is far cheaper than caching corpus-sized data
     val keys = bandedKeys(df.select(col(idCol).as("id"), col(vecCol)),
-      "id", vecCol, bands, planesPerBand, dim, seed)
+      "id", vecCol, bands, p, dim, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = keys
       .join(keys.select(col("id").as("id_b"), col("__band"), col("__bucket")),
         Seq("__band", "__bucket"))
@@ -174,7 +197,7 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
     val v = df.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", normLit(col("__v"), dim))
-    cand
+    val out = cand
       .join(v.select(col("__vid").as("id_a"), col("__v").as("__va"),
         col("__n").as("__na")), Seq("id_a"))
       .join(v.select(col("__vid").as("id_b"), col("__v").as("__vb"),
@@ -183,5 +206,10 @@ object Similarity {
         dotLit(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    // materialize the (small) verified-pair set, then release the cache —
+    // a lazy return would leak it into the caller's session
+    val result = out.localCheckpoint(true)
+    keys.unpersist(false)
+    result
   }
 }

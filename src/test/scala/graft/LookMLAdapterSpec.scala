@@ -52,6 +52,13 @@ class LookMLAdapterSpec extends AnyFunSuite {
       Seq(("status", "completed"), ("amount", ">100")))
   }
 
+  test("lkml parser: unterminated sql at EOF keeps the final character") {
+    val doc = LkmlParser.parse(
+      "view: v {\n  dimension: d {\n    sql: ${TABLE}.amount")
+    val dim = doc.objs("view").head.objs("dimension").head
+    assert(dim.str("sql").contains("${TABLE}.amount"))
+  }
+
   test("orders fixture: measures, filtered measures, ratio, segments run") {
     val spark = session()
     import spark.implicits._

@@ -173,6 +173,69 @@ class MetricFlowAdapterSpec extends AnyFunSuite {
       assert(m.agg.forall(graft.model.AggKind.All))))
   }
 
+  test("legacy expr-less measures aggregate the measure-name column, not the pk") {
+    val imp = MetricFlowAdapter.loadFile(s"$fixtures/accounts_source.yml")
+    val m = imp.models.head.model
+    // `- name: account_balance / agg: sum` with no expr must sum the
+    // account_balance column (ref adapters/metricflow.py:156-162)
+    assert(m.metric("account_balance").exists(_.sql.contains("account_balance")))
+  }
+
+  test("filtered metric shadowing its measure keeps the raw measure for siblings") {
+    val spark = session()
+    import spark.implicits._
+    Seq((1, 10.0, "done"), (2, 20.0, "open"))
+      .toDF("txn_id", "amount", "status")
+      .createOrReplaceTempView("shadow_txns_tbl")
+    val imp = MetricFlowAdapter.loadString(
+      """semantic_models:
+        |  - name: txns
+        |    model: ref('shadow_txns_tbl')
+        |    entities:
+        |      - name: txn
+        |        type: primary
+        |        expr: txn_id
+        |    dimensions:
+        |      - name: status
+        |        type: categorical
+        |    measures:
+        |      - name: revenue
+        |        agg: sum
+        |        expr: amount
+        |      - name: txn_count
+        |        agg: count
+        |        expr: txn_id
+        |metrics:
+        |  - name: revenue
+        |    type: simple
+        |    type_params:
+        |      measure: revenue
+        |    filter: "status = 'done'"
+        |  - name: revenue_per_txn
+        |    type: ratio
+        |    type_params:
+        |      numerator: revenue
+        |      denominator: txn_count
+        |""".stripMargin)
+    val txns = imp.models.head.model
+    // raw measure survives under an internal name, unfiltered
+    assert(txns.metric("revenue__base").exists(_.filters.isEmpty))
+    // public name carries the filter
+    assert(txns.metric("revenue").exists(_.filters == Seq("status = 'done'")))
+    // sibling ratio reads the RAW measure, not the filtered clone
+    val ratio = imp.graphMetrics.find(_.name == "revenue_per_txn").get
+    assert(ratio.numerator.contains("txns.revenue__base"))
+
+    val cat = MetricFlowAdapter.toCatalog(imp)
+    val gen = new Generator(spark, cat)
+    val filtered = gen.plan(SemanticQuery(metrics = Seq("txns.revenue")))
+      .collect()(0).getDouble(0)
+    assert(filtered == 10.0) // only the 'done' txn
+    val perTxn = gen.plan(SemanticQuery(metrics = Seq("revenue_per_txn")))
+      .collect()(0).getDouble(0)
+    assert(perTxn == 15.0) // 30 / 2 — unfiltered numerator
+  }
+
   test("the whole metricflow fixture corpus parses and validates") {
     val dir = new java.io.File(fixtures)
     val files = dir.listFiles().filter(f =>

@@ -135,6 +135,25 @@ class RillAdapterSpec extends AnyFunSuite {
     assert(e.defaultMetrics == Seq("total_bids"))
   }
 
+  test("a nameless dimension or measure drops entry-wise, not view-wise") {
+    val imp = RillAdapter.loadString(
+      """type: metrics_view
+        |name: partial_view
+        |model: some_tbl
+        |dimensions:
+        |  - expression: upper(region)
+        |  - name: status
+        |measures:
+        |  - expression: count(*)
+        |  - name: total
+        |    expression: sum(amount)
+        |""".stripMargin)
+    val m = imp.models.headOption.getOrElse(fail("whole view was dropped"))
+    assert(m.dimension("status").isDefined) // valid sibling survives
+    assert(m.dimensions.size == 1)
+    assert(m.metric("total").isDefined)
+  }
+
   test("the whole rill fixture corpus parses") {
     val dir = new java.io.File(fixtures)
     val files = dir.listFiles().filter(f =>

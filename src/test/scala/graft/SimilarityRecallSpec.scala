@@ -42,7 +42,7 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(truth.size >= 50, "planted twins must be above the threshold")
 
     val got = Similarity.cosineNearDupPairs(augmented, "vec_id", "embedding",
-      threshold = 0.9, bands = 16, planesPerBand = 8)
+      threshold = 0.9, bands = 16) // auto-tuned planes-per-band
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val recall = (truth & got).size.toDouble / truth.size
