@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. One untimed warmup pass
-  * absorbs JVM/codegen/file-listing warmup so the timed pass measures
-  * steady-state plan execution (the regime that matters at cluster
-  * scale); the warmup wall time is reported separately as `warmup_sec`.
+  * absorbs JVM/codegen/file-listing warmup, then THREE timed passes per
+  * query; the reported per-query number (and the total) is the MEDIAN —
+  * at the 0.1–1.5 s magnitudes compared round-over-round a single sample
+  * cannot distinguish regression from GC/scheduler noise. Per-query
+  * spread (max − min) is reported under `spread` so noisy readings are
+  * visible, and the warmup wall time under `warmup_sec`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,15 +34,21 @@ object Bench {
     }
     val warmup = (System.nanoTime() - t0) / 1e9
 
+    val passes = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t) / 1e9
+      val samples = (1 to passes).map { _ =>
+        val t = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      (name, samples(passes / 2), samples.last - samples.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val spread = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"warmup_sec":$warmup,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

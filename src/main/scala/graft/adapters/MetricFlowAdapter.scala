@@ -120,9 +120,6 @@ object MetricFlowAdapter {
       .flatMap(parseModelSpec(_, resolve))
     var parsed = legacy ++ latest.map(_._1)
 
-    // Context for reference resolution across this file's models.
-    def ctx = Ctx(parsed)
-
     // Inline latest-spec metrics fold a measure into the metric: attach to
     // the owning model directly.
     parsed = latest.foldLeft(parsed) { case (acc, (pm, inlineMetrics)) =>
@@ -134,8 +131,8 @@ object MetricFlowAdapter {
     // A simple metric whose name equals its measure but adds a filter /
     // fill_nulls_with must NOT replace the shared measure (other metrics
     // referencing the measure would silently inherit the filter). Rename
-    // the raw measure to `<name>__base` up front; Ctx.resolveMeasure routes
-    // measure inputs to the raw one, the filtered clone takes the public name.
+    // the raw measure up front; Ctx.resolveMeasure routes measure-typed
+    // inputs to the raw one, the filtered clone takes the public name.
     val shadowed: Set[String] = seqOfMaps(root.get("metrics")).flatMap { md =>
       for {
         name <- md.get("name").map(_.toString)
@@ -151,10 +148,21 @@ object MetricFlowAdapter {
         if md.get("filter").flatMap(Option(_)).isDefined || fill.isDefined
       } yield name
     }.toSet
-    if (shadowed.nonEmpty)
+    // collision-proof rename targets: the internal name must never capture
+    // (or be captured by) a user-defined measure, so extend until unique
+    val existingMeasures = parsed.flatMap(_.model.metrics.map(_.name)).toSet
+    val renames: Map[String, String] = shadowed.map { n =>
+      var t = n + "__base"
+      while (existingMeasures(t)) t += "_"
+      n -> t
+    }.toMap
+    if (renames.nonEmpty)
       parsed = parsed.map(p => p.copy(model = p.model.copy(
         metrics = p.model.metrics.map(m =>
-          if (shadowed(m.name)) m.copy(name = m.name + "__base") else m))))
+          renames.get(m.name).fold(m)(t => m.copy(name = t))))))
+
+    // Context for reference resolution across this file's models.
+    def ctx = Ctx(parsed, renames)
 
     // Top-level metrics (legacy and latest share the shape).
     var graphMetrics = Vector.empty[Metric]
@@ -177,8 +185,11 @@ object MetricFlowAdapter {
     Imported(parsed, graphMetrics, saved, retained)
   }
 
-  /** Cross-model lookup tables for qualifying bare references. */
-  private final case class Ctx(parsed: Seq[ParsedModel]) {
+  /** Cross-model lookup tables for qualifying bare references.
+    * `renames` maps a public metric name to the internal name its raw
+    * measure was moved to when a filtered metric shadows it. */
+  private final case class Ctx(parsed: Seq[ParsedModel],
+      renames: Map[String, String] = Map.empty) {
     val measureOwner: Map[String, String] = parsed.flatMap(p =>
       p.model.metrics.map(_.name -> p.model.name)).toMap
     val dimensionOwner: Map[String, String] = {
@@ -191,21 +202,28 @@ object MetricFlowAdapter {
       Map.empty
     val modelByName: Map[String, ParsedModel] =
       parsed.map(p => p.model.name -> p).toMap
-    /** Resolve a measure reference to its in-model metric name. A top-level
-      * metric that shadows its same-named measure (filter / fill_nulls_with)
-      * renames the raw measure to `<n>__base`; measure inputs (ratio,
-      * cumulative, derived) must keep reading the raw, unfiltered one
-      * (ref adapters/metricflow.py keeps measure and metric separate). */
+    /** Resolve a MEASURE-typed reference (cumulative `measure:`,
+      * conversion `base_measure`/`conversion_measure`) to its in-model
+      * metric name. A top-level metric that shadows its same-named measure
+      * (filter / fill_nulls_with) renamed the raw measure — tracked in
+      * `renames`, never inferred from the name shape, so a user measure
+      * literally named `foo__base` is never captured. Measure inputs keep
+      * reading the raw, unfiltered one (ref adapters/metricflow.py keeps
+      * measure and metric separate). */
     def resolveMeasure(name: String): Option[String] =
-      if (measureOwner.contains(name + "__base")) Some(name + "__base")
-      else if (measureOwner.contains(name)) Some(name)
-      else None
+      renames.get(name).orElse(Some(name).filter(measureOwner.contains))
     def qualifyMeasure(name: String): Option[String] =
       resolveMeasure(name).map(m => s"${measureOwner(m)}.$m")
-    /** Saved queries name public metrics, not raw measures. */
+    /** METRIC references (ratio numerator/denominator, saved queries)
+      * resolve to the PUBLIC metric name — when a filtered clone shadows
+      * its measure, the clone takes the public name and the referencing
+      * metric inherits its filter (ref semantic_graph
+      * resolve_metric_reference: graph metrics first, raw measures as the
+      * fallback). The clone may be attached later in the file, so forward
+      * references resolve through `renames` to find the owner. */
     def qualifyMetric(name: String): Option[String] =
       if (measureOwner.contains(name)) Some(s"${measureOwner(name)}.$name")
-      else qualifyMeasure(name)
+      else renames.get(name).map(rn => s"${measureOwner(rn)}.$name")
   }
 
   // ------------------------------------------------------------------
@@ -477,9 +495,11 @@ object MetricFlowAdapter {
         else TopMetric.OnModel(owner, clone, alias)
 
       case "ratio" =>
+        // numerator/denominator are METRIC references in dbt MetricFlow:
+        // a same-named filtered metric (not the raw measure) must win
         val num = tp.get("numerator").orElse(md.get("numerator")).flatMap(refName)
         val den = tp.get("denominator").orElse(md.get("denominator")).flatMap(refName)
-        (num.flatMap(ctx.qualifyMeasure), den.flatMap(ctx.qualifyMeasure)) match {
+        (num.flatMap(ctx.qualifyMetric), den.flatMap(ctx.qualifyMetric)) match {
           case (Some(n), Some(d)) => TopMetric.Graph(Metric(name,
             metricType = Some("ratio"), numerator = Some(n),
             denominator = Some(d), label = label))

@@ -70,10 +70,12 @@ object Dedup {
       // the shingle size still contributes its (truncated) single shingle
       .filter(col("__last").isNotNull || col("__p") === 0)
       .select(col("id"), xxhash64(col("__s")).as("__h"))
-      .distinct()
       // consumed by the signature aggregation AND both sides of the
-      // Jaccard-verify join; unpersisted before this method returns
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Jaccard-verify join — identical subtrees ending in this distinct's
+      // shuffle, which Spark's exchange reuse executes once (no persist:
+      // cached corpus×shingle-factor blocks would pin executor storage
+      // with no release path once the plan is returned lazily)
+      .distinct()
     // per-seed re-mix with 32-bit murmur over the 8-byte shingle hash:
     // roughly half the ALU work of a full xxhash64 per (shingle, seed),
     // and overflow-free under ANSI mode (multiplicative mixing of longs
@@ -84,7 +86,6 @@ object Dedup {
     // for Jaccard needs no second pass over the shingle rows
     val sigs = exploded.groupBy("id")
       .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("__n")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band bucket = hash of the band's signature rows (all codegen'd)
     val bandStructs = (0 until bands).map { b =>
@@ -131,13 +132,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-    // materialize the (small) verified-pair set, then release every cached
-    // intermediate — a lazy return would leak the shingle cache (≈ corpus
-    // size × shingle factor) into the caller's session for its lifetime
-    val result = out.localCheckpoint(true)
-    exploded.unpersist(false)
-    sigs.unpersist(false)
-    result
+    // LAZY return: no persist, no checkpoint. The repeated `exploded` /
+    // `sigs` subtrees are canonically identical, so exchange reuse runs
+    // each underlying shuffle once per action; an eager local checkpoint
+    // would pin non-resilient executor blocks with no release path (and
+    // fail the job on executor loss in a real cluster)
+    out
   }
 
   /** 64-bit SimHash over a pre-hashed token array (`array<long>`): bit b

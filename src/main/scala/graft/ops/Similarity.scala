@@ -127,16 +127,36 @@ object Similarity {
         col("lsh.bucket").as("__bucket"))
   }
 
+  /** Keeps only (band, bucket) groups of size ≤ `maxBucketSize` (and, when
+    * `dropSingletons`, > 1 — a singleton bucket can never produce a pair).
+    * A bucket holding b rows yields O(b²) candidate pairs in a self-join —
+    * at corpus scale one degenerate cluster (zero vectors, boilerplate
+    * embeddings) turns the candidate join quadratic; dropping hot buckets
+    * is the standard LSH guard (same cap as `Dedup.minHashLSH`). The count
+    * rides a window over the SAME (band, bucket) shuffle the candidate
+    * join needs, so the cap costs no extra pass over the keys. */
+  private def capBuckets(keys: DataFrame, maxBucketSize: Int,
+      dropSingletons: Boolean): DataFrame = {
+    val w = Window.partitionBy(col("__band"), col("__bucket"))
+    val lo = if (dropSingletons) 1 else 0
+    keys.withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") > lo && col("__bc") <= maxBucketSize)
+      .drop("__bc")
+  }
+
   /** Banded-LSH approximate top-k: candidates = union over bands of
     * bucket matches (shuffle keyed on bands × 2^planesPerBand keys), then
     * exact cosine re-ranks the deduplicated candidates. Recall ≈
-    * 1 − (1 − (1 − θ/π)^p)^L for angle θ. */
+    * 1 − (1 − (1 − θ/π)^p)^L for angle θ. Corpus buckets larger than
+    * `maxBucketSize` are dropped (hot-key guard — see [[capBuckets]]). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
       bands: Int = 16, planesPerBand: Int = 3, dim: Int = 64,
-      seed: Int = 42): DataFrame = {
-    val ck = bandedKeys(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
-      "neighbor_id", vecCol, bands, planesPerBand, dim, seed)
+      seed: Int = 42, maxBucketSize: Int = 10000): DataFrame = {
+    val ck = capBuckets(
+      bandedKeys(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+        "neighbor_id", vecCol, bands, planesPerBand, dim, seed),
+      maxBucketSize, dropSingletons = false)
     val qk = bandedKeys(queries.select(col(queryIdCol).as("query_id"), col(vecCol)),
       "query_id", vecCol, bands, planesPerBand, dim, seed)
     val cand = ck.join(qk, Seq("__band", "__bucket"))
@@ -165,39 +185,47 @@ object Similarity {
     * `planesPerBand = 0` (the default) auto-tunes to the threshold: the
     * largest p that keeps ≥ 95% expected recall for a pair AT the
     * threshold angle — per-plane agreement s = 1 − acos(t)/π, require
-    * s^p ≥ 1 − 0.05^(1/bands). Larger p ⇒ exponentially fewer random
+    * s^p ≥ 1 − 0.05^(1/bands); degenerate band counts can compute p = 0,
+    * clamped up to 1 (the recall bound still holds — fewer planes only
+    * raises per-band agreement). Larger p ⇒ exponentially fewer random
     * collisions (candidate pairs), so always take the largest p recall
     * permits: at t=0.9 that's p=11 (random-pair collision ≈ 0.5^11 per
     * band) where a fixed p=8 let ~7% of ALL pairs through as candidates
-    * — the verify stage, not the keying, is what burns time at scale. */
+    * — the verify stage, not the keying, is what burns time at scale.
+    *
+    * Buckets larger than `maxBucketSize` are dropped before the self-join
+    * (see [[capBuckets]]) — without the cap a single degenerate embedding
+    * cluster makes the candidate join quadratic at corpus scale.
+    *
+    * Returns the LAZY plan: no persist, no checkpoint. The bucketed key
+    * frame feeds both sides of the self-join as an identical subtree, so
+    * Spark's exchange reuse executes its shuffle once; a persisted or
+    * locally-checkpointed return would pin executor blocks with no
+    * release path (and a local checkpoint is non-resilient — an executor
+    * loss on a real cluster would fail the job instead of recomputing). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.4, bands: Int = 16, planesPerBand: Int = 0,
-      dim: Int = 64, seed: Int = 42): DataFrame = {
+      dim: Int = 64, seed: Int = 42, maxBucketSize: Int = 1000): DataFrame = {
     val p =
       if (planesPerBand > 0) planesPerBand
       else {
         val s = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
         val target = 1.0 - math.pow(0.05, 1.0 / bands)
-        math.max(2, math.min(24, (math.log(target) / math.log(s)).toInt))
+        math.max(1, math.min(24, (math.log(target) / math.log(s)).toInt))
       }
-    // the keys frame feeds BOTH sides of the self-join: persist it so the
-    // posexplode→plane-dot aggregation runs once, not twice. It is narrow
-    // (id, band, bucket ≈ 24 B × bands rows — nowhere near corpus size),
-    // and released before returning; the vectors are NOT persisted — the
-    // verify joins re-read them from the (column-pruned) source scan,
-    // which at corpus scale is far cheaper than caching corpus-sized data
-    val keys = bandedKeys(df.select(col(idCol).as("id"), col(vecCol)),
-      "id", vecCol, bands, p, dim, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = keys
-      .join(keys.select(col("id").as("id_b"), col("__band"), col("__bucket")),
+    val keyed = capBuckets(
+      bandedKeys(df.select(col(idCol).as("id"), col(vecCol)),
+        "id", vecCol, bands, p, dim, seed),
+      maxBucketSize, dropSingletons = true)
+    val cand = keyed
+      .join(keyed.select(col("id").as("id_b"), col("__band"), col("__bucket")),
         Seq("__band", "__bucket"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val v = df.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", normLit(col("__v"), dim))
-    val out = cand
+    cand
       .join(v.select(col("__vid").as("id_a"), col("__v").as("__va"),
         col("__n").as("__na")), Seq("id_a"))
       .join(v.select(col("__vid").as("id_b"), col("__v").as("__vb"),
@@ -206,10 +234,5 @@ object Similarity {
         dotLit(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    // materialize the (small) verified-pair set, then release the cache —
-    // a lazy return would leak it into the caller's session
-    val result = out.localCheckpoint(true)
-    keys.unpersist(false)
-    result
   }
 }

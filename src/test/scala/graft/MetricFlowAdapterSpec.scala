@@ -222,9 +222,11 @@ class MetricFlowAdapterSpec extends AnyFunSuite {
     assert(txns.metric("revenue__base").exists(_.filters.isEmpty))
     // public name carries the filter
     assert(txns.metric("revenue").exists(_.filters == Seq("status = 'done'")))
-    // sibling ratio reads the RAW measure, not the filtered clone
+    // sibling ratio is a METRIC reference: it reads the PUBLIC (filtered)
+    // metric, not the raw measure (ref semantic_graph
+    // resolve_metric_reference resolves graph metrics first)
     val ratio = imp.graphMetrics.find(_.name == "revenue_per_txn").get
-    assert(ratio.numerator.contains("txns.revenue__base"))
+    assert(ratio.numerator.contains("txns.revenue"))
 
     val cat = MetricFlowAdapter.toCatalog(imp)
     val gen = new Generator(spark, cat)
@@ -233,7 +235,45 @@ class MetricFlowAdapterSpec extends AnyFunSuite {
     assert(filtered == 10.0) // only the 'done' txn
     val perTxn = gen.plan(SemanticQuery(metrics = Seq("revenue_per_txn")))
       .collect()(0).getDouble(0)
-    assert(perTxn == 15.0) // 30 / 2 — unfiltered numerator
+    assert(perTxn == 5.0) // 10 / 2 — filtered numerator, dbt semantics
+  }
+
+  test("measure literally named foo__base is not captured by resolution") {
+    val spark = session()
+    import spark.implicits._
+    Seq((1, 10.0, 3.0), (2, 20.0, 4.0))
+      .toDF("txn_id", "amount", "base_amt")
+      .createOrReplaceTempView("base_clash_tbl")
+    val imp = MetricFlowAdapter.loadString(
+      """semantic_models:
+        |  - name: clash
+        |    model: ref('base_clash_tbl')
+        |    entities:
+        |      - name: txn
+        |        type: primary
+        |        expr: txn_id
+        |    measures:
+        |      - name: foo
+        |        agg: sum
+        |        expr: amount
+        |      - name: foo__base
+        |        agg: sum
+        |        expr: base_amt
+        |metrics:
+        |  - name: total_foo
+        |    type: simple
+        |    type_params:
+        |      measure: foo
+        |""".stripMargin)
+    val m = imp.models.head.model
+    // no shadowing here: `foo` stays raw, `foo__base` stays the user's own
+    assert(m.metric("foo").exists(_.sql.contains("amount")))
+    assert(m.metric("foo__base").exists(_.sql.contains("base_amt")))
+    val cat = MetricFlowAdapter.toCatalog(imp)
+    val gen = new Generator(spark, cat)
+    val v = gen.plan(SemanticQuery(metrics = Seq("clash.total_foo")))
+      .collect()(0).getDouble(0)
+    assert(v == 30.0) // sums amount, never the user's foo__base measure
   }
 
   test("the whole metricflow fixture corpus parses and validates") {

@@ -53,6 +53,26 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(got.subsetOf(truth))
   }
 
+  test("hot-bucket cap bounds candidates under a degenerate cluster") {
+    // 1,000 identical vectors (a boilerplate/zero-entropy cluster) land in
+    // the same bucket in EVERY band: uncapped that is ~500k candidate
+    // pairs from one key — the quadratic hot-bucket blowup. With the cap
+    // the cluster's buckets are dropped and the join stays bounded while
+    // the rest of the corpus still finds its near-dups.
+    val cluster = spark.range(200000, 201000).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), i -> cast(0.5 as float))").as("embedding"))
+    val poisoned = augmented.unionByName(cluster)
+    val capped = Similarity.cosineNearDupPairs(poisoned, "vec_id", "embedding",
+      threshold = 0.9, bands = 16, maxBucketSize = 500)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no pair from inside the dropped cluster survives…
+    assert(!pairs.exists { case (a, b) => a >= 200000 && b >= 200000 })
+    // …and the planted twins outside the cluster are still found
+    val twinPairs = pairs.count { case (a, b) => b == a + 100000 }
+    assert(twinPairs >= 45, s"expected >=45 twin pairs outside cluster, got $twinPairs")
+  }
+
   test("lsh top-5: recall >= 0.9 vs brute-force top-5") {
     val queries = emb.filter(col("vec_id") < 20)
     val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
