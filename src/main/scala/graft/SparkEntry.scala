@@ -533,6 +533,50 @@ object SparkEntry {
         orderBy = Seq("region"))), "average_order_value")
     }),
 
+    // seventh external adapter: the reference's Tableau orders.tds — XML
+    // datasource parsing, aggregation attributes, calculated fields
+    "q_adapter_tableau" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey AS id, o_orderdate AS order_date,
+             |  cast(o_totalprice as decimal(18,2)) AS amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val m = graft.adapters.TableauAdapter.loadFile(
+        "/root/reference/tests/fixtures/tableau/orders.tds", resolve).head
+      val cat = graft.model.Catalog().add(m)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders.amount", "orders.order_count"),
+        dimensions = Seq("orders.order_date__month"),
+        orderBy = Seq("order_date__month")))
+    }),
+
+    // eighth external adapter: the reference's Omni project — view YAML
+    // maps, measure-level filters, and the relationships.yaml join list
+    // (orders→customers many_to_one) exercised through a cross-model query
+    "q_adapter_omni" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t.endsWith("orders"))
+            s"""SELECT o_orderkey AS id, o_custkey AS customer_id,
+               |  CASE WHEN o_orderstatus = 'F' THEN 'completed'
+               |       ELSE 'pending' END AS status,
+               |  cast(o_totalprice as decimal(18,2)) AS amount,
+               |  o_orderdate AS created_at
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS id, c_name AS name,
+               |  c_mktsegment AS country
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.OmniAdapter.loadDirectory(
+        "/root/reference/tests/fixtures/omni", resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders.count", "orders.total_revenue",
+          "orders.avg_order_value", "orders.completed_revenue"),
+        dimensions = Seq("customers.country"),
+        orderBy = Seq("country"))), "avg_order_value")
+    }),
+
     // ---- §1.1 security ----
     "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
@@ -1181,6 +1225,25 @@ object SparkEntry {
         |    / cast(sum(cast(o_totalprice as decimal(18,2))) as double), 4)
         |    AS conversion_rate
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_tableau" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS amount,
+        |  count(o_orderkey) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_omni" ->
+      """SELECT c.c_mktsegment AS country,
+        |  count(*) AS "count",
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS total_revenue,
+        |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(cast(o.o_totalprice as decimal(18,2))) as double), 4)
+        |    AS avg_order_value,
+        |  sum(CASE WHEN o.o_orderstatus = 'F'
+        |      THEN cast(o.o_totalprice as decimal(18,2)) END)
+        |    AS completed_revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_adapter_metricflow" ->
       """SELECT c.c_mktsegment AS region,
