@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
   */
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def parser(spark: SparkSession): ParserInterface =
     spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser
   def explainString(df: Dataset[Row], mode: String): String =
