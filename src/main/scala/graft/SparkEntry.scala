@@ -577,6 +577,33 @@ object SparkEntry {
         orderBy = Seq("country"))), "avg_order_value")
     }),
 
+    // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
+    // sql/query_rewriter.py:3186-4530): the view declares measures
+    // inline in SQL; the query exercises AGGREGATE() expansion,
+    // AT (ALL dim) context removal, and AT (SET) context transfer
+    "q_yardstick" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT year(o_orderdate) AS oyear, o_orderpriority,
+             |  cast(o_totalprice as decimal(18,2)) AS amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val m = graft.adapters.YardstickAdapter.loadString(
+        """CREATE VIEW orders_yv AS
+          |SELECT oyear, o_orderpriority,
+          |  SUM(amount) AS MEASURE revenue,
+          |  COUNT(*) AS MEASURE order_count
+          |FROM orders_base;""".stripMargin, resolve).head
+      val cat = graft.model.Catalog().add(m)
+      new graft.sqlfront.Yardstick(s, cat).sql(
+        """SEMANTIC SELECT oyear, o_orderpriority,
+          |  AGGREGATE(revenue) AS revenue,
+          |  AGGREGATE(order_count) AS order_count,
+          |  AGGREGATE(revenue) AT (ALL o_orderpriority) AS year_total,
+          |  AGGREGATE(revenue) AT (SET oyear = oyear - 1) AS prior_year
+          |FROM orders_yv
+          |ORDER BY oyear, o_orderpriority""".stripMargin)
+    }),
+
     // ---- §1.1 security ----
     "q_security" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders_secured.revenue", "orders_secured.order_count"),
@@ -1253,6 +1280,20 @@ object SparkEntry {
         |    / cast(count(*) as double), 4) AS average_order_value
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_yardstick" ->
+      """WITH g AS (
+        |  SELECT year(o_orderdate) AS oyear, o_orderpriority,
+        |    sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |    count(*) AS order_count
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT g.oyear, g.o_orderpriority, g.revenue, g.order_count,
+        |  (SELECT sum(g2.revenue) FROM g g2
+        |     WHERE g2.oyear = g.oyear) AS year_total,
+        |  (SELECT g3.revenue FROM g g3
+        |     WHERE g3.oyear = g.oyear - 1
+        |       AND g3.o_orderpriority = g.o_orderpriority) AS prior_year
+        |FROM g ORDER BY oyear, o_orderpriority""".stripMargin,
 
     "q_security" ->
       """SELECT o_orderstatus AS orderstatus,

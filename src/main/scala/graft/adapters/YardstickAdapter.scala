@@ -5,7 +5,7 @@ import graft.model._
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, UnresolvedWith}
 
 /** Importer for Yardstick SQL definitions — `CREATE VIEW` statements whose
   * projections declare measures with `AGG(expr) AS MEASURE name`
@@ -59,7 +59,7 @@ object YardstickAdapter {
   }
 
   private val CreateView =
-    raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(SELECT\b.*)$$".r
+    raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+((?:SELECT|WITH)\b.*)$$".r
 
   /** `AS MEASURE <name>` on a masked copy → (cleaned SQL, measure names).
     * Masking blanks string literals so a literal "AS MEASURE x" can never
@@ -109,10 +109,20 @@ object YardstickAdapter {
 
   private def modelFromSelect(viewName: String, plan: LogicalPlan,
       measureNames: Set[String], cleanedSql: String,
-      resolve: YamlLoader.TableResolver): Option[Model] = {
+      resolve: YamlLoader.TableResolver,
+      forceDerived: Boolean = false): Option[Model] = {
     val (items, child) = plan match {
-      case p: Project => (p.projectList, p.child)
-      case _          => return None
+      case p: Project   => (p.projectList, p.child)
+      // a view with its own GROUP BY declares the same model: the group
+      // keys are the dimensions, the aggregates the measures; base rows
+      // stay pre-aggregation (AGGREGATE() re-groups at query grain)
+      case a: Aggregate => (a.aggregateExpressions, a.child)
+      // CTE-based view: model the main body; the base SQL keeps the CTEs
+      // (the CTE name is not a real table, so the source must be derived)
+      case w: UnresolvedWith =>
+        return modelFromSelect(viewName, w.child, measureNames, cleanedSql,
+          resolve, forceDerived = true)
+      case _ => return None
     }
 
     var dims = Vector.empty[Dimension]
@@ -130,7 +140,9 @@ object YardstickAdapter {
     }
     if (mets.isEmpty) return None
 
-    val source = sourceFrom(child, cleanedSql, resolve)
+    val source =
+      if (forceDerived) derivedSource(cleanedSql)
+      else sourceFrom(child, cleanedSql, resolve)
     Some(Model(name = viewName, source = source,
       primaryKey = dims.headOption.map(_.name).toSeq,
       dimensions = dims, metrics = mets))
@@ -172,34 +184,71 @@ object YardstickAdapter {
       granularity = grain)
   }
 
-  /** Bare single-table FROM → resolve(table); joins/filters/CTEs → a
-    * derived `SELECT * FROM <rest>` over the original FROM text. */
+  /** Bare single-table FROM → resolve(table); joins/filters/CTEs/VALUES →
+    * a derived `SELECT * FROM <rest>` over the original FROM text (with
+    * any leading WITH clause kept, and the view's own top-level GROUP BY
+    * dropped — base rows stay pre-aggregation so AGGREGATE() can re-group
+    * at query grain). */
   private def sourceFrom(child: LogicalPlan, cleanedSql: String,
       resolve: YamlLoader.TableResolver): ModelSource = child match {
     case ur: UnresolvedRelation => resolve(ur.multipartIdentifier.mkString("."))
     case SubqueryAlias(_, ur: UnresolvedRelation) =>
       resolve(ur.multipartIdentifier.mkString("."))
-    case _ =>
-      // everything after the top-level FROM, verbatim (joins + where)
-      val fromIdx = topLevelFrom(cleanedSql)
-      ModelSource.SqlView(
-        if (fromIdx >= 0) s"SELECT * FROM ${cleanedSql.substring(fromIdx + 4).trim}"
-        else cleanedSql)
+    case _ => derivedSource(cleanedSql)
   }
 
-  private def topLevelFrom(sql: String): Int = {
-    val masked = maskStrings(sql)
-    var depth = 0
-    raw"(?i)\bFROM\b".r.findAllMatchIn(masked)
+  private def derivedSource(cleanedSql: String): ModelSource = {
+    val masked = maskStrings(cleanedSql)
+    val bodyStart = afterWithClauses(cleanedSql, masked)
+    val prefix = cleanedSql.substring(0, bodyStart)
+    val body = cleanedSql.substring(bodyStart)
+    val bodyMasked = masked.substring(bodyStart)
+    val fromIdx = topLevel(bodyMasked, "FROM")
+    if (fromIdx < 0) return ModelSource.SqlView(cleanedSql)
+    val groupIdx = topLevel(bodyMasked, raw"GROUP\s+BY")
+    val end = if (groupIdx > fromIdx) groupIdx else body.length
+    ModelSource.SqlView(
+      s"${prefix}SELECT * FROM ${body.substring(fromIdx + 4, end).trim}")
+  }
+
+  /** Index just past a leading `WITH name AS (…), …` clause list (0 when
+    * the SQL has none). */
+  private def afterWithClauses(sql: String, masked: String): Int = {
+    if (raw"(?is)^\s*WITH\b".r.findFirstIn(masked).isEmpty) return 0
+    var i = masked.indexWhere(!_.isWhitespace) + 4
+    var more = true
+    while (more) {
+      val open = masked.indexOf('(', i)
+      if (open < 0) return 0
+      var depth = 0; var j = open; var close = -1
+      while (j < masked.length && close < 0) {
+        if (masked(j) == '(') depth += 1
+        else if (masked(j) == ')') { depth -= 1; if (depth == 0) close = j }
+        j += 1
+      }
+      if (close < 0) return 0
+      i = close + 1
+      while (i < sql.length && sql(i).isWhitespace) i += 1
+      if (i < sql.length && sql(i) == ',') i += 1 else more = false
+    }
+    i
+  }
+
+  private def topLevel(masked: String, keyword: String): Int = {
+    raw"(?i)\b$keyword\b".r.findAllMatchIn(masked)
       .find { m =>
-        depth = masked.substring(0, m.start).count(_ == '(') -
+        masked.substring(0, m.start).count(_ == '(') ==
           masked.substring(0, m.start).count(_ == ')')
-        depth == 0
       }.map(_.start).getOrElse(-1)
   }
 
   private def exprSql(e: Expression): String = e match {
     case a: UnresolvedAttribute => a.nameParts.mkString(".")
-    case other                  => other.sql
+    // Expression.sql flattens WITHIN GROUP into plain arguments, which no
+    // longer parses — re-emit the inverse-distribution form explicitly
+    case f: UnresolvedFunction if f.orderingWithinGroup.nonEmpty =>
+      s"${f.nameParts.mkString(".")}(${f.arguments.map(exprSql).mkString(", ")})" +
+        s" WITHIN GROUP (ORDER BY ${f.orderingWithinGroup.map(_.sql).mkString(", ")})"
+    case other => other.sql
   }
 }

@@ -24,9 +24,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
 
+  /** Yardstick AS MEASURE mode rides the same front door: SEMANTIC /
+    * AGGREGATE() / AT (…) SQL routes through [[Yardstick]] (whose AT
+    * lowering must run before Spark's parser sees the text). */
+  private lazy val yardstick = new Yardstick(spark, cat)
+
   def sql(text: String): DataFrame = {
-    val plan = GraftSqlBridge.parser(spark).parsePlan(text)
-    rewrite(plan).getOrElse(spark.sql(text))
+    val yard =
+      if (yardstick.handles(text)) yardstick.trySql(text) else None
+    yard.getOrElse {
+      val plan = GraftSqlBridge.parser(spark).parsePlan(text)
+      rewrite(plan).getOrElse(spark.sql(text))
+    }
   }
 
   /** Strict variant: error instead of passthrough when the SQL does not
