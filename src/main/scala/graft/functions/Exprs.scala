@@ -123,13 +123,13 @@ object Exprs {
     }
   }
 
-  /** `{{ param }}` interpolation (reference: core/parameter.py:49-100 —
-    * value formatting is the caller's concern; we substitute verbatim). */
+  /** Template rendering + `{{ param }}` interpolation (reference:
+    * core/parameter.py:49-100, core/template.py): `{# comments #}` and
+    * `{% if %}` chains resolve first, then variables substitute. Value
+    * formatting (quoting, validation) is the caller's concern — see
+    * [[Params.format]] and Generator.mergedParams. */
   def interpolate(sql: String, params: Map[String, String]): String =
-    params.foldLeft(sql) { case (acc, (k, v)) =>
-      acc.replaceAll(raw"\{\{\s*" + java.util.regex.Pattern.quote(k) + raw"\s*\}\}",
-        java.util.regex.Matcher.quoteReplacement(v))
-    }
+    Params.render(sql, params)
 
   /** Render a user attribute value as an escaped type-correct SQL literal
     * (core/security.py value safety): bare numerics/booleans, NULL for

@@ -58,9 +58,16 @@ final class Generator(spark: SparkSession, cat: Catalog,
     DimRef(fr.model, d, fr.grain)
   }
 
-  /** Merged parameter map: package-level defaults overridden per query. */
+  /** Merged parameter map: package-level defaults overridden per query.
+    * Values for DECLARED parameters render through their type's SQL
+    * formatting (quote+escape strings/dates, validate numbers and
+    * identifiers — the injection boundary, reference parameter.py
+    * format_value); undeclared ad-hoc parameters substitute verbatim. */
   private[gen] def mergedParams(q: SemanticQuery): Map[String, String] =
-    cat.paramDefaults ++ q.parameters
+    cat.paramDefaults ++ q.parameters.map { case (k, v) =>
+      k -> cat.paramTypes.get(k).map(t =>
+        graft.functions.Params.format(t, v)).getOrElse(v)
+    }
 
   /** Output column by metric name — namespaced graph metrics carry dots
     * ("finance.revenue_per_order"), which col() would parse as a struct

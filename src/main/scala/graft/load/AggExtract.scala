@@ -39,7 +39,10 @@ object AggExtract {
           Some(Extracted("count_distinct",
             Some(f.arguments.map(exprSql).mkString(", ")), filter))
         else f.arguments match {
+          // `COUNT(*)` arrives as star or as the parser's count(1) form
           case Seq(_: UnresolvedStar) | Nil => Some(Extracted("count", None, filter))
+          case Seq(org.apache.spark.sql.catalyst.expressions.Literal(1, _)) =>
+            Some(Extracted("count", None, filter))
           case args => Some(Extracted("count", Some(args.map(exprSql).mkString(", ")), filter))
         }
       } else if (name == "approx_count_distinct")

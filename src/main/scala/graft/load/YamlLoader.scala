@@ -28,7 +28,8 @@ object YamlLoader {
       models: Seq[Model],
       graphMetrics: Seq[Metric] = Nil,
       explores: Seq[Explore] = Nil,
-      paramDefaults: Map[String, String] = Map.empty)
+      paramDefaults: Map[String, String] = Map.empty,
+      paramTypes: Map[String, String] = Map.empty)
 
   private[load] def parseYamlMap(yaml: String): Map[String, Any] =
     anyToScala(new Yaml(new SafeConstructor(new LoaderOptions()))
@@ -46,19 +47,13 @@ object YamlLoader {
       explores = seqOfMaps(root.get("explores")).map(parseExplore),
       paramDefaults = seqOfMaps(root.get("parameters")).flatMap { p =>
         p.get("default_value").map(v =>
-          p("name").toString -> formatParamDefault(p.get("type"), v))
-      }.toMap)
+          p("name").toString -> graft.functions.Params.format(
+            p.get("type").map(_.toString).getOrElse("string"), v.toString))
+      }.toMap,
+      paramTypes = seqOfMaps(root.get("parameters")).map(p =>
+        p("name").toString ->
+          p.get("type").map(_.toString).getOrElse("string")).toMap)
   }
-
-  /** Typed default formatting (reference: parameter.py format_value):
-    * numbers/booleans interpolate bare, strings as quoted literals. */
-  private def formatParamDefault(ptype: Option[Any], v: Any): String =
-    ptype.map(_.toString).getOrElse("string") match {
-      case "number" | "unquoted" => v.toString
-      case "boolean"             => v.toString
-      case "date" | "string"     => s"'${v.toString.replace("'", "''")}'"
-      case _                     => s"'${v.toString.replace("'", "''")}'"
-    }
 
   def loadString(yaml: String,
       resolve: TableResolver = defaultResolver): Seq[Model] =
@@ -90,6 +85,7 @@ object YamlLoader {
           .addGraphMetric(pkg.graphMetrics: _*)
           .addExplore(pkg.explores: _*)
           .withParamDefaults(pkg.paramDefaults)
+          .withParamTypes(pkg.paramTypes)
       }
     }
   }
@@ -227,6 +223,22 @@ object YamlLoader {
   }
 
   private def parseMetric(m: Map[String, Any]): Metric = {
+    val parsed = parseMetric0(m)
+    // Agg auto-extraction (reference: core/metric.py:68-226): a metric
+    // written as `sql: SUM(amount)` IS a simple aggregation — recover
+    // (agg, inner expr, FILTER clause) via Catalyst so it plans
+    // identically to `agg: sum, sql: amount`. Composite expressions
+    // (`SUM(a) / SUM(b)`) stay derived.
+    if (parsed.agg.isEmpty && parsed.metricType.isEmpty)
+      parsed.sql.flatMap(AggExtract.parse) match {
+        case Some(x) => parsed.copy(agg = Some(x.agg), sql = x.inner,
+          filters = parsed.filters ++ x.filter)
+        case None => parsed
+      }
+    else parsed
+  }
+
+  private def parseMetric0(m: Map[String, Any]): Metric = {
     val mtype = m.get("type").map(_.toString)
     // `expr` (measures-style aliases) and `measure` (derived formula in the
     // native_aliases fixture) are accepted spellings of `sql`

@@ -13,11 +13,15 @@ final case class Catalog(
     savedQueries: Map[String, graft.plan.SemanticQuery] = Map.empty,
     explores: Map[String, Explore] = Map.empty,
     paramDefaults: Map[String, String] = Map.empty, // pre-formatted literals
+    paramTypes: Map[String, String] = Map.empty, // declared type per parameter
     dataDir: String = ""
 ) {
 
   def withParamDefaults(ps: Map[String, String]): Catalog =
     copy(paramDefaults = paramDefaults ++ ps)
+
+  def withParamTypes(ts: Map[String, String]): Catalog =
+    copy(paramTypes = paramTypes ++ ts)
 
   def addExplore(es: Explore*): Catalog = {
     es.foreach(Validation.validateExplore(_, this))

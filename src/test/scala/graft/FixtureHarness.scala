@@ -217,9 +217,11 @@ object FixtureHarness {
   private def parseQuery(yaml: String): (SemanticQuery, Seq[Map[String, Any]]) = {
     val m = parseJsonish(yaml).asInstanceOf[Map[String, Any]]
     def list(k: String): Seq[String] = strList(m.get(k))
+    // raw values: the engine formats declared parameters by their type
+    // (Generator.mergedParams via Params.format)
     val params = m.get("parameter_values").map(_.asInstanceOf[Map[String, Any]])
       .getOrElse(Map.empty)
-      .map { case (k, v) => k -> formatParam(v) }
+      .map { case (k, v) => k -> v.toString }
     val q = SemanticQuery(
       metrics = list("metrics"),
       dimensions = list("dimensions"),
@@ -238,12 +240,6 @@ object FixtureHarness {
     case Some(l: Seq[_]) => l.map(_.toString)
     case Some(s)         => Seq(s.toString)
     case None            => Nil
-  }
-
-  /** Typed parameter formatting (reference: parameter.py format_value). */
-  private def formatParam(v: Any): String = v match {
-    case s: String => s"'${s.replace("'", "''")}'"
-    case other     => other.toString
   }
 
   /** order_by entries reference fields (optionally with DESC/ASC suffix);

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.Params
+import graft.gen.Generator
+import graft.load.YamlLoader
+import graft.plan.SemanticQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Typed parameters + Jinja-subset templates (reference:
+  * core/parameter.py format_value, core/template.py,
+  * tests/templates/test_parameters.py). */
+class ParamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("typed formatting mirrors format_value") {
+    assert(Params.format("string", "completed") == "'completed'")
+    assert(Params.format("date", "2024-01-15") == "'2024-01-15'")
+    assert(Params.format("number", "100") == "100")
+    assert(Params.format("number", "-2.5") == "-2.5")
+    assert(Params.format("unquoted", "orders") == "orders")
+    assert(Params.format("unquoted", "schema.orders") == "schema.orders")
+    assert(Params.format("yesno", "true") == "TRUE")
+    assert(Params.format("yesno", "false") == "FALSE")
+  }
+
+  test("injection-shaped values cannot escape their type") {
+    // quote-bearing string stays one literal
+    assert(Params.format("string", "x' OR '1'='1") == "'x'' OR ''1''=''1'")
+    assert(Params.format("string", raw"\' OR 1=1 --") ==
+      raw"'\\'' OR 1=1 --'")
+    intercept[IllegalArgumentException](Params.format("number", "1 OR 1=1"))
+    intercept[IllegalArgumentException](Params.format("number", "1; DROP TABLE x"))
+    intercept[IllegalArgumentException](Params.format("unquoted", "orders; --"))
+    intercept[IllegalArgumentException](Params.format("unquoted", "a b"))
+  }
+
+  test("jinja subset: comments, if/elif/else, substitution") {
+    assert(Params.render("SELECT * FROM {{ table }}",
+      Map("table" -> "orders")) == "SELECT * FROM orders")
+    assert(Params.render("{# note #}a = 1", Map.empty) == "a = 1")
+    assert(Params.render("{% if active %}status = 'active'{% endif %}",
+      Map("active" -> "true")) == "status = 'active'")
+    assert(Params.render("{% if active %}x{% endif %}",
+      Map("active" -> "false")) == "")
+    assert(Params.render("{% if region == 'US' %}us{% else %}intl{% endif %}",
+      Map("region" -> "US")) == "us")
+    assert(Params.render("{% if region == 'US' %}us{% else %}intl{% endif %}",
+      Map("region" -> "'EU'")) == "intl") // formatted value compares raw
+    assert(Params.render(
+      "{% if r == 'a' %}A{% elif r == 'b' %}B{% else %}C{% endif %}",
+      Map("r" -> "b")) == "B")
+    assert(Params.render("{% if not flag %}off{% endif %}", Map.empty) == "off")
+  }
+
+  test("declared typed parameter quotes itself; injection value returns no rows") {
+    spark.sql(
+      """SELECT * FROM VALUES (1, 'pending', 10.0), (2, 'completed', 20.0),
+        |  (3, 'pending', 5.0) AS t(id, status, amount)""".stripMargin)
+      .createOrReplaceTempView("param_orders")
+    val pkg = YamlLoader.loadPackageString(
+      """version: 1
+        |parameters:
+        |  - name: status_filter
+        |    type: string
+        |    default_value: pending
+        |models:
+        |  - name: porders
+        |    table: param_orders
+        |    primary_key: id
+        |    dimensions:
+        |      - name: status
+        |    metrics:
+        |      - name: revenue
+        |        agg: sum
+        |        sql: amount
+        |""".stripMargin)
+    val cat = graft.model.Catalog().add(pkg.models: _*)
+      .withParamDefaults(pkg.paramDefaults).withParamTypes(pkg.paramTypes)
+    val gen = new Generator(spark, cat)
+    // the filter references the param UNQUOTED — the type adds the quotes
+    def run(value: Option[String]) = gen.plan(SemanticQuery(
+      metrics = Seq("porders.revenue"),
+      filters = Seq("porders.status = {{ status_filter }}"),
+      parameters = value.map("status_filter" -> _).toMap)).collect()
+    assert(run(None).head.getDecimal(0).doubleValue() == 15.0) // default
+    assert(run(Some("completed")).head.getDecimal(0).doubleValue() == 20.0)
+    // quote-bearing injection value matches nothing instead of everything
+    val inj = run(Some("x' OR '1'='1"))
+    assert(inj.isEmpty || inj.head.isNullAt(0))
+  }
+}
