@@ -374,6 +374,93 @@ object SparkEntry {
         "SELECT orders.revenue, revenue_per_item FROM metrics")
     }),
 
+    // declared cross relationship (SURVEY §2 row 22): every region paired
+    // with the whole nation table; the count-distinct metric is fan-out
+    // safe by construction
+    "q_cross_join" -> ((s, d) => {
+      import graft.model._
+      val region = Model("region_x",
+        source = ModelSource.Parquet(s"$d/region.parquet"),
+        primaryKey = Seq("r_regionkey"),
+        dimensions = Seq(Dimension("name", sql = Some("r_name"))),
+        metrics = Seq(Metric("region_count", agg = Some("count"))),
+        relationships = Seq(Relationship("nation_x", "cross")))
+      val nation = Model("nation_x",
+        source = ModelSource.Parquet(s"$d/nation.parquet"),
+        primaryKey = Seq("n_nationkey"),
+        metrics = Seq(Metric("nation_count",
+          agg = Some("count_distinct"), sql = Some("n_nationkey"))))
+      val cat = graft.model.Catalog().add(nation, region)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("nation_x.nation_count"),
+        dimensions = Seq("region_x.name"),
+        orderBy = Seq("name")))
+    }),
+
+    // UNION / EXCEPT branches through the SQL front end (§2 row 52):
+    // each branch plans independently, set semantics dedup the result
+    "q_set_ops" -> ((s, d) => {
+      val cat = TpchCatalog.build(d)
+      new graft.sqlfront.SqlFront(s, cat, new Generator(s, cat)).sql(
+        """SELECT customer.mktsegment FROM customer
+          |EXCEPT
+          |SELECT customer.mktsegment FROM customer
+          |WHERE customer.mktsegment = 'BUILDING'
+          |UNION
+          |SELECT customer.mktsegment FROM customer
+          |WHERE customer.mktsegment = 'MACHINERY'""".stripMargin)
+        .orderBy("mktsegment")
+    }),
+
+    // `extends` inheritance (§2 row 61): the child keeps the parent's
+    // dimensions/metrics and adds a filtered metric of its own
+    "q_inheritance" -> ((s, d) => {
+      import graft.model._
+      val parent = Model("orders_base",
+        source = ModelSource.Parquet(s"$d/orders.parquet"),
+        primaryKey = Seq("o_orderkey"),
+        dimensions = Seq(Dimension("orderstatus", sql = Some("o_orderstatus"))),
+        metrics = Seq(Metric("revenue", agg = Some("sum"),
+          sql = Some("cast(o_totalprice as decimal(18,2))"))))
+      val child = Model("orders_urgent", source = parent.source,
+        extendsModel = Some("orders_base"),
+        metrics = Seq(Metric("urgent_revenue", agg = Some("sum"),
+          sql = Some("cast(o_totalprice as decimal(18,2))"),
+          filters = Seq("o_orderpriority = '1-URGENT'"))))
+      val cat = graft.model.Catalog().add(parent).add(child)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders_urgent.revenue", "orders_urgent.urgent_revenue"),
+        dimensions = Seq("orders_urgent.orderstatus"),
+        orderBy = Seq("orderstatus")))
+    }),
+
+    // visibility denial (§2 row 17) as a checkable result: planning a
+    // `public: false` dimension must raise — the row encodes that it did
+    "q_visibility" -> ((s, d) => {
+      import graft.model._
+      val m = Model("orders_vis",
+        source = ModelSource.Parquet(s"$d/orders.parquet"),
+        primaryKey = Seq("o_orderkey"),
+        dimensions = Seq(
+          Dimension("orderstatus", sql = Some("o_orderstatus")),
+          Dimension("internal_code", sql = Some("o_clerk"), public = false)),
+        metrics = Seq(Metric("order_count", agg = Some("count"))))
+      val cat = graft.model.Catalog().add(m)
+      val denied =
+        try {
+          new Generator(s, cat).plan(SemanticQuery(
+            metrics = Seq("orders_vis.order_count"),
+            dimensions = Seq("orders_vis.internal_code"))).collect()
+          0
+        } catch { case _: Exception => 1 }
+      val visibleStillWorks = new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("orders_vis.order_count"),
+        dimensions = Seq("orders_vis.orderstatus"))).count()
+      s.range(1).select(
+        lit(denied).cast("int").as("denied"),
+        lit(visibleStillWorks).cast("long").as("visible_groups"))
+    }),
+
     // ---- §4.1 pre-aggregation routing ----
     "q_preagg_route" -> ((s, d) => {
       val cat = TpchCatalog.build(d)
@@ -696,18 +783,41 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- pipeline ops: multimodal plumbing (stubbed codec) ----
+    // real codec roundtrip: PNG-encode a solid-gray tile per document
+    // (geometry + shade derived from doc_id), decode through
+    // javax.imageio, and emit analytically-checkable values — the DuckDB
+    // oracle recomputes width/height/mean-luma/resize plan from doc_id
     "q_multimodal" -> ((s, d) => {
-      val media = Multimodal.syntheticMedia(
-        docs(s, d).filter(col("doc_id") < 50), "doc_id", "text")
+      val media = Multimodal.syntheticPng(
+        docs(s, d).filter(col("doc_id") < 50), "doc_id")
       val decoded = Multimodal.decodeAndFeaturize(media, "media_id", "content")
-      Multimodal.resizePlan(decoded, "width", "height", 512)
-        .select("media_id", "width", "height", "target_width", "target_height",
-          "needs_resize")
+      Multimodal.resizePlan(decoded, "width", "height", 16)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 8).cast("double"), 4).as("mean_gray"),
+          col("target_width"), col("target_height"), col("needs_resize"))
         .orderBy("media_id")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the PNG tiles are generated from doc_id (solid gray, geometry
+    // id-derived), so the decode results recompute arithmetically
+    "q_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    cast(8 + (doc_id % 16) as int) AS width,
+        |    cast(8 + ((doc_id // 16) % 16) as int) AS height,
+        |    doc_id % 256 AS gray
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT media_id, width, height,
+        |  round(gray / 255.0, 4) AS mean_gray,
+        |  cast(floor(width * least(1.0, 16.0 / greatest(width, height))) as int)
+        |    AS target_width,
+        |  cast(floor(height * least(1.0, 16.0 / greatest(width, height))) as int)
+        |    AS target_height,
+        |  least(1.0, 16.0 / greatest(width, height)) < 1.0 AS needs_resize
+        |FROM m ORDER BY media_id""".stripMargin,
+
     "q_simple_agg" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
         |  sum(l_quantity) AS quantity,
@@ -1146,6 +1256,32 @@ object SparkEntry {
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
         |  count(*) AS order_count
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r.r_name AS name,
+        |  count(DISTINCT n.n_nationkey) AS nation_count
+        |FROM region r CROSS JOIN nation n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_set_ops" ->
+      """(SELECT c_mktsegment AS mktsegment FROM customer
+        | EXCEPT
+        | SELECT c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION
+        |SELECT c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY mktsegment""".stripMargin,
+
+    "q_inheritance" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN cast(o_totalprice as decimal(18,2)) END) AS urgent_revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_visibility" ->
+      """SELECT cast(1 as int) AS denied,
+        |  cast((SELECT count(DISTINCT o_orderstatus) FROM orders) as bigint)
+        |    AS visible_groups""".stripMargin,
 
     "q_sqlfront" ->
       """SELECT c.c_mktsegment AS mktsegment,

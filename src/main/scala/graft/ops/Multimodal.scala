@@ -8,11 +8,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition passes.
   *
-  * The Spark side — schema, partition sizing, batch iteration, output
-  * shape — is real and tested. The codec calls themselves are STUBBED
-  * with a deterministic fake (this environment ships no image/audio
-  * libraries); swap `decodeStub` for a real codec (e.g. javax.imageio /
-  * ffmpeg bindings) without touching the plumbing.
+  * Images decode for real through `javax.imageio` (JDK built-in — PNG,
+  * JPEG, GIF, BMP): dimensions plus an 8-dim feature vector (channel
+  * means + quadrant luma means). Bytes no reader recognizes (audio/video
+  * — no JDK codec exists) fall back to `decodeStub`, a deterministic
+  * fake, so the pipeline shape stays testable end-to-end; swap the stub
+  * for ffmpeg bindings without touching the plumbing.
   */
 object Multimodal {
 
@@ -26,9 +27,10 @@ object Multimodal {
       StructField("duration_ms", LongType),
       StructField("codec", StringType))))))
 
-  /** ==== STUB ==== deterministic fake decode: derives plausible metadata
-    * and a small feature vector from the byte content. Replace with a real
-    * codec; the signature (bytes → (meta, features)) is the contract. */
+  /** ==== STUB ==== deterministic fake decode for bytes no JDK image
+    * reader recognizes (audio/video): derives plausible metadata and a
+    * small feature vector from the byte content. The signature
+    * (bytes → (w, h, features)) is the codec contract. */
   private def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     val h = java.util.Arrays.hashCode(bytes)
     val width = 64 + math.abs(h % 1024)
@@ -38,9 +40,53 @@ object Multimodal {
     (width, height, features)
   }
 
+  /** Real image decode via javax.imageio. Features: mean R, G, B, then
+    * mean luma of the four quadrants, then overall mean luma — all in
+    * [0, 1]. Deterministic pixel math (no codec state), so the same bytes
+    * featurize identically on every executor. */
+  private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val sums = new Array[Double](3)
+      val quad = new Array[Double](4)
+      val quadN = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sums(0) += r; sums(1) += g; sums(2) += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          val qi = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quad(qi) += luma; quadN(qi) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val feats = new Array[Float](8)
+      var i = 0
+      while (i < 3) { feats(i) = (sums(i) / (n * 255.0)).toFloat; i += 1 }
+      i = 0
+      while (i < 4) {
+        feats(3 + i) =
+          if (quadN(i) == 0) 0f else (quad(i) / (quadN(i) * 255.0)).toFloat
+        i += 1
+      }
+      feats(7) = ((quad.sum) / (n * 255.0)).toFloat
+      (w, h, feats)
+    }
+  }
+
   /** Decode + feature-extract over binary content, batched per partition
     * (the Scala analog of mapInPandas: one iterator pass per partition,
-    * no per-row task overhead, executor-local codec state). */
+    * no per-row task overhead, executor-local codec state). Projects
+    * (id, content) before the partition hop so the columnar scan prunes
+    * every other column. */
   def decodeAndFeaturize(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
@@ -48,15 +94,42 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("features", ArrayType(FloatType))))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      // per-partition init hook: a real codec would allocate its native
-      // context here, once per task, not per row
+    val projected = df.select(col(idCol).cast("long").as("media_id"), col(binCol))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      // per-partition init hook: a non-JDK codec would allocate its
+      // native context here, once per task, not per row
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val (w, h, feats) = decodeStub(bytes)
-        Row(r.getLong(idIdx), w, h, feats.toSeq)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, feats) = decodeImage(bytes).getOrElse(decodeStub(bytes))
+        Row(r.getLong(0), w, h, feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** PNG-encode a solid-gray tile per row: real bytes for the real codec
+    * (width/height/gray derived from the id — analytically checkable
+    * downstream). Batched per partition like the decode side. */
+  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    val projected = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + (id % 16).toInt
+        val h = 8 + ((id / 16) % 16).toInt
+        val gray = (id % 256).toInt
+        val im = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (gray << 16) | (gray << 8) | gray
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { im.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, "png", bos)
+        Row(id, bos.toByteArray)
       }
     }
     spark.createDataFrame(rdd, outSchema)

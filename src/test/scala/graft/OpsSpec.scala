@@ -120,4 +120,21 @@ class OpsSpec extends AnyFunSuite {
     val wh = decoded.select("media_id", "width").as[(Long, Int)].collect().toMap
     assert(wh(1L) == wh(2L))
   }
+
+  test("real PNG codec roundtrip: decoded geometry and luma match the encode") {
+    val ids = spark.range(0, 40).select($"id".as("doc_id"))
+    val media = Multimodal.syntheticPng(ids, "doc_id")
+    val decoded = Multimodal.decodeAndFeaturize(media, "media_id", "content")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getSeq[Float](3))).toMap
+    assert(decoded.size == 40)
+    decoded.foreach { case (id, (w, h, feats)) =>
+      assert(w == 8 + (id % 16).toInt, s"width of $id")
+      assert(h == 8 + ((id / 16) % 16).toInt, s"height of $id")
+      val gray = (id % 256).toDouble / 255.0
+      // solid tile: every channel mean and every quadrant luma = gray
+      feats.foreach(f => assert(math.abs(f - gray) < 1e-6,
+        s"feature of $id: $f vs $gray"))
+    }
+  }
 }
