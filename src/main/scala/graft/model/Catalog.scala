@@ -69,12 +69,23 @@ final case class Catalog(
 
   /** Physical scan for a model. Filters/pruning applied later compose into
     * this scan via Catalyst pushdown (PushedFilters/ReadSchema at the file
-    * source), so the scan itself stays unprojected here. */
+    * source), so the scan itself stays unprojected here.
+    *
+    * File-backed scans memoize driver-side: `spark.read.parquet` re-lists
+    * files and re-reads footers on every call (~100 ms measured) — paid
+    * per compile otherwise, which alone busts the tens-of-ms plan-build
+    * contract. Table/temp-view sources are NOT cached (their definitions
+    * can be replaced mid-session); SqlView caches only when file-backed. */
   def scan(spark: SparkSession, m: Model): DataFrame = m.source match {
     case ModelSource.Parquet(pattern) =>
-      spark.read.parquet(pattern.replace("{dir}", dataDir))
-    case ModelSource.Table(t)   => spark.table(t)
-    case ModelSource.SqlView(s) => spark.sql(s)
+      val path = pattern.replace("{dir}", dataDir)
+      Catalog.scanCache.computeIfAbsent((spark, "parquet", path),
+        _ => spark.read.parquet(path))
+    case ModelSource.Table(t) => spark.table(t)
+    case ModelSource.SqlView(s) =>
+      if (s.contains("parquet.`"))
+        Catalog.scanCache.computeIfAbsent((spark, "sql", s), _ => spark.sql(s))
+      else spark.sql(s)
   }
 
   def withDataDir(dir: String): Catalog = copy(dataDir = dir)
@@ -95,6 +106,17 @@ final case class Catalog(
         case _ => throw new IllegalArgumentException(s"Bad metric ref '$ref'")
       }
     }
+}
+
+object Catalog {
+  /** Driver-side memo of file-backed scan frames, keyed by (session,
+    * kind, path/sql). The underlying files in an analytics lake are
+    * immutable partitions; call [[invalidateScans]] if a path is
+    * rewritten in place. */
+  private[model] val scanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def invalidateScans(): Unit = scanCache.clear()
 }
 
 /** Plan-time validation (reference: core/validation.py + security.py:61). */

@@ -1,0 +1,37 @@
+package graft
+
+import graft.gen.Generator
+import graft.plan.SemanticQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-build (compile) latency guard — mirror of the reference's
+  * tests/optimizations/test_compile_benchmark.py:80-84: median of 50
+  * cold compiles must stay under the same 40 ms ceiling. Each iteration
+  * varies the filter literal so the LRU plan cache never hits; what's
+  * measured is real composition work (graph walk, expression parsing,
+  * DataFrame plan build), not execution. */
+class CompileLatencySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("plan-build median < 40 ms over 50 cold compiles") {
+    val gen = new Generator(spark, TpchCatalog.build(TestSpark.sfDir))
+    def query(i: Int) = SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.order_count",
+        "orders.avg_order_value"),
+      dimensions = Seq("customer.mktsegment", "orders.orderstatus"),
+      filters = Seq(s"orders.totalprice > ${1000 + i}"),
+      orderBy = Seq("mktsegment", "orderstatus"))
+
+    (0 until 5).foreach(i => gen.plan(query(-i - 1))) // warm-up
+    val timings = (0 until 50).map { i =>
+      val t0 = System.nanoTime()
+      gen.plan(query(i))
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val median = timings(timings.length / 2)
+    val p95 = timings((timings.length * 0.95).toInt - 1)
+    info(f"compile latency: median=$median%.2f ms p95=$p95%.2f ms (n=${timings.length})")
+    assert(median < 40.0,
+      f"compile median $median%.2f ms exceeded the 40 ms ceiling")
+  }
+}
