@@ -664,6 +664,122 @@ object SparkEntry {
         orderBy = Seq("country"))), "avg_order_value")
     }),
 
+    // ninth external adapter: Snowflake Cortex Analyst semantic model —
+    // base_table binding, measures with default_aggregation, a
+    // table-scoped aggregate metric, and a many_to_one relationship
+    "q_adapter_snowflake" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "orders")
+            s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+               |  cast(o_totalprice as decimal(18,2)) AS price
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey, c_mktsegment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.SnowflakeAdapter.loadString(
+        """name: tpch
+          |tables:
+          |  - name: sf_orders
+          |    base_table: { database: d, schema: s, table: orders }
+          |    primary_key: { columns: [o_orderkey] }
+          |    dimensions:
+          |      - name: status
+          |        expr: o_orderstatus
+          |        data_type: varchar
+          |      - name: o_custkey
+          |        data_type: number
+          |    measures:
+          |      - name: revenue
+          |        expr: price
+          |        default_aggregation: sum
+          |    metrics:
+          |      - name: order_count
+          |        expr: COUNT(DISTINCT o_orderkey)
+          |  - name: sf_customer
+          |    base_table: { database: d, schema: s, table: customer }
+          |    primary_key: { columns: [c_custkey] }
+          |    dimensions:
+          |      - name: segment
+          |        expr: c_mktsegment
+          |        data_type: varchar
+          |relationships:
+          |  - name: orders_to_customer
+          |    left_table: sf_orders
+          |    right_table: sf_customer
+          |    relationship_columns:
+          |      - left_column: o_custkey
+          |        right_column: c_custkey
+          |    relationship_type: many_to_one
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("sf_orders.revenue", "sf_orders.order_count"),
+        dimensions = Seq("sf_customer.segment"),
+        orderBy = Seq("segment")))
+    }),
+
+    // tenth external adapter: OSI (Open Semantic Interchange) — dialect
+    // expressions, dataset relationships, and graph-level aggregate
+    // metrics attributed to their dataset
+    "q_adapter_osi" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "orders")
+            s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               |  cast(o_totalprice as decimal(18,2)) AS amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS customer_id, c_mktsegment AS segment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.OsiAdapter.loadString(
+        """version: "0.2.0.dev0"
+          |semantic_model:
+          |  - name: tpch
+          |    datasets:
+          |      - name: osi_orders
+          |        source: db.public.orders
+          |        primary_key: [order_id]
+          |        fields:
+          |          - name: customer_id
+          |            expression:
+          |              dialects:
+          |                - dialect: ANSI_SQL
+          |                  expression: customer_id
+          |      - name: osi_customers
+          |        source: db.public.customers
+          |        primary_key: [customer_id]
+          |        fields:
+          |          - name: segment
+          |            expression:
+          |              dialects:
+          |                - dialect: ANSI_SQL
+          |                  expression: segment
+          |    relationships:
+          |      - name: o2c
+          |        from: osi_orders
+          |        to: osi_customers
+          |        from_columns: [customer_id]
+          |        to_columns: [customer_id]
+          |    metrics:
+          |      - name: total_revenue
+          |        expression:
+          |          dialects:
+          |            - dialect: ANSI_SQL
+          |              expression: SUM(osi_orders.amount)
+          |      - name: order_count
+          |        expression:
+          |          dialects:
+          |            - dialect: ANSI_SQL
+          |              expression: COUNT(DISTINCT osi_orders.order_id)
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("osi_orders.total_revenue", "osi_orders.order_count"),
+        dimensions = Seq("osi_customers.segment"),
+        orderBy = Seq("segment")))
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -1414,6 +1530,20 @@ object SparkEntry {
         |  count(*) AS order_count,
         |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
         |    / cast(count(*) as double), 4) AS average_order_value
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_snowflake" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS order_count
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_osi" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS total_revenue,
+        |  count(DISTINCT o.o_orderkey) AS order_count
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
