@@ -780,6 +780,92 @@ object SparkEntry {
         orderBy = Seq("segment")))
     }),
 
+    // eleventh external adapter: AtScale SML — single-object YAML files,
+    // level-attribute dimensions, calculation_method metrics, and a
+    // model-object relationship resolved through the dimension's level
+    "q_adapter_atscale" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "orders_t")
+            s"""SELECT o_orderkey, o_custkey, o_orderpriority,
+               |  cast(o_totalprice as decimal(18,2)) AS amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey, c_mktsegment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.AtScaleSmlAdapter.load(Seq(
+        """unique_name: fact_orders
+          |object_type: dataset
+          |table: orders_t
+          |columns:
+          |  - name: o_orderkey
+          |    data_type: int
+          |  - name: amount
+          |    data_type: decimal(18,2)
+          |""".stripMargin,
+        """unique_name: dim_cust
+          |object_type: dataset
+          |table: customer_t
+          |columns:
+          |  - name: c_custkey
+          |    data_type: int
+          |  - name: c_mktsegment
+          |    data_type: string
+          |""".stripMargin,
+        """unique_name: customer_dimension
+          |object_type: dimension
+          |type: standard
+          |hierarchies:
+          |  - unique_name: h
+          |    levels:
+          |      - unique_name: cust_key
+          |      - unique_name: segment
+          |level_attributes:
+          |  - unique_name: cust_key
+          |    dataset: dim_cust
+          |    name_column: c_custkey
+          |    key_columns: [c_custkey]
+          |  - unique_name: segment
+          |    dataset: dim_cust
+          |    name_column: c_mktsegment
+          |    key_columns: [c_custkey]
+          |""".stripMargin,
+        """unique_name: total_amount
+          |object_type: metric
+          |calculation_method: sum
+          |dataset: fact_orders
+          |column: amount
+          |""".stripMargin,
+        """unique_name: order_count
+          |object_type: metric
+          |calculation_method: count non-null
+          |dataset: fact_orders
+          |column: o_orderkey
+          |""".stripMargin,
+        """unique_name: avg_order_value
+          |object_type: metric_calc
+          |expression: "[Measures].[total_amount] / [Measures].[order_count]"
+          |""".stripMargin,
+        """unique_name: sales_model
+          |object_type: model
+          |relationships:
+          |  - unique_name: o2c
+          |    from:
+          |      dataset: fact_orders
+          |      join_columns: [o_custkey]
+          |    to:
+          |      dimension: customer_dimension
+          |      level: cust_key
+          |""".stripMargin), resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+        .addGraphMetric(imp.graphMetrics: _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("fact_orders.total_amount", "fact_orders.order_count",
+          "avg_order_value"),
+        dimensions = Seq("dim_cust.segment"),
+        orderBy = Seq("segment"))), "avg_order_value")
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -1544,6 +1630,15 @@ object SparkEntry {
       """SELECT c.c_mktsegment AS segment,
         |  sum(cast(o.o_totalprice as decimal(18,2))) AS total_revenue,
         |  count(DISTINCT o.o_orderkey) AS order_count
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_atscale" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS total_amount,
+        |  count(o.o_orderkey) AS order_count,
+        |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(o.o_orderkey) as double), 4) AS avg_order_value
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
