@@ -866,6 +866,55 @@ object SparkEntry {
         orderBy = Seq("segment"))), "avg_order_value")
     }),
 
+    // twelfth external adapter: GoodData declarative LDM — attributes,
+    // facts, grain primary key, and a dataset reference join
+    "q_adapter_gooddata" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "orders_t")
+            s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               |  cast(o_totalprice as decimal(18,2)) AS amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS customer_id, c_mktsegment AS segment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.GoodDataAdapter.loadString(
+        """{"ldm": {"datasets": [
+          |  {"id": "gd_orders",
+          |   "dataSourceTableId": {"id": "orders_t"},
+          |   "grain": [{"id": "order_id", "type": "attribute"}],
+          |   "attributes": [
+          |     {"id": "order_id", "sourceColumn": "order_id",
+          |      "sourceColumnDataType": "INT"},
+          |     {"id": "customer_id", "sourceColumn": "customer_id",
+          |      "sourceColumnDataType": "INT"}],
+          |   "facts": [
+          |     {"id": "amount", "sourceColumn": "amount",
+          |      "sourceColumnDataType": "NUMERIC"}],
+          |   "aggregatedFacts": [
+          |     {"id": "max_amount", "sourceColumn": "amount",
+          |      "sourceFactReference": {"operation": "MAX",
+          |        "reference": {"id": "amount", "type": "fact"}}}],
+          |   "references": [
+          |     {"identifier": {"id": "gd_customers", "type": "dataset"},
+          |      "sources": [{"column": "customer_id",
+          |        "target": {"id": "customer_id", "type": "attribute"}}]}]},
+          |  {"id": "gd_customers",
+          |   "dataSourceTableId": {"id": "customer_t"},
+          |   "grain": [{"id": "customer_id", "type": "attribute"}],
+          |   "attributes": [
+          |     {"id": "customer_id", "sourceColumn": "customer_id",
+          |      "sourceColumnDataType": "INT"},
+          |     {"id": "segment", "sourceColumn": "segment",
+          |      "sourceColumnDataType": "STRING"}]}
+          |]}}""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("gd_orders.amount", "gd_orders.max_amount"),
+        dimensions = Seq("gd_customers.segment"),
+        orderBy = Seq("segment")))
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -1639,6 +1688,13 @@ object SparkEntry {
         |  count(o.o_orderkey) AS order_count,
         |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
         |    / cast(count(o.o_orderkey) as double), 4) AS avg_order_value
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_gooddata" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS amount,
+        |  max(cast(o.o_totalprice as decimal(18,2))) AS max_amount
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
