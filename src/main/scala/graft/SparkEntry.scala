@@ -915,6 +915,58 @@ object SparkEntry {
         orderBy = Seq("segment")))
     }),
 
+    // thirteenth external adapter: Power BI TMDL — indentation-parsed
+    // tables, sourceColumn mapping, DAX measures (SUM/COUNTROWS/DIVIDE
+    // with a measure-reference composition), and a relationship block
+    "q_adapter_tmdl" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "Sales")
+            s"""SELECT o_orderkey AS SaleID, o_custkey AS CustKey,
+               |  cast(o_totalprice as decimal(18,2)) AS Amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS CustKey, c_mktsegment AS Segment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.TmdlAdapter.load(Seq(
+        """table Sales
+          |    column 'Sale ID'
+          |        dataType: int64
+          |        isKey
+          |        sourceColumn: SaleID
+          |    column CustKey
+          |        dataType: int64
+          |        sourceColumn: CustKey
+          |    column Amount
+          |        dataType: decimal
+          |        sourceColumn: Amount
+          |    measure total_sales = SUM(Sales[Amount])
+          |    measure order_count = COUNTROWS(Sales)
+          |    measure avg_sale = DIVIDE([total_sales], [order_count])
+          |""".stripMargin,
+        """table Customers
+          |    column CustKey
+          |        dataType: int64
+          |        isKey
+          |        sourceColumn: CustKey
+          |    column Segment
+          |        dataType: string
+          |        sourceColumn: Segment
+          |""".stripMargin,
+        """relationship 'Sales-Customers'
+          |    fromColumn: Sales[CustKey]
+          |    toColumn: Customers[CustKey]
+          |    fromCardinality: many
+          |    toCardinality: one
+          |""".stripMargin), resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("Sales.total_sales", "Sales.order_count",
+          "Sales.avg_sale"),
+        dimensions = Seq("Customers.Segment"),
+        orderBy = Seq("Segment"))), "avg_sale")
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -1695,6 +1747,15 @@ object SparkEntry {
       """SELECT c.c_mktsegment AS segment,
         |  sum(cast(o.o_totalprice as decimal(18,2))) AS amount,
         |  max(cast(o.o_totalprice as decimal(18,2))) AS max_amount
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_tmdl" ->
+      """SELECT c.c_mktsegment AS Segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS total_sales,
+        |  count(*) AS order_count,
+        |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
+        |    / cast(count(*) as double), 4) AS avg_sale
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -1,0 +1,376 @@
+package graft.adapters
+
+import graft.load.YamlLoader
+import graft.model._
+
+/** Importer for Power BI TMDL semantic models (reference:
+  * sidemantic/adapters/tmdl.py + tmdl_parser.py + crates/dax-parser;
+  * fixtures tests/fixtures/ tmdl, tmdl_realistic, external_powerbi).
+  *
+  * TMDL is an indentation-structured text format, one object per block:
+  *   - `table NAME` with `column` (dataType, sourceColumn, isKey),
+  *     `calculatedColumn NAME = <dax>`, `measure NAME = <dax>` (single
+  *     line, continuation lines, or triple-backtick blocks), partitions
+  *     and annotations (binding is by table name — partition M scripts
+  *     are not executable here)
+  *   - `calculatedTable NAME = <dax>` declares its columns the same way;
+  *     the DAX table expression is not executable, so the table binds by
+  *     name like a base table
+  *   - `relationship` blocks with `fromColumn: 'T'[Col]` /
+  *     `toColumn:` and cardinalities → join edges on the FROM table
+  *     (column names resolve through sourceColumn to physical columns)
+  *
+  * Measures translate through a DAX subset — the executable core of the
+  * reference's Rust DAX parser:
+  *   - `SUM/MIN/MAX/AVERAGE/DISTINCTCOUNT/COUNT('T'[Col])` →
+  *     aggregations; `COUNTROWS(T)` → count(*)
+  *   - `DIVIDE(a, b[, alt])` → `a / NULLIF(b, 0)` composition
+  *   - `[Other Measure]` references → derived metrics over them
+  *   - arithmetic over the above stays derived
+  * Measures using CALCULATE, time intelligence, VAR/RETURN, or other
+  * non-translatable DAX are imported as NON-PUBLIC derived stubs
+  * carrying their DAX verbatim (round-trip fidelity without claiming
+  * executability) — the reference keeps them queryable only through its
+  * own DAX engine, which has no Spark equivalent.
+  */
+object TmdlAdapter {
+
+  final case class Imported(models: Seq[Model])
+
+  /** Load a PBIP-style definition directory (model.tmdl, the tables
+    * directory, relationships.tmdl). */
+  def loadDirectory(dir: String,
+      resolve: YamlLoader.TableResolver = YamlLoader.defaultResolver): Imported = {
+    val defDir = {
+      val d = new java.io.File(dir)
+      val nested = new java.io.File(d, "definition")
+      if (nested.isDirectory) nested else d
+    }
+    def read(f: java.io.File): String =
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val tableFiles = Option(new java.io.File(defDir, "tables").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".tmdl")).sortBy(_.getName)
+    val relFile = new java.io.File(defDir, "relationships.tmdl")
+    val texts = tableFiles.toSeq.map(read) ++
+      (if (relFile.isFile) Seq(read(relFile)) else Nil)
+    load(texts, resolve)
+  }
+
+  def load(texts: Seq[String],
+      resolve: YamlLoader.TableResolver = YamlLoader.defaultResolver): Imported = {
+    val blocks = texts.flatMap(parseBlocks)
+    val tables = blocks.collect { case t: TableBlock => t }
+    val rels = blocks.collect { case r: RelBlock => r }
+
+    // TMDL column name → physical column, per table
+    val colMap: Map[String, Map[String, String]] = tables.map(t =>
+      t.name -> t.columns.map(c => c.name -> c.source).toMap).toMap
+    def physical(table: String, col: String): String =
+      colMap.getOrElse(table, Map.empty).getOrElse(col, col)
+
+    val models = tables.map { t =>
+      val dims = t.columns.map { c =>
+        val isTime = Set("date", "datetime").contains(c.dataType)
+        Dimension(c.name,
+          if (isTime) DimType.Time
+          else if (Set("int64", "decimal", "double").contains(c.dataType))
+            DimType.Numeric
+          else if (c.dataType == "boolean") DimType.Bool
+          else DimType.Categorical,
+          sql = Some(c.source).filter(_ != c.name),
+          granularity = if (isTime) Some(if (c.dataType == "date") "day" else "second") else None,
+          public = !c.hidden)
+      } ++ t.calcColumns.flatMap { cc =>
+        daxToSql(cc.expr, t.name, t.measureNames).map(sql =>
+          Dimension(cc.name, DimType.Numeric, sql = Some(sql)))
+      }
+      val metrics = t.measures.flatMap { m =>
+        measureToMetric(m.name, m.expr, t.name, t.measureNames)
+      }
+      val myRels = rels.filter(_.fromTable == t.name).map { r =>
+        Relationship(r.toTable,
+          if (r.toCardinality == "one") "many_to_one" else "many_to_many",
+          foreignKey = Seq(physical(r.fromTable, r.fromCol)),
+          primaryKey = Seq(physical(r.toTable, r.toCol)))
+      }
+      Model(name = t.name, source = resolve(t.name),
+        primaryKey = t.columns.filter(_.isKey).map(_.source),
+        dimensions = dims, metrics = metrics, relationships = myRels)
+    }
+    // parameter/annotation-only helper tables carry nothing executable
+    Imported(models.filter(m => m.dimensions.nonEmpty || m.metrics.nonEmpty))
+  }
+
+  // ------------------------------------------------------------------
+  // TMDL text structure
+  // ------------------------------------------------------------------
+
+  private final case class Col(name: String, dataType: String,
+      source: String, isKey: Boolean, hidden: Boolean)
+  private final case class CalcCol(name: String, expr: String)
+  private final case class Meas(name: String, expr: String)
+  private sealed trait Block
+  private final case class TableBlock(name: String, columns: Seq[Col],
+      calcColumns: Seq[CalcCol], measures: Seq[Meas]) extends Block {
+    def measureNames: Set[String] = measures.map(_.name).toSet
+  }
+  private final case class RelBlock(fromTable: String, fromCol: String,
+      toTable: String, toCol: String, toCardinality: String) extends Block
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'') t.substring(1, t.length - 1)
+    else t
+  }
+
+  // external PBIP repos indent with tabs, the docs' examples with
+  // spaces; a tab counts as one level like any other indent char
+  private def indentOf(l: String): Int =
+    l.takeWhile(c => c == ' ' || c == '\t').length
+
+  private def parseBlocks(text: String): Seq[Block] = {
+    val lines = text.split('\n').toVector
+      .filterNot(l => l.trim.startsWith("#") || l.trim.startsWith("///"))
+    var out = Vector.empty[Block]
+    var i = 0
+    val TableRe = raw"^(table|calculatedTable)\s+('[^']+'|\S+)\s*(=.*)?$$".r
+    val RelRe = raw"^relationship\s+(.*)$$".r
+    while (i < lines.length) {
+      val l = lines(i)
+      if (indentOf(l) == 0 && l.trim.nonEmpty) l.trim match {
+        case TableRe(_, rawName, _) =>
+          val (block, next) = blockLines(lines, i)
+          out :+= parseTable(unquote(rawName), block)
+          i = next
+        case RelRe(_) =>
+          val (block, next) = blockLines(lines, i)
+          parseRel(block).foreach(out :+= _)
+          i = next
+        case _ =>
+          val (_, next) = blockLines(lines, i) // model/database/expression
+          i = next
+      } else i += 1
+    }
+    out
+  }
+
+  /** The header line plus every following line with greater indent. */
+  private def blockLines(lines: Vector[String], start: Int): (Vector[String], Int) = {
+    var i = start + 1
+    while (i < lines.length &&
+        (lines(i).trim.isEmpty || indentOf(lines(i)) > 0)) i += 1
+    (lines.slice(start, i), i)
+  }
+
+  private val PropRe = raw"^([A-Za-z]\w*)\s*:\s*(.*)$$".r
+  private val ColRe = raw"^column\s+('[^']+'|\S+)\s*$$".r
+  private val CalcColRe = raw"^calculatedColumn\s+('[^']+'|\S+)\s*=\s*(.*)$$".r
+  private val MeasureRe = raw"^measure\s+('[^']+'|\S+)\s*=\s*(.*)$$".r
+  /** Property keys that terminate a continued measure expression. */
+  private val MeasureProps = Set("formatString", "displayFolder", "description",
+    "lineageTag", "isHidden", "formatStringDefinition", "dataType",
+    "annotation", "changedProperty", "sortByColumn", "dataCategory")
+
+  private def parseTable(name: String, block: Vector[String]): TableBlock = {
+    var cols = Vector.empty[Col]
+    var calcCols = Vector.empty[CalcCol]
+    var measures = Vector.empty[Meas]
+    var i = 1
+    while (i < block.length) {
+      val t = block(i).trim
+      val ind = indentOf(block(i))
+      t match {
+        case ColRe(rawName) =>
+          // collect properties at deeper indent
+          var dataType = "string"; var source = unquote(rawName)
+          var isKey = false; var hidden = false
+          var j = i + 1
+          while (j < block.length && (block(j).trim.isEmpty || indentOf(block(j)) > ind)) {
+            block(j).trim match {
+              case PropRe("dataType", v)     => dataType = v.trim.toLowerCase
+              case PropRe("sourceColumn", v) => source = unquote(v.trim)
+              case "isKey"                   => isKey = true
+              case "isHidden"                => hidden = true
+              case _                         => ()
+            }
+            j += 1
+          }
+          cols :+= Col(unquote(rawName), dataType, source, isKey, hidden)
+          i = j
+        case CalcColRe(rawName, expr) =>
+          calcCols :+= CalcCol(unquote(rawName), expr.trim)
+          i += 1
+        case MeasureRe(rawName, firstExpr) =>
+          val (expr, next) = measureExpr(block, i, ind, firstExpr.trim)
+          measures :+= Meas(unquote(rawName), expr)
+          i = next
+        case _ => i += 1
+      }
+    }
+    TableBlock(name, cols, calcCols, measures)
+  }
+
+  /** A measure expression: rest of the line, a triple-backtick block, or
+    * continuation lines deeper than the measure that aren't properties. */
+  private def measureExpr(block: Vector[String], start: Int, ind: Int,
+      firstExpr: String): (String, Int) = {
+    var i = start + 1
+    if (firstExpr.startsWith("```")) {
+      val sb = new StringBuilder
+      while (i < block.length && !block(i).trim.startsWith("```")) {
+        sb.append(block(i).trim).append(' '); i += 1
+      }
+      if (i < block.length) i += 1 // closing fence
+      return (sb.toString.trim, i)
+    }
+    val sb = new StringBuilder(firstExpr)
+    var continuing = true
+    while (continuing && i < block.length) {
+      val t = block(i).trim
+      val deeper = t.isEmpty || indentOf(block(i)) > ind
+      val isProp = t match {
+        case PropRe(k, _) => MeasureProps(k)
+        case _ => t == "isHidden" || t.startsWith("annotation") ||
+          raw"^(changedProperty|extendedProperty)\s*=".r.findFirstIn(t).isDefined
+      }
+      if (deeper && !isProp && t.nonEmpty) { sb.append(' ').append(t); i += 1 }
+      else if (deeper && isProp) {
+        // skip remaining property lines of this measure
+        while (i < block.length && (block(i).trim.isEmpty || indentOf(block(i)) > ind)) i += 1
+        continuing = false
+      } else continuing = false
+    }
+    (sb.toString.trim, i)
+  }
+
+  private def parseRel(block: Vector[String]): Option[RelBlock] = {
+    var fromT = ""; var fromC = ""; var toT = ""; var toC = ""
+    var toCard = "one"
+    val ColRef = raw"('[^']+'|[^'\[\s]+)\[([^\]]+)\]".r
+    block.foreach(l => l.trim match {
+      case PropRe("fromColumn", v) => ColRef.findFirstMatchIn(v).foreach { m =>
+        fromT = unquote(m.group(1)); fromC = m.group(2) }
+      case PropRe("toColumn", v) => ColRef.findFirstMatchIn(v).foreach { m =>
+        toT = unquote(m.group(1)); toC = m.group(2) }
+      case PropRe("toCardinality", v) => toCard = v.trim
+      case _ => ()
+    })
+    if (fromT.nonEmpty && toT.nonEmpty) Some(RelBlock(fromT, fromC, toT, toC, toCard))
+    else None
+  }
+
+  // ------------------------------------------------------------------
+  // DAX subset → metrics
+  // ------------------------------------------------------------------
+
+  private val DaxAggs = Map("sum" -> "sum", "min" -> "min", "max" -> "max",
+    "average" -> "avg", "distinctcount" -> "count_distinct",
+    "count" -> "count", "counta" -> "count", "median" -> "median")
+
+  /** Translate a DAX measure body. Lone aggregate → native metric;
+    * composition (DIVIDE, arithmetic, measure refs) → derived; anything
+    * else → a non-public derived stub with the DAX verbatim. */
+  private def measureToMetric(name: String, dax: String, table: String,
+      measureNames: Set[String]): Seq[Metric] = {
+    val lone = raw"(?i)^\s*([a-z]+)\s*\(\s*(.*?)\s*\)\s*$$".r
+    dax match {
+      case lone(fn, arg) if DaxAggs.contains(fn.toLowerCase) &&
+          !arg.exists(c => c == '(' || c == ',') =>
+        columnRef(arg, table) match {
+          case Some(col) =>
+            Seq(Metric(name, agg = Some(DaxAggs(fn.toLowerCase)),
+              sql = Some(ident(col))))
+          case None => opaque(name, dax)
+        }
+      case lone(fn, arg) if fn.equalsIgnoreCase("countrows") &&
+          unquote(arg.trim) == table =>
+        Seq(Metric(name, agg = Some("count")))
+      case _ =>
+        daxToSql(dax, table, measureNames) match {
+          case Some(sql) => Seq(Metric(name, metricType = Some("derived"),
+            sql = Some(sql)))
+          case None => opaque(name, dax)
+        }
+    }
+  }
+
+  private def opaque(name: String, dax: String): Seq[Metric] =
+    Seq(Metric(name, metricType = Some("derived"), sql = Some(dax),
+      public = false))
+
+  private def containsDaxOnly(s: String): Boolean =
+    (raw"(?i)\b(CALCULATE|CALCULATETABLE|VAR|RETURN|FILTER|ALL|ALLEXCEPT|" +
+      raw"SAMEPERIODLASTYEAR|DATESYTD|DATESMTD|DATEADD|DATESINPERIOD|" +
+      raw"SUMMARIZE|SUMMARIZECOLUMNS|SELECTEDVALUE|SWITCH|RELATED|" +
+      raw"RELATEDTABLE|RANKX|EARLIER|FORMAT|USERELATIONSHIP|TREATAS|" +
+      raw"SUMX|AVERAGEX|MINX|MAXX|COUNTX|CONCATENATEX|TOPN|VALUES|" +
+      raw"ISFILTERED|HASONEVALUE|TOTALYTD|TOTALMTD|TOTALQTD)\b")
+      .r.findFirstIn(s).isDefined
+
+  /** Quote a name for SQL when it is not a plain identifier. */
+  private def ident(n: String): String =
+    if (raw"^[A-Za-z_]\w*$$".r.matches(n)) n else s"`$n`"
+
+  /** `'Table'[Col]` / `Table[Col]` (same table) / `[Col]`? → physical
+    * column expression; None when it references another table. */
+  private def columnRef(ref: String, table: String): Option[String] = {
+    val ColRef = raw"^\s*('[^']+'|[A-Za-z_]\w*)?\s*\[([^\]]+)\]\s*$$".r
+    ref match {
+      case ColRef(t, col) if t == null || unquote(t) == table => Some(col)
+      case _ => None
+    }
+  }
+
+  /** Expression-level DAX → SQL: aggregate calls inline, DIVIDE lowers
+    * to null-safe division, [Measure] refs become metric names. None
+    * when non-translatable constructs remain. */
+  private[adapters] def daxToSql(dax: String, table: String,
+      measureNames: Set[String]): Option[String] = {
+    if (containsDaxOnly(dax)) return None
+    var s = dax
+    // 'Table'[Col] / Table[Col] → Col (same table only; backticked when
+    // the name is not a plain identifier so the SQL side parses it as
+    // one attribute)
+    val tq = java.util.regex.Pattern.quote(table)
+    s = (raw"(?i)(?:'$tq'|$tq)\s*\[([^\]]+)\]").r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(ident(m.group(1))))
+    // [Measure Name] / [Col] shorthand → bare (possibly backticked) name
+    s = raw"(?<!\w)\[([^\]]+)\]".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(ident(m.group(1))))
+    if (s.contains("[")) return None // cross-table reference remains
+    // DIVIDE(a, b) → (a) / NULLIF(b, 0)
+    var changed = true
+    while (changed) {
+      changed = false
+      val idx = s.toLowerCase.indexOf("divide(")
+      if (idx >= 0 && (idx == 0 || !s(idx - 1).isLetterOrDigit)) {
+        val open = idx + 6
+        var depth = 0; var i = open; var close = -1
+        var commas = Vector.empty[Int]
+        while (i < s.length && close < 0) {
+          s(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case ',' if depth == 1 => commas :+= i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (close > 0 && commas.nonEmpty) {
+          val a = s.substring(open + 1, commas.head).trim
+          val b = s.substring(commas.head + 1,
+            commas.lift(1).getOrElse(close)).trim
+          s = s.substring(0, idx) + s"(($a) / NULLIF($b, 0))" + s.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    // COUNTROWS(Table) → COUNT(*)
+    s = (raw"(?i)\bCOUNTROWS\s*\(\s*(?:'$tq'|$tq)\s*\)").r
+      .replaceAllIn(s, "COUNT(*)")
+    // aggregate spellings
+    s = raw"(?i)\bAVERAGE\s*\(".r.replaceAllIn(s, "AVG(")
+    s = raw"(?i)\bDISTINCTCOUNT\s*\(".r.replaceAllIn(s, "COUNT(DISTINCT ")
+    Some(s.replaceAll(raw"\s+", " ").trim)
+  }
+}
