@@ -967,6 +967,66 @@ object SparkEntry {
         orderBy = Seq("Segment"))), "avg_sale")
     }),
 
+    // fourteenth external adapter: ThoughtSpot model TML — flattened
+    // join source, formula inlining, and the TML aggregation map
+    "q_adapter_thoughtspot" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "orders")
+            s"""SELECT o_orderkey AS id, o_custkey AS customer_id,
+               |  cast(o_totalprice as decimal(18,2)) AS amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS id, c_mktsegment AS segment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.ThoughtSpotAdapter.loadString(
+        """guid: "m1"
+          |export_schema_version: "2"
+          |model:
+          |  name: ts_sales
+          |  model_tables:
+          |    - name: orders
+          |      fqn: DB.PUBLIC.orders
+          |      joins:
+          |        - with: customers
+          |          on: "[orders::customer_id] = [customers::id]"
+          |          type: LEFT_OUTER
+          |          cardinality: MANY_TO_ONE
+          |    - name: customers
+          |      fqn: DB.PUBLIC.customers
+          |  formulas:
+          |    - name: double_amount
+          |      expr: "[orders::amount] * 2"
+          |      id: da
+          |  columns:
+          |    - name: segment
+          |      column_id: customers::segment
+          |      properties:
+          |        column_type: ATTRIBUTE
+          |    - name: revenue
+          |      column_id: orders::amount
+          |      properties:
+          |        column_type: MEASURE
+          |        aggregation: SUM
+          |    - name: order_count
+          |      column_id: orders::id
+          |      properties:
+          |        column_type: MEASURE
+          |        aggregation: COUNT_DISTINCT
+          |    - name: double_revenue
+          |      formula_id: da
+          |      properties:
+          |        column_type: MEASURE
+          |        aggregation: SUM
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("ts_sales.revenue", "ts_sales.order_count",
+          "ts_sales.double_revenue"),
+        dimensions = Seq("ts_sales.segment"),
+        orderBy = Seq("segment")))
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -1756,6 +1816,14 @@ object SparkEntry {
         |  count(*) AS order_count,
         |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
         |    / cast(count(*) as double), 4) AS avg_sale
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_thoughtspot" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(DISTINCT o.o_orderkey) AS order_count,
+        |  sum(cast(o.o_totalprice as decimal(18,2)) * 2) AS double_revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
