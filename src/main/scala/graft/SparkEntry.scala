@@ -1027,6 +1027,50 @@ object SparkEntry {
         orderBy = Seq("segment")))
     }),
 
+    // fifteenth external adapter: BSL (boring-semantic-layer) — ibis
+    // deferred expressions, boolean aggregation, with-shorthand join
+    "q_adapter_bsl" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "orders_t")
+            s"""SELECT o_orderkey AS id, o_custkey AS customer_id,
+               |  o_orderstatus AS status,
+               |  cast(o_totalprice as decimal(18,2)) AS amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS id, c_mktsegment AS segment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.BslAdapter.loadString(
+        """bsl_orders:
+          |  table: orders_t
+          |  primary_key: id
+          |  dimensions:
+          |    status: _.status
+          |    customer_id: _.customer_id
+          |  measures:
+          |    order_count: _.count()
+          |    revenue: _.amount.sum()
+          |    final_count: (_.status == "F").sum()
+          |  joins:
+          |    customer:
+          |      model: bsl_customers
+          |      type: one
+          |      with: _.customer_id
+          |bsl_customers:
+          |  table: customer_t
+          |  primary_key: id
+          |  dimensions:
+          |    id: _.id
+          |    segment: _.segment
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("bsl_orders.revenue", "bsl_orders.order_count",
+          "bsl_orders.final_count"),
+        dimensions = Seq("bsl_customers.segment"),
+        orderBy = Seq("segment")))
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -1824,6 +1868,14 @@ object SparkEntry {
         |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
         |  count(DISTINCT o.o_orderkey) AS order_count,
         |  sum(cast(o.o_totalprice as decimal(18,2)) * 2) AS double_revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_bsl" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count,
+        |  sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS final_count
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
