@@ -1071,6 +1071,78 @@ object SparkEntry {
         orderBy = Seq("segment")))
     }),
 
+    // sixteenth external adapter: Holistics AML — brace DSL, @sql
+    // definitions, dataset-activated relationship
+    "q_adapter_holistics" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "orders_t")
+            s"""SELECT o_orderkey AS id, o_custkey AS user_id,
+               |  cast(o_totalprice as decimal(18,2)) AS amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS id, c_mktsegment AS segment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.HolisticsAdapter.load(Seq(
+        """Model h_orders {
+          |  type: 'table'
+          |  table_name: 'orders_t'
+          |  dimension id {
+          |    type: 'number'
+          |    primary_key: true
+          |  }
+          |  dimension user_id {
+          |    type: 'number'
+          |  }
+          |  measure order_count {
+          |    type: 'number'
+          |    definition: @sql {{ id }};;
+          |    aggregation_type: 'count'
+          |  }
+          |  measure revenue {
+          |    type: 'number'
+          |    definition: @sql {{ amount }};;
+          |    aggregation_type: 'sum'
+          |  }
+          |  measure aov {
+          |    type: 'number'
+          |    definition: @sql {{ revenue }} / NULLIF({{ order_count }}, 0);;
+          |    aggregation_type: 'custom'
+          |  }
+          |}
+          |Model h_users {
+          |  type: 'table'
+          |  table_name: 'customer_t'
+          |  dimension id {
+          |    type: 'number'
+          |    primary_key: true
+          |  }
+          |  dimension segment {
+          |    type: 'text'
+          |  }
+          |}
+          |Dataset d {
+          |  models: [h_orders, h_users]
+          |  relationships: [
+          |    RelationshipConfig {
+          |      active: true
+          |      rel: Relationship {
+          |        type: 'many_to_one'
+          |        from: r(h_orders.user_id)
+          |        to: r(h_users.id)
+          |      }
+          |    }
+          |  ]
+          |}
+          |""".stripMargin), resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("h_orders.revenue", "h_orders.order_count",
+          "h_orders.aov"),
+        dimensions = Seq("h_users.segment"),
+        orderBy = Seq("segment"))), "aov")
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -1876,6 +1948,15 @@ object SparkEntry {
         |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
         |  count(*) AS order_count,
         |  sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS final_count
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_holistics" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(o.o_orderkey) AS order_count,
+        |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
+        |    / cast(nullif(count(o.o_orderkey), 0) as double), 4) AS aov
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
