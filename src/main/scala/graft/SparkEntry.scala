@@ -1143,6 +1143,46 @@ object SparkEntry {
         orderBy = Seq("segment"))), "aov")
     }),
 
+    // seventeenth external adapter: Malloy — source blocks, filtered
+    // count refinement, join_one ... with
+    "q_adapter_malloy" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "orders")
+            s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               |  o_orderstatus AS status,
+               |  cast(o_totalprice as decimal(18,2)) AS amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS customer_id, c_mktsegment AS region
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.MalloyAdapter.loadString(
+        """source: m_orders is duckdb.table('orders.parquet') extend {
+          |  primary_key: order_id
+          |  dimension:
+          |    status is status
+          |    customer_id is customer_id
+          |  measure:
+          |    order_count is count()
+          |    revenue is sum(amount)
+          |    final_orders is count() { where: status = 'F' }
+          |  join_one: m_customers with customer_id
+          |}
+          |source: m_customers is duckdb.table('customers.parquet') extend {
+          |  primary_key: customer_id
+          |  dimension:
+          |    customer_id is customer_id
+          |    region is region
+          |}
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("m_orders.revenue", "m_orders.order_count",
+          "m_orders.final_orders"),
+        dimensions = Seq("m_customers.region"),
+        orderBy = Seq("region")))
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -1957,6 +1997,14 @@ object SparkEntry {
         |  count(o.o_orderkey) AS order_count,
         |  round(cast(sum(cast(o.o_totalprice as decimal(18,2))) as double)
         |    / cast(nullif(count(o.o_orderkey), 0) as double), 4) AS aov
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_malloy" ->
+      """SELECT c.c_mktsegment AS region,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count,
+        |  count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS final_orders
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
