@@ -1183,6 +1183,45 @@ object SparkEntry {
         orderBy = Seq("region")))
     }),
 
+    // eighteenth external adapter: Graphene .gsql — typed columns,
+    // computed-dimension inlining, order-independent derived composition
+    "q_adapter_graphene" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = t =>
+        graft.model.ModelSource.SqlView(
+          if (t == "g_orders")
+            s"""SELECT o_orderkey AS order_id, o_custkey AS user_id,
+               |  o_orderstatus AS status,
+               |  cast(o_totalprice as decimal(18,2)) AS amount
+               |FROM parquet.`$d/orders.parquet`""".stripMargin
+          else
+            s"""SELECT c_custkey AS id, c_mktsegment AS segment
+               |FROM parquet.`$d/customer.parquet`""".stripMargin)
+      val imp = graft.adapters.GrapheneAdapter.load(Seq(
+        """table g_orders (
+          |  order_id INT64
+          |  user_id INT64
+          |  status STRING
+          |  amount FLOAT64
+          |
+          |  join one g_users on user_id = g_users.id
+          |
+          |  is_final: status = 'F'
+          |  revenue: sum(amount)
+          |  final_revenue: sum(case when is_final then amount else 0 end)
+          |)
+          |""".stripMargin,
+        """table g_users (
+          |  id INT64
+          |  segment STRING
+          |)
+          |""".stripMargin), resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("g_orders.revenue", "g_orders.final_revenue"),
+        dimensions = Seq("g_users.segment"),
+        orderBy = Seq("segment")))
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -2005,6 +2044,15 @@ object SparkEntry {
         |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
         |  count(*) AS order_count,
         |  count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS final_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_graphene" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
+        |  sum(CASE WHEN o.o_orderstatus = 'F'
+        |      THEN cast(o.o_totalprice as decimal(18,2)) ELSE 0 END)
+        |    AS final_revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
