@@ -249,6 +249,8 @@ object YardstickAdapter {
     case f: UnresolvedFunction if f.orderingWithinGroup.nonEmpty =>
       s"${f.nameParts.mkString(".")}(${f.arguments.map(exprSql).mkString(", ")})" +
         s" WITHIN GROUP (ORDER BY ${f.orderingWithinGroup.map(_.sql).mkString(", ")})"
-    case other => other.sql
+    // WindowExpression.sql leaks the internal UnspecifiedFrame marker,
+    // which means "default frame" — drop it so the SQL re-parses
+    case other => other.sql.replaceAll(raw"\s*unspecifiedframe\$$\(\)", "")
   }
 }

@@ -679,8 +679,11 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
       GraftSqlBridge.column(e).as(n) }
     if (single && !rollupMode) {
       // fast path: plain-visible calls aggregate in the main groupBy
+      // (window measures always take the join-back path — they evaluate
+      // over context rows, not inside an aggregation)
       val (inl, rest) = frameCalls.partition { case (_, _, c, ctx) =>
-        ctx.isPlain && (!c.raw || filters.isEmpty) }
+        ctx.isPlain && (!c.raw || filters.isEmpty) &&
+          !isWindowMeasure(sides(0).model.get, c.measure) }
       frameCalls = rest
       inlineAggCols = inlineAggCols ++ inl.map { case (mk, _, c, _) =>
         measureAgg(sides(0).model.get, c.measure).as(mk) }
@@ -710,7 +713,7 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
       val side = sides(si)
       val model = side.model.getOrElse(throw new IllegalArgumentException(
         s"measure '${c.measure}' on non-model relation '${side.relName}'"))
-      val agg = measureAgg(model, c.measure).as(mk)
+      val window = isWindowMeasure(model, c.measure)
 
       // grouping keys that map into this side: its own, or the join
       // partner of another side's key
@@ -735,6 +738,34 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
       val baseDf = baseFrame(model)
       val routed = sideFilters(si)
 
+      // one sub-frame: keep keys + the measure value. Aggregating
+      // measures group-and-aggregate; WINDOW measures evaluate their
+      // window over the context rows and must be single-valued per
+      // group (paper semantics — multiple values raise at runtime)
+      def subFrame(ctxDf: DataFrame,
+          keepCols: Vector[(KeyDef, String)]): DataFrame =
+        if (!window) {
+          val agg = measureAgg(model, c.measure).as(mk)
+          if (keepCols.isEmpty) ctxDf.agg(agg)
+          else ctxDf.groupBy(keepCols.map { case (k, t) =>
+            expr(t).as(k.name) }: _*).agg(agg)
+        } else {
+          val winSql = model.metric(c.measure).flatMap(_.sql).getOrElse(
+            throw new IllegalArgumentException(
+              s"window measure '${c.measure}' has no sql"))
+          val valued = ctxDf.withColumn(mk, expr(winSql))
+          val guard = when(col("__gw_mn") <=> col("__gw_mx"), col("__gw_mn"))
+            .otherwise(raise_error(lit(s"Window measure ${c.measure} " +
+              "returned multiple values for the evaluation context"))).as(mk)
+          if (keepCols.isEmpty)
+            valued.agg(min(col(mk)).as("__gw_mn"), max(col(mk)).as("__gw_mx"))
+              .select(guard)
+          else valued.groupBy(keepCols.map { case (k, t) =>
+              expr(t).as(k.name) }: _*)
+            .agg(min(col(mk)).as("__gw_mn"), max(col(mk)).as("__gw_mx"))
+            .select(keepCols.map { case (k, _) => col(k.name) } :+ guard: _*)
+        }
+
       if (unresolvable.nonEmpty) {
         // SET on an ungrouped dim: a single-valued WHERE equality can pin
         // it (CURRENT semantics); otherwise the context is ambiguous → NULL
@@ -758,7 +789,7 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
               s"($value)"))
             val keepFilters = routed.filterNot(f => norm(f).contains(dimN))
             val ctxDf = keepFilters.foldLeft(baseDf)((df, f) => df.filter(expr(f)))
-            val sub = ctxDf.filter(expr(dimText) === target).agg(agg)
+            val sub = subFrame(ctxDf.filter(expr(dimText) === target), Vector.empty)
             grouped = grouped.crossJoin(broadcast(sub))
           case _ =>
             grouped = grouped.withColumn(mk, lit(null).cast("double"))
@@ -773,10 +804,9 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
           }
         val ctxDf = subFilters.foldLeft(baseDf)((df, f) => df.filter(expr(f)))
         if (keep.isEmpty) {
-          grouped = grouped.crossJoin(broadcast(ctxDf.agg(agg)))
+          grouped = grouped.crossJoin(broadcast(subFrame(ctxDf, Vector.empty)))
         } else {
-          val sub = ctxDf
-            .groupBy(keep.map { case (k, t) => expr(t).as(k.name) }: _*).agg(agg)
+          val sub = subFrame(ctxDf, keep)
           val gsAlias = s"__gs_$i"
           val conds = keep.map { case (k, t) =>
             ctx.sets.get(norm(t)).orElse(ctx.sets.get(norm(k.name))) match {
@@ -854,6 +884,12 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
   // ------------------------------------------------------------------
   // measure lowering
   // ------------------------------------------------------------------
+
+  /** A derived measure whose SQL is a window expression: evaluates over
+    * context rows, never inside an aggregation. */
+  private def isWindowMeasure(model: Model, name: String): Boolean =
+    model.metric(name).exists(m => m.metricType.contains("derived") &&
+      m.sql.exists(s => raw"(?i)\bOVER\s*\(".r.findFirstIn(s).isDefined))
 
   /** Lower a measure to its aggregation Column; derived measures expand
     * over their components recursively; raw-SQL measures (CASE-over-SUM,
