@@ -447,11 +447,11 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
       case _ => return None
     }
 
-    var filters = Seq.empty[String]
+    var filterExprs = Seq.empty[Expression]
     var src = src0
     var walking = true
     while (walking) src match {
-      case f: Filter => filters :+= f.condition.sql; src = f.child
+      case f: Filter => filterExprs :+= f.condition; src = f.child
       case _         => walking = false
     }
 
@@ -598,8 +598,18 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
     // HAVING participates in extraction too
     val havingExpr = havingCond.map(ex(_))
 
-    Some(build(sides, pairs, keys, outputs, ex, filters, rollupMode,
-      havingExpr, sorts, limit))
+    // WHERE conditions may carry correlated measure predicates (paper
+    // Listing 12): extract their calls too; plain conditions stay text
+    var filters = Seq.empty[String]
+    var measureFilters = Seq.empty[Expression]
+    filterExprs.foreach { fe =>
+      val extracted = ex(fe)
+      if (ex.hasMarker(extracted)) measureFilters :+= extracted
+      else filters :+= fe.sql
+    }
+
+    Some(build(sides, pairs, keys, outputs, ex, filters, measureFilters,
+      rollupMode, havingExpr, sorts, limit))
   }
 
   private def unalias(item: Expression): (Expression, Option[String]) = item match {
@@ -628,7 +638,8 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
 
   private def build(sides: Vector[SideDef], pairs: Vector[(String, String)],
       keys: Vector[KeyDef], outputs: Vector[(String, Item)], ex: Extractor,
-      filters: Seq[String], rollupMode: Boolean,
+      filters: Seq[String], measureFilters: Seq[Expression],
+      rollupMode: Boolean,
       havingExpr: Option[Expression], sorts: Seq[SortOrder],
       limit: Option[Int]): DataFrame = {
 
@@ -660,8 +671,57 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
         }.reduce(_ && _)
         l.join(r, cond, "inner")
       }
-    val rowRel = filters.foldLeft(rowRel0)((df, f) =>
+    var rowRel = filters.foldLeft(rowRel0)((df, f) =>
       df.filter(expr(if (single) sides(0).strip(f) else f)))
+
+    // ---- correlated measure predicates in WHERE (paper Listing 12):
+    // `WHERE o.revenue > o.avgRevenue AT (WHERE prodName = o.prodName)` —
+    // each call's AT (WHERE dim = o.dim) correlation becomes a grouped
+    // sub-aggregate joined onto the ROW relation, then the predicate
+    // filters rows before any grouping ----
+    measureFilters.foreach { fe =>
+      val markers = fe.collect {
+        case ua: UnresolvedAttribute if ex.markerSide.contains(ua.nameParts.last) =>
+          ua.nameParts.last
+      }.distinct
+      markers.foreach { mk =>
+        val (_, si, call) = ex.calls.find(_._1 == mk).get
+        val side = sides(si)
+        val model = side.model.getOrElse(throw new IllegalArgumentException(
+          s"measure filter on non-model relation '${side.relName}'"))
+        val agg = measureAgg(model, call.measure).as(mk)
+        val baseDf = baseFrame(model)
+        // correlation shape: dim = <qual>.dim (qual ∈ this side's names)
+        val corr = call.mods.collectFirst {
+          case WherePred(p) =>
+            raw"^\s*(\w+)\s*=\s*(\w+)\.(\w+)\s*$$".r.findFirstMatchIn(p.trim)
+              .filter(m => side.quals.contains(m.group(2).toLowerCase))
+              .map(m => (m.group(1), m.group(3)))
+        }.flatten
+        corr match {
+          case Some((subDim, outerCol)) =>
+            val sub = baseDf.groupBy(expr(subDim).as(s"__mf_$mk")).agg(agg)
+            rowRel = rowRel.join(broadcast(sub),
+              expr(if (single) outerCol else s"${sideAliasName(si)}.$outerCol")
+                <=> col(s"__mf_$mk"), "left").drop(s"__mf_$mk")
+          case None =>
+            // uncorrelated (scalar context over base rows)
+            val scalarCtx = call.mods.collectFirst { case WherePred(p) =>
+              side.strip(p) }
+            val sub = scalarCtx.map(p => baseDf.filter(expr(p)))
+              .getOrElse(baseDf).agg(agg)
+            rowRel = rowRel.crossJoin(broadcast(sub))
+        }
+      }
+      val cond = if (single) stripAttrQuals(fe, sides(0).quals) else fe
+      rowRel = rowRel.filter(GraftSqlBridge.column(cond))
+        .drop(markers: _*)
+    }
+    // calls consumed by WHERE predicates don't join onto the grouped frame
+    val whereMarkers = measureFilters.flatMap(_.collect {
+      case ua: UnresolvedAttribute if ex.markerSide.contains(ua.nameParts.last) =>
+        ua.nameParts.last
+    }).toSet
 
     // ---- grouped frame over the row relation ----
     val keyCols = keys.map { k =>
@@ -673,8 +733,8 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
       case (name, ExprItem(_, e)) if !ex.hasMarker(e) && hasInlineAgg(e) =>
         (name, if (single) stripAttrQuals(e, sides(0).quals) else e)
     }
-    var frameCalls = ex.calls.map { case (mk, si, c) =>
-      (mk, si, c, foldMods(c.mods, sides(si).strip)) }
+    var frameCalls = ex.calls.filterNot(c => whereMarkers(c._1))
+      .map { case (mk, si, c) => (mk, si, c, foldMods(c.mods, sides(si).strip)) }
     var inlineAggCols = inlineItems.map { case (n, e) =>
       GraftSqlBridge.column(e).as(n) }
     if (single && !rollupMode) {
