@@ -1222,6 +1222,31 @@ object SparkEntry {
         orderBy = Seq("segment")))
     }),
 
+    // Semantic SQL DDL (SURVEY §2 row 60): the MODEL/DIMENSION/METRIC
+    // statement form loads through SqlModelLoader and plans normally
+    "q_sql_ddl" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             |  cast(o_totalprice as decimal(18,2)) AS amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val models = graft.load.SqlModelLoader.parse(
+        """MODEL (name ddl_orders, table orders, primary_key o_orderkey);
+          |DIMENSION (name orderstatus, sql o_orderstatus);
+          |DIMENSION (name priority, sql o_orderpriority);
+          |METRIC (name revenue, agg sum, sql amount);
+          |METRIC (name order_count, agg count);
+          |METRIC (name urgent_revenue, agg sum, sql amount,
+          |  filters "o_orderpriority = '1-URGENT'");
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("ddl_orders.revenue", "ddl_orders.order_count",
+          "ddl_orders.urgent_revenue"),
+        dimensions = Seq("ddl_orders.orderstatus"),
+        orderBy = Seq("orderstatus")))
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -2055,6 +2080,14 @@ object SparkEntry {
         |    AS final_revenue
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_ddl" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN cast(o_totalprice as decimal(18,2)) END) AS urgent_revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_yardstick" ->
       """WITH g AS (

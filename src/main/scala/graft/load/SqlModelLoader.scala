@@ -111,6 +111,8 @@ object SqlModelLoader {
               sql = props.get("sql").orElse(props.get("expr"))
                 .orElse(props.get("expression")),
               metricType = props.get("type"),
+              filters = props.get("filters").orElse(props.get("filter"))
+                .toSeq.flatMap(filterList),
               numerator = props.get("numerator"),
               denominator = props.get("denominator"),
               baseMetric = props.get("base_metric"),
@@ -139,6 +141,30 @@ object SqlModelLoader {
   }
 
   /** Split on top-level ';' (outside parens/quotes). */
+  /** `filters "a = 1"` or `filters ["a = 1", "b = 2"]` → predicate list
+    * (reference dialect: METRIC filters property). */
+  private def filterList(v: String): Seq[String] = {
+    val t = v.trim
+    val inner = if (t.startsWith("[") && t.endsWith("]"))
+      t.substring(1, t.length - 1) else t
+    // split on commas outside quotes
+    var out = Vector.empty[String]
+    val cur = new StringBuilder
+    var inStr = false; var q = ' '
+    inner.foreach { c =>
+      if (inStr) { cur.append(c); if (c == q) inStr = false }
+      else if (c == '\'' || c == '"') { inStr = true; q = c; cur.append(c) }
+      else if (c == ',') { out :+= cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    if (cur.nonEmpty) out :+= cur.toString
+    out.map(_.trim).map { f =>
+      if (f.length >= 2 && (f.head == '"' || f.head == '\'') && f.last == f.head)
+        f.substring(1, f.length - 1)
+      else f
+    }.filter(_.nonEmpty)
+  }
+
   private def splitStatements(s: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
     var depth = 0; var inQ = false; val cur = new StringBuilder
