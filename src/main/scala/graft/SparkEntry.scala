@@ -2051,7 +2051,7 @@ object SparkEntry {
       """SELECT c.c_mktsegment AS segment,
         |  sum(cast(o.o_totalprice as decimal(18,2))) AS revenue,
         |  count(*) AS order_count,
-        |  sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS final_count
+        |  count(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS final_count
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

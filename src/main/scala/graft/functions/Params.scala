@@ -51,6 +51,10 @@ object Params {
 
   private def evalCond(cond: String, ctx: Map[String, String]): Boolean = {
     val t = cond.trim
+    // compound conditions are outside the supported subset — reject loudly
+    // rather than evaluating `a and b` as one unknown-variable lookup
+    require(raw"(?i)(^|\s)(and|or)(\s|$$)".r.findFirstIn(t).isEmpty,
+      s"unsupported template condition (and/or not in the Jinja subset): $t")
     val cmp = raw"^(\w+)\s*(==|!=)\s*'([^']*)'$$".r
     t match {
       case cmp(v, op, lit) =>
@@ -76,6 +80,11 @@ object Params {
         changed = true
         val cond = m.group(1)
         val body = m.group(2)
+        // the non-greedy match stops at the FIRST endif, so a nested
+        // {% if %} inside the body means the pairing is wrong — the
+        // subset is intentionally flat; refuse rather than mis-render
+        require(raw"\{%\s*if\b".r.findFirstIn(body).isEmpty,
+          s"unsupported template: nested {% if %} blocks are not in the Jinja subset")
         // split on top-level elif/else
         val parts = raw"(?s)\{%\s*(elif\s+.*?|else)\s*%\}".r
           .split(body)
@@ -89,6 +98,10 @@ object Params {
           }.getOrElse(""))
       })
     }
+    // anything {% ... %} still standing is an unmatched endif or a
+    // construct (for/macro/…) outside the subset — refuse, don't emit
+    require(raw"\{%".r.findFirstIn(out).isEmpty,
+      s"unsupported template: unmatched or unsupported {% ... %} block: $out")
     // {{ var }} substitution
     ctx.foldLeft(out) { case (acc, (k, v)) =>
       acc.replaceAll(raw"\{\{\s*" + java.util.regex.Pattern.quote(k) + raw"\s*\}\}",

@@ -112,11 +112,27 @@ object Catalog {
   /** Driver-side memo of file-backed scan frames, keyed by (session,
     * kind, path/sql). The underlying files in an analytics lake are
     * immutable partitions; call [[invalidateScans]] if a path is
-    * rewritten in place. */
-  private[model] val scanCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    * rewritten in place (a dataDir change produces a different key, so it
+    * needs no invalidation). LRU-bounded so a long-lived process hosting
+    * many sessions cannot pin unbounded plans; [[invalidateScans(spark)]]
+    * releases a closing session's entries (the cached frames hold their
+    * session strongly, so eviction is what makes it collectable). */
+  private val MaxScanEntries = 256
+  private[model] val scanCache: java.util.Map[(SparkSession, String, String), DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean =
+          size() > MaxScanEntries
+      })
 
   def invalidateScans(): Unit = scanCache.clear()
+
+  /** Drop every cached scan belonging to one session (call on session close). */
+  def invalidateScans(spark: SparkSession): Unit = scanCache.synchronized {
+    val it = scanCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
 }
 
 /** Plan-time validation (reference: core/validation.py + security.py:61). */

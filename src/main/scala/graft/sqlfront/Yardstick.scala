@@ -112,29 +112,54 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
   // WITH queries: each CTE → temp view, then the main body
   // ------------------------------------------------------------------
 
+  /** WITH handling. CTE views are registered under their declared names so
+    * body references resolve, but any pre-existing temp view of the same
+    * name is captured first and restored afterwards (spark.sql analyzes
+    * eagerly, so the returned DataFrame keeps its resolved plan after the
+    * CTE views are gone). A WITH shape outside the supported subset (e.g. a
+    * column-alias list `WITH x (a,b) AS (...)`) returns None so SqlFront
+    * falls back to Spark's own parser instead of throwing.
+    */
   private def withCtes(text: String): Option[DataFrame] = {
     val masked = maskForScan(text)
     if (raw"(?is)^\s*WITH\b".r.findFirstIn(masked).isEmpty) return None
-    var i = masked.indexWhere(!_.isWhitespace) + 4 // past WITH
-    var more = true
-    while (more) {
-      while (i < text.length && text(i).isWhitespace) i += 1
-      val ns = i
-      while (i < text.length && (text(i).isLetterOrDigit || text(i) == '_')) i += 1
-      val name = text.substring(ns, i)
-      while (i < text.length && text(i).isWhitespace) i += 1
-      require(text.regionMatches(true, i, "AS", 0, 2), s"expected AS in WITH: $text")
-      i += 2
-      while (i < text.length && text(i).isWhitespace) i += 1
-      require(i < text.length && text(i) == '(', s"expected ( in WITH: $text")
-      val close = matchingClose(masked, i)
-      require(close > 0, s"unbalanced WITH in: $text")
-      rewriteOrSpark(text.substring(i + 1, close)).createOrReplaceTempView(name)
-      i = close + 1
-      while (i < text.length && text(i).isWhitespace) i += 1
-      if (i < text.length && text(i) == ',') { i += 1 } else more = false
+    // (name, prior temp-view frame if one was shadowed)
+    var created = List.empty[(String, Option[DataFrame])]
+    def restore(): Unit = created.foreach { case (name, prior) =>
+      prior match {
+        case Some(df) => df.createOrReplaceTempView(name)
+        case None     => spark.catalog.dropTempView(name)
+      }
     }
-    Some(rewriteOrSpark(text.substring(i)))
+    try {
+      var i = masked.indexWhere(!_.isWhitespace) + 4 // past WITH
+      var more = true
+      while (more) {
+        while (i < text.length && text(i).isWhitespace) i += 1
+        val ns = i
+        while (i < text.length && (text(i).isLetterOrDigit || text(i) == '_')) i += 1
+        val name = text.substring(ns, i)
+        while (i < text.length && text(i).isWhitespace) i += 1
+        if (name.isEmpty || !text.regionMatches(true, i, "AS", 0, 2))
+          return None // unsupported WITH shape → Spark parser (finally restores)
+        i += 2
+        while (i < text.length && text(i).isWhitespace) i += 1
+        if (i >= text.length || text(i) != '(') return None
+        val close = matchingClose(masked, i)
+        if (close < 0) return None
+        val prior =
+          if (spark.catalog.tableExists(name) &&
+              spark.catalog.getTable(name).isTemporary)
+            Some(spark.table(name))
+          else None
+        rewriteOrSpark(text.substring(i + 1, close)).createOrReplaceTempView(name)
+        created = (name, prior) :: created
+        i = close + 1
+        while (i < text.length && text(i).isWhitespace) i += 1
+        if (i < text.length && text(i) == ',') { i += 1 } else more = false
+      }
+      Some(rewriteOrSpark(text.substring(i)))
+    } finally restore()
   }
 
   // ------------------------------------------------------------------
@@ -653,12 +678,41 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
       sides(i).alias.getOrElse(sides(i).relName)
 
     // filters routed to a side's measure context: in single-side mode all
-    // of them (qualifiers stripped); in join mode only the ones that
-    // qualify into that side
+    // of them (qualifiers stripped); in join mode those whose referenced
+    // columns resolve into that side — qualified refs by alias, unqualified
+    // refs by unique ownership of the column in one side's base frame
+    // (ambiguous or unknown unqualified refs raise rather than silently
+    // dropping the predicate from the measure context)
+    val sideColsLower: Vector[Set[String]] =
+      if (single) Vector.empty
+      else sides.indices.map(i =>
+        sideBase(i).columns.map(_.toLowerCase).toSet).toVector
+    val filterOwners: Seq[(String, Set[Int])] =
+      if (single) Nil
+      else filters.map { f =>
+        val refs = GraftSqlBridge.parser(spark).parseExpression(f).collect {
+          case ua: UnresolvedAttribute => ua
+        }
+        val owners = refs.flatMap { ua =>
+          if (ua.nameParts.size > 1) {
+            val i = sides.indexWhere(_.quals.contains(ua.nameParts.head.toLowerCase))
+            if (i >= 0) Seq(i) else Seq.empty
+          } else {
+            val os = sides.indices.filter(i =>
+              sideColsLower(i).contains(ua.nameParts.last.toLowerCase))
+            if (os.isEmpty) throw new IllegalArgumentException(
+              s"filter column '${ua.nameParts.mkString(".")}' resolves to no side of the join")
+            if (os.size > 1) throw new IllegalArgumentException(
+              s"ambiguous unqualified filter column '${ua.nameParts.mkString(".")}' in a join query; qualify it")
+            os
+          }
+        }.toSet
+        (f, owners)
+      }
     def sideFilters(i: Int): Seq[String] =
       if (single) filters.map(sides(i).strip)
-      else filters.filter(f => sides(i).quals.exists(q =>
-          f.toLowerCase.contains(q + "."))).map(sides(i).strip)
+      else filterOwners.collect { case (f, owners) if owners.contains(i) =>
+        sides(i).strip(f) }
 
     // ---- row relation (joined base rows, WHERE applied) ----
     val rowRel0 =

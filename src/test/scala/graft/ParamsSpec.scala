@@ -52,6 +52,25 @@ class ParamsSpec extends AnyFunSuite {
     assert(Params.render("{% if not flag %}off{% endif %}", Map.empty) == "off")
   }
 
+  test("templates outside the subset are refused, not silently mis-rendered") {
+    // nested if: the flat non-greedy matcher would mis-pair endifs
+    intercept[IllegalArgumentException] {
+      Params.render("{% if a %}X{% if b %}Y{% endif %}Z{% endif %}",
+        Map("a" -> "true", "b" -> "true"))
+    }
+    // compound conditions are not evaluated as unknown-variable lookups
+    intercept[IllegalArgumentException] {
+      Params.render("{% if a and b %}X{% endif %}", Map("a" -> "true"))
+    }
+    // a stray endif (or any other {% %} construct) is refused
+    intercept[IllegalArgumentException] {
+      Params.render("head {% endif %} tail", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Params.render("{% for x in xs %}{{ x }}{% endfor %}", Map.empty)
+    }
+  }
+
   test("declared typed parameter quotes itself; injection value returns no rows") {
     spark.sql(
       """SELECT * FROM VALUES (1, 'pending', 10.0), (2, 'completed', 20.0),
