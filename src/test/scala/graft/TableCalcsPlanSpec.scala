@@ -1,0 +1,83 @@
+package graft
+
+import graft.gen.TableCalcs
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The global (no-partition) table calcs must not funnel the frame
+  * through a single-partition WindowExec — they decompose into
+  * range-partition + broadcast-offset plans (TableCalcs Scaladoc). This
+  * pins both the plan shape on the driver queries and the value-level
+  * equivalence of the decomposition against the plain single-window
+  * forms, including nulls, ties, zeros, and the N=1 percentile edge. */
+class TableCalcsPlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def partitionlessWindows(df: DataFrame): Seq[WindowExec] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+
+  test("tablecalc driver queries plan no single-partition window") {
+    Seq("q_topn", "q_tablecalc_pct", "q_tablecalc_running",
+        "q_tablecalc_rank", "q_tablecalc_moving_avg").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val bad = partitionlessWindows(df)
+      assert(bad.isEmpty,
+        s"$name plans a partition-less WindowExec:\n${bad.mkString("\n")}")
+      assert(df.collect().nonEmpty, s"$name returned no rows")
+    }
+  }
+
+  test("distributed global calcs match single-window reference semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Option(10.0)), (2, Option.empty[Double]), (3, Option(5.0)),
+      (4, Option(5.0)), (5, Option(0.0)), (6, Option(20.0)),
+      (7, Option.empty[Double]), (8, Option(1.0))
+    ).toDF("id", "v")
+    def byId(d: DataFrame, c: String): Map[Int, Option[Any]] =
+      d.select("id", c).collect()
+        .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+
+    val wOrd = Window.orderBy("id")
+    val expRun = df.withColumn("x", sum($"v").over(
+      wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(byId(TableCalcs.runningTotal(df, "v", Seq("id"), "x"), "x")
+      == byId(expRun, "x"), "running_total")
+
+    val expMav = df.withColumn("x",
+      avg($"v".cast("double")).over(wOrd.rowsBetween(-2L, Window.currentRow)))
+    assert(byId(TableCalcs.movingAverage(df, "v", Seq("id"), 3, "x"), "x")
+      == byId(expMav, "x"), "moving_average")
+
+    val prev = lag($"v", 1).over(wOrd).cast("double")
+    val expPop = df.withColumn("x",
+      ($"v".cast("double") - prev) * 100 / when(prev =!= 0, prev))
+    assert(byId(TableCalcs.percentOfPrevious(df, "v", Seq("id"), "x"), "x")
+      == byId(expPop, "x"), "percent_of_previous")
+
+    val expRank = df.withColumn("x", rank().over(Window.orderBy($"v".desc)))
+    assert(byId(TableCalcs.rankBy(df, "v", "x"), "x")
+      == byId(expRank, "x"), "rank (ties share rank)")
+
+    val expPct = df.withColumn("x", percent_rank().over(Window.orderBy($"v")))
+    assert(byId(TableCalcs.percentileOf(df, "v", "x"), "x")
+      == byId(expPct, "x"), "percent_rank")
+
+    val expTot = df.withColumn("x",
+      $"v".cast("double") * 100 / sum($"v").over(Window.partitionBy()).cast("double"))
+    assert(byId(TableCalcs.percentOfTotal(df, "v", "x"), "x")
+      == byId(expTot, "x"), "percent_of_total")
+
+    // N=1 edge: percent_rank of a single row is 0.0, not null
+    val one = Seq((1, 42.0)).toDF("id", "v")
+    assert(byId(TableCalcs.percentileOf(one, "v", "x"), "x")
+      == Map(1 -> Some(0.0)), "percent_rank single row")
+  }
+}
