@@ -1247,6 +1247,131 @@ object SparkEntry {
         orderBy = Seq("orderstatus")))
     }),
 
+    // ---- oracle coverage for the formerly ScalaTest-only §2 rows ----
+
+    // §2 row 1: table scan through a registered (temp) table name
+    "q_table_scan" -> ((s, d) => {
+      import graft.model._
+      s.read.parquet(s"$d/orders.parquet").createOrReplaceTempView("tv_orders")
+      val m = Model("tv_orders_model", source = ModelSource.Table("tv_orders"),
+        primaryKey = Seq("o_orderkey"),
+        dimensions = Seq(Dimension("orderstatus", sql = Some("o_orderstatus"))),
+        metrics = Seq(
+          Metric("revenue", agg = Some("sum"),
+            sql = Some("cast(o_totalprice as decimal(18,2))")),
+          Metric("order_count", agg = Some("count"))))
+      new Generator(s, Catalog().add(m)).plan(SemanticQuery(
+        metrics = Seq("tv_orders_model.revenue", "tv_orders_model.order_count"),
+        dimensions = Seq("tv_orders_model.orderstatus"),
+        orderBy = Seq("orderstatus")))
+    }),
+
+    // §2 row 2: derived-table (inline sql) scan as the model source
+    "q_derived_table" -> ((s, d) => {
+      import graft.model._
+      val m = Model("big_orders", source = ModelSource.SqlView(
+        s"SELECT * FROM parquet.`$d/orders.parquet` WHERE o_totalprice > 150000"),
+        primaryKey = Seq("o_orderkey"),
+        dimensions = Seq(Dimension("priority", sql = Some("o_orderpriority"))),
+        metrics = Seq(
+          Metric("revenue", agg = Some("sum"),
+            sql = Some("cast(o_totalprice as decimal(18,2))")),
+          Metric("order_count", agg = Some("count"))))
+      new Generator(s, Catalog().add(m)).plan(SemanticQuery(
+        metrics = Seq("big_orders.revenue", "big_orders.order_count"),
+        dimensions = Seq("big_orders.priority"),
+        orderBy = Seq("priority")))
+    }),
+
+    // §2 row 62: hierarchy drill — the queried dims come from the model's
+    // drillDown/hierarchyPath helpers, not a hand-written list
+    "q_hierarchy_drill" -> ((s, d) => {
+      import graft.model._
+      val m = Model("h_orders",
+        source = ModelSource.Parquet("{dir}/orders.parquet"),
+        primaryKey = Seq("o_orderkey"),
+        dimensions = Seq(
+          Dimension("order_year", sql = Some("year(o_orderdate)")),
+          Dimension("order_month", sql = Some("month(o_orderdate)"),
+            parent = Some("order_year"))),
+        metrics = Seq(Metric("revenue", agg = Some("sum"),
+          sql = Some("cast(o_totalprice as decimal(18,2))"))))
+      val drilled = m.drillDown("order_year").getOrElse(
+        throw new IllegalStateException("no drill-down from order_year"))
+      val path = m.hierarchyPath(drilled) // root→leaf: year, month
+      new Generator(s, Catalog(dataDir = d).add(m)).plan(SemanticQuery(
+        metrics = Seq("h_orders.revenue"),
+        dimensions = path.map("h_orders." + _),
+        orderBy = path))
+    }),
+
+    // §2 row 65: governance metadata listing — lifecycle filtering of the
+    // catalog's field inventory, result encoded as data for the oracle
+    "q_governance" -> ((s, d) => {
+      import graft.model._
+      val m = Model("gv_orders",
+        source = ModelSource.Parquet("{dir}/orders.parquet"),
+        primaryKey = Seq("o_orderkey"),
+        governance = Some(Governance(owner = Some("finance-team"),
+          status = Some("active"), certification = Some("certified"))),
+        metrics = Seq(
+          Metric("revenue", agg = Some("sum"), sql = Some("o_totalprice"),
+            governance = Some(Governance(owner = Some("finance-team"),
+              status = Some("active"), certification = Some("certified")))),
+          Metric("legacy_revenue", agg = Some("sum"), sql = Some("o_totalprice"),
+            governance = Some(Governance(status = Some("deprecated"),
+              replacedBy = Some("revenue")))),
+          Metric("draft_margin", agg = Some("sum"), sql = Some("o_totalprice"),
+            governance = Some(Governance(status = Some("draft")))),
+          Metric("internal_cost", agg = Some("sum"), sql = Some("o_totalprice"),
+            governance = Some(Governance(status = Some("active"),
+              visibility = "internal")))))
+      val cat = Catalog(dataDir = d).add(m)
+      import s.implicits._
+      cat.models.values.toSeq.sortBy(_.name).flatMap { mm =>
+        mm.metrics.map { met =>
+          val g = met.governance
+          (mm.name, met.name,
+            g.flatMap(_.owner).getOrElse(""),
+            g.flatMap(_.status).getOrElse("active"),
+            g.flatMap(_.certification).getOrElse("uncertified"),
+            g.map(_.visibility).getOrElse("public"))
+        }
+      }.toDF("model", "metric", "owner", "status", "certification", "visibility")
+        .filter("status <> 'deprecated' AND visibility = 'public'")
+        .orderBy("model", "metric")
+    }),
+
+    // §2 row 5: incremental pre-agg refresh converges to the full rollup —
+    // build from pre-1997 data only, then refresh at the 1997-01-01
+    // watermark against the full source; the routed query must equal the
+    // full-data aggregate
+    "q_incremental_refresh" -> ((s, d) => {
+      val cat = TpchCatalog.build(d)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_increfresh_${math.abs(d.hashCode)}"
+      val pa = cat.model("orders").preAggregations.head // daily, month parts
+      val stale = cat.add(cat.model("orders").copy(
+        source = graft.model.ModelSource.SqlView(
+          s"SELECT * FROM parquet.`$d/orders.parquet` WHERE o_orderdate < DATE'1997-01-01'")))
+      new graft.preagg.PreAggStore(s, stale, base).materialize("orders", pa)
+      val store = new graft.preagg.PreAggStore(s, cat, base)
+      store.refreshIncremental("orders", pa, "1997-01-01", lookback = 1)
+      val g2 = new Generator(s, cat, Some(store))
+      g2.plan(SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.order_count"),
+        dimensions = Seq("orders.orderstatus", "orders.order_date__month"),
+        orderBy = Seq("orderstatus", "order_date__month")))
+    }),
+
+    // §2 row 6: data-file bootstrap round-trip — introspected models
+    // (auto dimensions, row_count + numeric sums) answer real queries
+    "q_bootstrap" -> ((s, d) => round4(
+      new Generator(s, graft.load.Bootstrap.fromParquetDir(s, d)).plan(
+        SemanticQuery(
+          metrics = Seq("customer.row_count", "customer.total_c_acctbal"),
+          dimensions = Seq("customer.c_mktsegment"),
+          orderBy = Seq("c_mktsegment"))), "total_c_acctbal")),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -2088,6 +2213,47 @@ object SparkEntry {
         |  sum(CASE WHEN o_orderpriority = '1-URGENT'
         |      THEN cast(o_totalprice as decimal(18,2)) END) AS urgent_revenue
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_table_scan" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_derived_table" ->
+      """SELECT o_orderpriority AS priority,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hierarchy_drill" ->
+      """SELECT year(o_orderdate) AS order_year,
+        |  month(o_orderdate) AS order_month,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // metadata listing — the governance-filtered inventory is data; the
+    // oracle pins the expected surviving rows literally
+    "q_governance" ->
+      """SELECT * FROM (VALUES
+        |  ('gv_orders', 'draft_margin', '', 'draft', 'uncertified', 'public'),
+        |  ('gv_orders', 'revenue', 'finance-team', 'active', 'certified', 'public'))
+        |AS t(model, metric, owner, status, certification, visibility)
+        |ORDER BY model, metric""".stripMargin,
+
+    "q_incremental_refresh" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  date_trunc('month', o_orderdate) AS order_date__month,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_bootstrap" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS row_count,
+        |  round(sum(c_acctbal), 4) AS total_c_acctbal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_yardstick" ->
       """WITH g AS (
