@@ -127,7 +127,8 @@ object YamlLoader {
         .map(parseMetric) ++ embedded.flatMap(_.metrics),
       relationships = seqOfMaps(m.get("relationships")).map(parseRelationship),
       segments = seqOfMaps(m.get("segments")).map(s =>
-        Segment(s("name").toString, s("sql").toString)) ++
+        Segment(s("name").toString, s("sql").toString,
+          public = s.get("public").forall(_.toString.toBoolean))) ++
         embedded.flatMap(_.segments),
       defaultTimeDimension = m.get("default_time_dimension").map(_.toString),
       defaultGrain = m.get("default_grain").map(_.toString),
@@ -263,6 +264,9 @@ object YamlLoader {
       metricType = mtype,
       filters = strList(m.get("filters")),
       fillNullsWith = m.get("fill_nulls_with").map(_.toString),
+      label = m.get("label").map(_.toString),
+      public = m.get("public").forall(_.toString.toBoolean),
+      steps = strList(m.get("steps")),
       numerator = m.get("numerator").map(_.toString),
       denominator = m.get("denominator").map(_.toString),
       offsetWindow = m.get("offset_window").map(_.toString),

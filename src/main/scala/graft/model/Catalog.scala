@@ -90,6 +90,67 @@ final case class Catalog(
 
   def withDataDir(dir: String): Catalog = copy(dataDir = dir)
 
+  /** Schema-evolution diff against a prior catalog version (`migrate
+    * check` analog): every removal or redefinition a downstream query
+    * could observe is breaking; additions and metadata-only changes are
+    * not. */
+  def diff(prior: Catalog): Seq[SchemaChange] = {
+    var out = Vector.empty[SchemaChange]
+    def change(kind: String, path: String, breaking: Boolean, detail: String): Unit =
+      out :+= SchemaChange(kind, path, breaking, detail)
+
+    (prior.models.keySet -- models.keySet).toSeq.sorted.foreach(n =>
+      change("model_removed", n, breaking = true, "model no longer defined"))
+    (models.keySet -- prior.models.keySet).toSeq.sorted.foreach(n =>
+      change("model_added", n, breaking = false, "new model"))
+
+    (prior.models.keySet & models.keySet).toSeq.sorted.foreach { n =>
+      val (p, c) = (prior.models(n), models(n))
+      if (p.source != c.source)
+        change("source_changed", n, breaking = true,
+          s"${p.source} -> ${c.source}")
+      if (p.primaryKey != c.primaryKey)
+        change("primary_key_changed", n, breaking = true,
+          s"${p.primaryKey.mkString(",")} -> ${c.primaryKey.mkString(",")}")
+
+      def fieldDiff[A](kind: String, prev: Seq[A], cur: Seq[A], name: A => String,
+          core: A => Any, visible: A => Boolean): Unit = {
+        val pm = prev.map(f => name(f) -> f).toMap
+        val cm = cur.map(f => name(f) -> f).toMap
+        (pm.keySet -- cm.keySet).toSeq.sorted.foreach(f =>
+          change(s"${kind}_removed", s"$n.$f", breaking = true,
+            s"$kind no longer defined"))
+        (cm.keySet -- pm.keySet).toSeq.sorted.foreach(f =>
+          change(s"${kind}_added", s"$n.$f", breaking = false, s"new $kind"))
+        (pm.keySet & cm.keySet).toSeq.sorted.foreach { f =>
+          val (pf, cf) = (pm(f), cm(f))
+          if (visible(pf) && !visible(cf))
+            change(s"${kind}_hidden", s"$n.$f", breaking = true,
+              "public field became non-public")
+          else if (core(pf) != core(cf))
+            change(s"${kind}_redefined", s"$n.$f", breaking = true,
+              "definition changed (results may differ)")
+          else if (pf != cf)
+            change(s"${kind}_metadata", s"$n.$f", breaking = false,
+              "label/governance-only change")
+        }
+      }
+
+      fieldDiff[Dimension]("dimension", p.dimensions, c.dimensions, _.name,
+        d => (d.dimType, d.sql, d.granularity, d.parent), _.public)
+      fieldDiff[Metric]("metric", p.metrics, c.metrics, _.name,
+        m => m.copy(label = None, governance = None), _.public)
+      fieldDiff[Relationship]("relationship", p.relationships, c.relationships,
+        _.to, identity, _ => true)
+      fieldDiff[Segment]("segment", p.segments, c.segments, _.name,
+        s => s.sql, _.public)
+    }
+    out
+  }
+
+  def breakingChanges(prior: Catalog): Seq[SchemaChange] =
+    diff(prior).filter(_.breaking)
+
   /** Locate a metric by "model.metric", a graph-level bare name, or a
     * namespaced graph-level name ("finance.revenue_per_order" — top-level
     * metric contracts use dots without a backing model). */
@@ -107,6 +168,10 @@ final case class Catalog(
       }
     }
 }
+
+/** One observed schema-evolution change (`migrate check` analog). */
+final case class SchemaChange(kind: String, path: String, breaking: Boolean,
+    detail: String)
 
 object Catalog {
   /** Driver-side memo of file-backed scan frames, keyed by (session,
