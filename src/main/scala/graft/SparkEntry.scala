@@ -967,6 +967,38 @@ object SparkEntry {
         orderBy = Seq("Segment"))), "avg_sale")
     }),
 
+    // TMDL DAX time-intelligence depth: TOTALYTD → grain_to_date
+    // cumulative, CALCULATE + SAMEPERIODLASTYEAR → prior-period
+    // time comparison (crates/dax-parser's executable core)
+    "q_adapter_tmdl_dax" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey AS SaleID, o_orderdate AS OrderDate,
+             |  cast(o_totalprice as decimal(18,2)) AS Amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val imp = graft.adapters.TmdlAdapter.load(Seq(
+        """table Sales
+          |    column SaleID
+          |        dataType: int64
+          |        isKey
+          |        sourceColumn: SaleID
+          |    column OrderDate
+          |        dataType: date
+          |        sourceColumn: OrderDate
+          |    column Amount
+          |        dataType: decimal
+          |        sourceColumn: Amount
+          |    measure total_sales = SUM(Sales[Amount])
+          |    measure sales_ytd = TOTALYTD(SUM(Sales[Amount]), Sales[OrderDate])
+          |    measure sales_ly = CALCULATE([total_sales], SAMEPERIODLASTYEAR(Sales[OrderDate]))
+          |""".stripMargin), resolve)
+      val cat = graft.model.Catalog().add(imp.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("Sales.total_sales", "Sales.sales_ytd", "Sales.sales_ly"),
+        dimensions = Seq("Sales.OrderDate__month"),
+        orderBy = Seq("OrderDate__month")))
+    }),
+
     // fourteenth external adapter: ThoughtSpot model TML — flattened
     // join source, formula inlining, and the TML aggregation map
     "q_adapter_thoughtspot" -> ((s, d) => {
@@ -2163,6 +2195,17 @@ object SparkEntry {
         |    / cast(count(*) as double), 4) AS avg_sale
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_tmdl_dax" ->
+      """SELECT OrderDate__month, total_sales,
+        |  sum(total_sales) OVER (PARTITION BY date_trunc('year', OrderDate__month)
+        |    ORDER BY OrderDate__month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sales_ytd,
+        |  lag(total_sales, 12) OVER (ORDER BY OrderDate__month) AS sales_ly
+        |FROM (SELECT date_trunc('month', o_orderdate) AS OrderDate__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS total_sales
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
 
     "q_adapter_thoughtspot" ->
       """SELECT c.c_mktsegment AS segment,

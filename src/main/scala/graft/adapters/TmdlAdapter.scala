@@ -267,32 +267,195 @@ object TmdlAdapter {
     "average" -> "avg", "distinctcount" -> "count_distinct",
     "count" -> "count", "counta" -> "count", "median" -> "median")
 
-  /** Translate a DAX measure body. Lone aggregate → native metric;
-    * composition (DIVIDE, arithmetic, measure refs) → derived; anything
-    * else → a non-public derived stub with the DAX verbatim. */
-  private def measureToMetric(name: String, dax: String, table: String,
+  /** Translate a DAX measure body. In order:
+    *   - `VAR x = <expr> RETURN x` unwraps to the expression
+    *   - lone aggregate / COUNTROWS → native metric
+    *   - `CALCULATE(expr, mods…)`: boolean filter args → metric-level
+    *     filters; `SAMEPERIODLASTYEAR`/`DATEADD(…, -1, grain)` →
+    *     time_comparison (prior-period value); `DATESYTD/QTD/MTD` →
+    *     grain_to_date cumulative
+    *   - `TOTALYTD/TOTALQTD/TOTALMTD(expr, dates)` → grain_to_date
+    *   - remaining composition (DIVIDE, arithmetic, measure refs) → derived
+    *   - anything else → a non-public derived stub carrying the DAX
+    *     verbatim (round-trip fidelity without claiming executability)
+    */
+  private def measureToMetric(name: String, dax0: String, table: String,
       measureNames: Set[String]): Seq[Metric] = {
+    val dax = unwrapVarReturn(dax0)
+    simpleAggMetric(name, dax, table).map(Seq(_))
+      .orElse(calculateMetric(name, dax, table, measureNames))
+      .orElse(totalToDateMetric(name, dax, table, measureNames))
+      .orElse(daxToSql(dax, table, measureNames).map(sql =>
+        Seq(Metric(name, metricType = Some("derived"), sql = Some(sql)))))
+      .getOrElse(opaque(name, dax0))
+  }
+
+  /** `VAR x = <expr> RETURN x` (single var returned directly) → expr. */
+  private def unwrapVarReturn(dax: String): String =
+    raw"(?is)^\s*VAR\s+(\w+)\s*=\s*(.+?)\s*\bRETURN\s+(\w+)\s*$$".r
+      .findFirstMatchIn(dax) match {
+      case Some(m) if m.group(1) == m.group(3) => m.group(2).trim
+      case _ => dax
+    }
+
+  /** Lone `AGG('T'[Col])` / `COUNTROWS(T)` → a native metric. */
+  private def simpleAggMetric(name: String, dax: String,
+      table: String): Option[Metric] = {
     val lone = raw"(?i)^\s*([a-z]+)\s*\(\s*(.*?)\s*\)\s*$$".r
     dax match {
       case lone(fn, arg) if DaxAggs.contains(fn.toLowerCase) &&
           !arg.exists(c => c == '(' || c == ',') =>
-        columnRef(arg, table) match {
-          case Some(col) =>
-            Seq(Metric(name, agg = Some(DaxAggs(fn.toLowerCase)),
-              sql = Some(ident(col))))
-          case None => opaque(name, dax)
-        }
+        columnRef(arg, table).map(col =>
+          Metric(name, agg = Some(DaxAggs(fn.toLowerCase)),
+            sql = Some(ident(col))))
       case lone(fn, arg) if fn.equalsIgnoreCase("countrows") &&
           unquote(arg.trim) == table =>
-        Seq(Metric(name, agg = Some("count")))
-      case _ =>
-        daxToSql(dax, table, measureNames) match {
-          case Some(sql) => Seq(Metric(name, metricType = Some("derived"),
-            sql = Some(sql)))
-          case None => opaque(name, dax)
-        }
+        Some(Metric(name, agg = Some("count")))
+      case _ => None
     }
   }
+
+  // ---- CALCULATE / time intelligence ------------------------------
+
+  private sealed trait CalcMod
+  private final case class Pred(sql: String) extends CalcMod
+  private final case class Comparison(code: String) extends CalcMod
+  private final case class GrainToDate(grain: String) extends CalcMod
+
+  private val DateAddUnits = Map("year" -> "yoy", "quarter" -> "qoq",
+    "month" -> "mom", "day" -> "dod")
+  private val ToDateFns = Map("datesytd" -> "year", "totalytd" -> "year",
+    "datesqtd" -> "quarter", "totalqtd" -> "quarter",
+    "datesmtd" -> "month", "totalmtd" -> "month")
+
+  private def parseCall(dax: String): Option[(String, String)] = {
+    val m = raw"(?is)^\s*([a-z]+)\s*\((.*)\)\s*$$".r.findFirstMatchIn(dax)
+    m.filter { mm =>
+      // the closing paren must match the opening one
+      var depth = 0; var ok = true
+      mm.group(2).foreach {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth < 0) ok = false
+        case _ => ()
+      }
+      ok && depth == 0
+    }.map(mm => (mm.group(1).toLowerCase, mm.group(2)))
+  }
+
+  /** Split call arguments on top-level commas (paren/quote aware). */
+  private def splitArgs(s: String): Seq[String] = {
+    var out = Vector.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '"' || c == '\'') {
+        val q = c; cur.append(c); i += 1
+        while (i < s.length && s(i) != q) { cur.append(s(i)); i += 1 }
+        if (i < s.length) { cur.append(q); i += 1 }
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        if (c == ',' && depth == 0) { out :+= cur.toString; cur.clear() }
+        else cur.append(c)
+        i += 1
+      }
+    }
+    if (cur.nonEmpty) out :+= cur.toString
+    out.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def classifyMod(arg: String, table: String): Option[CalcMod] =
+    parseCall(arg) match {
+      case Some(("sameperiodlastyear", _)) => Some(Comparison("yoy"))
+      case Some(("dateadd", args)) => splitArgs(args) match {
+        case Seq(_, n, unit)
+            if n.trim == "-1" && DateAddUnits.contains(unit.trim.toLowerCase) =>
+          Some(Comparison(DateAddUnits(unit.trim.toLowerCase)))
+        case _ => None
+      }
+      case Some((fn, _)) if ToDateFns.contains(fn) =>
+        Some(GrainToDate(ToDateFns(fn)))
+      case Some(_) => None // FILTER/ALL/… — not representable per-metric
+      case None => daxPredicate(arg, table).map(Pred.apply)
+    }
+
+  /** A boolean DAX filter arg over this table's columns → SQL predicate
+    * (string literals requoted, &&/|| lowered). */
+  private def daxPredicate(arg: String, table: String): Option[String] = {
+    if (!raw"[=<>]|(?i)\bIN\b".r.findFirstIn(arg).isDefined) return None
+    var s = arg
+    val tq = java.util.regex.Pattern.quote(table)
+    s = (raw"(?i)(?:'$tq'|$tq)\s*\[([^\]]+)\]").r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(ident(m.group(1))))
+    s = raw"(?<!\w)\[([^\]]+)\]".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(ident(m.group(1))))
+    if (s.contains("[") || s.contains("(")) return None // cross-table / calls
+    // DAX double-quoted strings → SQL single-quoted
+    s = raw""""([^"]*)"""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement("'" + m.group(1).replace("'", "''") + "'"))
+    s = s.replace("&&", " AND ").replace("||", " OR ")
+    Some(s.replaceAll(raw"\s+", " ").trim)
+  }
+
+  /** The CALCULATE first argument as a base-metric reference: a same-table
+    * `[Measure]` by name, or an inline aggregate synthesized as a hidden
+    * base metric. */
+  private def baseOf(name: String, expr: String, table: String,
+      measureNames: Set[String]): Option[(String, Seq[Metric])] = {
+    val measRef = raw"^\s*\[([^\]]+)\]\s*$$".r
+    expr match {
+      case measRef(m) if measureNames(m) => Some((m, Nil))
+      case _ => simpleAggMetric(s"$name (Base)", expr, table)
+        .map(met => (met.name, Seq(met.copy(public = false))))
+    }
+  }
+
+  private def calculateMetric(name: String, dax: String, table: String,
+      measureNames: Set[String]): Option[Seq[Metric]] =
+    parseCall(dax) match {
+      case Some(("calculate", argsStr)) =>
+        val args = splitArgs(argsStr)
+        if (args.isEmpty) return None
+        val mods = args.tail.map(classifyMod(_, table))
+        if (mods.exists(_.isEmpty)) return None
+        val (preds, times) = mods.flatten.partition(_.isInstanceOf[Pred])
+        times match {
+          case Seq() if preds.nonEmpty =>
+            // filters compose onto an inline aggregate
+            simpleAggMetric(name, args.head, table).map(met =>
+              Seq(met.copy(filters = preds.collect { case Pred(p) => p })))
+          case Seq(Comparison(code)) if preds.isEmpty =>
+            baseOf(name, args.head, table, measureNames).map { case (base, extra) =>
+              extra :+ Metric(name, metricType = Some("time_comparison"),
+                baseMetric = Some(base), comparison = Some(code),
+                calculation = Some("prior"))
+            }
+          case Seq(GrainToDate(g)) if preds.isEmpty =>
+            baseOf(name, args.head, table, measureNames).map { case (base, extra) =>
+              extra :+ Metric(name, metricType = Some("cumulative"),
+                baseMetric = Some(base), grainToDate = Some(g))
+            }
+          case _ => None // mixed/multiple time mods — out of the subset
+        }
+      case _ => None
+    }
+
+  /** `TOTALYTD(expr, dates[, …])` family → grain_to_date cumulative. */
+  private def totalToDateMetric(name: String, dax: String, table: String,
+      measureNames: Set[String]): Option[Seq[Metric]] =
+    parseCall(dax) match {
+      case Some((fn, argsStr)) if ToDateFns.contains(fn) =>
+        splitArgs(argsStr) match {
+          case Seq(expr, _) => // (expr, dates) — extra filter args stay opaque
+            baseOf(name, expr, table, measureNames).map { case (base, extra) =>
+              extra :+ Metric(name, metricType = Some("cumulative"),
+                baseMetric = Some(base), grainToDate = Some(ToDateFns(fn)))
+            }
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def opaque(name: String, dax: String): Seq[Metric] =
     Seq(Metric(name, metricType = Some("derived"), sql = Some(dax),

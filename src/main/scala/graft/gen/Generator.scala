@@ -543,7 +543,10 @@ final class Generator(spark: SparkSession, cat: Catalog,
       }
     } else q0
     val dims = q.dimensions.map(dimRef)
-    val requested = q.metrics.map(metricRef)
+    // internal resolution: the user-facing visibility gate already ran at
+    // plan() — inner replans (window metrics over hidden base metrics)
+    // must not re-trip it
+    val requested = q.metrics.map(metricRefInternal)
 
     val wheres = classify(q)
     val pushed = wheres.collect { case p: PushDown => p }

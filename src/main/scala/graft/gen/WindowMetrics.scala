@@ -115,6 +115,8 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
             case "percent_change" =>
               (base.cast("double") - prevD) / when(prevD =!= 0, prevD) * 100
             case "ratio"          => base.cast("double") / when(prevD =!= 0, prevD)
+            // the prior-period VALUE itself (DAX SAMEPERIODLASTYEAR shape)
+            case "prior" | "prior_value" => prev
           }
           df = df.withColumn(m.name, c).drop(pn)
         case "ratio" if m.offsetWindow.isDefined =>

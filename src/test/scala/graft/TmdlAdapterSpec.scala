@@ -25,8 +25,12 @@ class TmdlAdapterSpec extends AnyFunSuite {
     // triple-backtick measure body
     assert(sales.metric("Backtick Measure").exists(m =>
       m.agg == Some("sum") && m.sql == Some("Amount")))
-    // CALCULATE/time-intelligence measure → non-public stub
-    assert(sales.metric("Sales LY").exists(m => !m.public))
+    // CALCULATE + SAMEPERIODLASTYEAR (behind VAR/RETURN) → executable
+    // time_comparison carrying the prior-period value
+    assert(sales.metric("Sales LY").exists(m =>
+      m.public && m.metricType == Some("time_comparison") &&
+        m.comparison == Some("yoy") && m.calculation == Some("prior") &&
+        m.baseMetric == Some("Total Sales")))
     // relationship resolved through sourceColumns, many-to-one
     assert(sales.relationships.exists(r =>
       r.to == "Products" && r.relType == "many_to_one" &&
@@ -44,6 +48,65 @@ class TmdlAdapterSpec extends AnyFunSuite {
     assert(sales.dimension("Amount x2").exists(_.sql == Some("Amount * 2")))
     // two relationships from the fact
     assert(sales.relationships.map(_.to).toSet == Set("Products", "Calendar"))
+  }
+
+  test("kitchen-sink DAX: >=80% of measures translate to executable metrics") {
+    val imp = TmdlAdapter.load(Seq(
+      """table Sales
+        |    column SaleID
+        |        dataType: int64
+        |        isKey
+        |        sourceColumn: SaleID
+        |    column Region
+        |        dataType: string
+        |        sourceColumn: Region
+        |    column OrderDate
+        |        dataType: date
+        |        sourceColumn: OrderDate
+        |    column Amount
+        |        dataType: decimal
+        |        sourceColumn: Amount
+        |    column Qty
+        |        dataType: int64
+        |        sourceColumn: Qty
+        |    measure 'Total Sales' = SUM(Sales[Amount])
+        |    measure 'Order Count' = COUNTROWS(Sales)
+        |    measure 'Avg Sale' = DIVIDE([Total Sales], [Order Count])
+        |    measure 'West Sales' = CALCULATE(SUM(Sales[Amount]), Sales[Region] = "West")
+        |    measure 'Big West Sales' = CALCULATE(SUM(Sales[Amount]), Sales[Region] = "West" && Sales[Qty] > 10)
+        |    measure 'Sales YTD' = TOTALYTD(SUM(Sales[Amount]), Sales[OrderDate])
+        |    measure 'Sales QTD' = CALCULATE([Total Sales], DATESQTD(Sales[OrderDate]))
+        |    measure 'Sales LY' = CALCULATE([Total Sales], SAMEPERIODLASTYEAR(Sales[OrderDate]))
+        |    measure 'Sales PM' =
+        |        VAR pm = CALCULATE([Total Sales], DATEADD(Sales[OrderDate], -1, MONTH))
+        |        RETURN pm
+        |    measure 'Sales Rank' = RANKX(ALL(Sales[Region]), [Total Sales])
+        |""".stripMargin))
+    val sales = imp.models.find(_.name == "Sales").get
+    val declared = Seq("Total Sales", "Order Count", "Avg Sale", "West Sales",
+      "Big West Sales", "Sales YTD", "Sales QTD", "Sales LY", "Sales PM",
+      "Sales Rank")
+    def isStub(m: graft.model.Metric): Boolean =
+      !m.public && m.metricType == Some("derived")
+    val executable = declared.filter(n => sales.metric(n).exists(!isStub(_)))
+    assert(executable.size.toDouble / declared.size >= 0.8,
+      s"only ${executable.size}/${declared.size} executable: $executable")
+    // spot-check each translated shape
+    assert(sales.metric("West Sales").exists(m =>
+      m.agg == Some("sum") && m.filters == Seq("Region = 'West'")))
+    assert(sales.metric("Big West Sales").exists(m =>
+      m.filters == Seq("Region = 'West' AND Qty > 10")))
+    assert(sales.metric("Sales YTD").exists(m =>
+      m.metricType == Some("cumulative") && m.grainToDate == Some("year") &&
+        m.baseMetric == Some("Sales YTD (Base)")))
+    assert(sales.metric("Sales YTD (Base)").exists(m =>
+      !m.public && m.agg == Some("sum")))
+    assert(sales.metric("Sales QTD").exists(m =>
+      m.grainToDate == Some("quarter") && m.baseMetric == Some("Total Sales")))
+    assert(sales.metric("Sales PM").exists(m =>
+      m.comparison == Some("mom") && m.calculation == Some("prior")))
+    // RANKX stays an honest non-public stub
+    assert(sales.metric("Sales Rank").exists(isStub))
   }
 
   test("external Power BI repos parse without errors") {
