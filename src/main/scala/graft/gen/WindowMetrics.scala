@@ -14,6 +14,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * standard path. Outer stage: window functions over the result. Interval
   * RANGE frames (Spark supports only numeric range keys) are handled by
   * ordering on an epoch-period key per grain (SURVEY §7.4 hard spot #1).
+  *
+  * Scale note: the outer windows partition by the query's non-time dims
+  * and order by the time bucket; with no other dims they are
+  * partition-less, which is safe BY CONSTRUCTION here — the frame is the
+  * inner aggregate at time-grain cardinality (≤ a few thousand rows for
+  * a century of days), not fact-grain, so a single partition holds it at
+  * any source scale. Fact-grain global windows live in TableCalcs, which
+  * decomposes them into distributed prefix plans instead.
   */
 final class WindowMetrics(spark: SparkSession, gen: Generator) {
 
