@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional substring filter: `Bench q_cumulative` times only matching
+    // queries (isolation runs while chasing a regression)
+    val nameFilter = args.headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -28,14 +31,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val picked = SparkEntry.queries.filter { case (k, _) =>
+      nameFilter.forall(_.split(',').exists(k.contains)) }
     val t0 = System.nanoTime()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    picked.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val warmup = (System.nanoTime() - t0) / 1e9
 
     val passes = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to passes).map { _ =>
         val t = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
