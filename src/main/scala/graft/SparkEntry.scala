@@ -1404,6 +1404,63 @@ object SparkEntry {
           dimensions = Seq("customer.c_mktsegment"),
           orderBy = Seq("c_mktsegment"))), "total_c_acctbal")),
 
+    // §2 rows 18/19: join-graph BFS — the unique shortest multi-hop path
+    // emitted as data (orders → customer → nation → region; from lineitem
+    // the graph would legitimately prefer the shorter supplier chain)
+    "q_join_path" -> ((s, d) => {
+      import s.implicits._
+      val g = new graft.graph.SemanticGraph(TpchCatalog.build(d))
+      g.path("orders", "region", Set("orders", "region")).zipWithIndex
+        .map { case (h, i) =>
+          (i + 1, h.fromModel, h.toModel,
+            h.fromKeys.mkString(","), h.toKeys.mkString(","), h.fanOut)
+        }
+        .toDF("step", "from_model", "to_model", "from_key", "to_key", "fan_out")
+        .orderBy("step")
+    }),
+
+    // §2 row 71: explain diagnostics — the planner's chosen route per
+    // query shape, encoded as data
+    "q_explain_route" -> ((s, d) => {
+      import s.implicits._
+      val g = gen(s, d)
+      def routeOf(q: SemanticQuery): String = { g.plan(q); g.lastRoute }
+      Seq(
+        ("simple_agg", routeOf(SemanticQuery(
+          metrics = Seq("orders.revenue"),
+          dimensions = Seq("orders.orderstatus")))),
+        ("fanout_symmetric", routeOf(SemanticQuery(
+          metrics = Seq("orders.revenue"),
+          dimensions = Seq("lineitem.linestatus")))),
+        ("cumulative", routeOf(SemanticQuery(
+          metrics = Seq("orders.cumulative_revenue"),
+          dimensions = Seq("orders.order_date__month")))),
+        ("multi_fact", routeOf(SemanticQuery(
+          metrics = Seq("orders.revenue", "lineitem.quantity"),
+          dimensions = Seq("customer.mktsegment"))))
+      ).toDF("query_shape", "route").orderBy("query_shape")
+    }),
+
+    // §2 row 68: pre-agg recommender — repeated shapes produce a rollup
+    // candidate covering their union, emitted as data
+    "q_recommender" -> ((s, d) => {
+      import s.implicits._
+      val rec = new graft.preagg.PreAggRecommender(TpchCatalog.build(d))
+      rec.record(SemanticQuery(metrics = Seq("orders.revenue"),
+        dimensions = Seq("orders.orderstatus", "orders.order_date__day")))
+      rec.record(SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.order_count"),
+        dimensions = Seq("orders.orderpriority", "orders.order_date__month")))
+      rec.record(SemanticQuery(metrics = Seq("orders.open_revenue"),
+        dimensions = Seq("orders.orderstatus"))) // filtered → not recordable
+      rec.recommend(minHits = 2).map { case (pa, hits) =>
+        (pa.name, pa.measures.sorted.mkString(","),
+          pa.dimensions.sorted.mkString(","),
+          pa.timeDimension.getOrElse(""), pa.granularity.getOrElse(""), hits)
+      }.toDF("name", "measures", "dimensions", "time_dimension",
+        "granularity", "hits")
+    }),
+
     // Yardstick AS MEASURE mode (SURVEY §2 row 59; reference
     // sql/query_rewriter.py:3186-4530): the view declares measures
     // inline in SQL; the query exercises AGGREGATE() expansion,
@@ -2297,6 +2354,31 @@ object SparkEntry {
         |  count(*) AS row_count,
         |  round(sum(c_acctbal), 4) AS total_c_acctbal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // graph/diagnostics/recommender queries emit metadata as data; their
+    // oracles pin the expected rows literally
+    "q_join_path" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'orders', 'customer', 'o_custkey', 'c_custkey', false),
+        |  (2, 'customer', 'nation', 'c_nationkey', 'n_nationkey', false),
+        |  (3, 'nation', 'region', 'n_regionkey', 'r_regionkey', false))
+        |AS t(step, from_model, to_model, from_key, to_key, fan_out)
+        |ORDER BY step""".stripMargin,
+
+    "q_explain_route" ->
+      """SELECT * FROM (VALUES
+        |  ('cumulative', 'window'),
+        |  ('fanout_symmetric', 'symmetric-dedup'),
+        |  ('multi_fact', 'multi-fact-split'),
+        |  ('simple_agg', 'standard'))
+        |AS t(query_shape, route)
+        |ORDER BY query_shape""".stripMargin,
+
+    "q_recommender" ->
+      """SELECT * FROM (VALUES
+        |  ('recommended_orders', 'order_count,revenue',
+        |   'orderpriority,orderstatus', 'order_date', 'day', 2))
+        |AS t(name, measures, dimensions, time_dimension, granularity, hits)""".stripMargin,
 
     "q_yardstick" ->
       """WITH g AS (

@@ -459,13 +459,17 @@ final class Generator(spark: SparkSession, cat: Catalog,
     val offsetRatio = requested.exists(mr =>
       mr.metric.kind == "ratio" && mr.metric.offsetWindow.isDefined)
     if (kinds.exists(Set("cumulative", "time_comparison")) || offsetRatio) {
+      // label set AFTER planning: the inner replan recurses through
+      // planAggregate and would otherwise overwrite the route
+      val df = new WindowMetrics(spark, this).plan(q)
       lastRoute = "window"
-      new WindowMetrics(spark, this).plan(q)
+      df
     } else if (kinds.exists(Set("conversion", "retention", "cohort", "funnel"))) {
       require(requested.size == 1,
         "conversion/retention/cohort/funnel metrics must be queried alone")
+      val df = new Funnels(spark, this).plan(q)
       lastRoute = kinds.intersect(Set("conversion", "retention", "cohort", "funnel")).head
-      new Funnels(spark, this).plan(q)
+      df
     } else planAggregate(q, finalShape = true)
   }
 
