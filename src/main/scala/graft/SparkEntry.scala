@@ -1404,6 +1404,63 @@ object SparkEntry {
           dimensions = Seq("customer.c_mktsegment"),
           orderBy = Seq("c_mktsegment"))), "total_c_acctbal")),
 
+    // §2 rows 73/31: native YAML loader + agg auto-extraction — a metric
+    // written as `sql: SUM(amount)` plans identically to `agg: sum`
+    "q_yaml_load" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey, o_orderstatus,
+             |  cast(o_totalprice as decimal(18,2)) AS amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val pkg = graft.load.YamlLoader.loadPackageString(
+        """version: 1
+          |models:
+          |  - name: yl_orders
+          |    table: orders
+          |    primary_key: o_orderkey
+          |    dimensions:
+          |      - name: orderstatus
+          |        sql: o_orderstatus
+          |    metrics:
+          |      - name: revenue
+          |        sql: SUM(amount)
+          |      - name: order_count
+          |        agg: count
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(pkg.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("yl_orders.revenue", "yl_orders.order_count"),
+        dimensions = Seq("yl_orders.orderstatus"),
+        orderBy = Seq("orderstatus")))
+    }),
+
+    // §2 row 55: streaming pre-agg maintenance — the AvailableNow backlog
+    // run over a staged copy of the source must converge to the batch
+    // aggregate (idempotent per-batch deltas, re-aggregated on read)
+    "q_streaming_rollup" -> ((s, d) => {
+      import java.nio.file._
+      val cat = TpchCatalog.build(d)
+      val base = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_${math.abs(d.hashCode)}")
+      def rmrf(p: Path): Unit = if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach((f: Path) => Files.delete(f))
+      rmrf(base) // fresh checkpoint → deterministic backlog replay
+      val src = base.resolve("src")
+      Files.createDirectories(src)
+      Files.copy(Paths.get(s"$d/orders.parquet"), src.resolve("orders.parquet"))
+      val store = new graft.preagg.PreAggStore(s, cat,
+        base.resolve("rollups").toString)
+      val pa = cat.model("orders").preAggregations.head
+      new graft.streaming.StreamingRollup(s, cat, store)
+        .maintain("orders", pa, src.toString, base.resolve("ckpt").toString)
+        .awaitTermination(180000)
+      new Generator(s, cat, Some(store)).plan(SemanticQuery(
+        metrics = Seq("orders.revenue", "orders.order_count"),
+        dimensions = Seq("orders.orderstatus", "orders.order_date__month"),
+        orderBy = Seq("orderstatus", "order_date__month")))
+    }),
+
     // §2 rows 18/19: join-graph BFS — the unique shortest multi-hop path
     // emitted as data (orders → customer → nation → region; from lineitem
     // the graph would legitimately prefer the shorter supplier chain)
@@ -2354,6 +2411,19 @@ object SparkEntry {
         |  count(*) AS row_count,
         |  round(sum(c_acctbal), 4) AS total_c_acctbal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_yaml_load" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_streaming_rollup" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  date_trunc('month', o_orderdate) AS order_date__month,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) AS order_count
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // graph/diagnostics/recommender queries emit metadata as data; their
     // oracles pin the expected rows literally
