@@ -51,17 +51,20 @@ object Params {
 
   private def evalCond(cond: String, ctx: Map[String, String]): Boolean = {
     val t = cond.trim
-    // compound conditions are outside the supported subset — reject loudly
-    // rather than evaluating `a and b` as one unknown-variable lookup
-    require(raw"(?i)(^|\s)(and|or)(\s|$$)".r.findFirstIn(t).isEmpty,
-      s"unsupported template condition (and/or not in the Jinja subset): $t")
     val cmp = raw"^(\w+)\s*(==|!=)\s*'([^']*)'$$".r
     t match {
+      // the comparison form matches FIRST so an and/or inside the quoted
+      // literal (seg == 'Food and Drink') stays a plain comparison
       case cmp(v, op, lit) =>
         val eq = ctx.get(v).map(unq).contains(lit)
         if (op == "==") eq else !eq
-      case _ if t.startsWith("not ") => !truthy(ctx.get(t.drop(4).trim))
-      case v                        => truthy(ctx.get(v.trim))
+      case _ =>
+        // compound conditions are outside the supported subset — reject
+        // loudly rather than evaluating `a and b` as one variable lookup
+        require(raw"(?i)(^|\s)(and|or)(\s|$$)".r.findFirstIn(t).isEmpty,
+          s"unsupported template condition (and/or not in the Jinja subset): $t")
+        if (t.startsWith("not ")) !truthy(ctx.get(t.drop(4).trim))
+        else truthy(ctx.get(t))
     }
   }
 

@@ -93,6 +93,18 @@ object Migrator {
     out.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Does column `col` look like a foreign key INTO `table`? True when the
+    * column's core name (suffixes id/key stripped, last underscore segment)
+    * prefixes the table name — e.g. `o_custkey` / `cust_id` vs `customer`. */
+  private[migrate] def fkNameMatch(col: String, table: String): Boolean = {
+    val c = col.toLowerCase
+    val base = c.stripSuffix("_id").stripSuffix("_key")
+      .stripSuffix("id").stripSuffix("key")
+    val core = base.split('_').filter(_.nonEmpty).lastOption.getOrElse("")
+    val t = table.toLowerCase
+    core.length >= 3 && (t.startsWith(core) || core.startsWith(t.stripSuffix("s")))
+  }
+
   // ------------------------------------------------------------------
   // analysis
   // ------------------------------------------------------------------
@@ -120,8 +132,9 @@ object Migrator {
           tables :+= ur.multipartIdentifier.head
       case _ => ()
     }
-    val mainTable = tables.lastOption // Catalyst visits FROM depth-first; the
-    // left-most relation ends up last in foreach order for simple plans
+    val mainTable = tables.headOption // TreeNode.foreach is pre-order, so the
+    // FROM (left-most) relation is visited first; unqualified columns and
+    // count(*) in a join query belong to it, not to the last-joined dim
     def tableOf(ua: UnresolvedAttribute): Option[String] =
       if (ua.nameParts.size > 1)
         aliases.get(ua.nameParts.head.toLowerCase)
@@ -180,8 +193,16 @@ object Migrator {
             (tableOf(l), tableOf(r)) match {
               case (Some(lt), Some(rt)) if lt != rt =>
                 // fk side heuristic: the column named like the OTHER table's
-                // key (x_id / xkey) is the fk; default to left=from
-                rels :+= ((lt, rt, l.nameParts.last, r.nameParts.last))
+                // key (cust_id / custkey vs table "customer") sits on the fk
+                // (many) side; when only the RIGHT column matches the LEFT
+                // table's naming, the relationship runs right -> left.
+                // Ambiguous or no match defaults to left=fk.
+                val lc = l.nameParts.last
+                val rc = r.nameParts.last
+                if (fkNameMatch(rc, lt) && !fkNameMatch(lc, rt))
+                  rels :+= ((rt, lt, rc, lc))
+                else
+                  rels :+= ((lt, rt, lc, rc))
               case _ => ()
             }
           case _ => ()
