@@ -21,8 +21,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype) == "object":
             df[c] = df[c].apply(lambda v: float(v) if hasattr(v, "as_tuple") else v)
+            # Spark DATE columns arrive as python date objects; DuckDB's
+            # side comes back datetime64 — compare on a common dtype
+            import datetime
+            if df[c].apply(lambda v: isinstance(v, datetime.date)).all() and len(df):
+                df[c] = pd.to_datetime(df[c])
         if str(df[c].dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
         if str(df[c].dtype) in ("int32", "int8", "int16", "uint32"):
             df[c] = df[c].astype("int64")
         if str(df[c].dtype) == "float32":

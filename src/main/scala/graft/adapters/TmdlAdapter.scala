@@ -27,11 +27,19 @@ import graft.model._
   *   - `DIVIDE(a, b[, alt])` → `a / NULLIF(b, 0)` composition
   *   - `[Other Measure]` references → derived metrics over them
   *   - arithmetic over the above stays derived
-  * Measures using CALCULATE, time intelligence, VAR/RETURN, or other
-  * non-translatable DAX are imported as NON-PUBLIC derived stubs
-  * carrying their DAX verbatim (round-trip fidelity without claiming
-  * executability) — the reference keeps them queryable only through its
-  * own DAX engine, which has no Spark equivalent.
+  *   - `CALCULATE(base, mods…)` with boolean filter args (same-table
+  *     comparisons, `IN {…}` lists, `&&`/`||`) → metric-level filters;
+  *     with `DATESYTD/QTD/MTD` → grain_to_date; with
+  *     `SAMEPERIODLASTYEAR` / `DATEADD(col, -1, grain)` →
+  *     time_comparison (prior period) — including when the CALCULATE is
+  *     bound through a simple `VAR x = … RETURN x`
+  *   - `TOTALYTD/QTD/MTD(agg, col)` → cumulative with grain_to_date
+  * Only measures outside that subset (RANKX, cross-table filters, table
+  * constructors in non-IN position, multi-VAR bodies, …) fall back to
+  * NON-PUBLIC derived stubs carrying their DAX verbatim (round-trip
+  * fidelity without claiming executability) — the reference keeps those
+  * queryable only through its own DAX engine, which has no Spark
+  * equivalent.
   */
 object TmdlAdapter {
 
@@ -354,8 +362,8 @@ object TmdlAdapter {
         while (i < s.length && s(i) != q) { cur.append(s(i)); i += 1 }
         if (i < s.length) { cur.append(q); i += 1 }
       } else {
-        if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
+        if (c == '(' || c == '{') depth += 1 // {…}: DAX IN-list / table ctor
+        else if (c == ')' || c == '}') depth -= 1
         if (c == ',' && depth == 0) { out :+= cur.toString; cur.clear() }
         else cur.append(c)
         i += 1
@@ -394,6 +402,11 @@ object TmdlAdapter {
     // DAX double-quoted strings → SQL single-quoted
     s = raw""""([^"]*)"""".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement("'" + m.group(1).replace("'", "''") + "'"))
+    // DAX IN-list braces → SQL parens: Col IN {"A","B"} is valid DAX but
+    // `IN {...}` is not SQL
+    s = raw"(?i)\bIN\s*\{([^{}]*)\}".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement("IN (" + m.group(1) + ")"))
+    if (s.contains("{") || s.contains("}")) return None // non-IN table ctor
     s = s.replace("&&", " AND ").replace("||", " OR ")
     Some(s.replaceAll(raw"\s+", " ").trim)
   }

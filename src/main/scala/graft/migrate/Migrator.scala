@@ -102,7 +102,11 @@ object Migrator {
       .stripSuffix("id").stripSuffix("key")
     val core = base.split('_').filter(_.nonEmpty).lastOption.getOrElse("")
     val t = table.toLowerCase
-    core.length >= 3 && (t.startsWith(core) || core.startsWith(t.stripSuffix("s")))
+    val tCore = t.stripSuffix("s")
+    // both cores need >= 3 chars: a 1-2 char (or empty) table core would
+    // prefix-match nearly any column and fabricate fk directions
+    core.length >= 3 &&
+      (t.startsWith(core) || (tCore.length >= 3 && core.startsWith(tCore)))
   }
 
   // ------------------------------------------------------------------
@@ -196,12 +200,16 @@ object Migrator {
                 // key (cust_id / custkey vs table "customer") sits on the fk
                 // (many) side; when only the RIGHT column matches the LEFT
                 // table's naming, the relationship runs right -> left.
-                // Ambiguous or no match defaults to left=fk.
+                // Ambiguous (both match) defaults to left=fk; when NEITHER
+                // column looks key-like (e.g. ON a.status = b.state) the
+                // equality is not evidence of a relationship — emit nothing.
                 val lc = l.nameParts.last
                 val rc = r.nameParts.last
-                if (fkNameMatch(rc, lt) && !fkNameMatch(lc, rt))
+                val leftLooks = fkNameMatch(lc, rt)
+                val rightLooks = fkNameMatch(rc, lt)
+                if (rightLooks && !leftLooks)
                   rels :+= ((rt, lt, rc, lc))
-                else
+                else if (leftLooks)
                   rels :+= ((lt, rt, lc, rc))
               case _ => ()
             }

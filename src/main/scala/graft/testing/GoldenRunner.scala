@@ -217,6 +217,12 @@ object GoldenRunner {
       })
   }
 
+  /** Hard ceiling on rows a golden case may materialize on the driver —
+    * expected-value assertions are small by construction, so a case
+    * returning more than this is miswritten (missing LIMIT), and failing
+    * it beats OOMing the driver. */
+  val MaxGoldenRows = 100000
+
   /** Execute golden cases through an arbitrary SQL runner. */
   def run(runSql: String => DataFrame, cases: Seq[GoldenCase]): GoldenReport =
     GoldenReport(cases.map { c =>
@@ -224,8 +230,13 @@ object GoldenRunner {
         try {
           val df = runSql(c.sql)
           val columns = df.columns.toSeq
-          val rows = df.collect().toSeq.map(_.toSeq)
-          checkCase(c, columns, rows)
+          // take(N+1) bounds the driver-side transfer even when the case
+          // is miswritten; a full collect() would pull the whole result
+          val rows = df.take(MaxGoldenRows + 1).toSeq.map(_.toSeq)
+          if (rows.size > MaxGoldenRows)
+            Some(s"query returned more than $MaxGoldenRows rows — golden " +
+              "cases assert small expected sets; add a LIMIT")
+          else checkCase(c, columns, rows)
         } catch {
           case e: Exception => Some(s"query failed: ${e.getMessage}")
         }

@@ -129,6 +129,22 @@ class GoldenRunnerSpec extends AnyFunSuite {
     assert(report.results.head.message.get.startsWith("query failed:"))
   }
 
+  test("oversized result fails the case instead of collecting it") {
+    // a miswritten case with no LIMIT must not pull the full result to the
+    // driver — take(cap+1) bounds the transfer and the case fails loudly
+    val big = GoldenRunner.GoldenCase(
+      name = "runaway",
+      sql = "unused",
+      expect = GoldenRunner.Expectation(rowCount = Some(3)),
+      source = "inline")
+    val report = GoldenRunner.run(
+      _ => spark.range(GoldenRunner.MaxGoldenRows + 10L).toDF("id"),
+      Seq(big))
+    assert(!report.passed)
+    assert(report.results.head.message.get.contains("add a LIMIT"),
+      report.results.head.message.toString)
+  }
+
   test("report summarizes like to_dict and renders a diff") {
     val report = runYaml(
       """tests:

@@ -54,6 +54,45 @@ class MigrationSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("join attribution: unqualified count(*) lands on the FROM table") {
+    // pre-order traversal puts the FROM (left-most) relation first, so the
+    // unqualified aggregate belongs to orders, not the last-joined dim
+    val a = Migrator.analyzeQuery(
+      """SELECT c.c_mktsegment, count(*) AS order_count
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin)
+    assert(a.aggregations == Seq(
+      Migrator.Agg("count", "*", "orders", Some("order_count"))))
+  }
+
+  test("fk direction flips when only the right column is key-like") {
+    // customer listed FIRST: the fk column o_custkey sits on the RIGHT, so
+    // the relationship must still run orders -> customer
+    val a = Migrator.analyzeQuery(
+      """SELECT c.c_mktsegment, sum(o.o_totalprice) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin)
+    assert(a.relationships == Seq(("orders", "customer", "o_custkey", "c_custkey")))
+    val models = Migrator.generateModels(Migrator.analyzeQueries(Seq(a.query)))
+    val orders = models.find(_.name == "orders").get
+    assert(orders.relationships.exists(r =>
+      r.to == "customer" && r.relType == "many_to_one" &&
+        r.foreignKey == Seq("o_custkey")))
+    assert(models.find(_.name == "customer").get.relationships.isEmpty)
+  }
+
+  test("non-key equality emits no relationship") {
+    // ON a.status = b.state: neither column names the other table's key —
+    // arbitrary col=col equality is not evidence of a relationship
+    val a = Migrator.analyzeQuery(
+      "SELECT count(*) FROM shipments a JOIN depots b ON a.status = b.state")
+    assert(a.relationships.isEmpty, a.relationships.toString)
+    // degenerate short table core ("s" -> "") must not fabricate a match
+    val b = Migrator.analyzeQuery(
+      "SELECT count(*) FROM s JOIN warehouses w ON s.location = w.region")
+    assert(b.relationships.isEmpty, b.relationships.toString)
+  }
+
   test("check: coverage against an existing catalog flags the gaps") {
     val cat = Catalog().add(Model(
       name = "orders",

@@ -52,6 +52,21 @@ class ParamsSpec extends AnyFunSuite {
     assert(Params.render("{% if not flag %}off{% endif %}", Map.empty) == "off")
   }
 
+  test("and/or inside a quoted literal stays a plain comparison") {
+    // the comparison form must match BEFORE the compound-condition guard:
+    // 'Food and Drink' contains ' and ' but is a string literal, not a
+    // conjunction
+    assert(Params.render(
+      "{% if seg == 'Food and Drink' %}fnd{% else %}other{% endif %}",
+      Map("seg" -> "Food and Drink")) == "fnd")
+    assert(Params.render(
+      "{% if seg == 'Food and Drink' %}fnd{% else %}other{% endif %}",
+      Map("seg" -> "Toys")) == "other")
+    assert(Params.render(
+      "{% if seg != 'Rock or Pop' %}x{% endif %}",
+      Map("seg" -> "'Rock or Pop'")) == "") // formatted value compares raw
+  }
+
   test("templates outside the subset are refused, not silently mis-rendered") {
     // nested if: the flat non-greedy matcher would mis-pair endifs
     intercept[IllegalArgumentException] {

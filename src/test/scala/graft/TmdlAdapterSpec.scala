@@ -109,6 +109,31 @@ class TmdlAdapterSpec extends AnyFunSuite {
     assert(sales.metric("Sales Rank").exists(isStub))
   }
 
+  test("DAX IN-list braces translate to SQL IN; other braces stay stubs") {
+    val imp = TmdlAdapter.load(Seq(
+      """table Sales
+        |    column Region
+        |        dataType: string
+        |        sourceColumn: Region
+        |    column Amount
+        |        dataType: decimal
+        |        sourceColumn: Amount
+        |    measure 'Coastal Sales' = CALCULATE(SUM(Sales[Amount]), Sales[Region] IN {"East", "West"})
+        |    measure 'Table Ctor' = CALCULATE(SUM(Sales[Amount]), Sales[Region] = {"X"})
+        |""".stripMargin))
+    val sales = imp.models.find(_.name == "Sales").get
+    // IN {...} is valid DAX but invalid SQL — must be requoted AND reparenthesized
+    assert(sales.metric("Coastal Sales").exists(m =>
+      m.public && m.agg == Some("sum") &&
+        m.filters == Seq("Region IN ('East', 'West')")),
+      sales.metric("Coastal Sales").toString)
+    // a non-IN table constructor can't be translated: honest stub, never
+    // invalid SQL stored on a public metric
+    assert(sales.metric("Table Ctor").exists(m =>
+      !m.public && m.filters.forall(f => !f.contains("{"))),
+      sales.metric("Table Ctor").toString)
+  }
+
   test("external Power BI repos parse without errors") {
     val repos = Option(new java.io.File(s"$fx/external_powerbi").listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory)
