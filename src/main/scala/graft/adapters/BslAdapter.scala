@@ -163,7 +163,12 @@ object BslAdapter {
               sql = Some(s"CASE WHEN $inner THEN 1 ELSE 0 END"))
           else Metric(name, agg = Some(AggMethods(method)), sql = Some(inner))
         }
-      case _ => None // untranslatable ibis construct
+      case _ => // untranslatable ibis construct
+        graft.load.Fidelity.note("untranslatable_ibis",
+          s"measure '$name' uses an ibis deferred expression outside the " +
+            "translated subset; measure dropped",
+          severity = "unsupported", source = Some("bsl"))
+        None
     }
   }
 

@@ -365,7 +365,11 @@ object CubeAdapter {
         Some(s"$col $sqlOp ${lits.head}")
       case "set"    => Some(s"$col IS NOT NULL")
       case "notSet" => Some(s"$col IS NULL")
-      case _ => None
+      case _ =>
+        graft.load.Fidelity.note("unsupported_filter_operator",
+          s"segment/pre-agg filter operator '$op' on '$col' has no SQL " +
+            "lowering; filter dropped", source = Some("cube"))
+        None
     }
   }
 

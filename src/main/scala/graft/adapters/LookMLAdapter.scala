@@ -1,6 +1,6 @@
 package graft.adapters
 
-import graft.load.YamlLoader
+import graft.load.{Fidelity, YamlLoader}
 import graft.model._
 import LkmlParser._
 
@@ -106,6 +106,10 @@ object LookMLAdapter {
     docs.foreach(_.objs("explore").foreach { ex =>
       val exName = ex.name.getOrElse("explore")
       val base = ex.str("view_name").orElse(ex.str("from")).getOrElse(exName)
+      if (!modelNames(base))
+        Fidelity.note("unknown_explore_base",
+          s"explore '$exName' references view '$base' not present in the " +
+            "imported files; explore dropped", source = Some("lookml"))
       if (modelNames(base)) {
         ex.objs("join").foreach { j =>
           parseJoin(j, base, modelNames).foreach { case (owner, rel) =>
@@ -242,8 +246,17 @@ object LookMLAdapter {
   private def parseDimensionGroup(g: LObj,
       lookup: Map[String, String]): Option[Dimension] = {
     val gn = g.name.getOrElse(return None)
-    if (g.str("type").contains("duration")) return None // sql_start/sql_end spans
+    if (g.str("type").contains("duration")) { // sql_start/sql_end spans
+      Fidelity.note("duration_dimension_group",
+        s"dimension_group '$gn' of type duration (sql_start/sql_end span) " +
+          "has no semantic-model equivalent", source = Some("lookml"))
+      return None
+    }
     val frames = g.list("timeframes").collect { case LStr(s) => s }
+    frames.filterNot(TimeframeGrain.contains).foreach(tf =>
+      Fidelity.note("unsupported_timeframe",
+        s"dimension_group '$gn' timeframe '$tf' has no native grain; dropped",
+        source = Some("lookml")))
     val grains = frames.flatMap(TimeframeGrain.get).distinct
     Some(Dimension(
       name = gn,
@@ -295,13 +308,30 @@ object LookMLAdapter {
                 java.util.regex.Matcher.quoteReplacement(mm.group(1)))
               Some(Metric(name, metricType = Some("derived"),
                 sql = Some(bare), label = label, public = public))
-            } else None // dimension-mixing formula: no executable mapping
+            } else { // dimension-mixing formula: no executable mapping
+              Fidelity.note("dimension_mixing_formula",
+                s"measure '$name' (type: number) references non-measure " +
+                  "fields; no executable mapping, measure dropped",
+                source = Some("lookml"))
+              None
+            }
         }
-      case t => AggMap.get(t).map { agg =>
-        Metric(name, agg = Some(agg),
-          sql = rawSql.map(substitute(_, lookup)).filter(_.nonEmpty),
-          filters = filters, label = label, public = public)
-      } // percentile / yesno / date measures drop rather than coerce
+      case t =>
+        if (t == "sum_distinct" || t == "average_distinct")
+          Fidelity.note("distinct_aggregate_remap",
+            s"measure '$name' type $t imports as ${AggMap(t)}; the engine's " +
+              "fan-out symmetric aggregates replace sql_distinct_key",
+            severity = "approximated", source = Some("lookml"))
+        val lifted = AggMap.get(t).map { agg =>
+          Metric(name, agg = Some(agg),
+            sql = rawSql.map(substitute(_, lookup)).filter(_.nonEmpty),
+            filters = filters, label = label, public = public)
+        } // percentile / yesno / date measures drop rather than coerce
+        if (lifted.isEmpty)
+          Fidelity.note("unsupported_measure_type",
+            s"measure '$name' type '$t' has no aggregate mapping; dropped",
+            source = Some("lookml"))
+        lifted
     }
   }
 
@@ -433,7 +463,12 @@ object LookMLAdapter {
             java.util.regex.Matcher.quoteReplacement(s"{$side}.${m.group(2)}")
           })
           Some((fromView, Relationship(target, relType, sqlOn = Some(native))))
-        case _ => None
+        case _ =>
+          Fidelity.note("multi_view_join_condition",
+            s"join to '$to': sql_on spans ${viewsInvolved.size} views; a " +
+              "relationship holds exactly two sides, join dropped",
+            source = Some("lookml"))
+          None
       }
     }
   }

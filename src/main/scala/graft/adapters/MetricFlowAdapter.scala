@@ -364,7 +364,7 @@ object MetricFlowAdapter {
   private def foldedSimple(md: Map[String, Any], pm: ParsedModel): Option[Metric] = {
     if (md.getOrElse("type", "simple").toString != "simple") return None
     val name = md.get("name").map(_.toString).getOrElse(return None)
-    val agg = mapAgg(md.get("agg").map(_.toString)).getOrElse(return None)
+    val agg = mapAggOrNote(name, md.get("agg").map(_.toString)).getOrElse(return None)
     val rawExpr = md.get("expr").flatMap(Option(_)).map(_.toString)
     val pk = pm.model.primaryKey.headOption
     val sql = agg match {
@@ -412,10 +412,21 @@ object MetricFlowAdapter {
     }
   }
 
+  /** mapAgg that records a fidelity note naming the measure when the
+    * aggregation has no lowering. */
+  private def mapAggOrNote(name: String, a: Option[String]): Option[String] =
+    mapAgg(a).orElse {
+      graft.load.Fidelity.note("unsupported_aggregation",
+        s"measure '$name' aggregation '${a.getOrElse("?")}' has no lowering " +
+          "(percentile etc.); dropped rather than coerced",
+        source = Some("metricflow"))
+      None
+    }
+
   private def parseMeasure(md: Map[String, Any], dimNames: Set[String],
       entityColumns: Map[String, String]): Option[Metric] = {
     val name = md.get("name").map(_.toString).getOrElse(return None)
-    val agg = mapAgg(md.get("agg").map(_.toString)).getOrElse(return None)
+    val agg = mapAggOrNote(name, md.get("agg").map(_.toString)).getOrElse(return None)
     val meta = mapOf(md.get("meta")).getOrElse(Map.empty)
     val nonAdditive = mapOf(md.get("non_additive_dimension")).map { na =>
       NonAdditiveDimension(

@@ -109,7 +109,12 @@ object SupersetAdapter {
         Some(Metric(name, agg = Some(agg), sql = expression, label = label))
       case (None, Some((agg, inner))) =>
         Some(Metric(name, agg = Some(agg), sql = inner, label = label))
-      case (None, None) => None // no executable mapping
+      case (None, None) =>
+        graft.load.Fidelity.note("unmapped_metric_expression",
+          s"metric '$name' has neither a supported metric_type nor a " +
+            "recoverable aggregate expression; dropped",
+          severity = "unsupported", source = Some("superset"))
+        None
     }
   }
 

@@ -483,12 +483,23 @@ object TableauAdapter {
   def translateFormula(formula: String): (Option[String], Boolean) = {
     val stripped = stripComments(formula)
     val lexical = maskStrings(stripped)
-    if (raw"(?i)\{\s*(FIXED|INCLUDE|EXCLUDE)\b".r.findFirstIn(lexical).isDefined)
+    if (raw"(?i)\{\s*(FIXED|INCLUDE|EXCLUDE)\b".r.findFirstIn(lexical).isDefined) {
+      graft.load.Fidelity.note("lod_expression",
+        "LOD expression ({FIXED/INCLUDE/EXCLUDE ...}) has no per-row SQL " +
+          "equivalent; field imported hidden with NULL sql",
+        severity = "unsupported", source = Some("tableau"))
       return (None, false)
+    }
     val called = raw"\b([A-Za-z_]+)\s*\(".r.findAllMatchIn(lexical)
       .map(_.group(1).toUpperCase).toSet
-    if (called.exists(f => TableCalcFuncs(f) || TableauOnlyFuncs(f)))
+    val untranslatable = called.filter(f => TableCalcFuncs(f) || TableauOnlyFuncs(f))
+    if (untranslatable.nonEmpty) {
+      graft.load.Fidelity.note("table_calc_function",
+        s"formula uses ${untranslatable.toSeq.sorted.mkString("/")} — no " +
+          "per-row SQL equivalent; field imported hidden with NULL sql",
+        severity = "unsupported", source = Some("tableau"))
       return (None, false)
+    }
 
     var r = replaceFieldRefs(stripped.trim)
     r = replaceBalanced(r, "ZN", a => s"COALESCE($a, 0)")

@@ -470,9 +470,14 @@ object TmdlAdapter {
       case _ => None
     }
 
-  private def opaque(name: String, dax: String): Seq[Metric] =
+  private def opaque(name: String, dax: String): Seq[Metric] = {
+    graft.load.Fidelity.note("non_translatable_dax",
+      s"measure '$name' uses DAX outside the executable subset; kept as a " +
+        "non-public stub carrying the DAX verbatim",
+      severity = "unsupported", source = Some("tmdl"))
     Seq(Metric(name, metricType = Some("derived"), sql = Some(dax),
       public = false))
+  }
 
   private def containsDaxOnly(s: String): Boolean =
     (raw"(?i)\b(CALCULATE|CALCULATETABLE|VAR|RETURN|FILTER|ALL|ALLEXCEPT|" +

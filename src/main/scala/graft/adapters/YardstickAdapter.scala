@@ -99,7 +99,15 @@ object YardstickAdapter {
       if (measureNames.isEmpty) return None
       val plan =
         try CatalystSqlParser.parsePlan(cleaned)
-        catch { case _: Exception => return None }
+        catch {
+          case e: Exception =>
+            graft.load.Fidelity.note("unparseable_view",
+              s"CREATE VIEW '$viewName' body does not parse as Spark SQL " +
+                s"after measure-token stripping (${e.getMessage
+                  .takeWhile(_ != '\n')}); view dropped",
+              severity = "unsupported", source = Some("yardstick"))
+            return None
+        }
       modelFromSelect(viewName.split('.').last, plan, measureNames,
         cleaned, resolve)
     case _ => None

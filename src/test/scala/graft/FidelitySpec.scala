@@ -1,0 +1,142 @@
+package graft
+
+import graft.adapters.{LookMLAdapter, TableauAdapter, TmdlAdapter}
+import graft.load.Fidelity
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Import fidelity reporting (reference: sidemantic/fidelity.py) —
+  * adapters record structured dropped/approximated/unsupported notes that
+  * a [[Fidelity.capture]] block collects without changing what gets
+  * imported. */
+class FidelitySpec extends AnyFunSuite {
+
+  test("note outside a capture is a no-op; capture scopes collection") {
+    Fidelity.note("orphan", "no capture active") // must not throw
+    val (_, outer) = Fidelity.capture {
+      Fidelity.note("a", "first")
+      val (_, inner) = Fidelity.capture {
+        Fidelity.note("b", "second", severity = "approximated")
+      }
+      // nested capture sees only its own note; outer sees both
+      assert(inner.notes.map(_.construct) == Seq("b"))
+    }
+    assert(outer.notes.map(_.construct) == Seq("a", "b"))
+    assert(outer.counts == Map("dropped" -> 1, "approximated" -> 1))
+    assert(outer.hasLosses)
+  }
+
+  test("summary lines group by severity in a stable order") {
+    val (_, r) = Fidelity.capture {
+      Fidelity.note("x", "was cut", severity = "unsupported", source = Some("fmt"))
+      Fidelity.note("y", "was bent", severity = "approximated")
+      Fidelity.note("z", "was lost") // dropped
+    }
+    val lines = r.summaryLines
+    assert(lines == Seq(
+      "dropped (1):", "  z: was lost",
+      "approximated (1):", "  y: was bent",
+      "unsupported (1):", "  x: was cut (fmt)"))
+  }
+
+  test("TMDL: non-translatable DAX measures are counted, translatables are not") {
+    val (imp, report) = Fidelity.capture {
+      TmdlAdapter.load(Seq(
+        """table Sales
+          |    column Region
+          |        dataType: string
+          |        sourceColumn: Region
+          |    column Amount
+          |        dataType: decimal
+          |        sourceColumn: Amount
+          |    measure 'Total Sales' = SUM(Sales[Amount])
+          |    measure 'West Sales' = CALCULATE(SUM(Sales[Amount]), Sales[Region] = "West")
+          |    measure 'Sales Rank' = RANKX(ALL(Sales[Region]), [Total Sales])
+          |    measure 'Cross Filter' = CALCULATE(SUM(Sales[Amount]), Other[K] = 1)
+          |""".stripMargin))
+    }
+    assert(imp.models.nonEmpty)
+    // exactly the two stubbed measures produce notes; executables are silent
+    val dax = report.byConstruct("non_translatable_dax")
+    assert(dax.size == 2, report.summaryLines.mkString("\n"))
+    assert(dax.forall(_.severity == "unsupported"))
+    assert(dax.exists(_.detail.contains("Sales Rank")))
+    assert(dax.exists(_.detail.contains("Cross Filter")))
+  }
+
+  test("LookML: dropped measures, duration groups, and remapped distincts") {
+    val (imp, report) = Fidelity.capture {
+      LookMLAdapter.loadString(
+        """view: orders {
+          |  sql_table_name: orders ;;
+          |  dimension: status { sql: ${TABLE}.status ;; }
+          |  dimension_group: wait {
+          |    type: duration
+          |    sql_start: ${TABLE}.created_at ;;
+          |    sql_end: ${TABLE}.shipped_at ;;
+          |  }
+          |  dimension_group: created {
+          |    type: time
+          |    timeframes: [date, month, fiscal_quarter]
+          |    sql: ${TABLE}.created_at ;;
+          |  }
+          |  measure: revenue {
+          |    type: sum
+          |    sql: ${TABLE}.amount ;;
+          |  }
+          |  measure: p95_amount {
+          |    type: percentile_95
+          |    sql: ${TABLE}.amount ;;
+          |  }
+          |  measure: uniq_rev {
+          |    type: sum_distinct
+          |    sql: ${TABLE}.amount ;;
+          |  }
+          |  measure: mixed {
+          |    type: number
+          |    sql: ${revenue} / ${status} ;;
+          |  }
+          |}""".stripMargin)
+    }
+    val orders = imp.models.head
+    // imports still happen: revenue + uniq_rev present, drops absent
+    assert(orders.metric("revenue").isDefined)
+    assert(orders.metric("uniq_rev").exists(_.agg == Some("sum")))
+    assert(orders.metric("p95_amount").isEmpty)
+    assert(report.byConstruct("duration_dimension_group").size == 1)
+    assert(report.byConstruct("unsupported_timeframe").size == 1) // fiscal_quarter
+    assert(report.byConstruct("unsupported_measure_type").size == 1)
+    assert(report.byConstruct("dimension_mixing_formula").size == 1)
+    val remap = report.byConstruct("distinct_aggregate_remap")
+    assert(remap.size == 1 && remap.head.severity == "approximated")
+  }
+
+  test("Tableau: LOD and table-calc formulas are reported as unsupported") {
+    val (models, report) = Fidelity.capture {
+      TableauAdapter.loadFile(
+        "/root/reference/tests/fixtures/tableau/kitchen_sink.tds")
+    }
+    assert(models.nonEmpty)
+    // the fixture's LOD and RUNNING_SUM calcs import hidden-with-NULL and
+    // each records exactly one unsupported note
+    assert(report.byConstruct("lod_expression").nonEmpty ||
+      report.byConstruct("table_calc_function").nonEmpty,
+      report.summaryLines.mkString("\n"))
+    assert(report.notes.forall(_.severity == "unsupported"))
+  }
+
+  test("clean import has no losses") {
+    val (_, report) = Fidelity.capture {
+      LookMLAdapter.loadString(
+        """view: parts {
+          |  sql_table_name: part ;;
+          |  dimension: brand {
+          |    sql: ${TABLE}.p_brand ;;
+          |  }
+          |  measure: n {
+          |    type: count
+          |  }
+          |}""".stripMargin)
+    }
+    assert(!report.hasLosses, report.summaryLines.mkString("\n"))
+  }
+}
