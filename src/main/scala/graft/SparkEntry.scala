@@ -1374,6 +1374,30 @@ object SparkEntry {
         .orderBy("model", "metric")
     }),
 
+    // Freshness policies (reference core/freshness.py): staleness encoded
+    // as data — a fixed asOf makes the run reproducible; MAX(watermark)
+    // probes are column-pruned single-aggregate scans, one union plan for
+    // the whole catalog
+    "q_freshness" -> ((s, d) => {
+      import graft.model._
+      val asOf = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      val cat = Catalog(dataDir = d).add(
+        Model("fr_orders",
+          source = ModelSource.Parquet("{dir}/orders.parquet"),
+          primaryKey = Seq("o_orderkey"),
+          freshness = Some(Freshness(watermark = Some("o_orderdate"),
+            ttlSeconds = Some(365L * 86400 * 30)))), // ~30y: orders end 2001 → fresh
+        Model("fr_events",
+          source = ModelSource.Parquet("{dir}/events.parquet"),
+          primaryKey = Seq("event_id"),
+          dimensions = Seq(Dimension("ts", DimType.Time,
+            sql = Some("timestamp_micros(ts div 1000)"))),
+          freshness = Some(Freshness(watermark = Some("ts"),
+            ttlSeconds = Some(3600L))))) // 1h TTL vs ~1d age → stale
+      graft.gen.FreshnessCheck.checkAll(s, cat, asOf)
+        .orderBy("name")
+    }),
+
     // §2 row 5: incremental pre-agg refresh converges to the full rollup —
     // build from pre-1997 data only, then refresh at the 1997-01-01
     // watermark against the full source; the routed query must equal the
@@ -2398,6 +2422,22 @@ object SparkEntry {
         |  ('gv_orders', 'revenue', 'finance-team', 'active', 'certified', 'public'))
         |AS t(model, metric, owner, status, certification, visibility)
         |ORDER BY model, metric""".stripMargin,
+
+    // freshness probes: MAX(watermark) age vs ttl at a fixed asOf
+    "q_freshness" ->
+      """SELECT * FROM (
+        |  SELECT 'fr_events' AS name, max(ts) AS watermark,
+        |    date_diff('second', max(ts), TIMESTAMP '2024-02-01 00:00:00') AS age_seconds,
+        |    CAST(3600 AS BIGINT) AS ttl_seconds,
+        |    date_diff('second', max(ts), TIMESTAMP '2024-02-01 00:00:00') <= 3600 AS is_fresh
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'fr_orders' AS name, max(o_orderdate) AS watermark,
+        |    date_diff('second', max(o_orderdate), TIMESTAMP '2024-02-01 00:00:00') AS age_seconds,
+        |    CAST(365 * 86400 * 30 AS BIGINT) AS ttl_seconds,
+        |    date_diff('second', max(o_orderdate), TIMESTAMP '2024-02-01 00:00:00') <= 365 * 86400 * 30 AS is_fresh
+        |  FROM orders
+        |) ORDER BY name""".stripMargin,
 
     "q_incremental_refresh" ->
       """SELECT o_orderstatus AS orderstatus,

@@ -135,8 +135,38 @@ object YamlLoader {
       extendsModel = m.get("extends").map(_.toString),
       security = m.get("security").map(parseSecurity),
       governance = parseGovernance(m),
+      freshness = parseFreshness(m, s"model '$name'"),
       preAggregations = seqOfMaps(m.get("pre_aggregations")).map(parsePreAgg))
   }
+
+  /** `freshness:` block (reference: core/freshness.py + the sidemantic
+    * adapter's FRESHNESS_FIELDS validation): `watermark` | `sql` (mutually
+    * exclusive) + `ttl_seconds` (`ttlSeconds` accepted as an alias; a
+    * conflicting double spelling is an error). Silently dropping this
+    * block would erase a data contract, so unknown keys are hard errors. */
+  private def parseFreshness(m: Map[String, Any], where: String): Option[Freshness] =
+    m.get("freshness").flatMap(Option(_)).map { raw =>
+      val f = anyToScala(raw) match {
+        case fm: Map[_, _] => fm.asInstanceOf[Map[String, Any]]
+        case other => throw new IllegalArgumentException(
+          s"$where freshness must be a mapping, got: $other")
+      }
+      val unknown = f.keySet -- Set("watermark", "sql", "ttl_seconds", "ttlSeconds")
+      require(unknown.isEmpty,
+        s"Unknown field(s) ${unknown.mkString(", ")} in $where freshness")
+      val ttlA = f.get("ttl_seconds").flatMap(Option(_)).map(_.toString.toLong)
+      val ttlB = f.get("ttlSeconds").flatMap(Option(_)).map(_.toString.toLong)
+      require(ttlA.isEmpty || ttlB.isEmpty || ttlA == ttlB,
+        s"$where freshness spells ttl_seconds and ttlSeconds with different values")
+      try Freshness(
+        watermark = f.get("watermark").flatMap(Option(_)).map(_.toString),
+        sql = f.get("sql").flatMap(Option(_)).map(_.toString),
+        ttlSeconds = ttlA.orElse(ttlB))
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"$where freshness: ${e.getMessage}")
+      }
+    }
 
   /** Governance metadata keys (reference: core/governance.py:22) shared by
     * models, metrics, and explores. */
@@ -178,7 +208,8 @@ object YamlLoader {
       defaultOrderBy = strList(e.get("default_order_by")),
       defaultLimit = e.get("default_limit").flatMap(Option(_)).map(_.toString.toInt),
       maxLimit = e.get("max_limit").flatMap(Option(_)).map(_.toString.toInt),
-      governance = parseGovernance(e))
+      governance = parseGovernance(e),
+      freshness = parseFreshness(e, s"explore '${e("name")}'"))
   }
 
   /** `security:` block → SecurityPolicy (reference: core/security.py:40,

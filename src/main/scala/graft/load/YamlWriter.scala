@@ -76,10 +76,17 @@ object YamlWriter {
         else jlist(m.preAggregations.map(preAggMap))),
       "security" -> m.security.map(sec => jmap(
         "access" -> sec.access,
-        "row_filters" -> strs(sec.rowFilters))))
+        "row_filters" -> strs(sec.rowFilters))),
+      "freshness" -> m.freshness.map(freshnessMap))
     m.governance.foreach(g => governanceInto(g, out))
     out
   }
+
+  private def freshnessMap(f: graft.model.Freshness): java.util.Map[String, Any] =
+    jmap(
+      "watermark" -> f.watermark,
+      "sql" -> f.sql,
+      "ttl_seconds" -> f.ttlSeconds)
 
   private def dimensionMap(d: Dimension): java.util.Map[String, Any] = jmap(
     "name" -> d.name,
@@ -169,7 +176,8 @@ object YamlWriter {
       "default_filters" -> strs(e.defaultFilters),
       "default_order_by" -> strs(e.defaultOrderBy),
       "default_limit" -> e.defaultLimit,
-      "max_limit" -> e.maxLimit)
+      "max_limit" -> e.maxLimit,
+      "freshness" -> e.freshness.map(freshnessMap))
     e.governance.foreach(g => governanceInto(g, out))
     out
   }

@@ -58,6 +58,7 @@ final case class Catalog(
         relationships = mergeByName(p.relationships, m.relationships)(_.to),
         segments = mergeByName(p.segments, m.segments)(_.name),
         defaultTimeDimension = m.defaultTimeDimension.orElse(p.defaultTimeDimension),
+        freshness = m.freshness.orElse(p.freshness),
         extendsModel = None
       )
   }

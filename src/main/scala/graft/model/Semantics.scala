@@ -154,6 +154,22 @@ final case class Governance(
     deprecationMessage: Option[String] = None,
     replacedBy: Option[String] = None)
 
+/** Freshness expectation for models and curated explores (reference:
+  * core/freshness.py:1-25). Prefer `watermark` (a dimension or source
+  * column whose MAX value represents source freshness); `sql` is the
+  * advanced escape hatch — an arbitrary query returning one scalar
+  * marker. `ttlSeconds` is the maximum allowed age before the data is
+  * considered stale. Policy only — evaluation happens in
+  * [[graft.gen.FreshnessCheck]]. */
+final case class Freshness(
+    watermark: Option[String] = None,
+    sql: Option[String] = None,
+    ttlSeconds: Option[Long] = None) {
+  require(!(watermark.isDefined && sql.isDefined),
+    "Freshness cannot define both watermark and sql")
+  require(ttlSeconds.forall(_ > 0), "Freshness ttl_seconds must be > 0")
+}
+
 /** Curated entrypoint over the semantic graph (reference:
   * core/consumption.py:100 — Hex calls the same concept a View):
   * allowlists constrain callers, defaults fill omitted selections, and
@@ -173,7 +189,8 @@ final case class Explore(
     defaultOrderBy: Seq[String] = Nil,
     defaultLimit: Option[Int] = None,
     maxLimit: Option[Int] = None,
-    governance: Option[Governance] = None) {
+    governance: Option[Governance] = None,
+    freshness: Option[Freshness] = None) {
   def qualify(v: String): String = if (v.contains(".")) v else s"$model.$v"
 }
 
@@ -227,7 +244,8 @@ final case class Model(
     defaultGrain: Option[String] = None,
     extendsModel: Option[String] = None,
     preAggregations: Seq[PreAggregation] = Nil,
-    governance: Option[Governance] = None
+    governance: Option[Governance] = None,
+    freshness: Option[Freshness] = None
 ) {
   def dimension(n: String): Option[Dimension] = dimensions.find(_.name == n)
   def metric(n: String): Option[Metric] = metrics.find(_.name == n)
