@@ -88,11 +88,21 @@ object SparkEntry {
       "median_quantity", "stddev_quantity", "stddev_pop_quantity",
       "var_quantity", "var_pop_quantity")),
 
-    // approx HLL sketch differs from DuckDB's by design → rows-only check
-    "q_approx_distinct" -> ((s, d) => q(s, d)(SemanticQuery(
-      metrics = Seq("lineitem.approx_parts"),
-      dimensions = Seq("lineitem.returnflag"),
-      orderBy = Seq("returnflag")))),
+    // approx HLL sketch values differ from DuckDB's by design, but the
+    // ACCURACY CONTRACT is oracle-checkable: emit the exact count plus a
+    // within-5%-relative-error verdict; the oracle asserts the same exact
+    // count and a literal true, so the hash gate fails iff the sketch
+    // drifts past 5% (Spark's default HLL rsd is 5%)
+    "q_approx_distinct" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      q(s, d)(SemanticQuery(
+        metrics = Seq("lineitem.approx_parts", "lineitem.distinct_parts"),
+        dimensions = Seq("lineitem.returnflag"),
+        orderBy = Seq("returnflag")))
+        .select(col("returnflag"), col("distinct_parts"),
+          (abs(col("approx_parts") - col("distinct_parts")) <=
+            col("distinct_parts") * 0.05).as("within_5pct"))
+    }),
 
     // ---- §2.2 time grains, filters, segments, relative dates ----
     "q_time_grain_month" -> ((s, d) => q(s, d)(SemanticQuery(
@@ -1729,6 +1739,14 @@ object SparkEntry {
         |    THEN NULL ELSE (o_custkey, o_orderstatus) END) AS custkey_status_pairs
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // HLL accuracy contract: the oracle pins the exact distinct count and
+    // asserts the sketch stays within 5% relative error of it
+    "q_approx_distinct" ->
+      """SELECT l_returnflag AS returnflag,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  true AS within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_bsl_total" ->
       """SELECT orderpriority, revenue,
         |  round(cast(revenue as double) / cast(total as double), 4)
@@ -2596,6 +2614,38 @@ object SparkEntry {
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
         |    AS bpeish_tokens
-        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+    // golden checksums: xxhash64-rolling fingerprints have no DuckDB
+    // twin, so the oracle pins the 50 expected values literally (the
+    // testdata generator is deterministic; any fingerprint change is a
+    // real semantic change)
+    "q_fingerprint" ->
+      """SELECT * FROM (VALUES (0, -9069096456167067718), (1,
+        |-9222749834179949182), (2, -9202040969939530932), (3,
+        |-9036974435857716035), (4, -9212793374060268516), (5,
+        |-9143978081462755932), (6, -9097862115378427569), (7,
+        |-9222749834179949182), (8, -9110609709679002831), (9,
+        |-9169475112056636256), (10, -9222749834179949182), (11,
+        |-9110609709679002831), (12, -9222749834179949182), (13,
+        |-9215354702169894683), (14, -9110609709679002831), (15,
+        |-9110609709679002831), (16, -9169815902519024114), (17,
+        |-9215354702169894683), (18, -9202040969939530932), (19,
+        |-9110609709679002831), (20, -9215354702169894683), (21,
+        |-9110609709679002831), (22, -9153980523233458364), (23,
+        |-9110609709679002831), (24, -9118217338485724881), (25,
+        |-9132699031751305753), (26, -8829390834146296584), (27,
+        |-9110609709679002831), (28, -9215354702169894683), (29,
+        |-9169815902519024114), (30, -9069096456167067718), (31,
+        |-9169475112056636256), (32, -9217632715610698515), (33,
+        |-9110609709679002831), (34, -9222749834179949182), (35,
+        |-9110609709679002831), (36, -8968773793585045691), (37,
+        |-9175934915022071779), (38, -9175934915022071779), (39,
+        |-9110609709679002831), (40, -9222749834179949182), (41,
+        |-9110609709679002831), (42, -9109028298628323156), (43,
+        |-9143978081462755932), (44, -9110609709679002831), (45,
+        |-9166377500334973907), (46, -9175934915022071779), (47,
+        |-9110609709679002831), (48, -9112893721245672858), (49,
+        |-9132699031751305753)) AS t(doc_id, fingerprint) ORDER BY doc_id""".stripMargin
   )
 }
