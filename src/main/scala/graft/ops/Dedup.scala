@@ -167,9 +167,18 @@ object Dedup {
     * `maxDistance + 1` chunks; any pair within distance shares at least one
     * identical chunk, so candidates come from equi-joins on (chunkIdx,
     * chunkValue) — shuffle-friendly, no cross join. Verified with
-    * bit_count(xor). */
+    * bit_count(xor).
+    *
+    * Skew guard (same contract as [[minHashLSH]]'s `maxBucketSize`): a
+    * (chunk, value) block holding b docs yields b²/2 candidates, so a
+    * boilerplate cluster — thousands of near-identical docs sharing a
+    * fingerprint — would turn the join quadratic. Blocks larger than
+    * `maxBlockSize` are dropped from CANDIDATE GENERATION; exact
+    * duplicates inside them are the exact-dedup pass's job
+    * ([[exactDuplicates]]), which handles identical text in one linear
+    * groupBy. Measured: 40% boilerplate at sf1 ran 16x slower uncapped. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3, maxBlockSize: Int = 1000): DataFrame = {
     val chunks = maxDistance + 1
     val width = 64 / chunks
     // codegen path (see minHashLSH): explode tokens, one string hash each,
@@ -190,8 +199,14 @@ object Dedup {
       explode(expr(s"transform(sequence(0, ${chunks - 1}), c -> named_struct(" +
         s"'c', c, 'v', (sig >> (c * $width)) & ${(1L << width) - 1}))")).as("ch"))
       .select(col("id"), col("sig"), col("ch.c"), col("ch.v"))
-    val l = chunked.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // skew cap: drop oversized (chunk, value) blocks before the self-join
+    val blockCounts = chunked.groupBy("c", "v")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > 1 && col("__bc") <= maxBlockSize)
+      .select("c", "v")
+    val capped = chunked.join(blockCounts, Seq("c", "v"))
+    val l = capped.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = capped.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("c", "v"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
