@@ -228,9 +228,17 @@ object AtScaleSmlAdapter {
           case (Some(p), Some(c)) =>
             Some(Metric(name, metricType = Some("derived"),
               sql = Some(s"percentile($c, $p)"), label = label))
-          case _ => None
+          case _ =>
+            graft.load.Fidelity.note("percentile_without_quantile",
+              s"metric '$name' declares percentile without a resolvable " +
+                "quantile/column; dropped", source = Some("atscale"))
+            None
         }
-      case _ => None
+      case other =>
+        graft.load.Fidelity.note("unsupported_calculation_method",
+          s"metric '$name' calculation_method '$other' has no lowering; dropped",
+          source = Some("atscale"))
+        None
     }
   }
 

@@ -149,7 +149,12 @@ object HexAdapter {
           Metric(id, metricType = Some("ratio"),
             numerator = Some(s"$model.${id}__num"),
             denominator = Some(s"$model.${id}__den")))
-      case _ => Nil // custom func_sql/func_calc without an executable map
+      case _ => // custom func_sql/func_calc without an executable map
+        graft.load.Fidelity.note("custom_measure_sql",
+          s"measure '$id' uses a custom func_sql/func_calc outside the " +
+            "aggregate/ratio subset; dropped",
+          severity = "unsupported", source = Some("hex"))
+        Nil
     }
   }
 
@@ -170,7 +175,11 @@ object HexAdapter {
             // fk lives on the related model, local key on this one
             Some(Relationship(target, relType,
               foreignKey = Seq(right), primaryKey = Seq(left)))
-          case _ => None
+          case other =>
+            graft.load.Fidelity.note("unknown_relation_type",
+              s"relation '$id' type '$other' is not a supported cardinality; " +
+                "join dropped", source = Some("hex"))
+            None
         }
       case Some(other) =>
         // non-equality condition: preserve with {from}/{to} placeholders

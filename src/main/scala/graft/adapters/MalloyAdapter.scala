@@ -227,7 +227,12 @@ object MalloyAdapter {
               .replaceFirst(raw"^\{from\}\.", "{from}.")))
           )
         }
-      case _ => None
+      case other =>
+        graft.load.Fidelity.note("unparseable_join",
+          s"join declaration '${other.take(60)}' matches neither " +
+            "'<target> with <fk>' nor '<target> on <cond>'; join dropped",
+          source = Some("malloy"))
+        None
     }
   }
 

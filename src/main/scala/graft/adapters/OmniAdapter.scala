@@ -266,9 +266,17 @@ object OmniAdapter {
         value match {
           case s: Seq[_] if s.length == 2 =>
             Some(s"$field BETWEEN ${quote(s(0))} AND ${quote(s(1))}")
-          case _ => None
+          case _ =>
+            graft.load.Fidelity.note("malformed_between_filter",
+              s"filter on '$field': between needs exactly two bounds; dropped",
+              source = Some("omni"))
+            None
         }
-      case _ => None
+      case other =>
+        graft.load.Fidelity.note("unsupported_filter_operator",
+          s"filter operator '$other' on '$field' has no SQL lowering; dropped",
+          source = Some("omni"))
+        None
     }
   }
 

@@ -296,6 +296,10 @@ object ThoughtSpotAdapter {
             else "JOIN"
           fromSql.append(s" $kind ${t.physical} AS ${t.refName} ON ${onSql(j.on)}")
         case None =>
+          graft.load.Fidelity.note("missing_join_condition",
+            s"worksheet table '${t.refName}' has no join spec; imported as " +
+              "a CROSS JOIN (cardinality may differ from ThoughtSpot's)",
+            severity = "approximated", source = Some("thoughtspot"))
           fromSql.append(s" CROSS JOIN ${t.physical} AS ${t.refName}")
       }
     }

@@ -124,6 +124,35 @@ class FidelitySpec extends AnyFunSuite {
     assert(report.notes.forall(_.severity == "unsupported"))
   }
 
+  test("AtScale: unsupported calculation methods are reported") {
+    val (imp, report) = Fidelity.capture {
+      graft.adapters.AtScaleSmlAdapter.load(Seq(
+        """unique_name: fact_sales
+          |object_type: dataset
+          |table: sales_t
+          |columns:
+          |  - name: amount
+          |    data_type: decimal(18,2)
+          |  - name: user_id
+          |    data_type: int
+          |""".stripMargin,
+        """unique_name: total
+          |object_type: metric
+          |calculation_method: sum
+          |dataset: fact_sales
+          |column: amount
+          |""".stripMargin,
+        """unique_name: ndv_sketch
+          |object_type: metric
+          |calculation_method: hyper log log
+          |dataset: fact_sales
+          |column: user_id
+          |""".stripMargin))
+    }
+    assert(report.byConstruct("unsupported_calculation_method").exists(
+      _.detail.contains("ndv_sketch")), report.summaryLines.mkString("\n"))
+  }
+
   test("clean import has no losses") {
     val (_, report) = Fidelity.capture {
       LookMLAdapter.loadString(
