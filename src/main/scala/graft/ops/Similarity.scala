@@ -99,16 +99,16 @@ object Similarity {
     * aggregate expressions across generated methods, so this stays in
     * whole-stage codegen at any bands×planes. One uniform shuffle keyed
     * by id; bucket assembly and band explosion ride the agg output — no
-    * join-back. */
+    * join-back. (A per-(id, band) grouping with bands× replicated rows
+    * was A/B'd in round 8: identical full-operator wall time locally,
+    * 16× the shuffle volume — rejected at the 100× lens.) */
   private def bandedKeys(df: DataFrame, idName: String, vecName: String,
       bands: Int, planesPerBand: Int, dim: Int, seed: Int): DataFrame = {
     val nPlanes = bands * planesPerBand
     // one literal array per plane, constant offset lookups (benchmarked
     // fastest: a single flat plane-major literal with computed offsets ran
     // 4× slower, and chunked multi-pass aggregation re-executed the shared
-    // subtree per chunk). Beyond ~64 aggregates the generated update
-    // method can overflow janino's 64 KB limit and the stage falls back
-    // to interpreted eval — bounded per-row cost, measured acceptable.
+    // subtree per chunk)
     val planeLits = (0 until nPlanes).map(p =>
       typedlit((0 until dim).map(i => planeVal(seed, p, i))))
     val pos = df.select(col(idName),
@@ -223,15 +223,33 @@ object Similarity {
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val v = df.select(col(idCol).as("__vid"), asDouble(col(vecCol)).as("__v"))
-      .withColumn("__n", normLit(col("__v"), dim))
-    cand
-      .join(v.select(col("__vid").as("id_a"), col("__v").as("__va"),
-        col("__n").as("__na")), Seq("id_a"))
-      .join(v.select(col("__vid").as("id_b"), col("__v").as("__vb"),
-        col("__n").as("__nb")), Seq("id_b"))
-      .withColumn("cosine",
-        dotLit(col("__va"), col("__vb"), dim) / (col("__na") * col("__nb")))
+    // Verify via explode → equi-join → aggregate (the same shape as
+    // minHashLSH's Jaccard verify), NOT a literal-expanded dot over two
+    // attached array columns: with arrays on both join sides Catalyst
+    // pushes `cosine >= t` INTO the join as a non-equi condition, the
+    // 128-term expression blows the join out of whole-stage codegen, and
+    // every candidate pays interpreted evaluation (measured 45 s of a
+    // 55 s sf1 run; this shape runs the whole verify in ~4 s). Everything
+    // below is equi-joins + one partial-aggregated sum — codegen end to
+    // end, shuffle keys are (id, dim-position), no array ever rides a
+    // join condition.
+    val vrows = df.select(col(idCol).as("__vid"),
+      posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
+    val norms = vrows.groupBy("__vid")
+      .agg(sqrt(sum(col("__x") * col("__x"))).as("__n"))
+    val dots = cand
+      .join(vrows.select(col("__vid").as("id_a"), col("__p"),
+        col("__x").as("__xa")), Seq("id_a"))
+      .join(vrows.select(col("__vid").as("id_b"), col("__p"),
+        col("__x").as("__xb")), Seq("id_b", "__p"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__xa") * col("__xb")).as("__dot"))
+    dots
+      .join(norms.select(col("__vid").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(norms.select(col("__vid").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .withColumn("cosine", col("__dot") / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
