@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -34,6 +34,12 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** events with the raw nanos `ts` long converted to a TimestampType
+    * column `ts_t` (micros — the file's nanos are sub-micro-free). */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
 
   /** Flagship: multi-hop star join, lineitem→orders→customer→nation→region. */
   def entry(spark: SparkSession): DataFrame =
@@ -1684,7 +1690,58 @@ object SparkEntry {
           round(element_at(col("features"), 8).cast("double"), 4).as("mean_gray"),
           col("target_width"), col("target_height"), col("needs_resize"))
         .orderBy("media_id")
-    })
+    }),
+
+    // ---- pipeline ops: sessionization ----
+    // declarative route: built-in session_window aggregation; the DuckDB
+    // oracle re-derives the same sessions via lag + running-sum, pinning
+    // the boundary rule (a gap of exactly 12 h still merges; only > gap splits)
+    "q_sessionize" -> ((s, d) =>
+      Sessionize.summarize(
+        eventsTs(s, d).filter(col("user_id") < 30),
+        "user_id", "ts_t", gapSec = 43200, valueCol = Some("value"))
+        .orderBy("user_id", "session_start")),
+
+    // per-event labels (lag + running count); ties break by event_id so
+    // the labeling is total — oracle is the identical window program
+    "q_session_assign" -> ((s, d) =>
+      Sessionize.assign(
+        eventsTs(s, d).filter(col("user_id") < 5),
+        "user_id", "ts_t", "event_id", gapMicros = 43200000000L)
+        .select(col("user_id"), col("event_id"), col("session_idx"))
+        .orderBy("user_id", "event_id")),
+
+    // corpus-wide session shape: integer aggregates are exact in double
+    // accumulation (< 2^53), so avg is order-independent on both engines
+    "q_session_stats" -> ((s, d) => {
+      val sess = Sessionize.summarize(eventsTs(s, d), "user_id", "ts_t",
+        gapSec = 43200, valueCol = Some("value"))
+      sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events_total"),
+        max(col("n_events")).as("max_events"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        round(avg(col("n_events")), 4).as("avg_events"),
+        round(avg(unix_micros(col("session_end"))
+          - unix_micros(col("session_start"))) / 1000000.0, 4)
+          .as("avg_duration_sec"))
+    }),
+
+    // ---- pipeline ops: deterministic sampling / splitting ----
+    // the split is a pure function of md5(doc_id) — the oracle recomputes
+    // the exact per-document bucket, so assignment itself is gated, not
+    // just the counts
+    "q_train_split" -> ((s, d) =>
+      Sampling.split(docs(s, d), "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("split")),
+
+    "q_stratified_sample" -> ((s, d) =>
+      asLong(Sampling.stratifiedTopN(docs(s, d), "lang", "doc_id", n = 5)
+        .select(col("lang"), col("sample_rank"), col("doc_id"), col("source"))
+        .orderBy("lang", "sample_rank"), "sample_rank"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2646,6 +2703,93 @@ object SparkEntry {
         |-9143978081462755932), (44, -9110609709679002831), (45,
         |-9166377500334973907), (46, -9175934915022071779), (47,
         |-9110609709679002831), (48, -9112893721245672858), (49,
-        |-9132699031751305753)) AS t(doc_id, fingerprint) ORDER BY doc_id""".stripMargin
+        |-9132699031751305753)) AS t(doc_id, fingerprint) ORDER BY doc_id""".stripMargin,
+
+    // sessionization: re-derive session_window's merge rule via lag +
+    // running sum; boundary pinned as `diff >= gap ⇒ new session`
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS t,
+        |         CAST(value AS DECIMAL(18,2)) AS v,
+        |         CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+        |                OR epoch_us(ts::TIMESTAMP)
+        |                   - epoch_us(lag(ts::TIMESTAMP) OVER w) > 43200000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+        |       count(*) AS n_events, sum(v) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_session_assign" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+        |                OR epoch_us(ts::TIMESTAMP)
+        |                   - epoch_us(lag(ts::TIMESTAMP) OVER w) > 43200000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 5
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS session_idx
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS t,
+        |         CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+        |                OR epoch_us(ts::TIMESTAMP)
+        |                   - epoch_us(lag(ts::TIMESTAMP) OVER w) > 43200000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |         epoch_us(max(t)) - epoch_us(min(t)) AS dur_us
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT count(*) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events_total,
+        |       max(n_events) AS max_events,
+        |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_singletons,
+        |       round(avg(n_events), 4) AS avg_events,
+        |       round(avg(dur_us) / 1000000.0, 4) AS avg_duration_sec
+        |FROM s""".stripMargin,
+
+    // deterministic md5 split: the oracle recomputes the exact bucket
+    // ( '0x'||hex parses as the same unsigned 32-bit value conv() yields )
+    "q_train_split" ->
+      """WITH b AS (
+        |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |            % 1000 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 800 THEN 'train'
+        |            WHEN bucket < 900 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, source,
+        |         row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                    % 1000000, doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, sample_rank, doc_id, source
+        |FROM r WHERE sample_rank <= 5
+        |ORDER BY lang, sample_rank""".stripMargin
   )
 }

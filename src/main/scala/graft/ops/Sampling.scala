@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * Everything here is a pure function of the row's id — no RNG, no
+  * `rand()`, no monotonically_increasing_id. That is the property a
+  * 100 TB pipeline actually needs: the train/val/test assignment of a
+  * document never changes across reruns, executors, partition counts, or
+  * engines, so splits are reproducible and leakage-auditable. The hash
+  * is the first 8 hex chars of md5 of the id rendered as a string —
+  * chosen over Spark's xxhash64/Murmur3 because md5 is engine-portable
+  * (the DuckDB oracles recompute the exact bucket, making the split
+  * itself oracle-gated, not just its row counts).
+  *
+  * All expressions are built-ins (md5/conv/substring) — whole-stage
+  * codegen, evaluated at scan speed, no shuffle added by bucketing
+  * itself. Only [[stratifiedTopN]] shuffles (one window per stratum).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the id column. */
+  def hashBucket(idCol: Column, buckets: Int): Column =
+    conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Named split from per-mille weights, e.g.
+    * `Seq("train" -> 800, "val" -> 100, "test" -> 100)`. Weights must sum
+    * to 1000; assignment is by consecutive bucket ranges of a 1000-way
+    * [[hashBucket]], so enlarging a tail split later keeps every
+    * previously-assigned row in its old split (the standard stable-split
+    * contract). */
+  def split(df: DataFrame, idCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 1000,
+      s"split weights must sum to 1000 per-mille, got $weights")
+    val b = hashBucket(col(idCol), 1000)
+    val bounds = weights.scanLeft(0)(_ + _._2).tail
+    // when-chain resolves the first matching range, innermost = last split
+    val chained = weights.zip(bounds).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
+        when(b < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", chained)
+  }
+
+  /** Deterministic n-per-stratum sample: rank rows inside each stratum
+    * by (hash, id) and keep the first n. Equivalent to a uniform random
+    * sample per stratum, but reproducible and engine-portable.
+    *
+    * One shuffle on the stratum key; rank is a window per stratum, so a
+    * hot stratum costs one sorted reducer (spill-safe). For heavily
+    * skewed strata at extreme scale, pre-filter with
+    * `hashBucket(id, k) == 0` to cut the sorted volume by k before
+    * ranking — the filter is sargable and composes with this. */
+  def stratifiedTopN(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+}
