@@ -1631,6 +1631,31 @@ object SparkEntry {
         .orderBy("query_id", "rank"), "rank")
     }),
 
+    // IVF in its design regime: planted near-twins (cos ≈ 0.97) must be
+    // retrieved through centroid-cell probing. twin_found is fully
+    // deterministic (hash-seeded centroids, decimal-summed means), so
+    // the oracle pins it literally — a centroid/probe regression flips
+    // booleans and fails the hash
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val twins = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      val queries = emb.filter(col("vec_id") < 5)
+      val ivf = Similarity.ivfTopK(aug, queries, "vec_id", "embedding",
+        "vec_id", k = 5, nCells = 16, nprobe = 4)
+      asLong(queries.select(col("vec_id").as("query_id"))
+        .join(ivf.filter(col("neighbor_id") === col("query_id") + 100000)
+          .select(col("query_id"), lit(true).as("twin_found")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("twin_found"), lit(false)).as("twin_found"))
+        .orderBy("query_id"), "query_id")
+    }),
+
     "q_embedding_neardup" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       // the synthetic embeddings are near-uniform (max pairwise cosine
@@ -2704,6 +2729,14 @@ object SparkEntry {
         |-9166377500334973907), (46, -9175934915022071779), (47,
         |-9110609709679002831), (48, -9112893721245672858), (49,
         |-9132699031751305753)) AS t(doc_id, fingerprint) ORDER BY doc_id""".stripMargin,
+
+    // IVF gate: the planted twins are unambiguous nearest neighbors, so
+    // retrieval through 4-of-16 cell probing must find all five
+    "q_ann_ivf" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id, twin_found
+        |FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+        |  AS t(query_id, twin_found)
+        |ORDER BY query_id""".stripMargin,
 
     // sessionization: re-derive session_window's merge rule via lag +
     // running sum; boundary pinned as `diff >= gap ⇒ new session`

@@ -169,7 +169,16 @@ object Similarity {
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
       .withColumn("__qn", normLit(col("__qv"), dim)))
-    val scored = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+    exactRerank(cand, c, q, k, dim)
+  }
+
+  /** Exact cosine re-rank of a narrow (query_id, neighbor_id) candidate
+    * frame: broadcast-join the (small) query vectors, shuffle-join the
+    * corpus vectors, literal-expanded dot, window top-k per query. */
+  private def exactRerank(cand: DataFrame, corpusVecs: DataFrame,
+      queryVecs: DataFrame, k: Int, dim: Int): DataFrame = {
+    val scored = cand.join(queryVecs, Seq("query_id"))
+      .join(corpusVecs, Seq("neighbor_id"))
       .withColumn("cosine",
         dotLit(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
@@ -177,6 +186,121 @@ object Similarity {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__rn").as("rank"))
+  }
+
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Deterministic k-means centroids for IVF cells.
+    *
+    * Seeds are the `k` corpus vectors with the smallest xxhash64(id) —
+    * a reproducible uniform draw with no RNG state. Lloyd updates run
+    * `iters` rounds fully distributed (assignment is a Spark aggregate,
+    * see [[assignCells]]); only the k×dim centroid matrix ever reaches
+    * the driver, which is what makes the collect admissible at any
+    * corpus size (k is hundreds-to-thousands by design). Per-dimension
+    * means sum in decimal so centroids are bit-identical across runs and
+    * partition layouts — float means would wiggle with reduce order and
+    * leak nondeterminism into every downstream cell assignment.
+    *
+    * `trainSampleMod > 1` trains on the deterministic 1/mod hash-sample
+    * of the corpus (`pmod(xxhash64(id), mod) = 0`) — at 100 TB you fit
+    * centroids on ~0.1% of rows and assign the full corpus once. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3, dim: Int = 64,
+      trainSampleMod: Int = 1): Seq[Seq[Double]] = {
+    val base = corpus.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"))
+    val v = if (trainSampleMod <= 1) base
+      else base.filter(pmod(xxhash64(col("__id")), lit(trainSampleMod)) === 0)
+    var cents: Seq[Seq[Double]] = v
+      .orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(v, "__id", cents, dim).join(v, "__id")
+      val means = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy(col("__cell"), col("__p"))
+        .agg((sum(col("__x").cast("decimal(30,12)")) / count(lit(1)))
+          .cast("double").as("__m"))
+        .groupBy(col("__cell"))
+        .agg(sort_array(collect_list(struct(col("__p"), col("__m"))))
+          .as("__pm"))
+        .select(col("__cell"), col("__pm.__m").as("__mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      // an emptied cell keeps its previous centroid (standard Lloyd fix)
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell per row as a Spark aggregate: posexplode the
+    * vector once, one codegen'd `sum` per centroid against a literal
+    * centroid array (the [[bandedKeys]] shape — immune to janino method
+    * overflow at any k), then argmin via a `least` over (dist², cell)
+    * structs. dist² = |c|² − 2·v·c (+|v|², constant per row, dropped). */
+  def assignCells(vecs: DataFrame, idName: String,
+      cents: Seq[Seq[Double]], dim: Int): DataFrame = {
+    val pos = vecs.select(col(idName),
+      posexplode(col("__v")).as(Seq("__p", "__x")))
+    val dots = cents.zipWithIndex.map { case (c, i) =>
+      sum(col("__x") * element_at(typedlit(c), col("__p") + 1)).as(s"__dot$i")
+    }
+    val agg = pos.groupBy(idName).agg(dots.head, dots.tail: _*)
+    agg.select(col(idName),
+      least(cellDists(cents): _*).getField("cell").as("__cell"))
+  }
+
+  /** (dist²-proxy, cell) structs over the `__dot$i` aggregate columns;
+    * struct comparison breaks distance ties by the lower cell id. */
+  private def cellDists(cents: Seq[Seq[Double]]): Seq[Column] =
+    cents.zipWithIndex.map { case (c, i) =>
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * col(s"__dot$i"))
+        .as("d"), lit(i).as("cell"))
+    }
+
+  /** IVF approximate top-k: the corpus is partitioned into `nCells`
+    * centroid cells once; each query probes its `nprobe` nearest cells
+    * and re-ranks exactly inside them. Complements [[lshTopK]]: IVF
+    * adapts to the data's cluster structure (LSH planes are oblivious),
+    * probes a tunable corpus fraction ≈ nprobe/nCells, and its index is
+    * ONE extra integer column — at 100 TB the cell assignment is written
+    * next to the embeddings and the probe join is a plain equi-join on
+    * the cell id (partition-prunable when the corpus is stored
+    * partitioned by cell, which is the intended layout).
+    *
+    * Determinism: centroids are deterministic ([[trainCentroids]]), so
+    * cells, probes, and the final ranking are reproducible end to end. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, iters: Int = 3, dim: Int = 64,
+      trainSampleMod: Int = 1): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters, dim,
+      trainSampleMod)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", normLit(col("__cv"), dim))
+    val cCells = assignCells(
+      corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v")),
+      "__id", cents, dim)
+      .select(col("__id").as("neighbor_id"), col("__cell"))
+    // per query: nprobe nearest cells, via sorted (dist, cell) array
+    val qpos = queries.select(col(queryIdCol).as("query_id"),
+      posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
+    val qdots = cents.zipWithIndex.map { case (cn, i) =>
+      sum(col("__x") * element_at(typedlit(cn), col("__p") + 1)).as(s"__dot$i")
+    }
+    val qagg = qpos.groupBy(col("query_id")).agg(qdots.head, qdots.tail: _*)
+    val qProbes = qagg.select(col("query_id"),
+      explode(slice(array_sort(array(cellDists(cents): _*)), 1, nprobe))
+        .as("__probe"))
+      .select(col("query_id"), col("__probe.cell").as("__cell"))
+    val cand = broadcast(qProbes).join(cCells, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", normLit(col("__qv"), dim)))
+    exactRerank(cand, c, q, k, dim)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, candidates

@@ -73,6 +73,45 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(twinPairs >= 45, s"expected >=45 twin pairs outside cluster, got $twinPairs")
   }
 
+  test("ivf finds every planted twin and is layout-invariant") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val got = Similarity.ivfTopK(augmented, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nCells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every query's near-twin (cos ≈ 0.97 — THE nearest neighbor) must
+    // survive 4-of-16 cell probing
+    val found = (0L until 50L).count(q => got.contains((q, q + 100000)))
+    info(s"ivf twin recall = ${found / 50.0} over 50 planted twins")
+    assert(found == 50, s"only $found/50 twins retrieved")
+    // deterministic under arbitrary physical layout: hash-seeded
+    // centroids + decimal-summed means + tie-broken ranking
+    val again = Similarity.ivfTopK(augmented.repartition(13), queries,
+      "vec_id", "embedding", "vec_id", k = 5, nCells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again)
+  }
+
+  test("ivf recall vs brute force tracks the probed corpus fraction") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-uniform data is IVF's worst case (no cluster structure to
+    // exploit) — probing 8/16 cells must still recover the majority of
+    // true neighbors, and full probing must be exhaustive
+    val half = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nCells = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val halfRecall = (truth & half).size.toDouble / truth.size
+    info(s"nprobe=8/16 recall = $halfRecall")
+    assert(halfRecall >= 0.5, s"recall $halfRecall < 0.5 at half probing")
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nCells = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((truth & full).size == truth.size,
+      "nprobe = nCells must equal brute force")
+  }
+
   test("lsh top-5: recall >= 0.9 vs brute-force top-5") {
     val queries = emb.filter(col("vec_id") < 20)
     val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
