@@ -1766,7 +1766,18 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) =>
       asLong(Sampling.stratifiedTopN(docs(s, d), "lang", "doc_id", n = 5)
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("source"))
-        .orderBy("lang", "sample_rank"), "sample_rank"))
+        .orderBy("lang", "sample_rank"), "sample_rank")),
+
+    // greedy token-budget packing: path-dependent bin assignment — the
+    // oracle replays the identical greedy recurrence as a recursive CTE
+    "q_token_pack" -> ((s, d) => {
+      val t = docs(s, d).select(col("source"), col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("tokens"))
+      Sampling.packGreedy(t, "source", "doc_id", "tokens", budget = 512)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"))
+        .orderBy("source", "bin")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2812,6 +2823,29 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // greedy packing truth: the recursive CTE advances one row per
+    // group per step, carrying (fill, bin) — the exact greedy recurrence
+    "q_token_pack" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(regexp_extract_all(text,
+        |           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS tokens,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, rn, tokens, tokens AS fill, CAST(0 AS BIGINT) AS bin
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.source, s.rn, s.tokens,
+        |         CASE WHEN r.fill + s.tokens <= 512
+        |              THEN r.fill + s.tokens ELSE s.tokens END,
+        |         CASE WHEN r.fill + s.tokens <= 512
+        |              THEN r.bin ELSE r.bin + 1 END
+        |  FROM s JOIN r ON s.source = r.source AND s.rn = r.rn + 1)
+        |SELECT source, bin, count(*) AS n_docs,
+        |       CAST(sum(tokens) AS BIGINT) AS total_tokens
+        |FROM r GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH r AS (

@@ -63,4 +63,46 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= n)
   }
+
+  /** Greedy token-budget packing (training-batch construction): within
+    * each group, rows in `orderCol` order fill bins of capacity
+    * `budget`; a row that would overflow the current bin starts the next
+    * one (a single over-budget row gets a bin of its own). Returns
+    * (group, order, size, bin) with 0-based bins per group.
+    *
+    * Bin assignment is path-dependent (each decision depends on the
+    * running fill), which no window function expresses — this is the
+    * rare operator that is legitimately imperative. The shape keeps it
+    * scalable anyway: one shuffle on the group key, an EXTERNAL sort
+    * (spills, any group size), then a single streaming pass per
+    * partition — no group is ever buffered in memory. Groups are the
+    * parallelism unit: at corpus scale, pre-shard giant groups (e.g.
+    * `hashBucket(id, shards)` as part of the group key) — packing is
+    * per-shard-local anyway in a distributed trainer. */
+  def packGreedy(df: DataFrame, groupCol: String, orderCol: String,
+      sizeCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("__g"),
+        col(orderCol).cast("long").as("__o"),
+        col(sizeCol).cast("long").as("__s"))
+      .repartition(col("__g"))
+      .sortWithinPartitions(col("__g"), col("__o"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var g: String = null
+        var fill = 0L
+        var bin = 0L
+        it.map { case (gg, o, s) =>
+          if (gg != g) { g = gg; fill = 0L; bin = 0L }
+          if (fill > 0 && fill + s <= budget) fill += s
+          else {
+            if (fill > 0) bin += 1
+            fill = s
+          }
+          (gg, o, s, bin)
+        }
+      }
+      .toDF(groupCol, orderCol, sizeCol, "bin")
+  }
 }

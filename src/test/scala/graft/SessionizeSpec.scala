@@ -128,6 +128,35 @@ class SessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("greedy packing respects the budget and is layout-invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 200L), ("a", 2L, 200L), ("a", 3L, 200L), // 200+200 | 200
+      ("a", 4L, 900L), // over-budget row gets its own bin
+      ("a", 5L, 10L),
+      ("b", 1L, 512L), ("b", 2L, 1L)) // exact fit, then next bin
+    val df = rows.toDF("g", "o", "s")
+    val packed = Sampling.packGreedy(df, "g", "o", "s", budget = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(packed == Set(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("a", 4L, 2L), ("a", 5L, 3L),
+      ("b", 1L, 0L), ("b", 2L, 1L)))
+    // identical under arbitrary physical layout (order is re-established
+    // by the group shuffle + within-partition sort)
+    val again = Sampling.packGreedy(df.repartition(7), "g", "o", "s", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(again == packed)
+    // real-corpus invariant: every multi-row bin's total fits the budget
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("source"), col("doc_id"), length(col("text")).as("sz"))
+    val bins = Sampling.packGreedy(docs, "source", "doc_id", "sz", 1000)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n"), sum(col("sz")).as("tot"))
+    assert(bins.filter(col("n") > 1 && col("tot") > 1000).count() == 0)
+    assert(bins.count() > 0)
+  }
+
   test("stratified sample is deterministic and bounded per stratum") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val s1 = Sampling.stratifiedTopN(docs, "lang", "doc_id", 3)
