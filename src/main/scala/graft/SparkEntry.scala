@@ -1768,6 +1768,20 @@ object SparkEntry {
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("source"))
         .orderBy("lang", "sample_rank"), "sample_rank")),
 
+    // normalization exercised on synthetically marked-up text (tags +
+    // ragged whitespace wrapped around the real docs) so the gate is
+    // non-vacuous; the oracle applies the identical regex chain
+    "q_normalize" -> ((s, d) =>
+      asLong(docs(s, d).filter(col("doc_id") < 20)
+        .withColumn("raw", concat(lit("<p> "), col("text"),
+          lit(" </p>\t<br/>  end")))
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("raw")).as("clean"),
+          length(TextAnalysis.normalize(col("raw"))).as("n_clean"),
+          round(TextAnalysis.nonAsciiRatio(col("text")), 6)
+            .as("non_ascii_ratio"))
+        .orderBy("doc_id"), "n_clean")),
+
     // greedy token-budget packing: path-dependent bin assignment — the
     // oracle replays the identical greedy recurrence as a recursive CTE
     "q_token_pack" -> ((s, d) => {
@@ -2823,6 +2837,22 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text,
+        |         '<p> ' || text || ' </p>' || chr(9) || '<br/>  end' AS r
+        |  FROM documents WHERE doc_id < 20),
+        |n AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(r, '<[^>]*>', ' ', 'g'),
+        |              '\s+', ' ', 'g')) AS clean
+        |  FROM raw)
+        |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean,
+        |       round(CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE CAST(length(regexp_replace(text, '[ -~]', '', 'g'))
+        |                  AS DOUBLE) / length(text) END, 6) AS non_ascii_ratio
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // greedy packing truth: the recursive CTE advances one row per
     // group per step, carrying (fill, bin) — the exact greedy recurrence

@@ -83,4 +83,19 @@ object TextAnalysis {
   def fingerprint(textCol: String, cap: Int = 4096): Column =
     expr(s"array_min(transform(sequence(1, greatest(length(substring($textCol, 1, $cap)) - 7, 1)), " +
       s"i -> xxhash64(substring(substring($textCol, 1, $cap), i, 8))))")
+
+  /** Corpus normalization: strip markup tags (replaced by a space so
+    * `a<br>b` doesn't fuse), collapse whitespace runs, trim. Pure
+    * codegen'd regexp_replace chain — scan speed; the regex subset is
+    * deliberately engine-portable (no \p classes) so the DuckDB oracle
+    * pins the exact transformation. */
+  def normalize(textCol: Column): Column =
+    trim(regexp_replace(regexp_replace(textCol, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Fraction of characters outside printable ASCII (`[ -~]`) — the
+    * standard cheap junk/mojibake signal for corpus filtering. */
+  def nonAsciiRatio(textCol: Column): Column =
+    when(length(textCol) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(textCol, "[ -~]", "")).cast("double")
+        / length(textCol))
 }

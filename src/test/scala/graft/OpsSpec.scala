@@ -108,6 +108,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("normalize strips tags, collapses whitespace; junk ratio flags mojibake") {
+    val rows = Seq(
+      (1L, "a <b>bold</b>  move\t<br/> done "),
+      (2L, "plain"),
+      (3L, "café résumé")).toDF("id", "t")
+    val out = rows.select($"id",
+      TextAnalysis.normalize($"t").as("c"),
+      TextAnalysis.nonAsciiRatio($"t").as("r"))
+      .as[(Long, String, Double)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(out(1L)._1 == "a bold move done")
+    assert(out(2L)._1 == "plain")
+    assert(out(2L)._2 == 0.0) // pure printable ascii
+    assert(out(3L)._1 == "café résumé")
+    assert(math.abs(out(3L)._2 - 3.0 / 11) < 1e-9) // é×3 of 11 chars
+  }
+
   test("multimodal plumbing: decode batch keeps ids, resize plan bounds sides") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val decoded = Multimodal.decodeAndFeaturize(media, "media_id", "content")
