@@ -146,4 +146,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.agg(sum(col("n"))).collect()(0).getLong(0) ==
       spark.read.parquet(s"${TestSpark.sfDir}/events.parquet").count())
   }
+
+  test("watermarked tumbling windows finalize once, dedup replayed ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val HourUs = 3600000000L
+    val T0 = 100 * HourUs // hour-aligned, above the initial watermark
+    val Min = 60000000L
+
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val df = in.toDS().toDF("id", "tsUs", "dim", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+    val out = graft.streaming.WindowedStream.dedupedTumbling(
+      df, "id", "ts", "1 hour", "30 minutes", Seq("dim"),
+      Seq("n" -> count(lit(1)),
+        "total" -> sum(col("value").cast("decimal(18,2)"))))
+    val q = out.writeStream.format("memory").queryName("ws_test")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        (1L, T0 + 10 * Min, "a", 1.0),
+        (2L, T0 + 20 * Min, "a", 1.0),
+        (3L, T0 + 70 * Min, "a", 1.0)))
+      q.processAllAvailable()
+      // replay of id 3 (still above the watermark) must NOT double-count
+      // hour 1; id 4 advances the watermark past hours 0 and 1
+      in.addData(Seq(
+        (3L, T0 + 70 * Min, "a", 1.0),
+        (4L, T0 + 200 * Min, "a", 1.0)))
+      q.processAllAvailable()
+      // flush: push the watermark far past everything still open
+      in.addData(Seq((9L, T0 + 100 * HourUs, "z", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("ws_test")
+      .select(unix_micros(col("window_start")).as("ws"), col("dim"),
+        col("n"), col("total").cast("double"))
+      .collect().map(_.toSeq).toSet
+    assert(got == Set(
+      Seq(T0, "a", 2L, 2.0), // hour 0 finalized with both events
+      Seq(T0 + 60 * Min, "a", 1L, 1.0), // hour 1: replayed id deduped
+      Seq(T0 + 180 * Min, "a", 1L, 1.0))) // id 4's window, closed by flush
+  }
 }
