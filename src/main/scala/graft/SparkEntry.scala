@@ -1782,6 +1782,51 @@ object SparkEntry {
             .as("non_ascii_ratio"))
         .orderBy("doc_id"), "n_clean")),
 
+    // Gopher-style duplicate-3-gram fraction; every 4th doc is doubled
+    // so the gate sees real repetition, not just zeros
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.ngramRepetition(
+        docs(s, d).filter(col("doc_id") < 40)
+          .withColumn("t", when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text"))),
+        "t", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+          round(col("dup_gram_ratio"), 6).as("dup_gram_ratio"))
+        .orderBy("doc_id")),
+
+    // PII surface scan over synthetically planted emails/URLs — the
+    // regexes are engine-portable, so counts are oracle-exact
+    "q_pii_scan" -> ((s, d) =>
+      docs(s, d).filter(col("doc_id") < 60)
+        .withColumn("raw", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" see https://example.org/d/"),
+              col("doc_id").cast("string"), lit(" ok")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("raw")).as("n_emails"),
+          TextAnalysis.urlCount(col("raw")).as("n_urls"))
+        .withColumn("has_pii", (col("n_emails") + col("n_urls")) > 0)
+        .orderBy("doc_id")),
+
+    // decontamination: 40 docs re-enter the corpus under new ids, the
+    // md5 split scatters them, and every test doc whose exact text also
+    // landed in train must be reported
+    "q_contamination" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val leaked = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val sp = Sampling.split(base.unionByName(leaked), "doc_id",
+        Seq("train" -> 900, "test" -> 100))
+      Dedup.crossSplitLeakage(sp, "doc_id", "text", "split",
+        probe = "test", reference = "train")
+        .orderBy("doc_id")
+    }),
+
     // greedy token-budget packing: path-dependent bin assignment — the
     // oracle replays the identical greedy recurrence as a recursive CTE
     "q_token_pack" -> ((s, d) => {
@@ -2853,6 +2898,59 @@ object SparkEntry {
         |             ELSE CAST(length(regexp_replace(text, '[ -~]', '', 'g'))
         |                  AS DOUBLE) / length(text) END, 6) AS non_ascii_ratio
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH raw AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+        |                      ELSE text END AS t
+        |  FROM documents WHERE doc_id < 40),
+        |w AS (SELECT doc_id, string_split_regex(t, '\s+') AS ws FROM raw),
+        |g AS (SELECT doc_id,
+        |        [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |         FOR i IN generate_series(1, len(ws) - 2)] AS grams
+        |      FROM w)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+        |       round(CASE WHEN len(grams) = 0 THEN 0.0
+        |             ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |                  / len(grams) END, 6) AS dup_gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scan" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |            || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/d/'
+        |            || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END AS r
+        |  FROM documents WHERE doc_id < 60),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(r,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_emails,
+        |    CAST(len(regexp_extract_all(r, 'https?://[^\s]+')) AS BIGINT)
+        |      AS n_urls
+        |  FROM raw)
+        |SELECT doc_id, n_emails, n_urls, (n_emails + n_urls) > 0 AS has_pii
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 40),
+        |sp AS (
+        |  SELECT *, CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                       1, 8))::BIGINT % 1000 < 900
+        |                 THEN 'train' ELSE 'test' END AS split
+        |  FROM corpus),
+        |ref AS (SELECT DISTINCT md5(text) AS h FROM sp WHERE split = 'train')
+        |SELECT p.doc_id, true AS contaminated
+        |FROM sp p JOIN ref ON md5(p.text) = ref.h
+        |WHERE p.split = 'test'
+        |ORDER BY p.doc_id""".stripMargin,
 
     // greedy packing truth: the recursive CTE advances one row per
     // group per step, carrying (fill, bin) — the exact greedy recurrence

@@ -235,4 +235,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")
   }
+
+  /** Cross-split contamination (train/test leakage by exact content):
+    * rows of the `probe` split whose text hash also appears in the
+    * `reference` split. The decontamination primitive every eval
+    * pipeline needs — run it before training on any corpus that also
+    * sources benchmarks. One equi-join on the (uniform) md5 key; the
+    * reference side is reduced to distinct hashes first, so the join
+    * payload is one 32-char string per unique reference text. md5 (not
+    * xxhash64) keeps the hash engine-portable for the oracle. */
+  def crossSplitLeakage(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, probe: String, reference: String): DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    val ref = df.filter(col(splitCol) === reference)
+      .select(h.as("__h")).distinct()
+    df.filter(col(splitCol) === probe)
+      .select(col(idCol), h.as("__h"))
+      .join(ref, Seq("__h"))
+      .select(col(idCol), lit(true).as("contaminated"))
+  }
 }

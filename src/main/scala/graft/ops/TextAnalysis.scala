@@ -98,4 +98,39 @@ object TextAnalysis {
     when(length(textCol) === 0, lit(0.0)).otherwise(
       length(regexp_replace(textCol, "[ -~]", "")).cast("double")
         / length(textCol))
+
+  /** Word n-gram repetition (Gopher-style duplicate-n-gram fraction):
+    * adds `n_grams`, `n_distinct_grams`, `dup_gram_ratio`. High ratios
+    * flag boilerplate/looping text. Pure per-row collection expressions
+    * (transform + array_distinct) — no shuffle, scan speed; short docs
+    * (< n words) get 0 grams rather than a degenerate sequence. */
+  def ngramRepetition(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    val grams =
+      s"""CASE WHEN size(__ws) < $n THEN array()
+         |ELSE transform(sequence(1, size(__ws) - ${n - 1}),
+         |  i -> concat_ws(' ', ${(0 until n)
+        .map(j => s"element_at(__ws, i + $j)").mkString(", ")}))
+         |END""".stripMargin.replace('\n', ' ')
+    df.withColumn("__ws", split(col(textCol), "\\s+"))
+      .withColumn("__grams", expr(grams))
+      .withColumn("n_grams", size(col("__grams")).cast("long"))
+      .withColumn("n_distinct_grams",
+        size(array_distinct(col("__grams"))).cast("long"))
+      .withColumn("dup_gram_ratio",
+        when(col("n_grams") === 0, lit(0.0)).otherwise(
+          lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams")))
+      .drop("__ws", "__grams")
+  }
+
+  /** PII-pattern surface counts (emails, URLs) — the cheap pre-redaction
+    * scan. The regexes stay in the engine-portable subset (no \p, no
+    * lookaround) so the DuckDB oracle pins exact counts. */
+  def emailCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol,
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+      .cast("long")
+
+  def urlCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("https?://[^\\s]+"), lit(0)))
+      .cast("long")
 }

@@ -124,6 +124,34 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out(3L)._2 - 3.0 / 11) < 1e-9) // é×3 of 11 chars
   }
 
+  test("ngram repetition: doubled text ~0.5, unique text 0, short text safe") {
+    val rows = Seq(
+      (1L, "a b c d a b c d"), // doubled: 6 grams, 4 distinct
+      (2L, "w x y z"), // all unique
+      (3L, "a b")) // shorter than n: zero grams, no degenerate sequence
+      .toDF("id", "t")
+    val out = TextAnalysis.ngramRepetition(rows, "t", n = 3)
+      .select($"id", $"n_grams", $"n_distinct_grams", $"dup_gram_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((6L, 4L, 1.0 - 4.0 / 6)))
+    assert(out(2L) == ((2L, 2L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("cross-split leakage reports exactly the probe rows with a reference twin") {
+    val rows = Seq(
+      (1L, "shared text", "train"),
+      (2L, "shared text", "test"), // leaked
+      (3L, "only in test", "test"),
+      (4L, "only in train", "train"))
+      .toDF("id", "t", "split")
+    val leaked = Dedup.crossSplitLeakage(rows, "id", "t", "split",
+      probe = "test", reference = "train")
+      .select($"id").as[Long].collect().toSet
+    assert(leaked == Set(2L))
+  }
+
   test("multimodal plumbing: decode batch keeps ids, resize plan bounds sides") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val decoded = Multimodal.decodeAndFeaturize(media, "media_id", "content")
