@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted IVF index: the corpus stored PARTITIONED BY CELL, which is
+  * what turns IVF's "probe a few cells" into physical I/O pruning at
+  * 100 TB — each query's probe set selects a handful of partition
+  * directories, and Spark's dynamic partition pruning pushes the probed
+  * cell ids into the file scan (the probe side is a broadcast, so the
+  * scan never lists the unprobed cells). [[Similarity.ivfTopK]] computes
+  * the same result from an unindexed corpus; this is the "index once,
+  * query many" layout a production ANN service would maintain.
+  *
+  * Layout under `path`:
+  *   - `cells/__cell=<i>/…` — corpus rows (id, vector) per cell
+  *   - `centroids.txt` — one centroid per line, comma-separated doubles
+  *     (dependency-free round-trip; k×dim doubles, driver-sized by design)
+  */
+object IvfIndex {
+
+  /** Train centroids (optionally on a hash-sample), assign every corpus
+    * row once, write partitioned by cell. Rebuild-in-place is atomic per
+    * run via overwrite mode. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, iters: Int = 3, dim: Int = 64,
+      trainSampleMod: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.trainCentroids(corpus, idCol, vecCol, nCells,
+      iters, dim, trainSampleMod)
+    val assigned = Similarity.assignCells(
+      corpus.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v")),
+      "__id", cents, dim)
+    corpus.select(col(idCol), col(vecCol))
+      .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/cells")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$path/centroids.txt"), true)
+    try out.write(cents.map(_.mkString(",")).mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def loadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$path/centroids.txt"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").toSeq.map(_.split(",").toSeq.map(_.toDouble))
+  }
+
+  /** Query the persisted index: probe each query's `nprobe` nearest
+    * cells and re-rank exactly inside them. The probe frame is broadcast
+    * and joined on the partition column, so dynamic partition pruning
+    * restricts the scan to the probed `__cell=` directories — the I/O is
+    * proportional to the probed fraction, not the corpus. */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val cents = loadCentroids(spark, path)
+    val cells = spark.read.parquet(s"$path/cells")
+    val probes = broadcast(
+      Similarity.probeCells(queries, queryIdCol, vecCol, cents, nprobe, dim))
+    val cand = cells.join(probes, Seq("__cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"))
+    val c = cells.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", sqrt((0 until dim).map { d =>
+        val x = element_at(col("__cv"), d + 1); x * x
+      }.reduce(_ + _)))
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", sqrt((0 until dim).map { d =>
+        val x = element_at(col("__qv"), d + 1); x * x
+      }.reduce(_ + _))))
+    Similarity.exactRerank(cand, c, q, k, dim)
+  }
+}

@@ -175,7 +175,7 @@ object Similarity {
   /** Exact cosine re-rank of a narrow (query_id, neighbor_id) candidate
     * frame: broadcast-join the (small) query vectors, shuffle-join the
     * corpus vectors, literal-expanded dot, window top-k per query. */
-  private def exactRerank(cand: DataFrame, corpusVecs: DataFrame,
+  private[ops] def exactRerank(cand: DataFrame, corpusVecs: DataFrame,
       queryVecs: DataFrame, k: Int, dim: Int): DataFrame = {
     val scored = cand.join(queryVecs, Seq("query_id"))
       .join(corpusVecs, Seq("neighbor_id"))
@@ -250,6 +250,24 @@ object Similarity {
       least(cellDists(cents): _*).getField("cell").as("__cell"))
   }
 
+  /** (query_id, __cell) rows: each query's `nprobe` nearest cells via a
+    * sorted (dist, cell) struct array. Same aggregate shape as
+    * [[assignCells]]. */
+  private[ops] def probeCells(queries: DataFrame, queryIdCol: String,
+      vecCol: String, cents: Seq[Seq[Double]], nprobe: Int,
+      dim: Int): DataFrame = {
+    val qpos = queries.select(col(queryIdCol).as("query_id"),
+      posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
+    val qdots = cents.zipWithIndex.map { case (cn, i) =>
+      sum(col("__x") * element_at(typedlit(cn), col("__p") + 1)).as(s"__dot$i")
+    }
+    qpos.groupBy(col("query_id")).agg(qdots.head, qdots.tail: _*)
+      .select(col("query_id"),
+        explode(slice(array_sort(array(cellDists(cents): _*)), 1, nprobe))
+          .as("__probe"))
+      .select(col("query_id"), col("__probe.cell").as("__cell"))
+  }
+
   /** (dist²-proxy, cell) structs over the `__dot$i` aggregate columns;
     * struct comparison breaks distance ties by the lower cell id. */
   private def cellDists(cents: Seq[Seq[Double]]): Seq[Column] =
@@ -283,18 +301,8 @@ object Similarity {
       corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v")),
       "__id", cents, dim)
       .select(col("__id").as("neighbor_id"), col("__cell"))
-    // per query: nprobe nearest cells, via sorted (dist, cell) array
-    val qpos = queries.select(col(queryIdCol).as("query_id"),
-      posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
-    val qdots = cents.zipWithIndex.map { case (cn, i) =>
-      sum(col("__x") * element_at(typedlit(cn), col("__p") + 1)).as(s"__dot$i")
-    }
-    val qagg = qpos.groupBy(col("query_id")).agg(qdots.head, qdots.tail: _*)
-    val qProbes = qagg.select(col("query_id"),
-      explode(slice(array_sort(array(cellDists(cents): _*)), 1, nprobe))
-        .as("__probe"))
-      .select(col("query_id"), col("__probe.cell").as("__cell"))
-    val cand = broadcast(qProbes).join(cCells, Seq("__cell"))
+    val cand = broadcast(probeCells(queries, queryIdCol, vecCol, cents,
+      nprobe, dim)).join(cCells, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.{IvfIndex, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("persisted index returns exactly the in-memory ivfTopK results") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.build(emb, "vec_id", "embedding", tmp, nCells = 16, iters = 3)
+    val queries = emb.filter(col("vec_id") < 20)
+
+    val fromIndex = IvfIndex.topK(spark, tmp, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nprobe = 4)
+    val inMemory = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nCells = 16, nprobe = 4)
+
+    val a = fromIndex.select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val b = inMemory.select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.size == 20 * 5)
+  }
+
+  test("centroids round-trip bit-exactly through the text artifact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
+    IvfIndex.build(emb, "vec_id", "embedding", tmp, nCells = 8, iters = 2)
+    val loaded = IvfIndex.loadCentroids(spark, tmp)
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    assert(loaded == trained) // Double.toString/toDouble round-trips exactly
+  }
+
+  test("probe join prunes the cell partitions in the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
+    IvfIndex.build(emb, "vec_id", "embedding", tmp, nCells = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 3)
+    val result = IvfIndex.topK(spark, tmp, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nprobe = 2)
+    result.collect() // materialize so AQE finalizes the plan
+    val plan = result.queryExecution.executedPlan.toString
+    // the probed cell ids must reach the partitioned scan as a DYNAMIC
+    // partition-pruning filter (broadcast probe side reused as the
+    // pruning subquery) — that is the entire point of the layout
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(4000)}")
+  }
+}
