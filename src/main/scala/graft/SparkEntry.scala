@@ -1782,6 +1782,15 @@ object SparkEntry {
             .as("non_ascii_ratio"))
         .orderBy("doc_id"), "n_clean")),
 
+    // mixture re-weighting: per-language quotas, unlisted languages
+    // dropped — the oracle recomputes the identical quota-ranked sample
+    "q_mixture" -> ((s, d) =>
+      asLong(Sampling.mixtureSample(docs(s, d), "lang", "doc_id",
+        Seq("en" -> 30, "de" -> 20, "fr" -> 10))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang"), "total_chars")),
+
     // Gopher-style duplicate-3-gram fraction; every 4th doc is doubled
     // so the gate sees real repetition, not just zeros
     "q_repetition" -> ((s, d) =>
@@ -2898,6 +2907,20 @@ object SparkEntry {
         |             ELSE CAST(length(regexp_replace(text, '[ -~]', '', 'g'))
         |                  AS DOUBLE) / length(text) END, 6) AS non_ascii_ratio
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q_mixture" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |                    % 1000000, doc_id) AS rk,
+        |         CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 20
+        |                   WHEN 'fr' THEN 10 END AS quota
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM r WHERE rk <= quota GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_repetition" ->
       """WITH raw AS (

@@ -64,6 +64,25 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Mixture sampling — the data-mixing dial: take the first `n_s` rows
+    * of each stratum by deterministic (hash, id) rank, with per-stratum
+    * targets; strata absent from `targets` are dropped. Same machinery
+    * as [[stratifiedTopN]] but with a per-stratum quota, which is how
+    * source re-weighting is actually expressed in a training-data
+    * pipeline ("200B tokens web, 40B code, 10B reference"). The quota
+    * lookup is a when-chain literal (targets are few) — no extra join. */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      targets: Seq[(String, Int)]): DataFrame = {
+    require(targets.nonEmpty, "at least one stratum target")
+    val quota = targets.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, n)) => when(col(stratumCol) === s, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), 1000000), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota) // null quota ⇒ stratum dropped
+  }
+
   /** Greedy token-budget packing (training-batch construction): within
     * each group, rows in `orderCol` order fill bins of capacity
     * `budget`; a row that would overflow the current bin starts the next

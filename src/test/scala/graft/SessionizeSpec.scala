@@ -157,6 +157,25 @@ class SessionizeSpec extends AnyFunSuite {
     assert(bins.count() > 0)
   }
 
+  test("mixture sample honors per-stratum quotas and drops unlisted strata") {
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length >= 3, "fixture needs several languages")
+    val targets = Seq(langs(0) -> 2, langs(1) -> 4)
+    val got = Sampling.mixtureSample(docs, "lang", "doc_id", targets)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(langs(0), langs(1))) // others dropped
+    assert(got(langs(0)) <= 2 && got(langs(1)) <= 4)
+    // the quota-2 stratum's picks are a prefix of the quota-4 ranking —
+    // shrinking a quota never changes WHICH rows fill the smaller budget
+    val wide = Sampling.mixtureSample(docs, "lang", "doc_id",
+      Seq(langs(0) -> 4)).select("doc_id").collect().map(_.getLong(0)).toSet
+    val narrow = Sampling.mixtureSample(docs, "lang", "doc_id",
+      Seq(langs(0) -> 2)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(narrow.subsetOf(wide))
+  }
+
   test("stratified sample is deterministic and bounded per stratum") {
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
     val s1 = Sampling.stratifiedTopN(docs, "lang", "doc_id", 3)
