@@ -55,8 +55,10 @@ object IvfIndex {
   /** Query the persisted index: probe each query's `nprobe` nearest
     * cells and re-rank exactly inside them. The probe frame is broadcast
     * and joined on the partition column, so dynamic partition pruning
-    * restricts the scan to the probed `__cell=` directories — the I/O is
-    * proportional to the probed fraction, not the corpus. */
+    * restricts the scan to the probed `__cell=` directories. The corpus
+    * vector rides along through that single pruned join (no second,
+    * unpruned vector-fetch scan), so TOTAL I/O — candidates and vectors
+    * both — is proportional to the probed fraction, not the corpus. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
       nprobe: Int = 4, dim: Int = 64): DataFrame = {
@@ -66,17 +68,12 @@ object IvfIndex {
       Similarity.probeCells(queries, queryIdCol, vecCol, cents, nprobe, dim))
     val cand = cells.join(probes, Seq("__cell"))
       .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol).as("neighbor_id"))
-    val c = cells.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__cn", sqrt((0 until dim).map { d =>
-        val x = element_at(col("__cv"), d + 1); x * x
-      }.reduce(_ + _)))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", Similarity.normLit(col("__cv"), dim))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__qn", sqrt((0 until dim).map { d =>
-        val x = element_at(col("__qv"), d + 1); x * x
-      }.reduce(_ + _))))
-    Similarity.exactRerank(cand, c, q, k, dim)
+      .withColumn("__qn", Similarity.normLit(col("__qv"), dim)))
+    Similarity.rerankCarried(cand, q, k, dim)
   }
 }

@@ -45,7 +45,7 @@ object Similarity {
     (0 until dim).map(d => element_at(a, d + 1) * element_at(b, d + 1))
       .reduce(_ + _)
 
-  private def normLit(a: Column, dim: Int): Column =
+  private[ops] def normLit(a: Column, dim: Int): Column =
     sqrt((0 until dim).map { d =>
       val x = element_at(a, d + 1); x * x
     }.reduce(_ + _))
@@ -176,9 +176,16 @@ object Similarity {
     * frame: broadcast-join the (small) query vectors, shuffle-join the
     * corpus vectors, literal-expanded dot, window top-k per query. */
   private[ops] def exactRerank(cand: DataFrame, corpusVecs: DataFrame,
+      queryVecs: DataFrame, k: Int, dim: Int): DataFrame =
+    rerankCarried(cand.join(corpusVecs, Seq("neighbor_id")), queryVecs, k, dim)
+
+  /** Score+top-k half of [[exactRerank]] for a candidate frame that
+    * already carries the corpus vector and norm (`__cv`, `__cn`) — lets
+    * a partition-pruned candidate scan ([[IvfIndex.topK]]) skip the
+    * corpus-wide vector-fetch join entirely. */
+  private[ops] def rerankCarried(cand: DataFrame,
       queryVecs: DataFrame, k: Int, dim: Int): DataFrame = {
     val scored = cand.join(queryVecs, Seq("query_id"))
-      .join(corpusVecs, Seq("neighbor_id"))
       .withColumn("cosine",
         dotLit(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))

@@ -50,5 +50,15 @@ class IvfIndexSpec extends AnyFunSuite {
     // pruning subquery) — that is the entire point of the layout
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning in plan:\n${plan.take(4000)}")
+    // the corpus vector must ride through that one pruned join — a
+    // second (unpruned) scan of the cells dir for the rerank's vector
+    // fetch would read every partition and defeat the layout
+    // count scans in the FINAL plan only (AQE's treeString repeats the
+    // tree under an "== Initial Plan ==" section)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val cellScans =
+      finalPlan.split(java.util.regex.Pattern.quote(tmp), -1).length - 1
+    assert(cellScans == 1,
+      s"expected exactly 1 scan of the cells dir, saw $cellScans")
   }
 }
