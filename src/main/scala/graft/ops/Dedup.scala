@@ -176,14 +176,59 @@ object Dedup {
     * `maxBlockSize` are dropped from CANDIDATE GENERATION; exact
     * duplicates inside them are the exact-dedup pass's job
     * ([[exactDuplicates]]), which handles identical text in one linear
-    * groupBy. Measured: 40% boilerplate at sf1 ran 16x slower uncapped. */
+    * groupBy — but NON-identical near-duplicates whose only shared chunk
+    * sits in a dropped block are lost, i.e. near-dup recall is reduced
+    * inside capped blocks. That loss is observable, not silent: run
+    * [[simHashOversizedBlocks]] with the same arguments to get every
+    * dropped block and its size. Measured: 40% boilerplate at sf1 ran
+    * 16x slower uncapped.
+    *
+    * The cap itself is a window `count(*) over (partition by c, v)` on
+    * the chunked frame — it rides the same (c, v) exchange the self-join
+    * needs anyway (no extra groupBy + re-join shuffle). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3, maxBlockSize: Int = 1000): DataFrame = {
+    val chunked = simHashChunks(df, idCol, textCol, maxDistance)
+    // skew cap: drop oversized (chunk, value) blocks before the self-join
+    val wBlock = Window.partitionBy(col("c"), col("v"))
+    val capped = chunked
+      .withColumn("__bc", count(lit(1)).over(wBlock))
+      .filter(col("__bc") > 1 && col("__bc") <= maxBlockSize)
+      .drop("__bc")
+    val l = capped.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = capped.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("c", "v"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxDistance)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Audit companion to [[simHashPairs]]: the (chunk, value) blocks its
+    * `maxBlockSize` cap excludes from candidate generation, with their
+    * sizes — so a capped run can report exactly how many docs sit in
+    * skipped blocks instead of silently under-recalling. Empty output
+    * means the cap did nothing and the pair list is complete. */
+  def simHashOversizedBlocks(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, maxBlockSize: Int = 1000): DataFrame =
+    simHashChunks(df, idCol, textCol, maxDistance)
+      .groupBy("c", "v")
+      .agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlockSize)
+      .select(col("c").as("chunk_idx"), col("v").as("chunk_value"),
+        col("block_size"))
+
+  /** (id, sig, c, v) rows: each doc's 64-bit SimHash exploded into the
+    * `maxDistance + 1` pigeonhole chunks keyed (chunk idx, chunk value).
+    * Codegen path (see [[minHashLSH]]): explode tokens, one string hash
+    * each, 64 per-bit sign sums as plain aggregates, fingerprint
+    * assembled from the sums with scalar column math. */
+  private def simHashChunks(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int): DataFrame = {
     val chunks = maxDistance + 1
     val width = 64 / chunks
-    // codegen path (see minHashLSH): explode tokens, one string hash each,
-    // then 64 per-bit sign sums as plain aggregates; the fingerprint is
-    // assembled from the 64 sums with scalar column math
     val exploded = df
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), "\\s+")).as("__t"))
@@ -195,25 +240,10 @@ object Dedup {
       when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     val withSig = exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"), sigExpr.as("sig"))
-    val chunked = withSig.select(col("id"), col("sig"),
+    withSig.select(col("id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${chunks - 1}), c -> named_struct(" +
         s"'c', c, 'v', (sig >> (c * $width)) & ${(1L << width) - 1}))")).as("ch"))
       .select(col("id"), col("sig"), col("ch.c"), col("ch.v"))
-    // skew cap: drop oversized (chunk, value) blocks before the self-join
-    val blockCounts = chunked.groupBy("c", "v")
-      .agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") > 1 && col("__bc") <= maxBlockSize)
-      .select("c", "v")
-    val capped = chunked.join(blockCounts, Seq("c", "v"))
-    val l = capped.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = capped.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("c", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-      .filter(col("hamming") <= maxDistance)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** Exact character-n-gram Jaccard similarity for pairs within a blocking

@@ -48,6 +48,28 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("simhash block cap drops oversized blocks and the audit reports them") {
+    // 30 identical boilerplate docs -> every chunk block has size 30;
+    // with maxBlockSize = 10 all their blocks are capped out
+    val boiler = (10L until 40L).map(i => (i, "copy paste boilerplate text", "x"))
+    val mixed = docs.union(boiler.toDF("doc_id", "text", "source"))
+    val pairs = Dedup.simHashPairs(mixed, "doc_id", "text",
+      maxDistance = 16, maxBlockSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L),
+      "capped boilerplate block must not generate candidates")
+    assert(pairs.contains((1L, 2L)), "small blocks still pair up")
+    val audit = Dedup.simHashOversizedBlocks(mixed, "doc_id", "text",
+      maxDistance = 16, maxBlockSize = 10).collect()
+    assert(audit.nonEmpty, "dropped blocks must be observable")
+    // chunk values are only a few bits wide at maxDistance 16, so other
+    // docs can collide into a boilerplate block: size >= 30, not == 30
+    assert(audit.forall(_.getAs[Long]("block_size") >= 30L))
+    // no cap hit -> audit is empty -> pair list is complete
+    assert(Dedup.simHashOversizedBlocks(docs, "doc_id", "text",
+      maxDistance = 16, maxBlockSize = 1000).isEmpty)
+  }
+
   test("ngram jaccard within blocks respects blocking") {
     val pairs = Dedup.ngramJaccardWithinBlocks(docs, "doc_id", "text", "source",
       n = 3, threshold = 0.5)
