@@ -1,6 +1,6 @@
 package graft.adapters
 
-import graft.load.YamlLoader
+import graft.load.{Fidelity, YamlLoader}
 import graft.model._
 import org.yaml.snakeyaml.{LoaderOptions, Yaml}
 import org.yaml.snakeyaml.constructor.SafeConstructor
@@ -44,15 +44,31 @@ object GoodDataAdapter {
       .load[Object](text)).map(toScala).collect {
         case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
       .getOrElse(return Imported(Nil))
+    // analytics payloads (dashboards, MAQL metrics) are declarative UI
+    // state, not an executable LDM — only the LDM is imported
+    if (root.contains("analytics"))
+      Fidelity.note("analytics_payload",
+        "analytics section (dashboards / MAQL metrics) is not part of the " +
+          "logical data model; not imported",
+        severity = "unsupported", source = Some("gooddata"),
+        location = Some("analytics"))
     root.get("ldm") match {
       case Some(ldm: Map[_, _]) =>
         Imported(seqOfMaps(ldm.asInstanceOf[Map[String, Any]].get("datasets"))
-          .flatMap(cloudDataset(_, resolve)))
+          .zipWithIndex.flatMap { case (d, i) =>
+            cloudDataset(d, resolve, s"ldm.datasets[$i]") })
       case _ => root.get("projectModel") match {
         case Some(pm: Map[_, _]) =>
           Imported(seqOfMaps(pm.asInstanceOf[Map[String, Any]].get("datasets"))
-            .flatMap(legacyDataset(_, resolve)))
-        case _ => Imported(Nil)
+            .zipWithIndex.flatMap { case (d, i) =>
+              legacyDataset(d, resolve, s"projectModel.datasets[$i]") })
+        case _ =>
+          if (!root.contains("analytics"))
+            Fidelity.note("unrecognized_payload",
+              "document has neither an 'ldm' nor a 'projectModel' section; " +
+                "nothing imported",
+              severity = "unsupported", source = Some("gooddata"))
+          Imported(Nil)
       }
     }
   }
@@ -62,10 +78,15 @@ object GoodDataAdapter {
   // ------------------------------------------------------------------
 
   private def cloudDataset(d0: Map[String, Any],
-      resolve: YamlLoader.TableResolver): Option[Model] = {
+      resolve: YamlLoader.TableResolver, loc: String): Option[Model] = {
     val d = unwrap(d0, "dataset")
     val id = d.get("id").orElse(d.get("identifier")).map(_.toString)
-      .getOrElse(return None)
+      .getOrElse {
+        Fidelity.note("dataset_without_id",
+          "dataset entry has no id/identifier; dataset dropped",
+          source = Some("gooddata"), location = Some(loc))
+        return None
+      }
     val table = d.get("dataSourceTableId") match {
       case Some(t: Map[_, _]) =>
         val tm = t.asInstanceOf[Map[String, Any]]
@@ -76,9 +97,14 @@ object GoodDataAdapter {
 
     // attribute id → source column, for grain/reference resolution
     var attrCol = Map.empty[String, String]
-    val dims = seqOfMaps(d.get("attributes")).flatMap { a0 =>
+    val dims = seqOfMaps(d.get("attributes")).zipWithIndex.flatMap { case (a0, ai) =>
       val a = unwrap(a0, "attribute")
-      a.get("id").orElse(a.get("identifier")).map(_.toString).map { aid =>
+      val aidOpt = a.get("id").orElse(a.get("identifier")).map(_.toString)
+      if (aidOpt.isEmpty)
+        Fidelity.note("attribute_without_id",
+          s"attribute entry on dataset '$id' has no id; dimension dropped",
+          source = Some("gooddata"), location = Some(s"$loc.attributes[$ai]"))
+      aidOpt.map { aid =>
         val label = seqOfMaps(a.get("labels")).headOption
         val col = a.get("sourceColumn").orElse(
           label.flatMap(_.get("sourceColumn"))).map(_.toString).getOrElse(aid)
@@ -95,15 +121,22 @@ object GoodDataAdapter {
     }
 
     val mets =
-      seqOfMaps(d.get("facts")).flatMap { f0 =>
+      seqOfMaps(d.get("facts")).zipWithIndex.flatMap { case (f0, fi) =>
         val f = unwrap(f0, "fact")
-        f.get("id").orElse(f.get("identifier")).map(_.toString).map { fid =>
+        val fidOpt = f.get("id").orElse(f.get("identifier")).map(_.toString)
+        if (fidOpt.isEmpty)
+          Fidelity.note("fact_without_id",
+            s"fact entry on dataset '$id' has no id; metric dropped",
+            source = Some("gooddata"), location = Some(s"$loc.facts[$fi]"))
+        fidOpt.map { fid =>
           val col = f.get("sourceColumn").map(_.toString).getOrElse(fid)
-          Metric(shortName(fid), agg = Some(aggOf(f.get("aggregation"), "sum")),
+          Metric(shortName(fid),
+            agg = Some(aggOf(f.get("aggregation"), "sum",
+              s"fact '$fid'", s"$loc.facts[$fi]")),
             sql = Some(col), label = f.get("title").map(_.toString))
         }
       } ++
-      seqOfMaps(d.get("aggregatedFacts")).flatMap { f0 =>
+      seqOfMaps(d.get("aggregatedFacts")).zipWithIndex.flatMap { case (f0, fi) =>
         val f = unwrap(f0, "aggregatedFact")
         f.get("id").orElse(f.get("identifier")).map(_.toString).map { fid =>
           val col = f.get("sourceColumn").map(_.toString).getOrElse(fid)
@@ -112,7 +145,9 @@ object GoodDataAdapter {
               r.asInstanceOf[Map[String, Any]].get("operation")
             case _ => None
           }
-          Metric(shortName(fid), agg = Some(aggOf(op, "sum")),
+          Metric(shortName(fid),
+            agg = Some(aggOf(op, "sum",
+              s"aggregatedFact '$fid'", s"$loc.aggregatedFacts[$fi]")),
             sql = Some(col), label = f.get("title").map(_.toString))
         }
       }
@@ -149,10 +184,15 @@ object GoodDataAdapter {
   // ------------------------------------------------------------------
 
   private def legacyDataset(d0: Map[String, Any],
-      resolve: YamlLoader.TableResolver): Option[Model] = {
+      resolve: YamlLoader.TableResolver, loc: String): Option[Model] = {
     val d = unwrap(d0, "dataset")
     val id = d.get("identifier").orElse(d.get("id")).map(_.toString)
-      .getOrElse(return None)
+      .getOrElse {
+        Fidelity.note("dataset_without_id",
+          "dataset entry has no identifier; dataset dropped",
+          source = Some("gooddata"), location = Some(loc))
+        return None
+      }
     // dataset-level labels carry source columns
     val labelMap: Map[String, Map[String, Any]] =
       seqOfMaps(d.get("labels")).map(unwrap(_, "label")).flatMap(l =>
@@ -186,10 +226,16 @@ object GoodDataAdapter {
       }
     }
 
-    val rels = (d.get("references") match {
+    val refs = d.get("references") match {
       case Some(l: Seq[_]) => l.map(_.toString)
       case _               => Nil
-    }).filter(_.startsWith("dataset.")).map { ref =>
+    }
+    refs.filterNot(_.startsWith("dataset.")).foreach(ref =>
+      Fidelity.note("non_dataset_reference",
+        s"dataset '$id' references '$ref' which is not a dataset " +
+          "(date dimensions import as plain time columns); edge dropped",
+        source = Some("gooddata"), location = Some(s"$loc.references")))
+    val rels = refs.filter(_.startsWith("dataset.")).map { ref =>
       val t = shortName(ref)
       Relationship(t, "many_to_one", foreignKey = Seq(s"${t}_id"))
     }
@@ -212,11 +258,18 @@ object GoodDataAdapter {
     else if (dt == "BOOLEAN") DimType.Bool
     else DimType.Categorical
 
-  private def aggOf(v: Option[Any], default: String): String =
+  private def aggOf(v: Option[Any], default: String,
+      what: String, loc: String): String =
     v.map(_.toString.toLowerCase.replace(' ', '_')).getOrElse(default) match {
-      case "average"                                  => "avg"
-      case a if graft.model.AggKind.All(a)            => a
-      case _                                          => default
+      case "average"                       => "avg"
+      case a if graft.model.AggKind.All(a) => a
+      case other =>
+        Fidelity.note("unsupported_aggregation",
+          s"$what declares aggregation '$other' with no engine aggregate; " +
+            s"imported as $default",
+          severity = "approximated", source = Some("gooddata"),
+          location = Some(loc))
+        default
     }
 
   private def unwrap(m: Map[String, Any], key: String): Map[String, Any] =

@@ -1,6 +1,6 @@
 package graft.adapters
 
-import graft.load.{AggExtract, YamlLoader}
+import graft.load.{AggExtract, Fidelity, YamlLoader}
 import graft.model._
 
 /** Importer for Graphene `.gsql` files (reference:
@@ -60,14 +60,26 @@ object GrapheneAdapter {
     }
     blocks.foreach {
       case ("extend", name, body) =>
+        if (!models.exists(_.name == name))
+          Fidelity.note("extend_unknown_table",
+            s"extend '$name' targets a table not defined in the loaded " +
+              "files; extension dropped",
+            source = Some("graphene"))
         models = models.map(m =>
           if (m.name == name) extendModel(m, body, viewModels(name)) else m)
       case _ => ()
     }
     // role-playing aliases clone their target model
     pendingRoles.foreach { case (role, target) =>
-      models.find(_.name == target).foreach(t =>
-        if (!models.exists(_.name == role)) models :+= t.copy(name = role))
+      models.find(_.name == target) match {
+        case Some(t) =>
+          if (!models.exists(_.name == role)) models :+= t.copy(name = role)
+        case None =>
+          Fidelity.note("role_without_target",
+            s"join alias '$role' targets table '$target' which is not " +
+              "defined; role-playing model dropped",
+            source = Some("graphene"))
+      }
     }
     Imported(models)
   }
@@ -91,6 +103,12 @@ object GrapheneAdapter {
           else if (m.group(3) != null) "tableAs"
           else "table"
         out :+= ((kind, m.group(2), body))
+      } else {
+        val line = text.substring(0, m.start).count(_ == '\n') + 1
+        Fidelity.note("unbalanced_block",
+          s"${m.group(1)} '${m.group(2)}' has an unbalanced paren body; " +
+            "block dropped",
+          source = Some("graphene"), location = Some(s"gsql:$line"))
       }
     }
     out
@@ -123,6 +141,13 @@ object GrapheneAdapter {
 
     entryLines(body).foreach { entry =>
       val noAnn = entry.replaceAll(raw"\s*#\S+", "").trim
+      // currency/unit/ratio annotations are display formatting with no
+      // engine equivalent; #timeGrain= is consumed by the column rule
+      raw"#(?!timeGrain=)(\w+)".r.findAllMatchIn(entry).foreach(a =>
+        Fidelity.note("formatting_annotation",
+          s"annotation '#${a.group(1)}' on table '$name' is display " +
+            "metadata; not imported",
+          source = Some("graphene")))
       entry match {
         case JoinRe(kind, target, alias, on) =>
           val rel = alias match {
@@ -157,6 +182,11 @@ object GrapheneAdapter {
         case _ => noAnn match {
           case InlineAggRe(expr, mn, _) if AggFns.findFirstIn(expr).isDefined =>
             rawMetrics :+= ((mn, expr.trim))
+          case other if other.nonEmpty =>
+            Fidelity.note("unrecognized_entry",
+              s"table '$name' entry '${other.take(60)}' matches no gsql " +
+                "rule (column / join / computed / inline agg); dropped",
+              source = Some("graphene"))
           case _ => ()
         }
       }
@@ -286,6 +316,11 @@ object GrapheneAdapter {
           out = out.copy(metrics = out.metrics :+
             Metric(cn, metricType = Some("derived"), sql = Some(expr)))
         }
+      case other if other.trim.nonEmpty =>
+        Fidelity.note("unrecognized_entry",
+          s"extend '${m.name}' entry '${other.take(60)}' is not a " +
+            "computed `name: expr` entry; dropped",
+          source = Some("graphene"))
       case _ => ()
     }
     out

@@ -1,6 +1,6 @@
 package graft.adapters
 
-import graft.load.YamlLoader
+import graft.load.{Fidelity, YamlLoader}
 import graft.model._
 
 /** Importer for Holistics AML files (reference:
@@ -36,51 +36,88 @@ object HolisticsAdapter {
       fs.filter(f => f.isFile && f.getName.endsWith(".aml")).toSeq ++
         fs.filter(_.isDirectory).flatMap(collect)
     }
-    val texts = collect(new java.io.File(dir)).sortBy(_.getName)
+    val files = collect(new java.io.File(dir)).sortBy(_.getName)
+    val texts = files
       .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-    load(texts, resolve)
+    load(texts, resolve, files.map(_.getName))
   }
 
   def load(texts: Seq[String],
-      resolve: YamlLoader.TableResolver = YamlLoader.defaultResolver): Imported = {
-    val blocks = texts.flatMap(topBlocks)
+      resolve: YamlLoader.TableResolver = YamlLoader.defaultResolver,
+      fileNames: Seq[String] = Nil): Imported = {
+    def origin(i: Int): String = fileNames.lift(i).getOrElse(s"aml#${i + 1}")
+    val blocks = texts.zipWithIndex.flatMap { case (t, i) =>
+      topBlocks(t, origin(i)) }
 
-    // named relationships registry
+    // named relationships registry; a Relationship block whose from/to
+    // refs do not parse declares an edge the import cannot carry
     val namedRels: Map[String, RelSpec] = blocks.collect {
-      case B("Relationship", name, body) => relFromBody(body).map(name -> _)
+      case b @ B("Relationship", name, body, _, _) =>
+        val spec = relFromBody(body)
+        if (spec.isEmpty)
+          Fidelity.note("unparseable_relationship",
+            s"Relationship '$name' has no parseable from/to r(model.field) " +
+              "refs; edge dropped",
+            source = Some("holistics"), location = Some(b.loc))
+        spec.map(name -> _)
     }.flatten.toMap
+
+    // top-level Metric blocks (cross-dataset AQL metrics) have no
+    // importable form here — only Model measures become engine metrics
+    blocks.foreach {
+      case b @ B("Metric", name, _, _, _) =>
+        Fidelity.note("top_level_metric",
+          s"Metric '$name' (dataset-level AQL metric) is not imported; " +
+            "declare it as a model measure or an engine graph metric",
+          severity = "unsupported",
+          source = Some("holistics"), location = Some(b.loc))
+      case _ => ()
+    }
 
     // partials for extend()
     val partials: Map[String, String] = blocks.collect {
-      case B("PartialModel", name, body) => name -> body
+      case B("PartialModel", name, body, _, _) => name -> body
     }.toMap
 
     var models: Map[String, Model] = blocks.collect {
-      case B("Model", name, body) if !name.contains("=") =>
+      case B("Model", name, body, _, _) if !name.contains("=") =>
         name -> modelFromBody(name, body, resolve)
     }.toMap
 
     // Model x = y.extend(partial | { inline })
     val ExtendRe =
       raw"(?s)Model\s+(\w+)\s*=\s*(\w+)\.extend\(\s*(\{.*?\}|\w+)\s*\)".r
-    texts.foreach { t =>
+    texts.zipWithIndex.foreach { case (t, ti) =>
       ExtendRe.findAllMatchIn(stripComments(t)).foreach { m =>
         val (newName, baseName, arg) = (m.group(1), m.group(2), m.group(3))
-        models.get(baseName).foreach { base =>
-          val extBody =
-            if (arg.startsWith("{")) Some(arg.substring(1, arg.length - 1))
-            else partials.get(arg)
-          extBody.foreach { body =>
-            val ext = modelFromBody(newName, body, resolve)
-            models += (newName -> mergeModels(base.copy(name = newName), ext))
-          }
+        val loc = s"${origin(ti)}:${lineAt(t, m.start)}"
+        models.get(baseName) match {
+          case None =>
+            Fidelity.note("extend_unknown_base",
+              s"Model '$newName' extends '$baseName' which is not defined " +
+                "in the loaded files; extension dropped",
+              source = Some("holistics"), location = Some(loc))
+          case Some(base) =>
+            val extBody =
+              if (arg.startsWith("{")) Some(arg.substring(1, arg.length - 1))
+              else partials.get(arg)
+            if (extBody.isEmpty)
+              Fidelity.note("extend_unknown_partial",
+                s"Model '$newName' extends with PartialModel '$arg' which " +
+                  "is not defined; extension dropped",
+                source = Some("holistics"), location = Some(loc))
+            extBody.foreach { body =>
+              val ext = modelFromBody(newName, body, resolve)
+              models += (newName -> mergeModels(base.copy(name = newName), ext))
+            }
         }
       }
     }
 
     // datasets: activate/declare relationships on their from-models
-    blocks.collect { case B("Dataset", _, body) => body }.foreach { body =>
-      datasetRels(body, namedRels).foreach { r =>
+    blocks.collect { case b @ B("Dataset", _, body, _, _) => (b, body) }
+        .foreach { case (b, body) =>
+      datasetRels(body, namedRels, b.loc).foreach { r =>
         models.get(r.fromModel).foreach { m =>
           if (!m.relationships.exists(x => x.to == r.toModel &&
               x.foreignKey == Seq(r.fromField)))
@@ -98,9 +135,16 @@ object HolisticsAdapter {
   // AML scanning
   // ------------------------------------------------------------------
 
-  private final case class B(kind: String, name: String, body: String)
+  private final case class B(kind: String, name: String, body: String,
+      src: String, line: Int) {
+    def loc: String = s"$src:$line"
+  }
   private final case class RelSpec(relType: String, fromModel: String,
       fromField: String, toModel: String, toField: String)
+
+  /** 1-based line of a character offset (for fidelity locations). */
+  private def lineAt(text: String, offset: Int): Int =
+    text.substring(0, math.min(offset, text.length)).count(_ == '\n') + 1
 
   private def stripComments(text: String): String =
     text.split('\n').map { l =>
@@ -130,15 +174,22 @@ object HolisticsAdapter {
   }
 
   /** Top-level `Kind name { body }` blocks. */
-  private def topBlocks(text0: String): Seq[B] = {
+  private def topBlocks(text0: String, src: String): Seq[B] = {
     val text = stripComments(text0)
     val Head = raw"(?m)^(Model|PartialModel|Dataset|Relationship|Metric)\s+(\w+)\s*\{".r
     Head.findAllMatchIn(text).flatMap { m =>
       val open = m.end - 1
       val close = matchBrace(text, open)
       if (close > 0) Some(B(m.group(1), m.group(2),
-        text.substring(open + 1, close)))
-      else None
+        text.substring(open + 1, close), src, lineAt(text, m.start)))
+      else {
+        Fidelity.note("unbalanced_block",
+          s"${m.group(1)} '${m.group(2)}' has an unbalanced brace body; " +
+            "block dropped",
+          source = Some("holistics"),
+          location = Some(s"$src:${lineAt(text, m.start)}"))
+        None
+      }
     }.toSeq
   }
 
@@ -187,9 +238,23 @@ object HolisticsAdapter {
   // model construction
   // ------------------------------------------------------------------
 
+  // keys are NORMALIZED (lowercase, _/- → space): 'count distinct' and
+  // 'count_distinct' are the same AML aggregation (ref holistics.py:2188)
   private val AggMap = Map("count" -> "count", "sum" -> "sum", "avg" -> "avg",
     "min" -> "min", "max" -> "max", "stdev" -> "stddev",
-    "count_distinct" -> "count_distinct", "median" -> "median")
+    "stddev" -> "stddev", "count distinct" -> "count_distinct",
+    "median" -> "median")
+
+  private def normalizeAgg(a: String): String =
+    a.trim.toLowerCase.replace('_', ' ').replace('-', ' ')
+      .replaceAll(raw"\s+", " ")
+
+  // population/sample variants with no native engine aggregate import as
+  // derived metrics over the plain SQL function (ref holistics.py:2193-2205)
+  private val AggSqlFn = Map("stdevp" -> "STDDEV_POP",
+    "stddev pop" -> "STDDEV_POP", "var" -> "VAR_SAMP",
+    "variance" -> "VAR_SAMP", "varp" -> "VAR_POP",
+    "variance pop" -> "VAR_POP")
 
   private def modelFromBody(name: String, body: String,
       resolve: YamlLoader.TableResolver): Model = {
@@ -214,10 +279,32 @@ object HolisticsAdapter {
       prop(mb, "aggregation_type").getOrElse("custom") match {
         case "custom" =>
           // definition references other measures by name → derived
+          if (sql.isEmpty)
+            Fidelity.note("measure_without_definition",
+              s"measure '$mn' on Model '$name' has neither an " +
+                "aggregation_type nor a @sql definition; measure dropped",
+              source = Some("holistics"))
           sql.map(s => Metric(mn, metricType = Some("derived"), sql = Some(s),
             label = prop(mb, "label")))
-        case agg => AggMap.get(agg).map(a =>
-          Metric(mn, agg = Some(a), sql = sql, label = prop(mb, "label")))
+        case agg0 =>
+          val agg = normalizeAgg(agg0)
+          AggMap.get(agg) match {
+            case Some(a) =>
+              Some(Metric(mn, agg = Some(a), sql = sql,
+                label = prop(mb, "label")))
+            case None => sql match {
+              case Some(e) => // population/sample variant → derived SQL
+                val fn = AggSqlFn.getOrElse(agg, agg.replace(' ', '_'))
+                Some(Metric(mn, metricType = Some("derived"),
+                  sql = Some(s"$fn($e)"), label = prop(mb, "label")))
+              case None =>
+                Fidelity.note("unsupported_aggregation",
+                  s"measure '$mn' on Model '$name' uses aggregation_type " +
+                    s"'$agg0' and has no @sql definition to wrap; dropped",
+                  source = Some("holistics"))
+                None
+            }
+          }
       }
     }
     Model(name = name, source = resolve(table), primaryKey = pk,
@@ -244,14 +331,28 @@ object HolisticsAdapter {
 
   private def relFromBody(body: String): Option[RelSpec] = {
     val tpe = prop(body, "type").getOrElse("many_to_one")
-    for {
-      f <- raw"from\s*:\s*r\(\s*(\w+)\.(\w+)\s*\)".r.findFirstMatchIn(body)
-      t <- raw"to\s*:\s*r\(\s*(\w+)\.(\w+)\s*\)".r.findFirstMatchIn(body)
-    } yield RelSpec(tpe, f.group(1), f.group(2), t.group(1), t.group(2))
+    // `from: r(model.field)` shorthand, or the typed-block form
+    // `from: FieldRef { model: 'm' field: 'f' }` (ref holistics.py:1796)
+    def ref(side: String): Option[(String, String)] =
+      (side + raw"\s*:\s*r\(\s*(\w+)\.(\w+)\s*\)").r.findFirstMatchIn(body)
+        .map(m => (m.group(1), m.group(2)))
+        .orElse {
+          (side + raw"\s*:\s*FieldRef\s*\{").r.findFirstMatchIn(body)
+            .flatMap { m =>
+              val close = matchBrace(body, m.end - 1)
+              if (close < 0) None else {
+                val fb = body.substring(m.end, close)
+                for (mo <- prop(fb, "model"); fi <- prop(fb, "field"))
+                  yield (mo, fi)
+              }
+            }
+        }
+    for (f <- ref("from"); t <- ref("to"))
+      yield RelSpec(tpe, f._1, f._2, t._1, t._2)
   }
 
   private def datasetRels(body: String,
-      named: Map[String, RelSpec]): Seq[RelSpec] = {
+      named: Map[String, RelSpec], loc: String): Seq[RelSpec] = {
     var out = Vector.empty[RelSpec]
     // inline Relationship blocks (inside RelationshipConfig or bare);
     // an enclosing `active: false` config drops the edge
@@ -264,7 +365,15 @@ object HolisticsAdapter {
         if (active)
           raw"(?s)Relationship\s*\{".r.findFirstMatchIn(cfg).foreach { rm =>
             val rclose = matchBrace(cfg, rm.end - 1)
-            if (rclose > 0) out ++= relFromBody(cfg.substring(rm.end, rclose))
+            if (rclose > 0) {
+              val spec = relFromBody(cfg.substring(rm.end, rclose))
+              if (spec.isEmpty)
+                Fidelity.note("unparseable_relationship",
+                  "inline RelationshipConfig has no parseable from/to " +
+                    "r(model.field) refs; edge dropped",
+                  source = Some("holistics"), location = Some(loc))
+              out ++= spec
+            }
           }
       }
     }
@@ -272,7 +381,14 @@ object HolisticsAdapter {
     raw"relationship\(\s*(\w+)\s*(?:,\s*(\w+))?\s*\)".r.findAllMatchIn(body)
       .foreach { m =>
         val active = m.group(2) == null || m.group(2) == "true"
-        if (active) named.get(m.group(1)).foreach(out :+= _)
+        if (active) named.get(m.group(1)) match {
+          case Some(spec) => out :+= spec
+          case None =>
+            Fidelity.note("unknown_relationship_ref",
+              s"Dataset activates relationship '${m.group(1)}' which is " +
+                "not declared in the loaded files; edge dropped",
+              source = Some("holistics"), location = Some(loc))
+        }
       }
     // rel(rel_expr: a.x OP b.y, active: bool): `>` many_to_one, `-` one_to_one
     raw"rel\(\s*rel_expr\s*:\s*(\w+)\.(\w+)\s*([->])\s*(\w+)\.(\w+)\s*(?:,\s*active\s*:\s*(\w+))?\s*\)".r

@@ -1,6 +1,6 @@
 package graft.adapters
 
-import graft.load.YamlLoader
+import graft.load.{Fidelity, YamlLoader}
 import graft.model._
 import org.yaml.snakeyaml.{LoaderOptions, Yaml}
 import org.yaml.snakeyaml.constructor.SafeConstructor
@@ -48,10 +48,19 @@ object OsiAdapter {
     sms.foreach { sm =>
       var local = seqOfMaps(sm.get("datasets")).flatMap(parseDataset(_, resolve))
 
-      seqOfMaps(sm.get("relationships")).foreach { r =>
+      seqOfMaps(sm.get("relationships")).zipWithIndex.foreach { case (r, ri) =>
         val from = r.get("from").map(_.toString)
         val to = r.get("to").map(_.toString)
+        if (from.isEmpty || to.isEmpty)
+          Fidelity.note("incomplete_relationship",
+            "relationship entry lacks from/to datasets; edge dropped",
+            source = Some("osi"), location = Some(s"relationships[$ri]"))
         for (f <- from; t <- to) {
+          if (!local.exists(_.name == f))
+            Fidelity.note("unknown_relationship_dataset",
+              s"relationship 'from' dataset '$f' is not declared in this " +
+                "semantic model; edge dropped",
+              source = Some("osi"), location = Some(s"relationships[$ri]"))
           val fks = strList(r.get("from_columns")) match {
             case Nil  => Seq(s"${t}_id")
             case cols => cols
@@ -64,14 +73,19 @@ object OsiAdapter {
         }
       }
 
-      seqOfMaps(sm.get("metrics")).foreach { md =>
+      seqOfMaps(sm.get("metrics")).zipWithIndex.foreach { case (md, mi) =>
         val name = md.get("name").map(_.toString).getOrElse("")
         val expr = dialectExpr(md.get("expression"))
         if (name.nonEmpty && expr.nonEmpty) {
-          val (updated, gm) = attachMetric(local, name, expr.get)
+          val (updated, gm) = attachMetric(local, name, expr.get,
+            s"metrics[$mi]")
           local = updated
           graph ++= gm
-        }
+        } else
+          Fidelity.note("metric_without_expression",
+            s"metric '${if (name.isEmpty) "?" else name}' lacks a name or " +
+              "a dialect expression; metric dropped",
+            source = Some("osi"), location = Some(s"metrics[$mi]"))
       }
       models ++= local
     }
@@ -83,7 +97,7 @@ object OsiAdapter {
   /** `SUM(orders.amount)` → native metric on `orders`; composite
     * formulas → hidden per-model measures + graph-level derived. */
   private def attachMetric(models: Seq[Model], name: String,
-      expr: String): (Seq[Model], Seq[Metric]) = {
+      expr: String, loc: String): (Seq[Model], Seq[Metric]) = {
     val names = models.map(_.name).toSet
     val qualRef = raw"(?i)\b([A-Za-z_]\w*)\.([A-Za-z_]\w*)\b".r
 
@@ -107,7 +121,13 @@ object OsiAdapter {
               sql = x.inner.map(strip(_, owner)),
               filters = x.filter.map(strip(_, owner)).toSeq)
             (withMetric(models, owner, m), Nil)
-          case None => (models, Nil) // cross-model lone agg: not expressible
+          case None => // cross-model lone agg: not expressible
+            Fidelity.note("cross_model_aggregate",
+              s"metric '$name' aggregates over fields of several datasets " +
+                "in one call; no single owning model, metric dropped",
+              severity = "unsupported", source = Some("osi"),
+              location = Some(loc))
+            (models, Nil)
         }
       case None =>
         // composite: hidden measure per aggregate call, derived on top
@@ -122,7 +142,13 @@ object OsiAdapter {
             case Some(owner) =>
               out = withMetric(out, owner, h.copy(sql = h.sql.map(strip(_, owner))))
               refs += (h.name -> s"$owner.${h.name}")
-            case None => return (models, Nil) // unattributable piece
+            case None => // unattributable piece
+              Fidelity.note("unattributable_aggregate",
+                s"metric '$name': component '${h.sql.getOrElse("")}' " +
+                  "references no single declared dataset; metric dropped",
+                severity = "unsupported", source = Some("osi"),
+                location = Some(loc))
+              return (models, Nil)
           }
         }
         val gsql = refs.foldLeft(derived.sql.getOrElse("")) { case (s, (hn, ref)) =>
@@ -137,7 +163,11 @@ object OsiAdapter {
 
   private def parseDataset(d: Map[String, Any],
       resolve: YamlLoader.TableResolver): Option[Model] = {
-    val name = d.get("name").map(_.toString).getOrElse(return None)
+    val name = d.get("name").map(_.toString).getOrElse {
+      Fidelity.note("dataset_without_name",
+        "dataset entry has no name; dataset dropped", source = Some("osi"))
+      return None
+    }
     val source = d.get("source").map(_.toString).getOrElse(name)
     val table = source.split('.').last
     val dims = seqOfMaps(d.get("fields")).flatMap { f =>
@@ -163,8 +193,14 @@ object OsiAdapter {
   private def dialectExpr(v: Option[Any]): Option[String] = v match {
     case Some(m: Map[_, _]) =>
       val dialects = seqOfMaps(m.asInstanceOf[Map[String, Any]].get("dialects"))
-      dialects.find(_.get("dialect").map(_.toString).contains("ANSI_SQL"))
-        .orElse(dialects.headOption)
+      val ansi = dialects.find(
+        _.get("dialect").map(_.toString).contains("ANSI_SQL"))
+      if (ansi.isEmpty && dialects.nonEmpty)
+        Fidelity.note("non_ansi_dialect",
+          s"expression has no ANSI_SQL dialect entry; using the " +
+            s"'${dialects.head.getOrElse("dialect", "?")}' form verbatim",
+          severity = "approximated", source = Some("osi"))
+      ansi.orElse(dialects.headOption)
         .flatMap(_.get("expression")).map(_.toString)
     case Some(s) => Some(s.toString)
     case None    => None

@@ -1,6 +1,6 @@
 package graft.adapters
 
-import graft.load.{AggExtract, YamlLoader}
+import graft.load.{AggExtract, Fidelity, YamlLoader}
 import graft.model._
 import org.yaml.snakeyaml.{LoaderOptions, Yaml}
 import org.yaml.snakeyaml.constructor.SafeConstructor
@@ -47,10 +47,23 @@ object SnowflakeAdapter {
       .load[Object](yaml)).map(toScala(_).asInstanceOf[Map[String, Any]])
       .getOrElse(return Imported(Nil, Nil))
 
-    var models = seqOfMaps(root.get("tables")).flatMap(parseTable(_, resolve))
+    // Cortex retrieval surfaces (search services, verified queries,
+    // instructions) steer the NL layer, not query execution
+    Seq("cortex_search_services", "verified_queries", "custom_instructions",
+        "module_custom_instructions")
+      .filter(root.contains).foreach(k =>
+        Fidelity.note("cortex_retrieval_metadata",
+          s"'$k' configures Cortex Analyst retrieval, not the semantic " +
+            "model; not imported",
+          severity = "unsupported", source = Some("snowflake"),
+          location = Some(k)))
+
+    var models = seqOfMaps(root.get("tables")).zipWithIndex
+      .flatMap { case (t, i) => parseTable(t, resolve, s"tables[$i]") }
 
     // relationships attach to their left table
-    seqOfMaps(root.get("relationships")).foreach { r =>
+    seqOfMaps(root.get("relationships")).zipWithIndex.foreach { case (r, ri) =>
+      val rloc = s"relationships[$ri]"
       val left = r.get("left_table").map(_.toString)
       val right = r.get("right_table").map(_.toString)
       val cols = seqOfMaps(r.get("relationship_columns"))
@@ -60,7 +73,17 @@ object SnowflakeAdapter {
         case Some("one_to_one") => "one_to_one"
         case _                  => "many_to_one"
       }
+      if (left.isEmpty || right.isEmpty || fks.isEmpty)
+        Fidelity.note("incomplete_relationship",
+          s"relationship '${r.getOrElse("name", "?")}' lacks " +
+            "left_table/right_table/relationship_columns; edge dropped",
+          source = Some("snowflake"), location = Some(rloc))
       for (l <- left; rt <- right if fks.nonEmpty) {
+        if (!models.exists(_.name == l))
+          Fidelity.note("unknown_relationship_table",
+            s"relationship left_table '$l' is not a declared table; " +
+              "edge dropped",
+            source = Some("snowflake"), location = Some(rloc))
         models = models.map(m =>
           if (m.name == l)
             m.copy(relationships = m.relationships :+
@@ -87,8 +110,13 @@ object SnowflakeAdapter {
   // ------------------------------------------------------------------
 
   private def parseTable(t: Map[String, Any],
-      resolve: YamlLoader.TableResolver): Option[Model] = {
-    val name = t.get("name").map(_.toString).getOrElse(return None)
+      resolve: YamlLoader.TableResolver, loc: String): Option[Model] = {
+    val name = t.get("name").map(_.toString).getOrElse {
+      Fidelity.note("table_without_name",
+        "table entry has no name; table dropped",
+        source = Some("snowflake"), location = Some(loc))
+      return None
+    }
     val baseTable = t.get("base_table") match {
       case Some(bt: Map[_, _]) =>
         bt.asInstanceOf[Map[String, Any]].get("table").map(_.toString).getOrElse(name)
@@ -103,7 +131,8 @@ object SnowflakeAdapter {
       (seqOfMaps(t.get("measures")) ++ seqOfMaps(t.get("facts"))).flatMap { m =>
         m.get("name").map(_.toString).map { n =>
           Metric(n,
-            agg = Some(aggOf(m.get("default_aggregation"))),
+            agg = Some(aggOf(m.get("default_aggregation"),
+              s"measure '$n' on table '$name'", loc)),
             sql = m.get("expr").map(_.toString),
             public = isPublic(m))
         }
@@ -141,7 +170,12 @@ object SnowflakeAdapter {
   }
 
   private def parseDim(d: Map[String, Any], time: Boolean): Option[Dimension] = {
-    val name = d.get("name").map(_.toString).getOrElse(return None)
+    val name = d.get("name").map(_.toString).getOrElse {
+      Fidelity.note("dimension_without_name",
+        "dimension entry has no name; dimension dropped",
+        source = Some("snowflake"))
+      return None
+    }
     val dataType = d.get("data_type").map(_.toString.toLowerCase).getOrElse("")
     val (dimType, grain) =
       if (time || Set("date", "datetime", "timestamp", "timestamp_ntz",
@@ -157,12 +191,18 @@ object SnowflakeAdapter {
       public = isPublic(d)))
   }
 
-  private def aggOf(v: Option[Any]): String =
+  private def aggOf(v: Option[Any], what: String, loc: String): String =
     v.map(_.toString.toLowerCase).getOrElse("sum") match {
       case "average"        => "avg"
       case "count_distinct" => "count_distinct"
       case a if Set("sum", "avg", "count", "min", "max", "median")(a) => a
-      case _ => "sum"
+      case other =>
+        Fidelity.note("unsupported_aggregation",
+          s"$what declares default_aggregation '$other' with no engine " +
+            "aggregate; imported as sum",
+          severity = "approximated", source = Some("snowflake"),
+          location = Some(loc))
+        "sum"
     }
 
   private def isPublic(m: Map[String, Any]): Boolean =

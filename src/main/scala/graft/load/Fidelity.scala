@@ -4,15 +4,20 @@ import scala.util.DynamicVariable
 
 /** Import fidelity reporting (reference: sidemantic/fidelity.py:1-137).
   *
-  * Foreign-format importers (Cube, LookML, TMDL, …) must sometimes drop or
-  * approximate constructs the semantic model cannot represent. This module
-  * lets those drop sites record a structured note a caller can surface,
-  * without changing what actually gets imported or any adapter signature.
+  * Not every LookML/TMDL/Cube/… construct survives translation into the
+  * semantic model; an adapter that quietly skips what it can't express
+  * leaves the user with a model that LOOKS fully imported. The deal here:
+  * any adapter line that gives up on a construct also calls
+  * [[Fidelity.note]], and a caller who wants the loss ledger wraps the
+  * load in [[Fidelity.capture]] and reads the returned [[ImportReport]].
+  * Nothing about the import itself changes — same results, same adapter
+  * signatures, plus an audit trail.
   *
-  * Recording is opt-in: [[Fidelity.note]] is a no-op unless a
-  * [[Fidelity.capture]] block is active, so instrumented drop sites carry
-  * zero cost on the normal path. Captures nest — a note recorded while
-  * several captures are active is delivered to every one of them.
+  * When no capture is in flight, `note` returns immediately (one
+  * thread-local read), so production loads that never ask for a report
+  * pay nothing. Capture blocks may be nested; an inner capture's notes
+  * also land in every enclosing one, so a batch import can hold one
+  * outer report while per-file captures run inside it.
   *
   * {{{
   * val (imported, report) = Fidelity.capture {
@@ -28,7 +33,9 @@ object Fidelity {
       construct: String, // short slug, e.g. "non_translatable_dax"
       detail: String, // human-readable explanation
       severity: String, // "dropped" | "approximated" | "unsupported"
-      source: Option[String] = None) // originating file / format when known
+      source: Option[String] = None, // originating file / format when known
+      location: Option[String] = None) // "file:line" when known — what makes
+      // a note actionable on a many-file model repo (ref fidelity.py:35)
 
   // severity render order; unknown severities sort after these, alphabetically
   private val SeverityOrder = Seq("dropped", "approximated", "unsupported")
@@ -55,8 +62,13 @@ object Fidelity {
       severities.flatMap { sev =>
         val group = bySeverity(sev)
         s"$sev (${group.size}):" +: group.map { n =>
-          val loc = n.source.map(s => s" ($s)").getOrElse("")
-          s"  ${n.construct}: ${n.detail}$loc"
+          val where = (n.source, n.location) match {
+            case (Some(s), Some(l)) => s" ($s @ $l)"
+            case (Some(s), None)    => s" ($s)"
+            case (None, Some(l))    => s" (@ $l)"
+            case _                  => ""
+          }
+          s"  ${n.construct}: ${n.detail}$where"
         }
       }
     }
@@ -80,13 +92,16 @@ object Fidelity {
 
   /** Record a note about a dropped/approximated construct. No-op when no
     * [[capture]] is active; never throws — drop sites call this mid-parse
-    * and must not be destabilized by it. */
+    * and must not be destabilized by it. `location` is the "file:line"
+    * of the dropped construct in the SOURCE model file when the parser
+    * knows it. */
   def note(construct: String, detail: String,
-      severity: String = "dropped", source: Option[String] = None): Unit =
+      severity: String = "dropped", source: Option[String] = None,
+      location: Option[String] = None): Unit =
     try {
       val reports = active.value
       if (reports.nonEmpty) {
-        val n = Note(construct, detail, severity, source)
+        val n = Note(construct, detail, severity, source, location)
         reports.foreach(_ += n)
       }
     } catch { case _: Throwable => () }

@@ -1,6 +1,7 @@
 package graft
 
-import graft.adapters.{LookMLAdapter, TableauAdapter, TmdlAdapter}
+import graft.adapters.{GoodDataAdapter, HolisticsAdapter, LookMLAdapter,
+  TableauAdapter, TmdlAdapter}
 import graft.load.Fidelity
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -151,6 +152,45 @@ class FidelitySpec extends AnyFunSuite {
     }
     assert(report.byConstruct("unsupported_calculation_method").exists(
       _.detail.contains("ndv_sketch")), report.summaryLines.mkString("\n"))
+  }
+
+  test("Holistics kitchen sink: exactly the AQL surfaces report, with file:line") {
+    val fx = "/root/reference/tests/fixtures/holistics_kitchen_sink"
+    val (imp, r) = Fidelity.capture { HolisticsAdapter.loadDirectory(fx) }
+    assert(imp.models.nonEmpty)
+    assert(r.notes.size == 3, r.summaryLines.mkString("\n"))
+    // AQL (Holistics' calc language) definitions have no SQL lowering
+    assert(r.byConstruct("measure_without_definition").size == 2)
+    val metricNote = r.byConstruct("top_level_metric")
+    assert(metricNote.size == 1)
+    assert(metricNote.head.location.contains("metric_store.aml:8"))
+    // the aggregation variants that used to drop now import
+    val orders = imp.models.find(_.name == "kitchen_orders").get
+    assert(orders.metrics.exists(m =>
+      m.name == "distinct_customers" && m.agg.contains("count_distinct")))
+    assert(orders.metrics.exists(m =>
+      m.name == "revenue_stdevp" && m.sql.exists(_.startsWith("STDDEV_POP("))))
+    assert(orders.metrics.exists(m =>
+      m.name == "revenue_varp" && m.sql.exists(_.startsWith("VAR_POP("))))
+    // the FieldRef-form relationship parses (was an unparseable drop)
+    assert(imp.models.exists(_.relationships.exists(_.to == "kitchen_customers")))
+  }
+
+  test("GoodData: analytics payloads and non-dataset references report with paths") {
+    val dir = "/root/reference/tests/fixtures/gooddata"
+    val (_, r1) = Fidelity.capture {
+      GoodDataAdapter.loadFile(s"$dir/sdk_declarative_analytics_model.json") }
+    assert(r1.byConstruct("analytics_payload").size == 1)
+    assert(r1.notes.forall(_.severity == "unsupported"))
+    val (imp2, r2) = Fidelity.capture {
+      GoodDataAdapter.loadFile(s"$dir/legacy_project_model.json") }
+    assert(imp2.models.nonEmpty)
+    val refNotes = r2.byConstruct("non_dataset_reference")
+    assert(refNotes.size == 1, r2.summaryLines.mkString("\n"))
+    assert(refNotes.head.location.contains("projectModel.datasets[0].references"))
+    val (impClean, rClean) = Fidelity.capture {
+      GoodDataAdapter.loadFile(s"$dir/cloud_kitchen_sink.json") }
+    assert(impClean.models.nonEmpty && !rClean.hasLosses)
   }
 
   test("clean import has no losses") {

@@ -89,8 +89,13 @@ class RillAdapterSpec extends AnyFunSuite {
     // every public metric must plan (aggregates resolved, formulas valid)
     val gen = new Generator(spark, Catalog().add(m))
     m.metrics.filter(_.public).foreach { met =>
-      val df = gen.plan(SemanticQuery(metrics = Seq(s"${m.name}.${met.name}")))
-      assert(df.collect().length == 1, met.name)
+      // window/comparison metrics are only well-defined over a time axis
+      val dims = if (met.metricType.exists(
+          Set("cumulative", "time_comparison"))) Seq(s"${m.name}.event_time")
+        else Nil
+      val df = gen.plan(SemanticQuery(
+        metrics = Seq(s"${m.name}.${met.name}"), dimensions = dims))
+      assert(df.collect().length >= 1, met.name)
     }
   }
 
@@ -135,7 +140,7 @@ class RillAdapterSpec extends AnyFunSuite {
     assert(e.defaultMetrics == Seq("total_bids"))
   }
 
-  test("a nameless dimension or measure drops entry-wise, not view-wise") {
+  test("nameless dimension drops entry-wise; nameless measure gets measure_<i>") {
     val imp = RillAdapter.loadString(
       """type: metrics_view
         |name: partial_view
@@ -152,6 +157,81 @@ class RillAdapterSpec extends AnyFunSuite {
     assert(m.dimension("status").isDefined) // valid sibling survives
     assert(m.dimensions.size == 1)
     assert(m.metric("total").isDefined)
+    // Rill's parser names a nameless measure measure_<index>
+    assert(m.metric("measure_0").exists(_.agg.contains("count")))
+  }
+
+  test("derived, time_comparison, window, and parent views import") {
+    val imp = RillAdapter.loadString(
+      """type: metrics_view
+        |name: rich_view
+        |model: tbl
+        |timeseries: event_time
+        |measures:
+        |  - name: revenue
+        |    expression: sum(amount)
+        |  - name: users
+        |    expression: count(distinct user_id)
+        |  - name: arpu
+        |    type: derived
+        |    expression: revenue / users
+        |  - name: revenue_prev
+        |    type: time_comparison
+        |    expression: revenue
+        |  - name: rolling_revenue
+        |    expression: sum(amount)
+        |    window:
+        |      order: event_time
+        |      frame: RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+        |  - name: skipped
+        |    ignore: true
+        |    expression: sum(amount)
+        |""".stripMargin)
+    val m = imp.models.head
+    assert(m.metric("arpu").exists(x =>
+      x.metricType.contains("derived") && x.sql.contains("revenue / users")))
+    assert(m.metric("revenue_prev").exists(x =>
+      x.metricType.contains("time_comparison") &&
+        x.baseMetric.contains("revenue") && x.comparison.contains("prior")))
+    assert(m.metric("rolling_revenue").exists(x =>
+      x.metricType.contains("cumulative") &&
+        x.windowExpression.contains("sum(amount)") &&
+        x.windowOrder.contains("event_time") &&
+        x.windowFrame.exists(_.startsWith("RANGE BETWEEN"))))
+    assert(m.metric("skipped").isEmpty) // ignore: true
+    // parent (derived) view resolution over a project directory
+    val dir = java.nio.file.Files.createTempDirectory("rill_parent")
+    java.nio.file.Files.write(dir.resolve("parent_view.yaml"),
+      """type: metrics_view
+        |name: parent_view
+        |model: tbl
+        |dimensions:
+        |  - name: region
+        |  - name: channel
+        |measures:
+        |  - name: revenue
+        |    expression: sum(amount)
+        |  - name: orders
+        |    expression: count(*)
+        |  - name: aov
+        |    type: derived
+        |    expression: revenue / orders
+        |""".stripMargin.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("regional.yaml"),
+      """type: metrics_view
+        |parent: parent_view
+        |parent_dimensions:
+        |  - region
+        |parent_measures:
+        |  - aov
+        |""".stripMargin.getBytes("UTF-8"))
+    val cat = RillAdapter.loadDirectory(dir.toString)
+    val child = cat.models("regional")
+    assert(child.dimensions.map(_.name) == Seq("region"))
+    // aov selected; its referenced parents ride along as non-public deps
+    assert(child.metric("aov").exists(_.public))
+    assert(child.metric("revenue").exists(!_.public))
+    assert(child.metric("orders").exists(!_.public))
   }
 
   test("the whole rill fixture corpus parses") {
