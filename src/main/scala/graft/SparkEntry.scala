@@ -1474,6 +1474,45 @@ object SparkEntry {
         orderBy = Seq("orderstatus")))
     }),
 
+    // Composite agg auto-extraction: `sql: SUM(acct) / COUNT(*)` splits
+    // into hidden single-aggregate metrics + a derived formula at load,
+    // so BOTH components take the fan-out-safe (symmetric) route over the
+    // one_to_many join — an opaque composite would sum the customer's
+    // balance once per order and inflate the answer
+    "q_composite_agg" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = {
+        case "customer" => graft.model.ModelSource.SqlView(
+          s"""SELECT c_custkey, cast(c_acctbal as decimal(18,2)) AS acct
+             |FROM parquet.`$d/customer.parquet`""".stripMargin)
+        case t => graft.model.ModelSource.Parquet(s"$d/$t.parquet")
+      }
+      val pkg = graft.load.YamlLoader.loadPackageString(
+        """version: 1
+          |models:
+          |  - name: ylc_customer
+          |    table: customer
+          |    primary_key: c_custkey
+          |    metrics:
+          |      - name: bal_per_customer
+          |        sql: SUM(acct) / COUNT(*)
+          |    relationships:
+          |      - name: ylc_orders
+          |        type: one_to_many
+          |        foreign_key: o_custkey
+          |  - name: ylc_orders
+          |    table: orders
+          |    primary_key: o_orderkey
+          |    dimensions:
+          |      - name: orderstatus
+          |        sql: o_orderstatus
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(pkg.models: _*)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("ylc_customer.bal_per_customer"),
+        dimensions = Seq("ylc_orders.orderstatus"),
+        orderBy = Seq("orderstatus"))), "bal_per_customer")
+    }),
+
     // §2 row 55: streaming pre-agg maintenance — the AvailableNow backlog
     // run over a staged copy of the source must converge to the batch
     // aggregate (idempotent per-batch deltas, re-aggregated on read)
@@ -2636,6 +2675,15 @@ object SparkEntry {
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
         |  count(*) AS order_count
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_composite_agg" ->
+      """SELECT orderstatus,
+        |  round(cast(sum(acct) as double)
+        |    / cast(count(DISTINCT ck) as double), 4) AS bal_per_customer
+        |FROM (SELECT DISTINCT o.o_orderstatus AS orderstatus,
+        |        c.c_custkey AS ck, cast(c.c_acctbal as decimal(18,2)) AS acct
+        |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_streaming_rollup" ->
       """SELECT o_orderstatus AS orderstatus,

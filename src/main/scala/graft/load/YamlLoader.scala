@@ -124,7 +124,7 @@ object YamlLoader {
       dimensions = seqOfMaps(m.get("dimensions")).map(parseDimension) ++
         embedded.flatMap(_.dimensions),
       metrics = (seqOfMaps(m.get("metrics")) ++ seqOfMaps(m.get("measures")))
-        .map(parseMetric) ++ embedded.flatMap(_.metrics),
+        .flatMap(expandMetric) ++ embedded.flatMap(_.metrics),
       relationships = seqOfMaps(m.get("relationships")).map(parseRelationship),
       segments = seqOfMaps(m.get("segments")).map(s =>
         Segment(s("name").toString, s("sql").toString,
@@ -252,6 +252,35 @@ object YamlLoader {
       label = d.get("label").map(_.toString),
       parent = d.get("parent").map(_.toString),
       public = d.get("public").forall(_.toString.toBoolean))
+  }
+
+  /** Model-level metric parse + composite-aggregate split (reference:
+    * core/metric.py:68-226 recovers lone aggregates and keeps
+    * `SUM(x) / SUM(y)` opaque; here the composite DECOMPOSES into hidden
+    * single-aggregate metrics plus a derived formula over them, so each
+    * component goes through the engine's fan-out-safety classification —
+    * an opaque composite would aggregate naively over a fanned-out join
+    * and silently double-count the one-side). */
+  private def expandMetric(m: Map[String, Any]): Seq[Metric] = {
+    val parsed = parseMetric(m)
+    val isPlain = parsed.agg.isEmpty && parsed.metricType.isEmpty &&
+      parsed.numerator.isEmpty && parsed.steps.isEmpty
+    parsed.sql match {
+      case Some(sqlText) if isPlain &&
+          graft.adapters.RillAdapter.aggCallCount(sqlText) >= 1 =>
+        // AggExtract already failed in parseMetric (agg is still empty),
+        // so this is composite: >=1 aggregate call inside a larger formula
+        val pieces = graft.adapters.RillAdapter.expressionToMetrics(
+          parsed.name, sqlText, parsed.label)
+        if (pieces.size <= 1) Seq(parsed)
+        else {
+          val hidden = pieces.init.map(_.copy(filters = parsed.filters))
+          val outer = pieces.last.copy(fillNullsWith = parsed.fillNullsWith,
+            public = parsed.public, governance = parsed.governance)
+          hidden :+ outer
+        }
+      case _ => Seq(parsed)
+    }
   }
 
   private def parseMetric(m: Map[String, Any]): Metric = {
