@@ -43,10 +43,15 @@ object Codegen {
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c    => c.toString
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case '\n'           => "\\n"
+      case '\r'           => "\\r"
+      case '\t'           => "\\t"
+      case '\b'           => "\\b"
+      case '\f'           => "\\f"
+      case c if c < 0x20  => f"\\u${c.toInt}%04x"
+      case c              => c.toString
     } + "\""
 
   /** The structured schema payload (reference: build_client_schema). */
@@ -80,10 +85,20 @@ object Codegen {
   }
 
   /** A legal Scala identifier for a field name (`Order Date` →
-    * `` `Order Date` `` via backticks when needed). */
+    * `` `Order Date` `` via backticks when needed). Backticks and
+    * control characters have no escape inside a backtick-quoted
+    * identifier, so a name containing them cannot become a legal
+    * identifier at all — reject rather than emit uncompilable source. */
   private def ident(n: String): String =
     if (n.matches("[A-Za-z_][A-Za-z0-9_]*") && !scalaKeywords(n)) n
+    else if (n.exists(c => c == '`' || c < 0x20)) throw new IllegalArgumentException(
+      s"Cannot emit a Scala identifier for name containing a backtick or " +
+        s"control character: ${jsonStr(n)}")
     else s"`$n`"
+
+  /** A Scala string literal for an arbitrary name (same escapes as JSON,
+    * which Scala accepts verbatim). */
+  private def scalaStr(s: String): String = jsonStr(s)
 
   private val scalaKeywords = Set("type", "class", "object", "def", "val",
     "var", "new", "return", "if", "else", "match", "case", "for", "while",
@@ -122,14 +137,14 @@ object Codegen {
     cat.models.toSeq.sortBy(_._1).foreach { case (name, m) =>
       sb ++= s"  object ${ident(name)} {\n"
       (m.dimensions.map(_.name) ++ m.metrics.map(_.name)).sorted.foreach { f =>
-        sb ++= s"""    val ${ident(f)} = "$name.$f"\n"""
+        sb ++= s"    val ${ident(f)} = ${scalaStr(s"$name.$f")}\n"
       }
       sb ++= "  }\n"
     }
     val top = cat.graphMetrics.keys.toSeq.sorted
     if (top.nonEmpty) {
       sb ++= "  object metrics {\n"
-      top.foreach(f => sb ++= s"""    val ${ident(f)} = "$f"\n""")
+      top.foreach(f => sb ++= s"    val ${ident(f)} = ${scalaStr(f)}\n")
       sb ++= "  }\n"
     }
     sb ++= "}\n"

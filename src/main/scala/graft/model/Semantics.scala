@@ -168,6 +168,11 @@ final case class Freshness(
   require(!(watermark.isDefined && sql.isDefined),
     "Freshness cannot define both watermark and sql")
   require(ttlSeconds.forall(_ > 0), "Freshness ttl_seconds must be > 0")
+  // a ttl with no probe source can never be evaluated — FreshnessCheck
+  // would skip the model and the declared contract would silently
+  // never run, which is exactly what this block exists to prevent
+  require(ttlSeconds.isEmpty || watermark.isDefined || sql.isDefined,
+    "Freshness ttl_seconds requires a watermark or sql probe to evaluate it")
 }
 
 /** Curated entrypoint over the semantic graph (reference:

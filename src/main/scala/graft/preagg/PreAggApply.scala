@@ -12,7 +12,11 @@ import scala.jdk.CollectionConverters._
   * + the `preagg apply/refresh` commands in cli.py:2848).
   *
   * YAML patching works on the raw parsed documents, not through the model
-  * classes, so fields the loader does not model pass through untouched.
+  * classes, so fields the loader does not model pass through untouched —
+  * but a patched file IS re-serialized from the parse, which discards
+  * comments, anchors/aliases, key ordering, and hand formatting in that
+  * file (untouched files are never rewritten). Point it at
+  * generated/tool-owned model files, or expect a reformat on first patch.
   * Writes are atomic (temp file + rename); an identical existing
   * definition is skipped, while a name collision with different content
   * is rejected instead of silently overwriting the user's definition. */

@@ -67,4 +67,33 @@ class CodegenSpec extends AnyFunSuite {
       dimensions = Seq(Dimension("type"))))
     assert(Codegen.generateScala(kw).contains("`type`: Option[String]"))
   }
+
+  test("hostile names: control chars escape in JSON, quotes in Scala, backticks reject") {
+    val hostile = Catalog().add(Model("m1", ModelSource.Table("t"),
+      dimensions = Seq(Dimension("tab\tand\rctl"),
+        Dimension("say \"hi\""))))
+    val json = Codegen.generateSchemaJson(hostile)
+    // must stay parseable JSON with every control char escaped
+    assert(!json.exists(c => c < 0x20))
+    assert(json.contains("tab\\tand\\rctl\\u0001"))
+    val root = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Any]](json)
+    val dims = root.get("models").asInstanceOf[java.util.Map[String, Any]]
+      .get("m1").asInstanceOf[java.util.Map[String, Any]]
+      .get("dimensions").asInstanceOf[java.util.Map[String, Any]]
+    assert(dims.containsKey("tab\tand\rctl"))
+    // Scala artifact: quoted name escapes inside the emitted string literal
+    val quoted = Catalog().add(Model("m2", ModelSource.Table("t"),
+      dimensions = Seq(Dimension("say \"hi\""))))
+    val src = Codegen.generateScala(quoted)
+    assert(src.contains("val `say \"hi\"` = \"m2.say \\\"hi\\\"\""))
+    // backtick / control-char names can never be legal Scala identifiers
+    intercept[IllegalArgumentException] {
+      Codegen.generateScala(Catalog().add(Model("m3", ModelSource.Table("t"),
+        dimensions = Seq(Dimension("back`tick")))))
+    }
+    intercept[IllegalArgumentException] {
+      Codegen.generateScala(Catalog().add(Model("m4", ModelSource.Table("t"),
+        dimensions = Seq(Dimension("ctlname")))))
+    }
+  }
 }

@@ -52,6 +52,20 @@ class FreshnessSpec extends AnyFunSuite {
       Freshness(Some("a"), Some("SELECT 1"), Some(10))
     }
     intercept[IllegalArgumentException] { Freshness(Some("a"), None, Some(0)) }
+    // a ttl with no watermark/sql probe could never be evaluated — the
+    // declared contract would silently never run, so it is rejected
+    intercept[IllegalArgumentException] { Freshness(None, None, Some(60)) }
+    val e = intercept[IllegalArgumentException] {
+      YamlLoader.loadPackageString(
+        """models:
+          |  - name: fr_ttl_only
+          |    table: t
+          |    primary_key: id
+          |    freshness:
+          |      ttl_seconds: 60
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("watermark or sql"))
   }
 
   test("yaml: parse, alias, unknown-key error, writer round-trip") {
