@@ -2762,6 +2762,148 @@ object SparkEntry {
         |    / cast(len(list_distinct(list_concat(a.g, b.g))) as double) >= 0.25
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    // golden pins for the four pairwise-approximate ops: banded-LSH
+    // candidate sets have no tractable DuckDB twin, but the outputs are
+    // fully deterministic (xxhash64 hash families, decimal/rounded
+    // scores), so each oracle pins the expected sf0.01 result literally
+    // -- silent drift in any LSH path turns the row red
+    "q_dedup_minhash" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(jaccard AS DOUBLE) AS jaccard
+        |FROM (VALUES
+        |(8, 245, 0.9878),
+        |(26, 455, 0.9),
+        |(31, 383, 0.9762),
+        |(44, 446, 0.9565),
+        |(45, 267, 0.974),
+        |(45, 413, 0.987),
+        |(58, 293, 0.9857),
+        |(61, 185, 0.9825),
+        |(70, 447, 0.9891),
+        |(72, 377, 0.9756),
+        |(87, 134, 0.9545),
+        |(92, 450, 0.9583),
+        |(98, 290, 0.9891),
+        |(107, 387, 0.9737),
+        |(120, 332, 0.9714),
+        |(152, 178, 0.973),
+        |(166, 323, 0.9833),
+        |(267, 413, 0.9868),
+        |(285, 301, 0.9891),
+        |(295, 374, 0.9667),
+        |(310, 389, 0.9615),
+        |(326, 457, 0.9714),
+        |(393, 420, 0.9873),
+        |(435, 486, 0.9667),
+        |(458, 462, 0.9828))
+        |t(id_a, id_b, jaccard)""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM (VALUES
+        |(8, 245, 2),
+        |(45, 413, 3),
+        |(58, 293, 0),
+        |(61, 185, 0),
+        |(70, 447, 1),
+        |(76, 102, 2),
+        |(98, 290, 2),
+        |(107, 387, 1),
+        |(120, 332, 3),
+        |(166, 323, 3),
+        |(251, 473, 3),
+        |(267, 413, 2),
+        |(285, 301, 0),
+        |(326, 457, 2),
+        |(393, 420, 0),
+        |(435, 486, 3),
+        |(458, 462, 2))
+        |t(id_a, id_b, hamming)""".stripMargin,
+
+    "q_ann_lsh" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS BIGINT) AS rank
+        |FROM (VALUES
+        |(0, 73, 0.295434, 5),
+        |(0, 334, 0.362722, 2),
+        |(0, 365, 0.369994, 1),
+        |(0, 387, 0.331139, 3),
+        |(0, 423, 0.296934, 4),
+        |(1, 27, 0.348208, 2),
+        |(1, 64, 0.316374, 5),
+        |(1, 195, 0.322744, 4),
+        |(1, 386, 0.371485, 1),
+        |(1, 407, 0.32701, 3),
+        |(2, 117, 0.318143, 1),
+        |(2, 145, 0.263494, 3),
+        |(2, 188, 0.263272, 4),
+        |(2, 320, 0.255043, 5),
+        |(2, 450, 0.266344, 2),
+        |(3, 130, 0.399872, 1),
+        |(3, 149, 0.329934, 2),
+        |(3, 174, 0.303548, 4),
+        |(3, 231, 0.298788, 5),
+        |(3, 343, 0.308472, 3),
+        |(4, 114, 0.398513, 1),
+        |(4, 280, 0.279826, 5),
+        |(4, 408, 0.322753, 3),
+        |(4, 482, 0.313897, 4),
+        |(4, 496, 0.341212, 2))
+        |t(query_id, neighbor_id, cosine, rank)""".stripMargin,
+
+    "q_embedding_neardup" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(cosine AS DOUBLE) AS cosine
+        |FROM (VALUES
+        |(0, 100000, 0.969705),
+        |(1, 100001, 0.969725),
+        |(2, 100002, 0.970326),
+        |(3, 100003, 0.969653),
+        |(4, 100004, 0.969105),
+        |(5, 100005, 0.968575),
+        |(6, 100006, 0.970227),
+        |(7, 100007, 0.969181),
+        |(8, 100008, 0.969561),
+        |(9, 100009, 0.970363),
+        |(10, 100010, 0.968742),
+        |(11, 100011, 0.969786),
+        |(12, 100012, 0.9689),
+        |(13, 100013, 0.970666),
+        |(14, 100014, 0.968255),
+        |(15, 100015, 0.974368),
+        |(16, 100016, 0.97135),
+        |(17, 100017, 0.974004),
+        |(18, 100018, 0.971629),
+        |(19, 100019, 0.969662),
+        |(20, 100020, 0.972679),
+        |(21, 100021, 0.971748),
+        |(22, 100022, 0.969297),
+        |(23, 100023, 0.968892),
+        |(24, 100024, 0.969105),
+        |(25, 100025, 0.974723),
+        |(26, 100026, 0.970916),
+        |(27, 100027, 0.968246),
+        |(28, 100028, 0.969175),
+        |(29, 100029, 0.96874),
+        |(30, 100030, 0.968746),
+        |(31, 100031, 0.970923),
+        |(32, 100032, 0.972739),
+        |(33, 100033, 0.97165),
+        |(34, 100034, 0.969667),
+        |(35, 100035, 0.969258),
+        |(36, 100036, 0.969808),
+        |(37, 100037, 0.970317),
+        |(38, 100038, 0.969184),
+        |(39, 100039, 0.969921),
+        |(40, 100040, 0.972178),
+        |(41, 100041, 0.970957),
+        |(42, 100042, 0.968843),
+        |(43, 100043, 0.969823),
+        |(44, 100044, 0.968543),
+        |(45, 100045, 0.97054),
+        |(46, 100046, 0.971812),
+        |(47, 100047, 0.970022),
+        |(48, 100048, 0.970178),
+        |(49, 100049, 0.970463))
+        |t(id_a, id_b, cosine)""".stripMargin,
+
     "q_ann_cosine" ->
       """SELECT query_id, neighbor_id, round(sim, 6) AS cosine,
         |  CAST(rn AS BIGINT) AS rank
