@@ -1653,6 +1653,28 @@ object SparkEntry {
         n = 4, threshold = 0.25)
         .orderBy("block", "id_a", "id_b")),
 
+    // connected components over the Jaccard pair graph: every chained
+    // family of near-duplicates collapses to one cluster_id (the min
+    // member id); the oracle recomputes the same closure with a
+    // recursive CTE over the identical DuckDB pair list
+    "q_dup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccardWithinBlocks(
+          docs(s, d).filter(col("doc_id") < 200), "doc_id", "text", "source",
+          n = 4, threshold = 0.25))
+        .orderBy("id")),
+
+    // cluster-aware dedup applied end-to-end: keep each family's min-id
+    // representative, pass untouched docs through, count survivors
+    "q_dedup_apply" -> ((s, d) =>
+      Dedup.dedupByClusters(
+        docs(s, d).filter(col("doc_id") < 200), "doc_id",
+        Dedup.ngramJaccardWithinBlocks(
+          docs(s, d).filter(col("doc_id") < 200), "doc_id", "text", "source",
+          n = 4, threshold = 0.25))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
     // ---- pipeline ops: similarity search ----
     "q_ann_cosine" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
@@ -2767,6 +2789,54 @@ object SparkEntry {
     // fully deterministic (xxhash64 hash families, decimal/rounded
     // scores), so each oracle pins the expected sf0.01 result literally
     // -- silent drift in any LSH path turns the row red
+    "q_dup_clusters" ->
+      """WITH RECURSIVE grams AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(text) - 3, 1) + 1),
+        |      i -> substr(text, i, 4))) AS g
+        |  FROM documents WHERE doc_id < 200),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM grams a JOIN grams b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.g, b.g)) as double)
+        |      / cast(len(list_distinct(list_concat(a.g, b.g))) as double) >= 0.25),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(min(label) AS BIGINT) AS cluster_id
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_dedup_apply" ->
+      """WITH RECURSIVE grams AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(length(text) - 3, 1) + 1),
+        |      i -> substr(text, i, 4))) AS g
+        |  FROM documents WHERE doc_id < 200),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM grams a JOIN grams b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.g, b.g)) as double)
+        |      / cast(len(list_distinct(list_concat(a.g, b.g))) as double) >= 0.25),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+        |SELECT source, count(*) AS n_docs
+        |FROM documents
+        |WHERE doc_id < 200 AND doc_id NOT IN (
+        |  SELECT id FROM walk GROUP BY id HAVING id <> min(label))
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "q_dedup_minhash" ->
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(jaccard AS DOUBLE) AS jaccard
         |FROM (VALUES

@@ -284,4 +284,74 @@ object Dedup {
       .join(ref, Seq("__h"))
       .select(col(idCol), lit(true).as("contaminated"))
   }
+
+  /** Duplicate CLUSTERS from a near-duplicate pair list: connected
+    * components over the pair graph, labeling every member with the
+    * smallest id in its component. This is the step between "pairs" and
+    * "drop": near-duplication is transitive in practice (A≈B, B≈C ⇒ the
+    * whole chain is one document family), and dropping per-pair instead
+    * of per-cluster either over-deletes (both sides of every pair) or
+    * leaves chained copies behind.
+    *
+    * Distributed min-label propagation with a pointer-jumping step each
+    * round (label := label's own current label), so convergence is
+    * ~O(log diameter) rounds, not O(diameter) — a 1M-link chain settles
+    * in ~20 rounds. Each round is two shuffle joins over (id, label);
+    * lineage is truncated per round with `localCheckpoint` (iterative
+    * plans otherwise grow until the optimizer chokes — on a cluster,
+    * set a checkpoint dir and swap in `checkpoint` for fault tolerance).
+    * The driver only ever sees one count per round, never the data.
+    *
+    * Input: any frame with `idA`/`idB` columns (e.g. [[minHashLSH]],
+    * [[simHashPairs]], [[ngramJaccardWithinBlocks]] output). Output:
+    * (id, cluster_id) for every id that appears in at least one pair;
+    * cluster_id is the component's minimum id. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      round += 1
+      require(round <= maxRounds,
+        s"duplicateClusters did not converge in $maxRounds rounds")
+      // neighbor minimum: the smallest label adjacent to (or already on) id
+      val viaEdges = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr"))
+      val stepped = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          col("label").as("prev"))
+      // pointer jump: follow the label to ITS label (halves chains)
+      val jumped = stepped
+        .join(labels.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label")))
+          .as("label"), col("prev"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("label") =!= col("prev")).count()
+      labels = jumped.select("id", "label")
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep one representative per duplicate cluster: drops every row whose
+    * id maps to a cluster but is not its minimum-id member. Rows that
+    * never appear in `pairs` pass through untouched. One broadcast-or-
+    * shuffle anti-join against the (small — duplicates only) non-
+    * representative id set. */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val drop = duplicateClusters(pairs, idA, idB)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(s"__drop_$idCol"))
+    df.join(drop, col(idCol) === col(s"__drop_$idCol"), "left_anti")
+  }
 }

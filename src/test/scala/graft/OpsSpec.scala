@@ -70,6 +70,26 @@ class OpsSpec extends AnyFunSuite {
       maxDistance = 16, maxBlockSize = 1000).isEmpty)
   }
 
+  test("duplicate clusters: transitive closure to the min id, dedup keeps representatives") {
+    // 10-link chain (diameter stresses the pointer jumping), a separate
+    // pair, and an isolated node that must pass through dedup untouched
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val pairs = (chain :+ (20L, 21L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 10L).forall(clusters(_) == 1L))
+    assert(clusters(20L) == 20L && clusters(21L) == 20L)
+    assert(clusters.size == 12)
+    val corpus = ((1L to 10L) ++ Seq(20L, 21L, 99L))
+      .map(i => (i, s"doc $i")).toDF("doc_id", "body")
+    val kept = Dedup.dedupByClusters(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 20L, 99L))
+    // empty pair list: everything is its own representative
+    assert(Dedup.dedupByClusters(corpus, "doc_id",
+      pairs.filter(col("id_a") < 0)).count() == corpus.count())
+  }
+
   test("ngram jaccard within blocks respects blocking") {
     val pairs = Dedup.ngramJaccardWithinBlocks(docs, "doc_id", "text", "source",
       n = 3, threshold = 0.5)
