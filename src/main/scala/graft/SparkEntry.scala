@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Embeddings, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1762,6 +1762,47 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fingerprint"))
         .orderBy("doc_id")),
 
+    // corpus vocabulary: two partial-agg shuffles ((doc, token) counts,
+    // then per-token totals) + TakeOrderedAndProject top-k; ties break
+    // on the token for a deterministic, oracle-stable cut
+    "q_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(docs(s, d), "doc_id", "text", 20)
+        .orderBy(col("term_freq").desc, col("token"))),
+
+    // ---- pipeline ops: chunking (RAG / training-example prep) ----
+    // token-window chunking is a single codegen'd projection (split +
+    // explode(sequence) + slice) — no shuffle, scan speed at 100 TB; the
+    // oracle re-derives every window with generate_series + list slices
+    "q_chunk" -> ((s, d) =>
+      asLong(Chunking.chunkByTokens(
+          docs(s, d).filter(col("doc_id") < 20), "doc_id", "text",
+          chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_idx"),
+        "chunk_idx", "start_token", "n_tokens")),
+
+    "q_chunk_stats" -> ((s, d) =>
+      asLong(Chunking.chunkStats(
+          Chunking.chunkByTokens(docs(s, d).filter(col("doc_id") < 50),
+            "doc_id", "text", chunkTokens = 32, overlapTokens = 8),
+          "doc_id")
+        .orderBy("doc_id"), "doc_tokens")),
+
+    // ---- pipeline ops: embedding int8 quantization ----
+    // map-side projection (transform/zip_with/aggregate, no shuffle);
+    // the oracle recomputes codes + reconstruction error per vector and
+    // pins code checksums and rounded rmse/max_err
+    "q_quantize" -> ((s, d) =>
+      Embeddings.quantizeWithError(
+          s.read.parquet(s"$d/embeddings.parquet").filter(col("vec_id") < 20),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c)
+            .as("sum_codes"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + abs(c))
+            .as("l1_codes"),
+          col("rmse"), col("max_err"))
+        .orderBy("vec_id")),
+
     // ---- pipeline ops: multimodal plumbing (stubbed codec) ----
     // real codec roundtrip: PNG-encode a solid-gray tile per document
     // (geometry + shade derived from doc_id), decode through
@@ -3036,6 +3077,92 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
         |    AS bpeish_tokens
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents
+        |), dt AS (
+        |  SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2
+        |)
+        |SELECT token, cast(sum(c) AS BIGINT) AS term_freq,
+        |  count(*) AS doc_freq
+        |FROM dt GROUP BY token
+        |ORDER BY term_freq DESC, token LIMIT 20""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |      AS toks
+        |  FROM documents WHERE doc_id < 20
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    greatest(1, cast(ceil((len(toks) - 8) / 24.0) AS INT)) AS nc
+        |  FROM t
+        |)
+        |, g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i
+        |  FROM c
+        |)
+        |SELECT doc_id, i AS chunk_idx, i * 24 AS start_token,
+        |  array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+        |  len(toks[i*24+1 : i*24+32]) AS n_tokens
+        |FROM g
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_chunk_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |      AS toks
+        |  FROM documents WHERE doc_id < 50
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    greatest(1, cast(ceil((len(toks) - 8) / 24.0) AS INT)) AS nc
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i
+        |  FROM c
+        |), ch AS (
+        |  SELECT doc_id, i,
+        |    len(toks[i*24+1 : i*24+32]) AS n_tokens,
+        |    i * 24 + len(toks[i*24+1 : i*24+32]) AS covered
+        |  FROM g
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  cast(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  cast(max(covered) AS BIGINT) AS doc_tokens
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> cast(x AS DOUBLE)) AS vd
+        |  FROM embeddings WHERE vec_id < 20
+        |), s AS (
+        |  SELECT vec_id, vd,
+        |    list_max(list_transform(vd, x -> abs(x))) AS sc
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id, vd, sc,
+        |    list_transform(vd, x -> CASE WHEN sc > 0
+        |      THEN round(x / sc * 127) ELSE 0 END) AS codes,
+        |    list_transform(vd, x -> CASE WHEN sc > 0
+        |      THEN abs(x - round(x / sc * 127) * sc / 127) ELSE abs(x) END)
+        |      AS errs
+        |  FROM s
+        |)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  cast(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  cast(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
+        |    AS l1_codes,
+        |  round(sqrt(list_sum(list_transform(errs, x -> x * x))
+        |    / len(codes)), 6) AS rmse,
+        |  round(list_max(errs), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     // golden checksums: xxhash64-rolling fingerprints have no DuckDB
     // twin, so the oracle pins the 50 expected values literally (the

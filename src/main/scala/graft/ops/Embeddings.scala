@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Embedding storage transforms: symmetric int8 quantization (the
+  * standard 4x shrink for ANN corpora — 100 TB of float32 vectors
+  * becomes 25 TB with bounded recall loss) plus the reconstruction-error
+  * audit that decides whether the shrink is safe for a given corpus.
+  *
+  * All pure column expressions (`transform` / `zip_with` /
+  * `aggregate`), so quantization is a codegen'd map-side projection with
+  * no shuffle and no UDF; the error audit adds only the scan it reads.
+  * Determinism: math is done in double (cast once, up front) and the
+  * reported error is rounded to fixed decimals, so results are
+  * bit-stable across partition layouts and engines — the property every
+  * oracle check here leans on.
+  */
+object Embeddings {
+
+  private def asDouble(vecCol: Column): Column =
+    transform(vecCol, x => x.cast("double"))
+
+  /** Per-vector max-abs scale: the symmetric-quantization denominator.
+    * Zero vectors get scale 0 and quantize to all-zero codes. */
+  def maxAbsScale(vecCol: Column): Column =
+    array_max(transform(asDouble(vecCol), x => abs(x)))
+
+  /** int8 codes: round(x / scale * 127) per element (half-up, matching
+    * ANSI SQL ROUND), all-zero when the vector is all-zero. */
+  def quantizeInt8(vecCol: Column): Column = {
+    val v = asDouble(vecCol)
+    val scale = array_max(transform(v, x => abs(x)))
+    transform(v, x =>
+      when(scale > 0, round(x / scale * 127)).otherwise(lit(0.0))
+        .cast("int"))
+  }
+
+  /** (id, scale, codes, rmse, max_err): quantize + measure in one
+    * projection. `rmse`/`max_err` are the dequantized reconstruction
+    * errors, rounded to `errDecimals` for cross-engine stability. */
+  def quantizeWithError(df: DataFrame, idCol: String, vecCol: String,
+      errDecimals: Int = 6): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x)))
+    val codes = transform(v, x =>
+      when(scale > 0, round(x / scale * 127)).otherwise(lit(0.0))
+        .cast("int"))
+    // dequantized element: code * scale / 127; error vs the original
+    val errs = zip_with(v, codes, (x, q) =>
+      abs(x - q.cast("double") * scale / 127))
+    df.select(col(idCol),
+      round(scale, errDecimals).as("scale"),
+      codes.as("codes"),
+      round(sqrt(aggregate(errs, lit(0.0), (acc, e) => acc + e * e)
+        / size(codes)), errDecimals).as("rmse"),
+      round(array_max(errs), errDecimals).as("max_err"))
+  }
+}

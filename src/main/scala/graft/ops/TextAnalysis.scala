@@ -133,4 +133,30 @@ object TextAnalysis {
   def urlCount(textCol: Column): Column =
     size(regexp_extract_all(textCol, lit("https?://[^\\s]+"), lit(0)))
       .cast("long")
+
+  /** Corpus vocabulary: the `k` most frequent lowercase whitespace
+    * tokens with total occurrences (`term_freq`) and number of distinct
+    * documents containing each (`doc_freq`).
+    *
+    * Two aggregations, both with map-side partial combine: (doc, token)
+    * counts first — so the second shuffle moves one row per distinct
+    * (doc, token), not one per occurrence — then per-token totals where
+    * `doc_freq` is a plain `count(1)` (no count-distinct expand). The
+    * final top-k is `orderBy(...).limit(k)` → TakeOrderedAndProject:
+    * each partition keeps only its own k candidates, so the driver sees
+    * O(partitions * k) rows no matter how large the vocabulary is.
+    * Ties break on the token itself for a deterministic, oracle-stable
+    * cut. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(filter(tokens(col(textCol)), t => length(t) > 0))
+          .as("token"))
+      .groupBy(col("__doc"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("token"))
+      .agg(sum(col("__c")).as("term_freq"),
+        count(lit(1)).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("token"))
+      .limit(k)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -205,6 +205,64 @@ class OpsSpec extends AnyFunSuite {
     // identical bytes → identical fake decode output
     val wh = decoded.select("media_id", "width").as[(Long, Int)].collect().toMap
     assert(wh(1L) == wh(2L))
+  }
+
+  test("chunking: windows advance by stride, short docs yield one chunk") {
+    // 9 tokens, window 4, overlap 1 → stride 3 → ceil((9-1)/3) = 3 chunks
+    val out = Chunking.chunkByTokens(docs.filter($"doc_id" === 1), "doc_id",
+        "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Int]("start_token")).toSeq == Seq(0, 3, 6))
+    assert(out(0).getAs[String]("chunk_text") == "the quick brown fox")
+    assert(out(1).getAs[String]("chunk_text") == "fox jumps over the")
+    assert(out(2).getAs[String]("chunk_text") == "the lazy dog") // tail: 3 tokens
+    assert(out.map(_.getAs[Int]("n_tokens")).toSeq == Seq(4, 4, 3))
+    // a doc shorter than one window still yields exactly one chunk
+    val short = Chunking.chunkByTokens(
+      Seq((9L, "tiny doc")).toDF("doc_id", "text"), "doc_id", "text", 32, 8)
+      .collect()
+    assert(short.length == 1 && short(0).getAs[Int]("n_tokens") == 2)
+  }
+
+  test("chunk stats recover per-doc token counts from the windows") {
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text", 4, 1)
+    val stats = Chunking.chunkStats(chunks, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("doc_tokens")).toMap
+    // every doc in the fixture has >= 9 whitespace tokens; covered tokens
+    // must equal the doc's own token count (no window misses the tail)
+    val truth = docs.select($"doc_id",
+        size(split($"text", "\\s+")).as("n")).as[(Long, Int)].collect().toMap
+    truth.foreach { case (id, n) => assert(stats(id) == n, s"doc $id") }
+  }
+
+  test("int8 quantization: codes bounded, zero vector safe, error tiny") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0, codes 0
+      (3L, Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeWithError(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val codes1 = out(0).getSeq[Int](2)
+    assert(codes1 == Seq(127, -64, 32, 0)) // round(±x/scale*127), half-up
+    assert(out(1).getSeq[Int](2).forall(_ == 0) &&
+      out(1).getAs[Double]("rmse") == 0.0)
+    assert(out.forall(_.getSeq[Int](2).forall(c => c >= -127 && c <= 127)))
+    // max-abs symmetric int8: reconstruction error < scale/254 per element
+    out.foreach { r =>
+      assert(r.getAs[Double]("max_err") <= r.getAs[Double]("scale") / 254 + 1e-9)
+    }
+  }
+
+  test("vocabulary: term and doc frequencies with a deterministic top-k cut") {
+    val v = TextAnalysis.vocabulary(docs, "doc_id", "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'the' appears twice in docs 1-3 → tf 6, df 3
+    assert(v(0) == ("the", 6L, 3L))
+    // all remaining tokens tie at tf<=3; the cut is by (tf desc, token)
+    assert(v.map(_._1).toSeq == v.map(_._1).sortBy(t =>
+      (-v.find(_._1 == t).get._2, t)).toSeq)
   }
 
   test("real PNG codec roundtrip: decoded geometry and luma match the encode") {
