@@ -35,11 +35,19 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** events with the raw nanos `ts` long converted to a TimestampType
-    * column `ts_t` (micros — the file's nanos are sub-micro-free). */
-  private def eventsTs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+  /** events with `ts` surfaced as a session-zoned TimestampType column
+    * `ts_t`. The file stores TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ);
+    * older generations stored TIMESTAMP(NANOS), which Spark's reader
+    * only admits as a nanos long via `nanosAsLong` — adapt to either so
+    * a testdata regeneration can't silently break every events query. */
+  private def eventsTs(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    val t = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    df.withColumn("ts_t", t)
+  }
 
   /** Flagship: multi-hop star join, lineitem→orders→customer→nation→region. */
   def entry(spark: SparkSession): DataFrame =
@@ -1407,7 +1415,7 @@ object SparkEntry {
           source = ModelSource.Parquet("{dir}/events.parquet"),
           primaryKey = Seq("event_id"),
           dimensions = Seq(Dimension("ts", DimType.Time,
-            sql = Some("timestamp_micros(ts div 1000)"))),
+            sql = Some("cast(ts as timestamp)"))),
           freshness = Some(Freshness(watermark = Some("ts"),
             ttlSeconds = Some(3600L))))) // 1h TTL vs ~1d age → stale
       graft.gen.FreshnessCheck.checkAll(s, cat, asOf)

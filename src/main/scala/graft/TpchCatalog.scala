@@ -182,14 +182,13 @@ object TpchCatalog {
     dimensions = Seq(
       Dimension("event_type"),
       Dimension("user_id", DimType.Numeric),
-      // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
-      // and the dimension converts (micros precision is plenty here)
-      Dimension("ts", DimType.Time, sql = Some("timestamp_micros(ts div 1000)"),
+      // events.parquet stores TIMESTAMP(MICROS), which Spark reads as
+      // TIMESTAMP_NTZ; the cast pins the session-zoned type every
+      // downstream grain/window/comparison expects
+      Dimension("ts", DimType.Time, sql = Some("cast(ts as timestamp)"),
         granularity = Some("day")),
       Dimension("value", DimType.Numeric),
-      // dimension-level window (reference: core/dimension.py:105-112) —
-      // the raw nanos long orders identically to the timestamp
+      // dimension-level window (reference: core/dimension.py:105-112)
       Dimension("next_event_type",
         sql = Some("lead(event_type) over (partition by user_id order by ts)"))),
     metrics = Seq(
@@ -252,7 +251,7 @@ object TpchCatalog {
     dimensions = Seq(
       Dimension("event_type"),
       Dimension("user_id", DimType.Numeric),
-      Dimension("ts", DimType.Time, sql = Some("timestamp_micros(ts div 1000)"),
+      Dimension("ts", DimType.Time, sql = Some("cast(ts as timestamp)"),
         granularity = Some("day"))),
     metrics = Seq(
       Metric("event_count", agg = Some("count")),

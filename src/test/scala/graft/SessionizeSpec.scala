@@ -12,7 +12,7 @@ class SessionizeSpec extends AnyFunSuite {
 
   private def events = spark.read
     .parquet(s"${TestSpark.sfDir}/events.parquet")
-    .withColumn("ts_t", expr("timestamp_micros(ts div 1000)"))
+    .withColumn("ts_t", expr("cast(ts as timestamp)"))
 
   private val GapSec = 43200
   private val GapUs = GapSec * 1000000L

@@ -129,7 +129,7 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(tmp)
     val agg = stream
-      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ets", expr("cast(ts as timestamp)"))
       .withWatermark("ets", "1 hour")
       .groupBy(window(col("ets"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
@@ -139,7 +139,7 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
     val got = spark.table("ev_windows")
     val batch = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ets", expr("cast(ts as timestamp)"))
       .groupBy(window(col("ets"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     assert(got.count() == batch.count())
