@@ -1683,6 +1683,80 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // corpus-wide boilerplate line removal: a nav banner on every doc and
+    // a copyright footer on every even doc are planted so the gate sees
+    // real cross-document line repetition; unique body lines survive
+    "q_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(
+        docs(s, d).filter(col("doc_id") < 60)
+          .withColumn("t", concat(
+            lit("NAVIGATION MENU HOME ABOUT CONTACT\n"), col("text"),
+            when(col("doc_id") % 2 === 0,
+              lit("\nCopyright Example Corp All Rights Reserved 2024"))
+              .otherwise(lit("")))),
+        "doc_id", "t", maxOccurrences = 2, minLineChars = 10)
+        .select(col("doc_id"), col("clean_text"), col("n_lines"),
+          col("n_dropped"))
+        .orderBy("doc_id")),
+
+    // incremental-ingest dedup: Bloom prefilter + exact confirm must
+    // equal a plain anti-join — 40 docs re-enter under new ids (planted
+    // dupes the filter must reject) alongside genuinely new docs
+    "q_incremental_new" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 800)
+      val batch = docs(s, d).filter(col("doc_id") >= 800)
+        .unionByName(docs(s, d).filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.incrementalNew(corpus, batch, "doc_id", "text",
+        expectedItems = 10000L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // per-domain corpus profile over planted URLs (7 rotating hosts +
+    // one shared mirror) — the input to per-domain crawl caps
+    "q_domain_profile" -> ((s, d) =>
+      TextAnalysis.domainProfile(
+        docs(s, d).filter(col("doc_id") < 200)
+          .withColumn("t", concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" see https://site"),
+                (col("doc_id") % 7).cast("string"),
+                lit(".example.com/page/"), col("doc_id").cast("string"),
+                lit(" and http://mirror.example.org/x ok")))
+              .otherwise(lit("")))),
+        "doc_id", "t")
+        .orderBy("domain")),
+
+    // PII redaction twin of q_pii_scan: same planted markers, same
+    // regexes — redacted text and its length are oracle-exact
+    "q_redact" -> ((s, d) =>
+      docs(s, d).filter(col("doc_id") < 60)
+        .withColumn("raw", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" see https://example.org/d/"),
+              col("doc_id").cast("string"), lit(" ok")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("raw")).as("clean"),
+          length(TextAnalysis.redactPii(col("raw"))).as("n_clean"))
+        .orderBy("doc_id")),
+
+    // stupid-backoff bigram LM quality score: model trained on the 80%
+    // hash-stable slice, scored docs include planted gibberish (reversed
+    // tokens) that must score measurably lower than in-distribution text
+    "q_lm_score" -> ((s, d) => {
+      val train = docs(s, d).filter(col("doc_id") % 10 < 8)
+      TextAnalysis.bigramLmScore(
+        docs(s, d).filter(col("doc_id") < 40), train, "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_log10_p"), 4).as("avg_log10_p"))
+        .orderBy("doc_id")
+    }),
+
     // ---- pipeline ops: similarity search ----
     "q_ann_cosine" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
@@ -2885,6 +2959,131 @@ object SparkEntry {
         |WHERE doc_id < 200 AND doc_id NOT IN (
         |  SELECT id FROM walk GROUP BY id HAVING id <> min(label))
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat('NAVIGATION MENU HOME ABOUT CONTACT', chr(10), text,
+        |      CASE WHEN doc_id % 2 = 0
+        |        THEN concat(chr(10), 'Copyright Example Corp All Rights Reserved 2024')
+        |        ELSE '' END) AS t
+        |  FROM documents WHERE doc_id < 60),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM raw),
+        |lines AS (
+        |  SELECT doc_id, pos, arr[pos] AS line FROM (
+        |    SELECT doc_id, arr,
+        |      unnest(generate_series(1, len(arr))) AS pos
+        |    FROM ls)),
+        |offenders AS (
+        |  SELECT trim(line) AS k FROM lines
+        |  WHERE len(trim(line)) >= 10
+        |  GROUP BY 1 HAVING count(*) > 2),
+        |tagged AS (
+        |  SELECT l.*,
+        |    (len(trim(l.line)) >= 10 AND trim(l.line) IN (SELECT k FROM offenders)) AS dropped
+        |  FROM lines l)
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE NOT dropped), '') AS clean_text,
+        |  count(*) AS n_lines,
+        |  sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped
+        |FROM tagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_new" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 800),
+        |batch AS (
+        |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id >= 800
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, n_chars FROM documents WHERE doc_id < 40)
+        |SELECT b.doc_id, b.n_chars FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_profile" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat(text, CASE WHEN doc_id % 3 = 0
+        |      THEN concat(' see https://site', cast(doc_id % 7 AS VARCHAR),
+        |        '.example.com/page/', cast(doc_id AS VARCHAR),
+        |        ' and http://mirror.example.org/x ok')
+        |      ELSE '' END) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |urls AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS u
+        |  FROM raw),
+        |hosts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u, 'https?://([^/:?#\s]+)', 1)) AS domain
+        |  FROM urls),
+        |dd AS (
+        |  SELECT doc_id, domain, count(*) AS m FROM hosts
+        |  WHERE len(domain) > 0 GROUP BY 1, 2)
+        |SELECT domain, count(*) AS n_docs, sum(m) AS n_mentions
+        |FROM dd GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id, concat(text,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN concat(' contact user', cast(doc_id AS VARCHAR), '@example.com now')
+        |      ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN concat(' see https://example.org/d/', cast(doc_id AS VARCHAR), ' ok')
+        |      ELSE '' END) AS t
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g') AS clean,
+        |  len(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g')) AS n_clean
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, pos, arr[pos] AS w FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0) AS arr,
+        |      unnest(generate_series(1, len(list_filter(
+        |        string_split_regex(lower(text), '\s+'), x -> len(x) > 0)))) AS pos
+        |    FROM documents WHERE doc_id % 10 < 8)),
+        |train_bi AS (
+        |  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    w AS w2
+        |  FROM tok QUALIFY w1 IS NOT NULL),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM train_bi GROUP BY 1, 2),
+        |uni AS (SELECT w1 AS w, count(*) AS cu FROM train_bi GROUP BY 1),
+        |tot AS (SELECT count(*) AS t FROM train_bi),
+        |stok AS (
+        |  SELECT doc_id, pos, arr[pos] AS w FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0) AS arr,
+        |      unnest(generate_series(1, len(list_filter(
+        |        string_split_regex(lower(text), '\s+'), x -> len(x) > 0)))) AS pos
+        |    FROM documents WHERE doc_id < 40)),
+        |score_bi AS (
+        |  SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |    w AS w2
+        |  FROM stok QUALIFY w1 IS NOT NULL),
+        |scored AS (
+        |  SELECT s.doc_id,
+        |    log10(CASE WHEN b.cb IS NOT NULL
+        |      THEN cast(b.cb AS DOUBLE) / u1.cu
+        |      ELSE 0.4 * (cast(coalesce(u2.cu, 0) AS DOUBLE) + 1.0) / tot.t
+        |      END) AS p10
+        |  FROM score_bi s
+        |  LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+        |  LEFT JOIN uni u1 ON u1.w = s.w1
+        |  LEFT JOIN uni u2 ON u2.w = s.w2
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(cast(sum(cast(p10 AS DECIMAL(30,12))) / count(*) AS DOUBLE), 4)
+        |    AS avg_log10_p
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(jaccard AS DOUBLE) AS jaccard

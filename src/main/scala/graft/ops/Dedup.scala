@@ -354,4 +354,94 @@ object Dedup {
       .select(col("id").as(s"__drop_$idCol"))
     df.join(drop, col(idCol) === col(s"__drop_$idCol"), "left_anti")
   }
+
+  /** Corpus-wide boilerplate line removal (the line-level dedup step of
+    * web-corpus pipelines: nav menus, cookie banners, footers repeated
+    * across thousands of pages poison next-token prediction even when
+    * every DOCUMENT is unique).
+    *
+    * Rule: a line whose trimmed form is at least `minLineChars` long and
+    * occurs (trimmed-identical) in more than `maxOccurrences` lines
+    * corpus-wide is dropped from every document; shorter lines are exempt
+    * (too short to be meaningful boilerplate — dropping every blank line
+    * would mangle formatting). Output: (id, clean_text, n_lines,
+    * n_dropped) per document, line order preserved.
+    *
+    * Scale shape: one shuffle to count distinct trimmed lines (partial
+    * aggregation collapses repeats map-side — boilerplate, by
+    * definition, collapses hard), then the offender set `count >
+    * maxOccurrences` is SMALL (only repeated boilerplate survives the
+    * filter) and broadcast to an anti-filter on the exploded lines — the
+    * full corpus is never shuffled by line content. Reassembly groups by
+    * document id, the natural input partitioning. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Int = 2, minLineChars: Int = 10): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__key", trim(col("__line")))
+    val offenders = lines
+      .filter(length(col("__key")) >= minLineChars)
+      .groupBy(col("__key")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxOccurrences)
+      .select(col("__key").as("__bad"))
+    val tagged = lines.join(
+        broadcast(offenders),
+        col("__key") === col("__bad") and
+          length(col("__key")) >= minLineChars,
+        "left")
+      .withColumn("__drop", col("__bad").isNotNull)
+    tagged.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("__drop"),
+              struct(col("__pos"), col("__line"))))),
+            x => x.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** Incremental-ingest dedup: which rows of `batch` are genuinely new
+    * against an already-ingested `corpus`, without shuffling the corpus.
+    *
+    * The 100 TB problem this solves: a daily delta is GBs, the corpus is
+    * 100 TB — a plain anti-join shuffles both sides by text. Instead the
+    * corpus is folded once into a Bloom filter over xxhash64(text)
+    * (Spark's own sketch aggregate — partial filters merge on the
+    * driver; `fpp` sizes the bits), and only the filter (MBs) leaves the
+    * executors. Batch rows the filter has never seen are definitely new
+    * (Bloom has no false negatives). The false-positive survivors — an
+    * `fpp` fraction of the batch — are confirmed by one broadcast
+    * semi-join of their hashes against the corpus scan (no corpus
+    * shuffle; the scan prunes to hash+text columns) followed by an exact
+    * text anti-join against those few corpus hits.
+    *
+    * Result is EXACTLY `batch` anti-join `corpus` on `textCol` (the
+    * Bloom filter only prunes work, never changes the answer), so the
+    * op oracle-checks against a plain `NOT IN` twin. */
+  def incrementalNew(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long = 1000000L): DataFrame = {
+    import graft.functions.Exprs.toColumn
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val h = xxhash64(col(textCol))
+    val bloomAgg = toColumn(new BloomFilterAggregate(
+      org.apache.spark.sql.GraftSqlBridge.expression(h), expectedItems)
+      .toAggregateExpression())
+    val bloom: Array[Byte] = corpus.select(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = toColumn(new BloomFilterMightContain(
+      org.apache.spark.sql.GraftSqlBridge.expression(lit(bloom)),
+      org.apache.spark.sql.GraftSqlBridge.expression(h)))
+    val definitelyNew = batch.filter(!coalesce(mightContain, lit(false)))
+    val candidates = batch.filter(coalesce(mightContain, lit(false)))
+    val hits = corpus
+      .join(broadcast(candidates.select(h.as("__h")).distinct()),
+        xxhash64(col(textCol)) === col("__h"), "left_semi")
+      .select(col(textCol).as("__seen"))
+    val confirmedNew = candidates
+      .join(hits, col(textCol) === col("__seen"), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+  }
 }

@@ -159,4 +159,97 @@ object TextAnalysis {
         count(lit(1)).as("doc_freq"))
       .orderBy(col("term_freq").desc, col("token"))
       .limit(k)
+
+  // ---- URL / domain analysis (web-corpus provenance) ----
+
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** Registrable host of every URL in the text, lowercased, one row per
+    * URL via the caller's explode. The regex subset (no lookaround)
+    * keeps the extraction engine-portable for the oracle twin. */
+  def urlHosts(textCol: Column): Column =
+    transform(regexp_extract_all(textCol, lit(UrlRe), lit(0)),
+      u => lower(regexp_extract(u, "https?://([^/:?#\\s]+)", 1)))
+
+  /** Per-domain corpus profile: how many documents and URL mentions each
+    * web domain contributes. The canonical input to per-domain caps
+    * (a handful of domains dominating a crawl is the #1 source-mix
+    * pathology) — feed the result to [[Sampling.stratifiedTopN]] keyed
+    * on `domain` to enforce the cap. Two partial-agg shuffles, both
+    * keyed on (domain[, doc]) — uniform unless one domain IS the corpus,
+    * which is exactly what the profile exists to reveal. */
+  def domainProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(urlHosts(col(textCol))).as("domain"))
+      .filter(length(col("domain")) > 0)
+      .groupBy(col("__doc"), col("domain"))
+      .agg(count(lit(1)).as("__m"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__m")).as("n_mentions"))
+
+  // ---- PII redaction ----
+
+  /** Replace emails and URLs with stable placeholder tokens. Runs after
+    * [[emailCount]]/[[urlCount]] triage; the same regexes guarantee
+    * scan-vs-redact agreement (a doc scanned clean is never rewritten).
+    * Order matters: emails first, or the URL pattern eats
+    * `user@host` inside `https://u:p@host` forms ambiguously. Pure
+    * projection — no shuffle, scan speed at any corpus size. */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(textCol,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      UrlRe, "<URL>")
+
+  // ---- n-gram LM quality scoring (perplexity-proxy filtering) ----
+
+  /** Per-document mean log10 bigram probability under a stupid-backoff
+    * bigram model trained on `train` — the classic perplexity-style
+    * quality signal (docs far from the reference distribution score low:
+    * gibberish, wrong-language, boilerplate).
+    *
+    * Backoff: S(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen in
+    * training, else 0.4 * c(w2)/total (unseen unigram → 0.4/total,
+    * never log of zero). Scoring joins each document bigram against the
+    * two count tables — shuffle joins keyed on (uniformly hashed)
+    * n-grams with map-side partial aggregation on both build sides; at
+    * 100 TB the model tables are Zipf-small relative to the corpus and
+    * AQE's broadcast conversion takes the build side off the shuffle
+    * entirely. Counts are exact integers, the final mean sums in
+    * decimal, so the score is bit-stable for the oracle twin. */
+  def bigramLmScore(df: DataFrame, train: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def bigrams(frame: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__doc")).orderBy(col("__p"))
+      frame.select(col(idCol).as("__doc"),
+          posexplode(filter(tokens(col(textCol)), t => length(t) > 0))
+            .as(Seq("__p", "__w2")))
+        .withColumn("__w1", lag(col("__w2"), 1).over(w))
+        .filter(col("__w1").isNotNull)
+    }
+    val trainBi = bigrams(train)
+    val biCounts = trainBi.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val uniCounts = trainBi.groupBy(col("__w1").as("__w"))
+      .agg(count(lit(1)).as("__cu"))
+    val total = trainBi.agg(count(lit(1)).as("__tot"))
+    val scored = bigrams(df)
+      .join(biCounts, Seq("__w1", "__w2"), "left")
+      .join(uniCounts.select(col("__w").as("__w1"), col("__cu")),
+        Seq("__w1"), "left")
+      .join(uniCounts.select(col("__w").as("__w2"),
+        col("__cu").as("__cu2")), Seq("__w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__p10", log(10.0,
+        when(col("__cb").isNotNull,
+          col("__cb").cast("double") / col("__cu"))
+        .otherwise(lit(0.4) *
+          (coalesce(col("__cu2"), lit(0L)).cast("double") + 1.0)
+            / col("__tot"))))
+    scored.groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__p10").cast("decimal(30,12)")) / count(lit(1)))
+          .cast("double").as("avg_log10_p"))
+  }
 }

@@ -281,4 +281,104 @@ class OpsSpec extends AnyFunSuite {
         s"feature of $id: $f vs $gray"))
     }
   }
+
+  test("line dedup drops corpus-wide boilerplate, keeps unique body lines") {
+    val withBoiler = docs.withColumn("t",
+      concat(lit("SHARED NAV BANNER LINE\n"), col("text"),
+        lit("\nok"))) // "ok" is under minLineChars — exempt even though shared
+    val out = Dedup.lineDedup(withBoiler, "doc_id", "t",
+      maxOccurrences = 2, minLineChars = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_dropped"))).toMap
+    assert(out.size == 5)
+    out.foreach { case (id, (clean, nLines, nDropped)) =>
+      assert(nLines == 3, s"doc $id lines")
+      assert(!clean.contains("SHARED NAV BANNER"), s"doc $id banner kept")
+      assert(clean.endsWith("\nok"), s"doc $id short exempt line dropped")
+    }
+    // docs 1 and 2 share their body text (3 occurrences incl. the near-dup? no:
+    // exact dup only => 2 occurrences == maxOccurrences => kept)
+    assert(out(1L)._1.contains("quick brown fox"))
+    assert(out(4L)._3 == 1L) // only the banner dropped
+  }
+
+  test("line dedup drops a body line that crosses the occurrence cap") {
+    val rep = Seq(
+      (1L, "first line unique\nrepeated body sentence here"),
+      (2L, "second doc body\nrepeated body sentence here"),
+      (3L, "third doc text\nrepeated body sentence here"),
+      (4L, "fourth doc only unique lines")
+    ).toDF("doc_id", "t")
+    val out = Dedup.lineDedup(rep, "doc_id", "t",
+      maxOccurrences = 2, minLineChars = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_dropped"))).toMap
+    (1L to 3L).foreach { id =>
+      assert(out(id)._2 == 1L, s"doc $id dropped count")
+      assert(!out(id)._1.contains("repeated body"), s"doc $id kept boilerplate")
+    }
+    assert(out(4L)._2 == 0L && out(4L)._1 == "fourth doc only unique lines")
+  }
+
+  test("bloom incremental dedup equals the exact anti-join") {
+    val corpus = docs
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "a"), // dup of corpus 1
+      (11L, "a genuinely new document about streaming windows", "a"),
+      (12L, "der hund ist nicht ein katze und ich bin zu haus mit", "b"), // dup of 5
+      (13L, "another brand new doc with fresh content entirely", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.incrementalNew(corpus, batch, "doc_id", "text",
+      expectedItems = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    val want = batch.join(corpus, Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got == Set(11L, 13L))
+  }
+
+  test("domain profile counts docs and mentions per host") {
+    val df = Seq(
+      (1L, "see https://a.example.com/x and https://a.example.com/y plus http://b.org/z"),
+      (2L, "only https://a.example.com/other here"),
+      (3L, "no urls at all in this document")
+    ).toDF("doc_id", "t")
+    val prof = TextAnalysis.domainProfile(df, "doc_id", "t")
+      .collect().map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_mentions"))).toMap
+    assert(prof("a.example.com") == (2L, 3L))
+    assert(prof("b.org") == (1L, 1L))
+    assert(prof.size == 2)
+  }
+
+  test("pii redaction replaces every email and url, leaves clean text alone") {
+    val df = Seq(
+      (1L, "write to alice@example.com or bob.smith@corp.co.uk today"),
+      (2L, "docs at https://docs.example.org/guide?q=1 and http://x.io"),
+      (3L, "perfectly clean sentence with no contact info")
+    ).toDF("doc_id", "t")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.redactPii(col("t")).as("clean"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean")).toMap
+    assert(out(1L) == "write to <EMAIL> or <EMAIL> today")
+    assert(out(2L) == "docs at <URL> and <URL>")
+    assert(out(3L) == "perfectly clean sentence with no contact info")
+  }
+
+  test("bigram LM score ranks in-distribution text above gibberish") {
+    val train = Seq.tabulate(20)(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // in-distribution
+      (2L, "dog lazy the over jumps fox brown quick the")  // reversed: unseen bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(score, train, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_log10_p"))).toMap
+    assert(out(1L)._1 == 8L && out(2L)._1 == 8L)
+    assert(out(1L)._2 > out(2L)._2 + 1.0,
+      s"expected a clear margin, got ${out(1L)._2} vs ${out(2L)._2}")
+  }
 }
