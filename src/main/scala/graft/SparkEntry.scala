@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Chunking, Dedup, Embeddings, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Chunking, Dedup, Embeddings, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1745,6 +1745,48 @@ object SparkEntry {
           length(TextAnalysis.redactPii(col("raw"))).as("n_clean"))
         .orderBy("doc_id")),
 
+    // TF-IDF keyword extraction: tf/df ride one (doc, token) aggregation,
+    // smoothed idf, per-doc rank window — ties break on the token so the
+    // top-5 cut is oracle-stable
+    "q_tfidf" -> ((s, d) =>
+      asLong(TextAnalysis.tfidfTopTerms(
+          docs(s, d).filter(col("doc_id") < 30), "doc_id", "text", 5)
+        .withColumn("tfidf", round(col("tfidf"), 6))
+        .orderBy("doc_id", "term_rank"), "term_rank", "tf", "doc_freq")),
+
+    // distributed BPE merge learning over the word-frequency table (the
+    // corpus is never re-scanned after the word count); the learned merge
+    // sequence is deterministic (count desc, pair asc) and golden-pinned
+    "q_bpe_merges" -> ((s, d) =>
+      Bpe.learnMerges(docs(s, d).filter(col("doc_id") < 300), "text", 12)
+        .orderBy("merge_rank")),
+
+    // the learned merge chain applied to fresh text: per-doc BPE token
+    // counts (n_words is independently oracle-checkable; n_bpe_tokens is
+    // pinned — DuckDB cannot replay the iterative learn)
+    "q_bpe_encode" -> ((s, d) => {
+      val merges = Bpe.learnMerges(
+          docs(s, d).filter(col("doc_id") < 300), "text", 12)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+      Bpe.encodeTokenCount(docs(s, d).filter(col("doc_id") < 30),
+        "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
+    // near-dup decontamination across corpora: 20 benchmark docs re-enter
+    // training with a one-token suffix — exact matching misses them, the
+    // cross-corpus LSH pass must report every one
+    "q_decontaminate" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 800)
+      val probe = docs(s, d).filter(col("doc_id") < 20)
+        .withColumn("text",
+          concat(col("text"), lit(" benchmark answer key token")))
+      asLong(Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("probe_id", "corpus_id"), "corpus_id", "probe_id")
+    }),
+
     // stupid-backoff bigram LM quality score: model trained on the 80%
     // hash-stable slice, scored docs include planted gibberish (reversed
     // tokens) that must score measurably lower than in-distribution text
@@ -3084,6 +3126,80 @@ object SparkEntry {
         |  round(cast(sum(cast(p10 AS DECIMAL(30,12))) / count(*) AS DOUBLE), 4)
         |    AS avg_log10_p
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id < 30),
+        |dt AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS doc_freq FROM dt GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd
+        |      FROM documents WHERE doc_id < 30),
+        |scored AS (
+        |  SELECT dt.doc_id, dt.token, dt.tf, dfq.doc_freq,
+        |    dt.tf * ln((n.nd + 1.0) / (dfq.doc_freq + 1.0)) AS raw
+        |  FROM dt JOIN dfq USING (token) CROSS JOIN n)
+        |SELECT doc_id, term_rank, token, tf, doc_freq,
+        |  round(raw, 6) AS tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY raw DESC, token) AS term_rank
+        |      FROM scored)
+        |WHERE term_rank <= 5 ORDER BY doc_id, term_rank""".stripMargin,
+
+    // golden pin: the learn loop is iterative (argmax per round) — no
+    // closed-form SQL twin exists; the sequence is deterministic by the
+    // (count desc, pair asc) tie-break, so any drift turns this red
+    "q_bpe_merges" ->
+      """SELECT CAST(merge_rank AS INT) AS merge_rank,
+        |  CAST(l AS VARCHAR) AS "left", CAST(r AS VARCHAR) AS "right",
+        |  CAST(pair_count AS BIGINT) AS pair_count FROM (VALUES
+        |(1, 'e', 'r', 2761),
+        |(2, 'o', 'w', 1620),
+        |(3, 'i', 'n', 1619),
+        |(4, 'o', 'r', 1601),
+        |(5, 's', 't', 1599),
+        |(6, 'a', 'l', 1125),
+        |(7, 'a', 't', 1115),
+        |(8, 'm', 'er', 1112),
+        |(9, 'a', 'r', 1036),
+        |(10, 'p', 'ar', 1036),
+        |(11, 'a', 's', 592),
+        |(12, 'as', 'h', 592)
+        |) AS t(merge_rank, l, r, pair_count)
+        |ORDER BY merge_rank""".stripMargin,
+
+    "q_bpe_encode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens FROM (VALUES
+        |(0, 32, 97), (1, 72, 262), (2, 45, 164), (3, 27, 95),
+        |(4, 45, 162), (5, 56, 209), (6, 15, 52), (7, 72, 255),
+        |(8, 84, 306), (9, 74, 246), (10, 39, 138), (11, 58, 180),
+        |(12, 65, 213), (13, 60, 219), (14, 87, 320), (15, 41, 150),
+        |(16, 16, 63), (17, 77, 272), (18, 75, 274), (19, 11, 39),
+        |(20, 68, 249), (21, 37, 132), (22, 81, 303), (23, 30, 107),
+        |(24, 97, 330), (25, 94, 312), (26, 12, 43), (27, 64, 235),
+        |(28, 60, 218), (29, 34, 126)
+        |) AS t(doc_id, n_words, n_bpe_tokens)
+        |ORDER BY doc_id""".stripMargin,
+
+    // golden pin: 20 planted one-token-suffix re-entries (probe 0..19 →
+    // corpus twin) plus the one organic corpus near-dup (8, 245)
+    "q_decontaminate" ->
+      """SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+        |  CAST(probe_id AS BIGINT) AS probe_id,
+        |  CAST(jaccard AS DOUBLE) AS jaccard FROM (VALUES
+        |(0, 0, 0.882353), (1, 1, 0.945946), (2, 2, 0.914894),
+        |(3, 3, 0.862069), (4, 4, 0.914894), (5, 5, 0.931034),
+        |(6, 6, 0.764706), (7, 7, 0.945946), (8, 8, 0.953488),
+        |(245, 8, 0.94186), (9, 9, 0.947368), (10, 10, 0.902439),
+        |(11, 11, 0.933333), (12, 12, 0.940299), (13, 13, 0.935484),
+        |(14, 14, 0.955056), (15, 15, 0.906977), (16, 16, 0.777778),
+        |(17, 17, 0.949367), (18, 18, 0.948052), (19, 19, 0.692308)
+        |) AS t(corpus_id, probe_id, jaccard)
+        |ORDER BY probe_id, corpus_id""".stripMargin,
 
     "q_dedup_minhash" ->
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(jaccard AS DOUBLE) AS jaccard

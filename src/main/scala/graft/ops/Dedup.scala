@@ -355,6 +355,37 @@ object Dedup {
     df.join(drop, col(idCol) === col(s"__drop_$idCol"), "left_anti")
   }
 
+  /** Near-duplicate contamination between two corpora — the near-dup
+    * upgrade of [[crossSplitLeakage]]: exact-match decontamination
+    * misses a benchmark answer that re-entered training with one word
+    * changed, which is precisely what MinHash-LSH catches.
+    *
+    * Both sides run through ONE [[minHashLSH]] pass (ids are remapped
+    * to 2·id / 2·id+1 so a single long column carries the side tag —
+    * no schema change, no second LSH), then pairs are restricted to
+    * cross-side matches and mapped back. Output: (corpus_id, probe_id,
+    * jaccard ≥ threshold). Same banded scale shape as minHashLSH; the
+    * probe side (a benchmark suite) is typically tiny, so its shingles
+    * ride along at no visible cost. */
+  def crossCorpusNearDups(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val tagged = corpus
+      .select((col(idCol).cast("long") * 2).as("__cid"), col(textCol))
+      .unionByName(probe
+        .select((col(idCol).cast("long") * 2 + 1).as("__cid"), col(textCol)))
+    minHashLSH(tagged, "__cid", textCol, shingleSize, numHashes, bands,
+      threshold, maxBucketSize)
+      .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .select(
+        expr("(CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) div 2")
+          .as("corpus_id"),
+        expr("(CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) div 2")
+          .as("probe_id"),
+        col("jaccard"))
+  }
+
   /** Corpus-wide boilerplate line removal (the line-level dedup step of
     * web-corpus pipelines: nav menus, cookie banners, footers repeated
     * across thousands of pages poison next-token prediction even when

@@ -160,6 +160,44 @@ object TextAnalysis {
       .orderBy(col("term_freq").desc, col("token"))
       .limit(k)
 
+  // ---- TF-IDF keyword extraction ----
+
+  /** Top-`k` TF-IDF terms per document: tf = in-doc occurrences, idf =
+    * ln((N + 1) / (df + 1)) with N the corpus document count — the
+    * smoothed form that never divides by zero and keeps corpus-wide
+    * terms at a small positive weight instead of exactly zero (ties
+    * would otherwise make the cut arbitrary).
+    *
+    * Plan shape: one (doc, token) partial-agg shuffle feeds BOTH tf and
+    * df (df is `count(1)` over the per-doc rows — no second tokenize
+    * pass, no count-distinct expand), the doc count broadcasts as a
+    * 1-row cross join, and the per-doc top-k is a rank-window over the
+    * (doc, token) frame — partitioned by doc, so no global sort. Ties
+    * break (score desc, token asc) for a deterministic, oracle-stable
+    * cut. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val docTok = df.select(col(idCol).as("__doc"),
+        explode(filter(tokens(col(textCol)), t => length(t) > 0))
+          .as("token"))
+      .groupBy(col("__doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = docTok.groupBy(col("token"))
+      .agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc"))
+      .orderBy(col("tfidf").desc, col("token"))
+    docTok.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log((col("__n") + 1.0) / (col("__df") + 1.0)))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("__doc").as(idCol), col("term_rank"), col("token"),
+        col("tf"), col("__df").as("doc_freq"), col("tfidf"))
+  }
+
   // ---- URL / domain analysis (web-corpus provenance) ----
 
   private val UrlRe = "https?://[^\\s]+"

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Chunking, Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Chunking, Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -364,6 +364,76 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == "write to <EMAIL> or <EMAIL> today")
     assert(out(2L) == "docs at <URL> and <URL>")
     assert(out(3L) == "perfectly clean sentence with no contact info")
+  }
+
+  test("bpe learns the hand-checkable merge sequence") {
+    // corpus: "low" x5, "lower" x2 — classic BPE example, merges verifiable
+    // by hand: (l,o) weight 7 wins first (ties: 'lo' beats 'ow' asc? no —
+    // all pairs: l+o=7, o+w=7, w+e=2, e+r=2 → tie l,o vs o,w broken by
+    // pair asc → (l,o)); then (lo,w)=7; then (low,e)=2 ties (e,r)=2 →
+    // (e,r) wins on pair order ('e' < 'low').
+    val df = (Seq.fill(5)("low") ++ Seq.fill(2)("lower"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(df, "text", 4)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("pair_count")))
+    assert(merges(0) == ("l", "o", 7L))
+    assert(merges(1) == ("lo", "w", 7L))
+    assert(merges(2) == ("e", "r", 2L))
+    assert(merges(3) == ("low", "er", 2L))
+  }
+
+  test("bpe encode counts symbols under the learned merges") {
+    val train = (Seq.fill(5)("low") ++ Seq.fill(2)("lower"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(train, "text", 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val out = Bpe.encodeTokenCount(
+      Seq((1L, "low lower lowest")).toDF("doc_id", "text"),
+      "doc_id", "text", merges).collect()(0)
+    // low→[low]=1, lower→[low,er]→[lower]=1 (merge 4 fuses it),
+    // lowest→[low,e,s,t]=4 ("est" never merged)
+    assert(out.getAs[Long]("n_words") == 3L)
+    assert(out.getAs[Long]("n_bpe_tokens") == 6L)
+  }
+
+  test("cross-corpus near-dups reports only cross-side pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "an entirely different corpus document about batch engines"),
+      (3L, "shared duplicated text lives on both sides verbatim here")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "shared duplicated text lives on both sides verbatim here"), // = corpus 3
+      (2L, "the quick brown fox jumps over the lazy dog today"),        // near corpus 1
+      (3L, "nothing like anything in the training set at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("probe_id")))
+      .toSet
+    assert(pairs.contains((3L, 1L)), "exact cross-side dup missed")
+    assert(pairs.contains((1L, 2L)), "near cross-side dup missed")
+    // no same-side pair may appear: corpus 1 vs corpus 3 are unrelated
+    // anyway, but ids must always decode to (corpus, probe)
+    assert(pairs.forall { case (c, p) => c <= 3 && p <= 3 })
+  }
+
+  test("tfidf ranks a doc's distinctive term above corpus-wide terms") {
+    val df = Seq(
+      (1L, "spark spark spark common words here"),
+      (2L, "duck duck common words here"),
+      (3L, "common words here again")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token"))
+      .toMap
+    assert(top(1L) == "spark")
+    assert(top(2L) == "duck")
   }
 
   test("bigram LM score ranks in-distribution text above gibberish") {
