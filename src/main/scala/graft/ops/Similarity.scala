@@ -211,7 +211,17 @@ object Similarity {
     *
     * `trainSampleMod > 1` trains on the deterministic 1/mod hash-sample
     * of the corpus (`pmod(xxhash64(id), mod) = 0`) — at 100 TB you fit
-    * centroids on ~0.1% of rows and assign the full corpus once. */
+    * centroids on ~0.1% of rows and assign the full corpus once.
+    *
+    * Deliberate trade: the trainer is `1 + iters` sequential driver-
+    * coordinated jobs (seed draw, then one assign+means aggregate per
+    * Lloyd round), each paying the scheduling floor. A k-means||-style
+    * oversampled single-pass init would roughly halve the job count,
+    * but every job here is one aggregate over the (hash-sampled)
+    * training slice — per-iteration cost is independent of corpus size,
+    * so the floor is a fixed few seconds at ANY scale, and the simple
+    * seeded form keeps centroid determinism trivially auditable. Not
+    * worth the extra machinery until `iters` grows past a handful. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 3, dim: Int = 64,
       trainSampleMod: Int = 1): Seq[Seq[Double]] = {
