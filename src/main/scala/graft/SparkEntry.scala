@@ -1745,6 +1745,16 @@ object SparkEntry {
           length(TextAnalysis.redactPii(col("raw"))).as("n_clean"))
         .orderBy("doc_id")),
 
+    // one-row corpus triage report: a single full-pass aggregation (dup
+    // pressure via hashed distinct, token mass, language mix, PII) plus
+    // the modal-language rollup
+    "q_corpus_report" -> ((s, d) =>
+      graft.ops.CorpusReport.summarize(docs(s, d), "doc_id", "text", "lang")
+        .select(col("n_docs"), col("n_distinct_texts"),
+          col("exact_dup_ratio"), col("total_ws_tokens"), col("avg_chars"),
+          col("n_langs"), col("n_pii_docs"), col("top_lang"),
+          col("top_lang_docs"))),
+
     // TF-IDF keyword extraction: tf/df ride one (doc, token) aggregation,
     // smoothed idf, per-doc rank window — ties break on the token so the
     // top-5 cut is oracle-stable
@@ -3126,6 +3136,37 @@ object SparkEntry {
         |  round(cast(sum(cast(p10 AS DECIMAL(30,12))) / count(*) AS DOUBLE), 4)
         |    AS avg_log10_p
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // count(DISTINCT text) in the twin equals the engine's hashed
+    // distinct unless xxhash64 collides on this corpus — an exact-match
+    // gate, so a collision would turn the row red, not hide
+    "q_corpus_report" ->
+      """WITH feats AS (
+        |  SELECT doc_id, text, lang,
+        |    len(string_split_regex(lower(text), '\s+')) AS toks,
+        |    (len(regexp_extract_all(text,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |     OR len(regexp_extract_all(text, 'https?://[^\s]+')) > 0)
+        |      AS pii
+        |  FROM documents),
+        |g AS (
+        |  SELECT count(*) AS n_docs,
+        |    count(DISTINCT text) AS n_distinct_texts,
+        |    sum(toks) AS total_ws_tokens,
+        |    round(avg(len(text)), 4) AS avg_chars,
+        |    count(DISTINCT lang) AS n_langs,
+        |    sum(CASE WHEN pii THEN 1 ELSE 0 END) AS n_pii_docs
+        |  FROM feats),
+        |top AS (
+        |  SELECT lang AS top_lang, count(*) AS top_lang_docs
+        |  FROM feats GROUP BY 1
+        |  ORDER BY count(*) DESC, lang LIMIT 1)
+        |SELECT n_docs, n_distinct_texts,
+        |  round(1.0 - cast(n_distinct_texts AS DOUBLE) / n_docs, 6)
+        |    AS exact_dup_ratio,
+        |  total_ws_tokens, avg_chars, n_langs, n_pii_docs,
+        |  top_lang, top_lang_docs
+        |FROM g CROSS JOIN top""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (

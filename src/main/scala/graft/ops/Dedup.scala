@@ -452,13 +452,19 @@ object Dedup {
     * Bloom filter only prunes work, never changes the answer), so the
     * op oracle-checks against a plain `NOT IN` twin. */
   def incrementalNew(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, expectedItems: Long = 1000000L): DataFrame = {
+      textCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.03): DataFrame = {
     import graft.functions.Exprs.toColumn
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val h = xxhash64(col(textCol))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
     val bloomAgg = toColumn(new BloomFilterAggregate(
-      org.apache.spark.sql.GraftSqlBridge.expression(h), expectedItems)
+      org.apache.spark.sql.GraftSqlBridge.expression(h),
+      org.apache.spark.sql.GraftSqlBridge.expression(lit(expectedItems)),
+      org.apache.spark.sql.GraftSqlBridge.expression(lit(numBits)))
       .toAggregateExpression())
     val bloom: Array[Byte] = corpus.select(bloomAgg.as("bf"))
       .head().getAs[Array[Byte]](0)

@@ -366,6 +366,58 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == "perfectly clean sentence with no contact info")
   }
 
+  test("corpus report: dup ratio, token mass, modal language, pii docs") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma", "en"),    // exact dup of 1
+      (3L, "delta epsilon", "en"),
+      (4L, "write me at x@example.com", "de")
+    ).toDF("doc_id", "text", "lang")
+    val r = graft.ops.CorpusReport.summarize(df, "doc_id", "text", "lang")
+      .collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_distinct_texts") == 3L)
+    assert(r.getAs[Double]("exact_dup_ratio") == 0.25)
+    assert(r.getAs[Long]("total_ws_tokens") == 3 + 3 + 2 + 4)
+    assert(r.getAs[String]("top_lang") == "en")
+    assert(r.getAs[Long]("top_lang_docs") == 3L)
+    assert(r.getAs[Long]("n_pii_docs") == 1L)
+  }
+
+  test("line dedup is partition-layout invariant") {
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, s"BANNER LINE REPEATED EVERYWHERE\nunique body $i\nfooter ${i % 3} shared here"))
+      .toDF("doc_id", "t")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lineDedup(df, "doc_id", "t", maxOccurrences = 2, minLineChars = 10)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(run(base) == run(base.repartition(7)))
+    assert(run(base) == run(base.repartition(1)))
+  }
+
+  test("bloom incremental dedup equals the anti-join on random overlap") {
+    val rng = new scala.util.Random(42)
+    val corpusTexts = Seq.tabulate(150)(i => s"corpus document number $i with words ${rng.nextInt(5)}")
+    val batchTexts = Seq.tabulate(60) { i =>
+      if (i % 3 == 0) corpusTexts(rng.nextInt(corpusTexts.size)) // planted dup
+      else s"batch only document $i payload ${rng.nextInt(9)}"
+    }
+    val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = batchTexts.zipWithIndex.map { case (t, i) => ((1000 + i).toLong, t) }.toDF("doc_id", "text")
+    // tight filter (1% fpp over 150 docs) AND a deliberately undersized
+    // filter (high collision pressure) must both equal the exact answer
+    for (items <- Seq(1000L, 8L)) {
+      val got = Dedup.incrementalNew(corpus, batch, "doc_id", "text",
+        expectedItems = items, fpp = 0.01)
+        .select("doc_id").as[Long].collect().toSet
+      val want = batch.join(corpus, Seq("text"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"expectedItems=$items")
+    }
+  }
+
   test("bpe learns the hand-checkable merge sequence") {
     // corpus: "low" x5, "lower" x2 — classic BPE example, merges verifiable
     // by hand: (l,o) weight 7 wins first (ties: 'lo' beats 'ow' asc? no —
