@@ -1745,6 +1745,25 @@ object SparkEntry {
           length(TextAnalysis.redactPii(col("raw"))).as("n_clean"))
         .orderBy("doc_id")),
 
+    // quality-score distribution: exact interpolated percentiles (both
+    // engines sort-and-interpolate identically on the parity-validated
+    // score) plus a within-2% verdict on the approx_percentile sketch —
+    // same gate pattern as q_approx_distinct's HLL row: sketch drift
+    // flips the boolean and turns the row red
+    "q_quality_quantiles" -> ((s, d) => {
+      val q = TextAnalysis.qualityFeatures(docs(s, d), "text")
+        .select(col("quality_score").as("qs"))
+      q.agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(qs, 0.5)"), 4).as("p50"),
+        round(expr("percentile(qs, 0.9)"), 4).as("p90"),
+        round(expr("percentile(qs, 0.99)"), 4).as("p99"),
+        (abs(expr("approx_percentile(qs, 0.5, 1000)")
+            - expr("percentile(qs, 0.5)"))
+          <= lit(0.02) * abs(expr("percentile(qs, 0.5)")))
+          .as("sketch_p50_ok"))
+    }),
+
     // one-row corpus triage report: a single full-pass aggregation (dup
     // pressure via hashed distinct, token mass, language mix, PII) plus
     // the modal-language rollup
@@ -3136,6 +3155,21 @@ object SparkEntry {
         |  round(cast(sum(cast(p10 AS DECIMAL(30,12))) / count(*) AS DOUBLE), 4)
         |    AS avg_log10_p
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_quality_quantiles" ->
+      """WITH q AS (
+        |  SELECT least(1.0, cast(len(string_split_regex(lower(text), '\s+')) as double) / 20) * 0.4
+        |    + (1.0 - least(1.0, (cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) as double) / length(text)) * 5)) * 0.2
+        |    + (1.0 - least(1.0, (cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as double) / length(text)) * 5)) * 0.2
+        |    + least(1.0, (cast(len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), ['the','and','of','to','a','in','is','it','you','that'])) as double) / len(list_distinct(string_split_regex(lower(text), '\s+')))) * 4) * 0.2
+        |    AS qs
+        |  FROM documents)
+        |SELECT count(*) AS n_docs,
+        |  round(quantile_cont(qs, 0.5), 4) AS p50,
+        |  round(quantile_cont(qs, 0.9), 4) AS p90,
+        |  round(quantile_cont(qs, 0.99), 4) AS p99,
+        |  TRUE AS sketch_p50_ok
+        |FROM q""".stripMargin,
 
     // count(DISTINCT text) in the twin equals the engine's hashed
     // distinct unless xxhash64 collides on this corpus — an exact-match

@@ -190,4 +190,56 @@ class StreamingSpec extends AnyFunSuite {
       Seq(T0 + 60 * Min, "a", 1L, 1.0), // hour 1: replayed id deduped
       Seq(T0 + 180 * Min, "a", 1L, 1.0))) // id 4's window, closed by flush
   }
+
+  test("streaming content dedup emits only each content's first arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.distinctContent(
+      in.toDS().toDF("id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("sd_test")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        (1L, "alpha content"), (2L, "beta content"),
+        (3L, "alpha content"))) // same-batch replay
+      q.processAllAvailable()
+      in.addData(Seq(
+        (4L, "alpha content"),  // cross-batch replay
+        (5L, "gamma content")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sd_test").select("id", "text")
+      .as[(Long, String)].collect().toMap
+    // one row per distinct content, and always the FIRST arrival's id
+    assert(got.values.toSet ==
+      Set("alpha content", "beta content", "gamma content"))
+    assert(got.keySet == Set(1L, 2L, 5L))
+  }
+
+  test("watermark-bounded content dedup suppresses replays inside the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val HourUs = 3600000000L
+    val T0 = 100 * HourUs
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val out = graft.streaming.StreamingDedup.distinctContentWithin(
+      in.toDS().toDF("id", "tsUs", "text")
+        .withColumn("ts", timestamp_micros(col("tsUs"))),
+      "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("sdw_test")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((1L, T0, "doc one"), (2L, T0 + 60000000L, "doc one")))
+      q.processAllAvailable() // replay inside horizon: suppressed
+      in.addData(Seq((3L, T0 + 10 * HourUs, "advance watermark")))
+      q.processAllAvailable() // expires "doc one" state
+      in.addData(Seq((4L, T0 + 11 * HourUs, "doc one")))
+      q.processAllAvailable() // beyond horizon: re-admitted by design
+    } finally q.stop()
+    val ids = spark.table("sdw_test").select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 4L))
+  }
 }
