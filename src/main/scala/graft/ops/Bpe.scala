@@ -51,6 +51,7 @@ object Bpe {
     * every few rounds to keep the nested-replace plan shallow. */
   def learnMerges(df: DataFrame, textCol: String,
       numMerges: Int): DataFrame = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     var words = wordTable(df, textCol).localCheckpoint(true)
     val spark = df.sparkSession
     import spark.implicits._

@@ -407,6 +407,8 @@ object Dedup {
     * document id, the natural input partitioning. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       maxOccurrences: Int = 2, minLineChars: Int = 10): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__key", trim(col("__line")))
@@ -454,6 +456,7 @@ object Dedup {
   def incrementalNew(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.03): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     import graft.functions.Exprs.toColumn
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

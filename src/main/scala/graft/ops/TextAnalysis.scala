@@ -177,6 +177,7 @@ object TextAnalysis {
     * cut. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val docTok = df.select(col(idCol).as("__doc"),
         explode(filter(tokens(col(textCol)), t => length(t) > 0))
           .as("token"))
@@ -254,7 +255,13 @@ object TextAnalysis {
     * 100 TB the model tables are Zipf-small relative to the corpus and
     * AQE's broadcast conversion takes the build side off the shuffle
     * entirely. Counts are exact integers, the final mean sums in
-    * decimal, so the score is bit-stable for the oracle twin. */
+    * decimal, so the score is bit-stable for the oracle twin.
+    *
+    * Documents with fewer than two tokens have no bigrams and do not
+    * appear in the output (score them with a length gate first). An
+    * empty/one-token-per-doc training set would make the backoff
+    * denominator zero — clamped to 1 so a misconfigured train slice
+    * yields finite (terrible) scores instead of silent NaN rows. */
   def bigramLmScore(df: DataFrame, train: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     def bigrams(frame: DataFrame): DataFrame = {
@@ -284,7 +291,7 @@ object TextAnalysis {
           col("__cb").cast("double") / col("__cu"))
         .otherwise(lit(0.4) *
           (coalesce(col("__cu2"), lit(0L)).cast("double") + 1.0)
-            / col("__tot"))))
+            / greatest(col("__tot"), lit(1L)))))
     scored.groupBy(col("__doc").as(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("__p10").cast("decimal(30,12)")) / count(lit(1)))

@@ -488,6 +488,15 @@ class OpsSpec extends AnyFunSuite {
     assert(top(2L) == "duck")
   }
 
+  test("bigram LM score stays finite under a degenerate training set") {
+    val train = Seq((1L, "solo")).toDF("doc_id", "text") // no bigrams at all
+    val out = TextAnalysis.bigramLmScore(
+      Seq((1L, "some scored text here")).toDF("doc_id", "text"),
+      train, "doc_id", "text").collect()(0)
+    val score = out.getAs[Double]("avg_log10_p")
+    assert(!score.isNaN && !score.isInfinite, s"got $score")
+  }
+
   test("bigram LM score ranks in-distribution text above gibberish") {
     val train = Seq.tabulate(20)(i =>
       (100L + i, "the quick brown fox jumps over the lazy dog again and again"))
