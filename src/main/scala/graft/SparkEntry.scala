@@ -1745,6 +1745,45 @@ object SparkEntry {
           length(TextAnalysis.redactPii(col("raw"))).as("n_clean"))
         .orderBy("doc_id")),
 
+    // corpus snapshot diff: 100 removed, 100 added, 50 edited in place,
+    // 350 untouched — hash-compared Spark-side, text-compared by the twin
+    "q_corpus_diff" -> ((s, d) => {
+      val v1 = docs(s, d).filter(col("doc_id") < 500)
+      val v2 = docs(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 600)
+        .withColumn("text", when(col("doc_id").between(150, 199),
+          concat(col("text"), lit(" edited in v2"))).otherwise(col("text")))
+      graft.ops.CorpusDiff.summary(v1, v2, "doc_id", "text")
+        .orderBy("status")
+    }),
+
+    // jsonl ingestion with corrupt-line quarantine: 50 docs round-trip
+    // through json lines with a malformed line planted after every 6th —
+    // good rows must reconcile exactly, corrupt lines must all quarantine
+    "q_jsonl_ingest" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${math.abs(d.hashCode)}"
+      // bounded 50-row driver collect to author the fixture file — the
+      // same bootstrap-pattern exemption as q_bootstrap, not a data path
+      val lines = docs(s, d).filter(col("doc_id") < 50).orderBy("doc_id")
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("n_chars"))).as("j"))
+        .collect().map(_.getString(0))
+      val all = lines.zipWithIndex.flatMap { case (l, i) =>
+        if (i % 6 == 5) Seq(l, s"{corrupt json line $i") else Seq(l) }
+      new java.io.File(tmp).mkdirs()
+      val pw = new java.io.PrintWriter(s"$tmp/docs.jsonl")
+      try all.foreach(pw.println) finally pw.close()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      val (good, quarantine) = graft.sources.JsonlSource.readDocuments(
+        s, s"$tmp/docs.jsonl", schema)
+      good.agg(count(lit(1)).as("n_good"), sum(col("doc_id")).as("sum_ids"),
+        sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(
+          quarantine.agg(count(lit(1)).as("n_quarantined"))))
+    }),
+
     // quality-score distribution: exact interpolated percentiles (both
     // engines sort-and-interpolate identically on the parity-validated
     // score) plus a within-2% verdict on the approx_percentile sketch —
@@ -3155,6 +3194,27 @@ object SparkEntry {
         |  round(cast(sum(cast(p10 AS DECIMAL(30,12))) / count(*) AS DOUBLE), 4)
         |    AS avg_log10_p
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id BETWEEN 150 AND 199
+        |          THEN text || ' edited in v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id >= 100 AND doc_id < 600),
+        |d AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |               WHEN n.doc_id IS NULL THEN 'removed'
+        |               WHEN o.text <> n.text THEN 'changed'
+        |               ELSE 'unchanged' END AS status
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n_docs FROM d
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    // 8 corrupt lines planted (after docs 5,11,17,23,29,35,41,47); the
+    // good-row aggregates must reconcile against the source table exactly
+    "q_jsonl_ingest" ->
+      """SELECT count(*) AS n_good, sum(doc_id) AS sum_ids,
+        |  sum(n_chars) AS sum_chars, CAST(8 AS BIGINT) AS n_quarantined
+        |FROM documents WHERE doc_id < 50""".stripMargin,
 
     "q_quality_quantiles" ->
       """WITH q AS (

@@ -366,6 +366,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == "perfectly clean sentence with no contact info")
   }
 
+  test("corpus diff labels added, removed, changed, unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val st = graft.ops.CorpusDiff.diff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val sum = graft.ops.CorpusDiff.summary(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+  }
+
+  test("jsonl ingestion quarantines malformed lines, keeps good rows intact") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString
+    val pw = new java.io.PrintWriter(s"$tmp/in.jsonl")
+    pw.println("""{"doc_id": 1, "text": "alpha", "n": 5}""")
+    pw.println("""{"doc_id": 2, "text": "beta", "n": 4}""")
+    pw.println("""{broken line""")
+    pw.println("""{"doc_id": 3, "text": "gamma", "n": 5}""")
+    pw.close()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("n", LongType)))
+    val (good, quarantine) = graft.sources.JsonlSource.readDocuments(
+      spark, s"$tmp/in.jsonl", schema)
+    assert(good.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val q = quarantine.as[String].collect()
+    assert(q.toSeq == Seq("{broken line"))
+  }
+
   test("corpus report: dup ratio, token mass, modal language, pii docs") {
     val df = Seq(
       (1L, "alpha beta gamma", "en"),
