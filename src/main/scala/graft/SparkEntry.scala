@@ -1745,6 +1745,15 @@ object SparkEntry {
           length(TextAnalysis.redactPii(col("raw"))).as("n_clean"))
         .orderBy("doc_id")),
 
+    // character-level near-dups: blocked Levenshtein with the bounded
+    // early-abandon variant; the twin recomputes every surviving pair's
+    // exact distance, so the -1 sentinel handling is itself under test
+    "q_edit_distance" -> ((s, d) =>
+      asLong(Dedup.editDistancePairs(
+          docs(s, d).filter(col("doc_id") < 150), "doc_id", "text",
+          "source", maxDist = 40)
+        .orderBy("id_a", "id_b"), "edit_distance")),
+
     // corpus snapshot diff: 100 removed, 100 added, 50 edited in place,
     // 350 untouched — hash-compared Spark-side, text-compared by the twin
     "q_corpus_diff" -> ((s, d) => {
@@ -3194,6 +3203,15 @@ object SparkEntry {
         |  round(cast(sum(cast(p10 AS DECIMAL(30,12))) / count(*) AS DOUBLE), 4)
         |    AS avg_log10_p
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+        |FROM documents a JOIN documents b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE a.doc_id < 150 AND b.doc_id < 150
+        |  AND levenshtein(a.text, b.text) <= 40
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

@@ -355,6 +355,33 @@ object Dedup {
     df.join(drop, col(idCol) === col(s"__drop_$idCol"), "left_anti")
   }
 
+  /** Edit-distance near-dup pairs within blocks — the character-level
+    * verify primitive for OCR/transcription corpora where near-dups are
+    * typo clouds (shingle Jaccard under-fires on dense single-char
+    * noise; Levenshtein is the right metric).
+    *
+    * Same scale contract as [[ngramJaccardWithinBlocks]]: candidates
+    * come from the blocking column (deliberately O(block²) — block by
+    * LSH bucket/source/domain first), and the distance runs with
+    * Spark's bounded variant, which abandons a pair the moment its
+    * distance provably exceeds `maxDist` — far pairs cost O(n·maxDist),
+    * not O(n²) per pair. Output: (id_a, id_b, edit_distance ≤ maxDist),
+    * id_a < id_b. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val side = df.select(col(blockCol).as("__b"), col(idCol), col(textCol))
+    val joined = side.toDF("__b", "id_a", "__ta")
+      .join(side.toDF("__b", "id_b", "__tb"), Seq("__b"))
+      .filter(col("id_a") < col("id_b"))
+    joined
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb"), maxDist))
+      // the bounded variant returns -1 for "provably above maxDist"
+      .filter(col("edit_distance") >= 0 && col("edit_distance") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
   /** Near-duplicate contamination between two corpora — the near-dup
     * upgrade of [[crossSplitLeakage]]: exact-match decontamination
     * misses a benchmark answer that re-entered training with one word

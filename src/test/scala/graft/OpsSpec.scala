@@ -366,6 +366,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == "perfectly clean sentence with no contact info")
   }
 
+  test("edit-distance pairs respect blocks and the bounded threshold") {
+    val df = Seq(
+      (1L, "kitten in the garden", "x"),
+      (2L, "sitten in the garden", "x"),   // distance 1
+      (3L, "kitten in the garden!", "x"),  // distance 1 from doc 1
+      (4L, "completely different words", "x"),
+      (5L, "kitten in the garden", "y")    // identical text, other block
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text", "source", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map((1L, 2L) -> 1, (1L, 3L) -> 1, (2L, 3L) -> 2))
+  }
+
   test("corpus diff labels added, removed, changed, unchanged") {
     val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val v2 = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
