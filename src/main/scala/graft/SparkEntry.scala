@@ -1780,7 +1780,7 @@ object SparkEntry {
       val all = lines.zipWithIndex.flatMap { case (l, i) =>
         if (i % 6 == 5) Seq(l, s"{corrupt json line $i") else Seq(l) }
       new java.io.File(tmp).mkdirs()
-      val pw = new java.io.PrintWriter(s"$tmp/docs.jsonl")
+      val pw = new java.io.PrintWriter(s"$tmp/docs.jsonl", "UTF-8")
       try all.foreach(pw.println) finally pw.close()
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -3327,14 +3327,14 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(n_words AS BIGINT) AS n_words,
         |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens FROM (VALUES
-        |(0, 32, 97), (1, 72, 262), (2, 45, 164), (3, 27, 95),
-        |(4, 45, 162), (5, 56, 209), (6, 15, 52), (7, 72, 255),
-        |(8, 84, 306), (9, 74, 246), (10, 39, 138), (11, 58, 180),
-        |(12, 65, 213), (13, 60, 219), (14, 87, 320), (15, 41, 150),
-        |(16, 16, 63), (17, 77, 272), (18, 75, 274), (19, 11, 39),
-        |(20, 68, 249), (21, 37, 132), (22, 81, 303), (23, 30, 107),
-        |(24, 97, 330), (25, 94, 312), (26, 12, 43), (27, 64, 235),
-        |(28, 60, 218), (29, 34, 126)
+        |(0, 32, 100), (1, 72, 265), (2, 45, 167), (3, 27, 95),
+        |(4, 45, 163), (5, 56, 211), (6, 15, 53), (7, 72, 257),
+        |(8, 84, 307), (9, 74, 248), (10, 39, 138), (11, 58, 183),
+        |(12, 65, 216), (13, 60, 220), (14, 87, 325), (15, 41, 151),
+        |(16, 16, 64), (17, 77, 277), (18, 75, 277), (19, 11, 40),
+        |(20, 68, 251), (21, 37, 132), (22, 81, 305), (23, 30, 107),
+        |(24, 97, 333), (25, 94, 320), (26, 12, 43), (27, 64, 236),
+        |(28, 60, 222), (29, 34, 128)
         |) AS t(doc_id, n_words, n_bpe_tokens)
         |ORDER BY doc_id""".stripMargin,
 

@@ -184,7 +184,10 @@ object TpchCatalog {
       Dimension("user_id", DimType.Numeric),
       // events.parquet stores TIMESTAMP(MICROS), which Spark reads as
       // TIMESTAMP_NTZ; the cast pins the session-zoned type every
-      // downstream grain/window/comparison expects
+      // downstream grain/window/comparison expects. NOTE: this static
+      // SQL targets the micros files only — on a legacy TIMESTAMP(NANOS)
+      // file (read as a nanos long) it would silently interpret seconds;
+      // use timestamp_micros(ts div 1000) there instead
       Dimension("ts", DimType.Time, sql = Some("cast(ts as timestamp)"),
         granularity = Some("day")),
       Dimension("value", DimType.Numeric),

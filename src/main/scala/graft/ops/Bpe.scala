@@ -14,12 +14,16 @@ import org.apache.spark.sql.{Column, DataFrame}
   * aggregate over it. Only the single argmax pair row reaches the
   * driver per iteration; words/symbols never do.
   *
-  * Words are held as separator-joined symbol strings (U+0001 between
-  * symbols), so applying a merge is one literal `replace` of
-  * "a SEP b" with "ab" — string replace scans left-to-right without
-  * overlap, which IS the BPE merge rule ("aaa" + (a,a) → "(aa)a").
-  * Everything stays codegen'd (no higher-order-function lambdas in the
-  * loop).
+  * Words are held as separator-WRAPPED symbol strings (U+0001 around
+  * every symbol, including the ends: "low" → ␁l␁o␁w␁), so applying a
+  * merge (l, r) is one regex replace of `(?<=␁)l␁r(?=␁)` with `lr` —
+  * the lookarounds anchor both symbols to their boundaries (a bare
+  * literal replace would merge across symbols whose text merely ends
+  * with `l` or starts with `r`, e.g. pair (e,r) corrupting
+  * [the,r,e] → [ther,e]), and leaving the boundary separators
+  * unconsumed lets consecutive disjoint occurrences all merge in one
+  * pass ("abab" + (a,b) → [ab,ab]) while overlaps still resolve
+  * left-to-right, which IS the BPE merge rule ("aaa" + (a,a) → [aa,a]).
   */
 object Bpe {
 
@@ -29,16 +33,17 @@ object Bpe {
     split(lower(textCol), "\\s+")
 
   /** (word, cnt, sym) frame: distinct lowercase whitespace words with
-    * corpus counts; `sym` is the word as separator-joined characters.
-    * Words containing the separator (never in real text) are dropped
-    * rather than corrupting the symbol encoding. */
+    * corpus counts; `sym` is the word as separator-wrapped characters
+    * (leading + trailing separator too — the merge lookarounds need a
+    * boundary on every side). Words containing the separator (never in
+    * real text) are dropped rather than corrupting the encoding. */
   private[ops] def wordTable(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(filter(tokens(col(textCol)), t => length(t) > 0))
         .as("word"))
       .filter(!col("word").contains(Sep))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("sym",
-        rtrim(regexp_replace(col("word"), "(.)", "$1" + Sep), Sep))
+        concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)))
 
   /** Learn the top `numMerges` BPE merges. Returns (merge_rank, left,
     * right, pair_count) with merge_rank 1-based in learn order.
@@ -68,8 +73,7 @@ object Bpe {
           top(0).getAs[String]("right"), top(0).getAs[Long]("pair_count"))
         learned += ((rank, l, r, c))
         words = words.withColumn("sym",
-          regexp_replace(col("sym"),
-            java.util.regex.Pattern.quote(l + Sep + r),
+          regexp_replace(col("sym"), mergePattern(l, r),
             java.util.regex.Matcher.quoteReplacement(l + r)))
         if (rank % 4 == 0) words = words.localCheckpoint(true)
         rank += 1
@@ -78,13 +82,22 @@ object Bpe {
     learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** Boundary-anchored merge pattern: both symbols must sit exactly
+    * between separators (the lookarounds leave the boundary separators
+    * unconsumed so consecutive disjoint occurrences all merge in one
+    * left-to-right pass). */
+  private def mergePattern(l: String, r: String): String =
+    "(?<=" + Sep + ")" + java.util.regex.Pattern.quote(l) + Sep +
+      java.util.regex.Pattern.quote(r) + "(?=" + Sep + ")"
+
   /** Weighted adjacent-pair counts over the current symbol table: one
     * partial-agg shuffle keyed on the (uniform) pair. The empty-array
     * guard matters — `sequence(1, 0)` would count DESCENDING, not
     * empty, on single-symbol words. */
   private def pairCounts(words: DataFrame): DataFrame =
     words
-      .withColumn("__arr", split(col("sym"), Sep))
+      // the wrapped encoding splits with empty strings at both ends
+      .withColumn("__arr", expr(s"filter(split(sym, '$Sep'), x -> x != '')"))
       .withColumn("__pairs", expr(
         """CASE WHEN size(__arr) < 2 THEN array()
           |ELSE transform(sequence(1, size(__arr) - 1),
@@ -104,15 +117,16 @@ object Bpe {
     * the word explode + per-doc count. */
   def encodeTokenCount(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val sym0 = rtrim(regexp_replace(col("__w"), "(.)", "$1" + Sep), Sep)
+    val sym0 = concat(lit(Sep), regexp_replace(col("__w"), "(.)", "$1" + Sep))
     val merged = merges.foldLeft(sym0) { case (acc, (l, r)) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(l + Sep + r),
+      regexp_replace(acc, mergePattern(l, r),
         java.util.regex.Matcher.quoteReplacement(l + r))
     }
     df.select(col(idCol),
         explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("__w"))
       .filter(!col("__w").contains(Sep))
-      .withColumn("__k", size(split(merged, Sep)))
+      // wrapped encoding: split yields empties at both ends -> size - 2
+      .withColumn("__k", size(split(merged, Sep)) - 2)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__k")).as("n_bpe_tokens"))
   }

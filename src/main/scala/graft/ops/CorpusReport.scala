@@ -34,7 +34,9 @@ object CorpusReport {
     val top = feats.groupBy(col("__lang")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__lang")).limit(1)
       .select(col("__lang").as("top_lang"), col("__c").as("top_lang_docs"))
-    global.crossJoin(broadcast(top))
+    // left join (not crossJoin): an empty corpus still reports its
+    // n_docs=0 row, with null modal language, instead of zero rows
+    global.join(broadcast(top), lit(true), "left")
       .withColumn("exact_dup_ratio",
         round(lit(1.0)
           - col("n_distinct_texts").cast("double") / col("n_docs"), 6))

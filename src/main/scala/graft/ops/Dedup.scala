@@ -406,9 +406,9 @@ object Dedup {
       threshold, maxBucketSize)
       .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
       .select(
-        expr("(CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) div 2")
+        expr("(CASE WHEN pmod(id_a, 2) = 0 THEN id_a ELSE id_b END) div 2")
           .as("corpus_id"),
-        expr("(CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) div 2")
+        expr("(CASE WHEN pmod(id_a, 2) = 1 THEN id_a ELSE id_b END) div 2")
           .as("probe_id"),
         col("jaccard"))
   }
@@ -436,8 +436,11 @@ object Dedup {
       maxOccurrences: Int = 2, minLineChars: Int = 10): DataFrame = {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
     require(minLineChars >= 0, s"minLineChars must be >= 0, got $minLineChars")
+    // null text coalesces to one empty (exempt) line so the document
+    // still emits a row instead of silently vanishing from the output
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line")))
       .withColumn("__key", trim(col("__line")))
     val offenders = lines
       .filter(length(col("__key")) >= minLineChars)

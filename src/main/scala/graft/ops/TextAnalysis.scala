@@ -126,13 +126,10 @@ object TextAnalysis {
     * scan. The regexes stay in the engine-portable subset (no \p, no
     * lookaround) so the DuckDB oracle pins exact counts. */
   def emailCount(textCol: Column): Column =
-    size(regexp_extract_all(textCol,
-      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
-      .cast("long")
+    size(regexp_extract_all(textCol, lit(EmailRe), lit(0))).cast("long")
 
   def urlCount(textCol: Column): Column =
-    size(regexp_extract_all(textCol, lit("https?://[^\\s]+"), lit(0)))
-      .cast("long")
+    size(regexp_extract_all(textCol, lit(UrlRe), lit(0))).cast("long")
 
   /** Corpus vocabulary: the `k` most frequent lowercase whitespace
     * tokens with total occurrences (`term_freq`) and number of distinct
@@ -202,6 +199,7 @@ object TextAnalysis {
   // ---- URL / domain analysis (web-corpus provenance) ----
 
   private val UrlRe = "https?://[^\\s]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** Registrable host of every URL in the text, lowercased, one row per
     * URL via the caller's explode. The regex subset (no lookaround)
@@ -235,10 +233,7 @@ object TextAnalysis {
     * `user@host` inside `https://u:p@host` forms ambiguously. Pure
     * projection — no shuffle, scan speed at any corpus size. */
   def redactPii(textCol: Column): Column =
-    regexp_replace(
-      regexp_replace(textCol,
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-      UrlRe, "<URL>")
+    regexp_replace(regexp_replace(textCol, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 
   // ---- n-gram LM quality scoring (perplexity-proxy filtering) ----
 
@@ -248,8 +243,8 @@ object TextAnalysis {
     * gibberish, wrong-language, boilerplate).
     *
     * Backoff: S(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen in
-    * training, else 0.4 * c(w2)/total (unseen unigram → 0.4/total,
-    * never log of zero). Scoring joins each document bigram against the
+    * training, else 0.4 * (c(w2) + 1)/total — add-one smoothed so an
+    * entirely unseen w2 still gets 0.4/total, never log of zero. Scoring joins each document bigram against the
     * two count tables — shuffle joins keyed on (uniformly hashed)
     * n-grams with map-side partial aggregation on both build sides; at
     * 100 TB the model tables are Zipf-small relative to the corpus and

@@ -395,7 +395,7 @@ class OpsSpec extends AnyFunSuite {
   test("jsonl ingestion quarantines malformed lines, keeps good rows intact") {
     import org.apache.spark.sql.types._
     val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString
-    val pw = new java.io.PrintWriter(s"$tmp/in.jsonl")
+    val pw = new java.io.PrintWriter(s"$tmp/in.jsonl", "UTF-8")
     pw.println("""{"doc_id": 1, "text": "alpha", "n": 5}""")
     pw.println("""{"doc_id": 2, "text": "beta", "n": 4}""")
     pw.println("""{broken line""")
