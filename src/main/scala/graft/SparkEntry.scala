@@ -1745,6 +1745,64 @@ object SparkEntry {
           length(TextAnalysis.redactPii(col("raw"))).as("n_clean"))
         .orderBy("doc_id")),
 
+    // domain blocklist filtering: two of the seven planted hosts are
+    // blocked; docs mentioning them (and only those) must drop
+    "q_domain_filter" -> ((s, d) => {
+      import s.implicits._
+      val withUrls = docs(s, d).filter(col("doc_id") < 200)
+        .withColumn("t", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" via https://site"),
+              (col("doc_id") % 7).cast("string"),
+              lit(".example.com/p/"), col("doc_id").cast("string")))
+            .otherwise(lit(""))))
+      val blocked = Seq("site1.example.com", "site4.example.com")
+        .toDF("domain")
+      TextAnalysis.filterBlockedDomains(withUrls, "doc_id", "t", blocked)
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // deterministic training-order shuffle: the md5 permutation is a
+    // pure function of (seed, id), so the oracle recomputes every
+    // position — the full permutation is gated, not just its size
+    "q_shuffle" -> ((s, d) =>
+      Sampling.deterministicShuffle(
+          docs(s, d).filter(col("doc_id") < 80), "doc_id", seed = "epoch0")
+        .select(col("doc_id"), col("train_pos"))
+        .orderBy("doc_id")),
+
+    // the two halves composed: a semantic-layer model OVER the corpus
+    // pipeline's quality signals — metrics/dimensions planned by the
+    // Generator against a derived view computing the quality score
+    "q_semantic_docs" -> ((s, d) => {
+      import graft.model._
+      val view =
+        s"""SELECT doc_id, lang, source,
+           |  size(split(lower(text), '\\\\s+')) AS n_tokens,
+           |  least(1.0, cast(size(split(lower(text), '\\\\s+')) as double) / 20) * 0.4
+           |    + (1.0 - least(1.0, (cast(length(text) - length(regexp_replace(text, '[\\\\p{Punct}]', '')) as double) / length(text)) * 5)) * 0.2
+           |    + (1.0 - least(1.0, (cast(length(text) - length(regexp_replace(text, '[0-9]', '')) as double) / length(text)) * 5)) * 0.2
+           |    + least(1.0, (cast(size(array_intersect(array_distinct(split(lower(text), '\\\\s+')), array('the','and','of','to','a','in','is','it','you','that'))) as double) / size(array_distinct(split(lower(text), '\\\\s+')))) * 4) * 0.2
+           |    AS quality_score
+           |FROM parquet.`$d/documents.parquet`""".stripMargin
+      val m = Model("docs", source = ModelSource.SqlView(view),
+        primaryKey = Seq("doc_id"),
+        dimensions = Seq(
+          Dimension("lang"), Dimension("source"),
+          Dimension("quality_score", DimType.Numeric)),
+        metrics = Seq(
+          Metric("doc_count", agg = Some("count")),
+          Metric("total_tokens", agg = Some("sum"), sql = Some("n_tokens")),
+          Metric("avg_quality", agg = Some("avg"), sql = Some("quality_score")),
+          Metric("high_quality_docs", agg = Some("count"),
+            filters = Seq("docs.quality_score >= 0.8"))))
+      round4(new Generator(s, graft.model.Catalog().add(m)).plan(SemanticQuery(
+        metrics = Seq("docs.doc_count", "docs.total_tokens",
+          "docs.avg_quality", "docs.high_quality_docs"),
+        dimensions = Seq("docs.lang"),
+        orderBy = Seq("lang"))), "avg_quality")
+    }),
+
     // character-level near-dups: blocked Levenshtein with the bounded
     // early-abandon variant; the twin recomputes every surviving pair's
     // exact distance, so the -1 sentinel handling is itself under test
@@ -3203,6 +3261,49 @@ object SparkEntry {
         |  round(cast(sum(cast(p10 AS DECIMAL(30,12))) / count(*) AS DOUBLE), 4)
         |    AS avg_log10_p
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_domain_filter" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat(text, CASE WHEN doc_id % 3 = 0
+        |      THEN concat(' via https://site', cast(doc_id % 7 AS VARCHAR),
+        |        '.example.com/p/', cast(doc_id AS VARCHAR))
+        |      ELSE '' END) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |hosts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u, 'https?://([^/:?#\s]+)', 1)) AS domain
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS u
+        |        FROM raw)),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM hosts
+        |  WHERE domain IN ('site1.example.com', 'site4.example.com'))
+        |SELECT count(*) AS n_kept, sum(doc_id) AS sum_ids
+        |FROM raw WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5(concat('epoch0', ':', cast(doc_id AS VARCHAR))),
+        |      doc_id) - 1 AS train_pos
+        |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_docs" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |    least(1.0, cast(len(string_split_regex(lower(text), '\s+')) as double) / 20) * 0.4
+        |      + (1.0 - least(1.0, (cast(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) as double) / length(text)) * 5)) * 0.2
+        |      + (1.0 - least(1.0, (cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) as double) / length(text)) * 5)) * 0.2
+        |      + least(1.0, (cast(len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), ['the','and','of','to','a','in','is','it','you','that'])) as double) / len(list_distinct(string_split_regex(lower(text), '\s+')))) * 4) * 0.2
+        |      AS quality_score
+        |  FROM documents)
+        |SELECT lang, count(*) AS doc_count,
+        |  sum(n_tokens) AS total_tokens,
+        |  round(avg(quality_score), 4) AS avg_quality,
+        |  count(*) FILTER (WHERE quality_score >= 0.8) AS high_quality_docs
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_edit_distance" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,

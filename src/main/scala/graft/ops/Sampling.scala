@@ -124,4 +124,25 @@ object Sampling {
       }
       .toDF(groupCol, orderCol, sizeCol, "bin")
   }
+
+  /** Deterministic training-order shuffle: a reproducible pseudo-random
+    * permutation via md5(seed:id) — the global sort that fixes example
+    * order before sharding a training set. md5 (not xxhash64) for the
+    * same reason as [[split]]: every mainstream engine computes the
+    * identical digest, so the permutation is portable and oracle-
+    * checkable. Changing `seed` re-deals the whole order.
+    *
+    * `train_pos` (0-based position in the new order) comes from
+    * [[graft.gen.TableCalcs.rowNumberBy]]'s distributed global ordinal —
+    * range-partitioned local row numbers plus broadcast prefix offsets,
+    * never a single-partition window; the sort is Spark's TeraSort
+    * shape, fine at any corpus size. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: String): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    graft.gen.TableCalcs.rowNumberBy(
+        df.withColumn("__sk", key), Seq("__sk", idCol), "train_pos")
+      .withColumn("train_pos", (col("train_pos") - 1).cast("long"))
+      .drop("__sk")
+  }
 }

@@ -224,6 +224,22 @@ object TextAnalysis {
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__m")).as("n_mentions"))
 
+  /** Drop documents that mention any blocked domain — the
+    * blocklist-filtering step of crawl curation. The blocklist is
+    * domains (small by nature: thousands, not billions), so it
+    * broadcasts into a semi-join against the exploded hosts and the
+    * offending doc-id set comes back for one anti-join — the corpus is
+    * scanned once and never shuffled. */
+  def filterBlockedDomains(df: DataFrame, idCol: String, textCol: String,
+      blocked: DataFrame): DataFrame = {
+    val hits = df.select(col(idCol).as("__bid"),
+        explode(urlHosts(col(textCol))).as("domain"))
+      .join(broadcast(blocked.select(lower(col("domain")).as("domain"))),
+        Seq("domain"), "left_semi")
+      .select(col("__bid")).distinct()
+    df.join(broadcast(hits), col(idCol) === col("__bid"), "left_anti")
+  }
+
   // ---- PII redaction ----
 
   /** Replace emails and URLs with stable placeholder tokens. Runs after

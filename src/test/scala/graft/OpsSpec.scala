@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Bpe, Chunking, Dedup, Embeddings, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Chunking, Dedup, Embeddings, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -377,6 +377,30 @@ class OpsSpec extends AnyFunSuite {
     val got = Dedup.editDistancePairs(df, "doc_id", "text", "source", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(got == Map((1L, 2L) -> 1, (1L, 3L) -> 1, (2L, 3L) -> 2))
+  }
+
+  test("domain blocklist drops exactly the docs mentioning blocked hosts") {
+    val df = Seq(
+      (1L, "see https://bad.example.com/x for more"),
+      (2L, "see https://good.example.com/y instead"),
+      (3L, "no urls here at all"),
+      (4L, "mixed https://good.example.com/a and https://BAD.example.com/b")
+    ).toDF("doc_id", "t")
+    val kept = TextAnalysis.filterBlockedDomains(df, "doc_id", "t",
+      Seq("bad.example.com").toDF("domain"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // 4 drops too: host matching is case-folded
+  }
+
+  test("deterministic shuffle is a seed-keyed permutation, stable across layouts") {
+    val df = Seq.tabulate(30)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    def positions(frame: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.deterministicShuffle(frame, "doc_id", seed)
+        .select("doc_id", "train_pos").as[(Long, Long)].collect().toMap
+    val p1 = positions(df, "epoch0")
+    assert(p1.values.toSeq.sorted == (0L until 30L)) // a true permutation
+    assert(p1 == positions(df.repartition(7), "epoch0")) // layout-invariant
+    assert(p1 != positions(df, "epoch1")) // the seed re-deals the order
   }
 
   test("corpus diff labels added, removed, changed, unchanged") {
