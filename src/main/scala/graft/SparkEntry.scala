@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Bpe, Chunking, Dedup, Embeddings, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Chunking, Dedup, Embeddings, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, TextIndex}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1889,6 +1889,38 @@ object SparkEntry {
         .withColumn("tfidf", round(col("tfidf"), 6))
         .orderBy("doc_id", "term_rank"), "term_rank", "tf", "doc_freq")),
 
+    // BM25 keyword top-k: literal-term scoring entirely map-side (no
+    // corpus shuffle — one stats row broadcast + TakeOrderedAndProject);
+    // the oracle replays the full Okapi formula
+    "q_bm25" -> ((s, d) =>
+      asLong(TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text",
+          Seq("spark", "vector", "customer"), k = 10)
+        .withColumn("bm25", round(col("bm25"), 6))
+        .orderBy(col("bm25").desc, col("doc_id")), "doc_len")),
+
+    // the persisted inverted-index route to the SAME answer: build the
+    // bucket-partitioned postings, query via static partition pruning
+    // (1 of 32 bucket dirs read per term) — operational round-trip, the
+    // text twin of the IVF index; oracle = the full-scan BM25 formula
+    "q_bm25_index" -> ((s, d) => {
+      val path = s"/tmp/graft_text_index_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      TextIndex.build(docs(s, d), "doc_id", "text", path, nBuckets = 32)
+      TextIndex.bm25TopK(s, path, Seq("spark", "vector", "customer"),
+          k = 10, nBuckets = 32)
+        .withColumn("bm25", round(col("bm25"), 6))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }),
+
+    // substring-level dedup: 8-token sliding windows shared by >= 2
+    // documents (boilerplate spans inside otherwise-distinct docs); the
+    // planted near-dup families make the gate non-vacuous (1000+ shared
+    // windows at sf0.01)
+    "q_window_dedup" -> ((s, d) =>
+      Dedup.duplicateWindows(docs(s, d), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy(col("n_docs").desc, col("window"))
+        .limit(25)),
+
     // distributed BPE merge learning over the word-frequency table (the
     // corpus is never re-scanned after the word count); the learned merge
     // sequence is deterministic (count desc, pair asc) and golden-pinned
@@ -2128,6 +2160,28 @@ object SparkEntry {
       asLong(Sampling.stratifiedTopN(docs(s, d), "lang", "doc_id", n = 5)
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("source"))
         .orderBy("lang", "sample_rank"), "sample_rank")),
+
+    // weighted sampling without replacement (Efraimidis–Spirakis keys
+    // from portable md5 uniforms, weight = n_chars); the oracle replays
+    // the identical key computation, so the selected SET and its order
+    // are both gated — no float column crosses the compare
+    "q_weighted_sample" -> ((s, d) =>
+      asLong(Sampling.weightedSample(docs(s, d), "doc_id", "n_chars", 25)
+        .select(col("sample_rank"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy("sample_rank"), "sample_rank")),
+
+    // concat-and-split pretraining sequence index: global token-offset
+    // cumsum (distributed range-partition plan) cut into 512-token
+    // sequences; per-doc offsets and first/last sequence ids are gated
+    "q_seq_pack" -> ((s, d) =>
+      Sampling.sequenceIndex(
+          docs(s, d).filter(col("doc_id") < 200)
+            .withColumn("n_tok", TextAnalysis.wsTokenCount(col("text"))),
+          "doc_id", "n_tok", seqLen = 512)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("first_seq"), col("last_seq"))
+        .orderBy("doc_id")),
 
     // normalization exercised on synthetically marked-up text (tags +
     // ragged whitespace wrapped around the real docs) so the gate is
@@ -3972,6 +4026,118 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, sample_rank, doc_id, source
         |FROM r WHERE sample_rank <= 5
-        |ORDER BY lang, sample_rank""".stripMargin
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    // Efraimidis–Spirakis replay: identical md5 uniform, identical key
+    // exponentiation; only ints/strings cross the compare (the key's
+    // cross-libm pow jitter ~1e-16 cannot reorder draws spaced ~1e-5)
+    "q_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    pow(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+        |          + 0.5) / 4294967296.0,
+        |        1.0 / CAST(n_chars AS DOUBLE)) AS wk
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT row_number() OVER (ORDER BY wk DESC, doc_id) AS sample_rank,
+        |       doc_id, lang, n_chars
+        |FROM k ORDER BY wk DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  cum - n_tokens AS start_offset,
+        |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_seq,
+        |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(t) AS doc_len,
+        |    len(list_filter(t, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(t, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(t, x -> x = 'customer')) AS tf2
+        |  FROM tok),
+        |s AS (
+        |  SELECT count(*) AS n, avg(doc_len) AS avglen,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM d)
+        |SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len,
+        |  round(score, 6) AS bm25
+        |FROM (
+        |  SELECT d.doc_id, d.doc_len,
+        |      ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+        |        * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * doc_len / s.avglen))
+        |    + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+        |        * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * doc_len / s.avglen))
+        |    + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+        |        * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * doc_len / s.avglen))
+        |      AS score
+        |  FROM d CROSS JOIN s)
+        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // identical formula to q_bm25 — the index route must reproduce the
+    // full-scan scorer exactly (score association differs by ~1e-15,
+    // far under the 1e-6 rounding)
+    "q_bm25_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(t) AS doc_len,
+        |    len(list_filter(t, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(t, x -> x = 'vector')) AS tf1,
+        |    len(list_filter(t, x -> x = 'customer')) AS tf2
+        |  FROM tok),
+        |s AS (
+        |  SELECT count(*) AS n, avg(doc_len) AS avglen,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM d)
+        |SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len,
+        |  round(score, 6) AS bm25
+        |FROM (
+        |  SELECT d.doc_id, d.doc_len,
+        |      ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+        |        * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * doc_len / s.avglen))
+        |    + ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+        |        * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * doc_len / s.avglen))
+        |    + ln(1 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+        |        * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * doc_len / s.avglen))
+        |      AS score
+        |  FROM d CROSS JOIN s)
+        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_window_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS "window"
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i) s
+        |  WHERE len(t) >= 8)
+        |SELECT "window", count(*) AS n_docs
+        |FROM w GROUP BY "window" HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, "window" LIMIT 25""".stripMargin
   )
 }

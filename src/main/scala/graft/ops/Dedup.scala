@@ -266,6 +266,39 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  /** Substring-level duplication: every `n`-token sliding window that
+    * appears in at least `minDocs` distinct documents. Document-level
+    * dedup misses shared boilerplate (headers, license blocks, templated
+    * paragraphs) embedded in otherwise-distinct pages; this is the
+    * window-level pass that finds those spans so they can be cut or
+    * down-weighted before training.
+    *
+    * Pure column expressions: tokenize once, materialize the windows
+    * with `transform(sequence(...))` + `slice` (no self-join, no UDF),
+    * `array_distinct` per doc so a window repeated INSIDE one document
+    * counts that document once, then one explode + one partial-agg
+    * groupBy on the window. The shuffle key is the window text (needed
+    * in the output); volume is ~tokens × n strings — at extreme scale
+    * pre-hash with `xxhash64(window)` and group on (hash, window) stays
+    * the same shuffle, so the honest lever is raising `n` or sampling
+    * docs, both caller-side. Window count per doc is linear in doc
+    * length (sequence of starts), never quadratic. */
+  def duplicateWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n > 0, s"window size must be positive, got $n")
+    require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
+    val toks = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    df.select(col(idCol).as("__doc"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__doc"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("__t")) - n),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))).as("window"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Cross-split contamination (train/test leakage by exact content):
     * rows of the `probe` split whose text hash also appears in the
     * `reference` split. The decontamination primitive every eval

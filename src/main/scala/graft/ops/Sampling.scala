@@ -145,4 +145,64 @@ object Sampling {
       .withColumn("train_pos", (col("train_pos") - 1).cast("long"))
       .drop("__sk")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws a uniform u and keeps key = u^(1/w); the n largest
+    * keys are exactly a weighted sample without replacement. Rows with
+    * non-positive weight never qualify (their key is null → filtered).
+    *
+    * u is derived from the md5 of the row id — not a `rand()` — so the
+    * sample is a pure function of (id, weight): reproducible across
+    * runs, partition layouts, and engines (the oracle twin computes the
+    * identical keys in SQL). The n-largest selection is
+    * `orderBy(key desc, id).limit(n)` — TakeOrderedAndProject, so a
+    * per-partition top-n heap and n rows to the driver, never a global
+    * sort; the final `sample_rank` window runs over exactly n rows.
+    * Weights change ⇒ keys change only through the exponent, so a row's
+    * u is stable and weight tweaks re-rank rather than re-deal. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    // u in (0, 1): first 8 md5 hex digits as a 32-bit uniform, +0.5 to
+    // dodge the exact-zero draw (pow(0, x) would always win/lose)
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val w = col(weightCol).cast("double")
+    val key = when(w > 0, pow(u, lit(1.0) / w))
+    val rw = Window.orderBy(col("__wk").desc, col(idCol))
+    df.withColumn("__wk", key)
+      .filter(col("__wk").isNotNull)
+      .orderBy(col("__wk").desc, col(idCol))
+      .limit(n)
+      .withColumn("sample_rank", row_number().over(rw))
+      .drop("__wk")
+  }
+
+  /** Concat-and-split sequence index — the standard LLM-pretraining
+    * packing where documents are concatenated in a fixed order and the
+    * token stream is cut into `seqLen`-token training sequences. For
+    * each document: its absolute `start_offset` in the stream and the
+    * `first_seq`/`last_seq` ids it lands in (a doc spanning a cut
+    * contributes to both neighbors — `last_seq > first_seq` is the
+    * boundary-crossing signal a loader needs for attention masking).
+    *
+    * The offsets are one global cumulative sum over (id order), computed
+    * with [[graft.gen.TableCalcs.runningTotal]]'s distributed plan:
+    * range-partition by id, local running sums, broadcast per-partition
+    * prefix offsets — never a single-partition window, so the index
+    * builds at any corpus size. Zero-token documents are dropped (they
+    * occupy no stream positions; keeping them would emit an inverted
+    * `last_seq < first_seq` range). */
+  def sequenceIndex(df: DataFrame, idCol: String, nTokensCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = df.select(col(idCol),
+        col(nTokensCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    graft.gen.TableCalcs.runningTotal(base, "n_tokens", Seq(idCol), "__cum")
+      .withColumn("start_offset", col("__cum") - col("n_tokens"))
+      .withColumn("first_seq", floor(col("start_offset") / seqLen))
+      .withColumn("last_seq", floor((col("__cum") - 1) / seqLen))
+      .drop("__cum")
+  }
 }

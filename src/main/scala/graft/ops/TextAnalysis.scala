@@ -196,6 +196,54 @@ object TextAnalysis {
         col("tf"), col("__df").as("doc_freq"), col("tfidf"))
   }
 
+  // ---- BM25 keyword search ----
+
+  /** Top-`k` documents for a literal keyword query under BM25
+    * (Robertson/Okapi, the `ln(1 + (N − df + 0.5)/(df + 0.5))` idf form
+    * that stays positive for corpus-wide terms).
+    *
+    * The query terms are compile-time literals, so per-doc term
+    * frequencies come from `size(filter(tokens, _ == term))` — pure
+    * column expressions evaluated in the scan's codegen stage, no
+    * (doc, token) explode and no shuffle of the corpus at all. Corpus
+    * statistics (N, average length, per-term document frequencies) are
+    * ONE aggregate row broadcast back as a cross join, and the top-k is
+    * `orderBy(...).limit(k)` — Spark plans that as
+    * TakeOrderedAndProject, a per-partition heap plus a k-row driver
+    * merge. Total cost at 100 TB: two corpus scans (stats + score) and
+    * k rows moved; nothing else leaves the executors. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(col(idCol).as("__doc"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+      .withColumn("__len", size(col("__t")))
+    val withTf = terms.indices.foldLeft(base) { case (acc, i) =>
+      acc.withColumn(s"__tf$i",
+        size(filter(col("__t"), t => t === lit(terms(i)))))
+    }.drop("__t")
+    val dfCols = terms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(count(lit(1)).as("__n"),
+      avg(col("__len")).as("__avglen") +: dfCols: _*)
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avglen"))
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
+      idf * tf * (k1 + 1) / (tf + norm)
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("bm25", score)
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("__doc"))
+      .limit(k)
+      .select(col("__doc").as(idCol), col("__len").as("doc_len"),
+        col("bm25"))
+  }
+
   // ---- URL / domain analysis (web-corpus provenance) ----
 
   private val UrlRe = "https?://[^\\s]+"

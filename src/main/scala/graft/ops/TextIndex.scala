@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted inverted text index: postings stored PARTITIONED BY a
+  * hash bucket of the token, which turns keyword search into physical
+  * I/O pruning — a query's terms select a handful of `__tb=` partition
+  * directories and everything else is never listed, the text-search
+  * twin of [[IvfIndex]]'s probed-cell layout. [[TextAnalysis.bm25TopK]]
+  * answers the same query by scanning the corpus; this is the
+  * "index once, query many" layout a search service over a 100 TB
+  * corpus would maintain — per-query I/O is proportional to the query
+  * terms' posting lists, not the corpus.
+  *
+  * Layout under `path`:
+  *   - `postings/__tb=<b>/…` — (token, doc_id, tf, doc_len, df) rows,
+  *     df/doc_len denormalized onto each posting so scoring needs no
+  *     join at query time (both repeat-compress to nothing in parquet)
+  *   - `stats.txt` — `<nDocs>,<avgLen>` (driver-sized by design)
+  */
+object TextIndex {
+
+  private def tokens(textCol: org.apache.spark.sql.Column) =
+    filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+
+  private def bucketOf(tokenCol: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(tokenCol), lit(nBuckets)).cast("int")
+
+  /** Tokenize once, aggregate postings, and write them bucket-
+    * partitioned. Build cost: one (doc, token) partial-agg shuffle for
+    * tf, one token-keyed shuffle for df, and the bucket repartition for
+    * the write — all linear scans, no joins wider than the vocabulary.
+    * `doc_len` rides along from the tokenize (no per-doc join). */
+  def build(df: DataFrame, idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__t"))
+      .withColumn("doc_len", size(col("__t")).cast("long"))
+    val docTok = base
+      .select(col("doc_id"), col("doc_len"), explode(col("__t")).as("token"))
+      .groupBy(col("doc_id"), col("doc_len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = docTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    docTok.join(dfreq, "token")
+      .withColumn("__tb", bucketOf(col("token"), nBuckets))
+      .repartition(col("__tb"))
+      .write.mode("overwrite").partitionBy("__tb")
+      .parquet(s"$path/postings")
+    val stats = base.agg(count(lit(1)).cast("long").as("n"),
+      avg(col("doc_len")).as("avglen")).head()
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$path/stats.txt"), true)
+    try out.write(s"${stats.getLong(0)},${stats.getDouble(1)}"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def loadStats(spark: SparkSession, path: String): (Long, Double) = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$path/stats.txt"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val parts = text.trim.split(",")
+    (parts(0).toLong, parts(1).toDouble)
+  }
+
+  /** BM25 top-k over the persisted index. The query terms' buckets are
+    * STATIC partition filters (`__tb IN (…)` computed up front — the
+    * scan lists only those directories), the token equality prunes
+    * row-groups inside them via parquet min/max, and corpus statistics
+    * are literals from `stats.txt` — so the whole query plan is: read a
+    * few posting lists, one `groupBy(doc_id)` over their union (rows =
+    * Σ df(term), NOT corpus size), and a top-k heap. Identical scores
+    * to [[TextAnalysis.bm25TopK]] on the same corpus. */
+  def bm25TopK(spark: SparkSession, path: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val (n, avglen) = loadStats(spark, path)
+    // buckets computed through Spark's own xxhash64 (a local 1-job
+    // evaluation over the literal terms) so they can never drift from
+    // the build-side bucketing
+    import spark.implicits._
+    val buckets = terms.toDF("token")
+      .select(bucketOf(col("token"), nBuckets).as("b"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val p = spark.read.parquet(s"$path/postings")
+      .filter(col("__tb").isin(buckets: _*))
+      .filter(col("token").isin(terms: _*))
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5)
+      / (col("df") + 0.5))
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("doc_len") / avglen)
+    p.withColumn("__s", idf * tf * (k1 + 1) / (tf + norm))
+      .groupBy(col("doc_id"), col("doc_len"))
+      .agg(sum(col("__s")).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("doc_len"), col("bm25"))
+  }
+}

@@ -58,4 +58,33 @@ class OpsPlanSpec extends AnyFunSuite {
     assert(plan.toString.contains("Broadcast"),
       s"top-language 1-row join should broadcast:\n$plan")
   }
+
+  test("bm25 never shuffles the corpus: stats broadcast + top-k heap") {
+    val plan = sparkPlan(SparkEntry.queries("q_bm25")(spark, dir))
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"top-k must plan as a per-partition heap, not a global sort:\n$plan")
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"literal-term scoring is map-side; no exchange belongs here:\n$plan")
+    assert(plan.toString.contains("Broadcast"),
+      s"the 1-row stats frame should broadcast:\n$plan")
+  }
+
+  test("sequence index cumsum stays distributed (no partition-less window)") {
+    val plan = sparkPlan(SparkEntry.queries("q_seq_pack")(spark, dir))
+    val bad = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"global cumsum must use the range-partition + offsets plan:\n$plan")
+  }
+
+  test("weighted sample plans the n-largest as a top-k heap over the scan") {
+    // the pre-rank selection must be TakeOrderedAndProject (per-partition
+    // heap, n rows to the driver) — the only WindowExec allowed is the
+    // post-limit sample_rank over exactly n rows
+    val plan = sparkPlan(SparkEntry.queries("q_weighted_sample")(spark, dir))
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"selection must not globally sort the corpus:\n$plan")
+  }
 }

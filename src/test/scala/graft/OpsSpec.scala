@@ -580,4 +580,98 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L)._2 > out(2L)._2 + 1.0,
       s"expected a clear margin, got ${out(1L)._2} vs ${out(2L)._2}")
   }
+
+  test("bm25 ranks by term frequency with length normalization, drops no-hit docs") {
+    val df = Seq(
+      (1L, "spark spark spark is great"),               // tf=3, short
+      (2L, "spark appears once in a much longer document full of padding words"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark spark tools")                         // tf=2, shortest
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("spark"), 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L), "doc 3 has no hit")
+    // ranking: high-tf short docs above the single-hit long doc
+    assert(out.head._1 == 1L)
+    assert(out.last._1 == 2L)
+    assert(out.forall(_._2 > 0))
+  }
+
+  test("bm25 multi-term score is the sum of per-term scores") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta beta beta epsilon")
+    ).toDF("doc_id", "text")
+    val both = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      Seq("alpha", "beta"), 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val a = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("alpha"), 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
+      .toMap
+    val b = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("beta"), 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
+      .toMap
+    assert(math.abs(both(1L) - (a(1L) + b(1L))) < 1e-9)
+    assert(math.abs(both(2L) - a(2L)) < 1e-9) // doc 2 has no beta
+  }
+
+  test("weighted sample: without replacement, weight-monotone, layout-stable") {
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 10L))
+      .toDF("doc_id", "w")
+    val s = Sampling.weightedSample(df, "doc_id", "w", 20).collect()
+    val ids = s.map(_.getAs[Long]("doc_id"))
+    assert(ids.length == 20 && ids.toSet.size == 20, "no replacement")
+    assert(ids.contains(7L), "overwhelming weight must be drawn")
+    assert(s.map(_.getAs[Int]("sample_rank")).sorted.toSeq == (1 to 20))
+    val relaid = Sampling.weightedSample(df.repartition(7), "doc_id", "w", 20)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(relaid.toSeq == ids.toSeq, "partition layout must not change the draw")
+  }
+
+  test("weighted sample excludes non-positive weights and caps at eligible rows") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 2L)).toDF("doc_id", "w")
+    val s = Sampling.weightedSample(df, "doc_id", "w", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(s == Set(1L, 4L))
+  }
+
+  test("duplicate windows finds cross-doc boilerplate, ignores in-doc repeats") {
+    val df = Seq(
+      (1L, "SHARED LICENSE HEADER TEXT unique body one"),
+      (2L, "SHARED LICENSE HEADER TEXT unique body two"),
+      (3L, "totally unrelated content repeat repeat repeat repeat ok"),
+      (4L, "repeat repeat repeat repeat filler filler filler filler pad")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateWindows(df, "doc_id", "text", n = 4, minDocs = 2)
+      .collect().map(r => r.getAs[String]("window") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(out("shared license header text") == 2L)
+    // docs 3 and 4 both contain the window "repeat repeat repeat repeat"
+    assert(out("repeat repeat repeat repeat") == 2L)
+    // windows only ever inside ONE doc (however often) are not reported
+    assert(!out.keys.exists(_.contains("filler filler filler")))
+  }
+
+  test("sequence index: offsets, boundary crossing, zero-token drop") {
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 0L), (4L, 500L))
+      .toDF("doc_id", "nt")
+    val out = Sampling.sequenceIndex(df, "doc_id", "nt", seqLen = 512)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("start_offset"), r.getAs[Long]("first_seq"),
+          r.getAs[Long]("last_seq")))).toMap
+    assert(!out.contains(3L), "zero-token doc occupies no stream positions")
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((300L, 0L, 1L)), "doc 2 crosses the 512 cut")
+    assert(out(4L) == ((600L, 1L, 2L)), "doc 4 spans sequences 1..2")
+  }
+
+  test("sequence index is partition-layout invariant") {
+    val df = (1L to 100L).map(i => (i, 37L)).toDF("doc_id", "nt")
+    val a = Sampling.sequenceIndex(df, "doc_id", "nt", 128)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("start_offset")).toSeq
+    val b = Sampling.sequenceIndex(df.repartition(13), "doc_id", "nt", 128)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("start_offset")).toSeq
+    assert(a == b && a == (0L until 100L).map(_ * 37L))
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.{TextAnalysis, TextIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("indexed bm25 matches the full-scan scorer doc for doc") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tix").toString
+    TextIndex.build(docs, "doc_id", "text", tmp, nBuckets = 32)
+    val terms = Seq("spark", "vector", "customer")
+    val fromIndex = TextIndex.bm25TopK(spark, tmp, terms, k = 10,
+        nBuckets = 32)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("doc_len"), r.getAs[Double]("bm25")))
+    val fullScan = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("doc_len").toLong, r.getAs[Double]("bm25")))
+    assert(fromIndex.map(t => (t._1, t._2)).toSeq ==
+      fullScan.map(t => (t._1, t._2)).toSeq)
+    fromIndex.zip(fullScan).foreach { case (a, b) =>
+      // float-sum association differs (groupBy sum vs fixed expression
+      // order); scores must agree far below the oracle's 1e-6 rounding
+      assert(math.abs(a._3 - b._3) < 1e-9, s"score drift at doc ${a._1}")
+    }
+  }
+
+  test("query scan is statically pruned to the terms' buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tix2").toString
+    TextIndex.build(docs, "doc_id", "text", tmp, nBuckets = 32)
+    val result = TextIndex.bm25TopK(spark, tmp, Seq("spark"), k = 5,
+      nBuckets = 32)
+    result.collect()
+    // descend through AQE wrappers/stages — the scan is not a direct leaf
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(result.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no file scan in plan"))
+    // one term hashes to exactly one bucket directory; 31 of 32 are
+    // never read — the inverted-index I/O contract
+    assert(scan.partitionFilters.nonEmpty, "bucket filter missing")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of 32 bucket partitions, read " +
+        s"${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("df/doc_len denormalized on postings agree with direct computation") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tix3").toString
+    val tiny = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma"),
+      (3L, "alpha")
+    ).toDF("doc_id", "text")
+    TextIndex.build(tiny, "doc_id", "text", tmp, nBuckets = 4)
+    val p = spark.read.parquet(s"$tmp/postings")
+      .select("token", "doc_id", "tf", "doc_len", "df")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(p == Set(
+      ("alpha", 1L, 2L, 3L, 2L),
+      ("beta", 1L, 1L, 3L, 2L),
+      ("beta", 2L, 1L, 2L, 2L),
+      ("gamma", 2L, 1L, 2L, 1L),
+      ("alpha", 3L, 1L, 1L, 2L)))
+  }
+}
