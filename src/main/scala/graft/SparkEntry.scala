@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Bpe, Chunking, Dedup, Embeddings, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, TextIndex}
+import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, TextIndex}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1952,6 +1952,24 @@ object SparkEntry {
       asLong(Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text")
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("probe_id", "corpus_id"), "corpus_id", "probe_id")
+    }),
+
+    // persisted LSH dedup index: build once over the corpus, then dedup
+    // an incoming batch against it reading only the batch's own key
+    // partitions (DPP) — operational round-trip like q_bm25_index; the
+    // 10 planted near-dups (one-token suffix on corpus docs 0..9) must
+    // each match their source; est_jaccard is the deterministic
+    // signature-agreement estimate, golden-pinned
+    "q_dedup_index" -> ((s, d) => {
+      val path = s"/tmp/graft_dedup_index_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      DedupIndex.build(docs(s, d).filter(col("doc_id") < 800),
+        "doc_id", "text", path)
+      val batch = docs(s, d).filter(col("doc_id") < 10)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" trailing probe token")).as("text"))
+      DedupIndex.query(s, path, batch, "doc_id", "text")
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("batch_id", "corpus_id")
     }),
 
     // stupid-backoff bigram LM quality score: model trained on the 80%
@@ -4089,6 +4107,28 @@ object SparkEntry {
         |      AS score
         |  FROM d CROSS JOIN s)
         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // golden pin: signature-agreement estimates are deterministic
+    // (xxhash64/murmur chains), but no closed-form SQL twin exists for
+    // the banded index probe — any drift in shingling, signatures,
+    // banding, or the estimate turns a row red. Note 10008→245: doc 8's
+    // planted near-dup FAMILY member, found through the index
+    "q_dedup_index" ->
+      """SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(corpus_id AS BIGINT) AS corpus_id,
+        |  CAST(est_jaccard AS DOUBLE) AS est_jaccard FROM (VALUES
+        |(10000, 0, 0.90625),
+        |(10001, 1, 0.953125),
+        |(10002, 2, 0.96875),
+        |(10003, 3, 0.921875),
+        |(10004, 4, 0.96875),
+        |(10005, 5, 0.9375),
+        |(10006, 6, 0.796875),
+        |(10007, 7, 0.9375),
+        |(10008, 8, 1.0),
+        |(10008, 245, 0.953125),
+        |(10009, 9, 0.921875)) AS t(batch_id, corpus_id, est_jaccard)
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // identical formula to q_bm25 — the index route must reproduce the
     // full-scan scorer exactly (score association differs by ~1e-15,

@@ -46,55 +46,73 @@ object Dedup {
     * sets. Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
     * `threshold`.
     */
-  def minHashLSH(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
-
-    // Spark's higher-order-function lambdas are CodegenFallback
-    // (interpreted, ~µs/element) — at corpus scale everything must stay
-    // inside whole-stage codegen. Shingles come from posexploded tokens +
-    // window lead() (no array lambdas), hashed once into (id, h) rows;
-    // the seeded minima are then plain aggregates keyed by doc id.
+  /** (id, __h) distinct shingle-hash rows — the shared front of every
+    * MinHash path ([[minHashLSH]], [[DedupIndex]]). Spark's higher-
+    * order-function lambdas are CodegenFallback (interpreted,
+    * ~µs/element) — at corpus scale everything must stay inside
+    * whole-stage codegen, so shingles come from posexploded tokens +
+    * window lead() (no array lambdas), hashed once into (id, h) rows. */
+  private[ops] def shingleHashes(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__p", "__t")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("__p")
     val parts = col("__t") +: (1 until shingleSize).map(i =>
       lead(col("__t"), i).over(w))
-    val exploded = toks
+    toks
       .withColumn("__s", concat_ws(" ", parts: _*))
       .withColumn("__last", parts.last)
       // valid shingle starts only — plus position 0 so a doc shorter than
       // the shingle size still contributes its (truncated) single shingle
       .filter(col("__last").isNotNull || col("__p") === 0)
       .select(col("id"), xxhash64(col("__s")).as("__h"))
-      // consumed by the signature aggregation AND both sides of the
-      // Jaccard-verify join — identical subtrees ending in this distinct's
-      // shuffle, which Spark's exchange reuse executes once (no persist:
-      // cached corpus×shingle-factor blocks would pin executor storage
-      // with no release path once the plan is returned lazily)
       .distinct()
-    // per-seed re-mix with 32-bit murmur over the 8-byte shingle hash:
-    // roughly half the ALU work of a full xxhash64 per (shingle, seed),
-    // and overflow-free under ANSI mode (multiplicative mixing of longs
-    // would throw on overflow in Spark 4's default ANSI dialect)
+  }
+
+  /** (id, __m0..__m{n-1}, __n) MinHash signatures from shingle-hash
+    * rows: per-seed re-mix with 32-bit murmur over the 8-byte shingle
+    * hash — roughly half the ALU work of a full xxhash64 per (shingle,
+    * seed), and overflow-free under ANSI mode (multiplicative mixing of
+    * longs would throw on overflow in Spark 4's default ANSI dialect).
+    * The distinct-shingle count `__n` rides the same aggregation (the
+    * union size for Jaccard needs no second pass). */
+  private[ops] def minhashSigRows(exploded: DataFrame,
+      numHashes: Int): DataFrame = {
     val minCols = (0 until numHashes).map(i =>
       min(hash(col("__h"), lit(i))).as(s"__m$i"))
-    // distinct-shingle count rides the same aggregation: the union size
-    // for Jaccard needs no second pass over the shingle rows
-    val sigs = exploded.groupBy("id")
+    exploded.groupBy("id")
       .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("__n")): _*)
+  }
 
-    // band bucket = hash of the band's signature rows (all codegen'd)
+  /** (id, band, bucket) LSH band keys from signature rows: bucket =
+    * hash of the band's signature slice (all codegen'd). */
+  private[ops] def bandedSigKeys(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val cs = (b * rows until (b + 1) * rows).map(i => col(s"__m$i"))
       struct(lit(b).as("band"), xxhash64(cs: _*).as("bucket"))
     }
-    val banded = sigs
+    sigs
       .select(col("id"), explode(array(bandStructs: _*)).as("lsh"))
       .select(col("id"), col("lsh.band"), col("lsh.bucket"))
+  }
+
+  def minHashLSH(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+
+    // shared front: shingle rows are consumed by the signature
+    // aggregation AND both sides of the Jaccard-verify join — identical
+    // subtrees ending in the distinct's shuffle, which Spark's exchange
+    // reuse executes once (no persist: cached corpus×shingle-factor
+    // blocks would pin executor storage with no release path once the
+    // plan is returned lazily)
+    val exploded = shingleHashes(df, idCol, textCol, shingleSize)
+    val sigs = minhashSigRows(exploded, numHashes)
+    val banded = bandedSigKeys(sigs, numHashes, bands)
 
     // skew cap: a band-bucket holding b docs yields b²/2 candidate pairs;
     // buckets beyond `maxBucketSize` (boilerplate/empty-doc clusters) are

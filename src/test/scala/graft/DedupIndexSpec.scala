@@ -1,0 +1,107 @@
+package graft
+
+import graft.ops.{Dedup, DedupIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("batch near-dups of indexed corpus are found; fresh docs are not") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dix").toString
+    val corpus = docs.filter(col("doc_id") < 400)
+    DedupIndex.build(corpus, "doc_id", "text", tmp)
+    // 10 batch docs = corpus docs 0..9 with a one-token suffix (exact
+    // matching would miss them); 10 synthetic fresh docs whose tokens
+    // are unique per doc (docs 450+ of the testdata belong to planted
+    // near-dup FAMILIES of earlier docs — genuinely novel text has to
+    // be constructed, not sampled)
+    import spark.implicits._
+    val planted = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" trailing probe token")).as("text"))
+    val fresh = (0 until 10).map(i =>
+        (20000L + i, (0 until 40).map(j => s"zqxtok${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = planted.unionByName(fresh)
+    val m = DedupIndex.query(spark, tmp, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        r.getAs[Long]("corpus_id"))
+    val matchedBatch = m.map(_._1).toSet
+    (10000L until 10010L).foreach(id =>
+      assert(matchedBatch.contains(id), s"planted near-dup $id missed"))
+    // every planted doc must match its own source doc
+    (0L until 10L).foreach(i =>
+      assert(m.contains((10000L + i) -> i), s"wrong source for ${10000 + i}"))
+    assert(!m.map(_._1).exists(_ >= 20000L),
+      s"fresh docs must not match: ${m.filter(_._1 >= 20000L).toSeq}")
+  }
+
+  test("an exact copy estimates jaccard 1.0") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dix2").toString
+    val corpus = docs.filter(col("doc_id") < 50)
+    DedupIndex.build(corpus, "doc_id", "text", tmp)
+    val copy = docs.filter(col("doc_id") === 7)
+      .select(lit(99999L).as("doc_id"), col("text"))
+    val m = DedupIndex.query(spark, tmp, copy, "doc_id", "text")
+      .filter(col("corpus_id") === 7).collect()
+    assert(m.length == 1)
+    assert(m(0).getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("query scan is partition-pruned by the batch's own keys") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dix3").toString
+    DedupIndex.build(docs.filter(col("doc_id") < 400), "doc_id", "text", tmp)
+    val batch = docs.filter(col("doc_id") === 3)
+      .select(lit(50000L).as("doc_id"), col("text"))
+    val result = DedupIndex.query(spark, tmp, batch, "doc_id", "text")
+    result.collect()
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(4000)}")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val keyScans =
+      finalPlan.split(java.util.regex.Pattern.quote(tmp), -1).length - 1
+    assert(keyScans == 1,
+      s"expected exactly 1 scan of the keys dir, saw $keyScans")
+  }
+
+  test("meta round-trips and records the oversized-bucket drop count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dix4").toString
+    // 30 identical docs: every band bucket they share holds 30 > 5
+    val boiler = (1L to 30L).map(i => (i, "same boilerplate text here"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(boiler, "doc_id", "text", tmp, maxBucketSize = 5)
+    val (ss, nh, b, nb, droppedBuckets) = DedupIndex.loadMeta(spark, tmp)
+    assert((ss, nh, b, nb) == (3, 64, 16, 64))
+    assert(droppedBuckets == 16L, "all 16 shared band buckets exceed the cap")
+    // and a copy of the boilerplate consequently reports no matches
+    val probe = Seq((777L, "same boilerplate text here")).toDF("doc_id", "text")
+    assert(DedupIndex.query(spark, tmp, probe, "doc_id", "text").count() == 0)
+  }
+
+  test("index matches agree with the live cross-corpus pass on strong dups") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dix5").toString
+    val corpus = docs.filter(col("doc_id") < 200)
+    DedupIndex.build(corpus, "doc_id", "text", tmp)
+    val probe = docs.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat(col("text"), lit(" x")).as("text"))
+    val viaIndex = DedupIndex.query(spark, tmp, probe, "doc_id", "text")
+      .select(col("batch_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0) - 5000, r.getLong(1))).toSet
+    val live = Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text")
+      .select(col("probe_id"), col("corpus_id"))
+      .collect().map(r => (r.getLong(0) - 5000, r.getLong(1))).toSet
+    // near-identical pairs (true jaccard ≈ 0.95) sit far above the 0.5
+    // gate on both the exact and the estimated scale — the self-pairs
+    // must agree; the estimate may legitimately differ near the gate
+    val selfPairs = (0L until 8L).map(i => (i, i)).toSet
+    assert(selfPairs.subsetOf(viaIndex), s"index missed ${selfPairs -- viaIndex}")
+    assert(selfPairs.subsetOf(live), s"live pass missed ${selfPairs -- live}")
+  }
+}
