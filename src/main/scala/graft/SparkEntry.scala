@@ -1954,6 +1954,24 @@ object SparkEntry {
         .orderBy("probe_id", "corpus_id"), "corpus_id", "probe_id")
     }),
 
+    // staged curation funnel in one corpus pass: language gate, token
+    // floor, PII gate (emails planted on every 7th doc), length cap —
+    // each stage's in/dropped/out counts are ordered (a doc dropped at
+    // stage i never reaches stage i+1), the oracle replays the same
+    // cumulative flags
+    "q_filter_funnel" -> ((s, d) =>
+      asLong(graft.ops.CorpusReport.filterFunnel(
+        docs(s, d).withColumn("raw", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" reach admin"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")))),
+        Seq(
+          "lang_en" -> (col("lang") === "en"),
+          "min_tokens" -> (TextAnalysis.wsTokenCount(col("text")) >= 40),
+          "no_pii" -> (TextAnalysis.emailCount(col("raw")) === 0),
+          "max_chars" -> (col("n_chars") <= 300)))
+        .orderBy("stage_idx"), "stage_idx")),
+
     // persisted LSH dedup index: build once over the corpus, then dedup
     // an incoming batch against it reading only the batch's own key
     // partitions (DPP) — operational round-trip like q_bm25_index; the
@@ -4107,6 +4125,40 @@ object SparkEntry {
         |      AS score
         |  FROM d CROSS JOIN s)
         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_filter_funnel" ->
+      """WITH f AS (
+        |  SELECT *,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |      THEN ' reach admin' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END AS raw
+        |  FROM documents),
+        |p AS (
+        |  SELECT
+        |    (lang = 'en') AS p1,
+        |    (lang = 'en') AND len(string_split_regex(text, '\s+')) >= 40 AS p2,
+        |    (lang = 'en') AND len(string_split_regex(text, '\s+')) >= 40
+        |      AND len(regexp_extract_all(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0 AS p3,
+        |    (lang = 'en') AND len(string_split_regex(text, '\s+')) >= 40
+        |      AND len(regexp_extract_all(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+        |      AND n_chars <= 300 AS p4
+        |  FROM f),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        |  FROM p)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'lang_en' AS stage,
+        |    s0 AS n_in, s0 - s1 AS n_dropped, s1 AS n_out FROM c
+        |  UNION ALL SELECT 2, 'min_tokens', s1, s1 - s2, s2 FROM c
+        |  UNION ALL SELECT 3, 'no_pii', s2, s2 - s3, s3 FROM c
+        |  UNION ALL SELECT 4, 'max_chars', s3, s3 - s4, s4 FROM c)
+        |ORDER BY stage_idx""".stripMargin,
 
     // golden pin: signature-agreement estimates are deterministic
     // (xxhash64/murmur chains), but no closed-form SQL twin exists for

@@ -41,4 +41,36 @@ object CorpusReport {
         round(lit(1.0)
           - col("n_distinct_texts").cast("double") / col("n_docs"), 6))
   }
+
+  /** Staged filter-funnel audit: how many documents enter, fail, and
+    * survive each curation stage, applied in order (a doc dropped at
+    * stage i is never counted against stage i+1 — the funnel a pipeline
+    * publishes, not independent filter rates). The publishable answer
+    * to "where did 60% of the crawl go?".
+    *
+    * ONE corpus pass: the cumulative pass/fail flags are projections,
+    * the per-stage totals are a single aggregate row, and the per-stage
+    * output rows explode from that one row — no per-stage scan, no
+    * shuffle of the corpus at any stage count. Cost at 100 TB: exactly
+    * one scan, regardless of how many stages the funnel has. */
+  def filterFunnel(df: DataFrame,
+      stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val flagged = stages.zipWithIndex.foldLeft(
+        df.withColumn("__p0", lit(true))) { case (acc, ((_, pred), i)) =>
+      acc.withColumn(s"__p${i + 1}",
+        col(s"__p$i") && coalesce(pred, lit(false)))
+    }
+    val agg = flagged.agg(
+      sum(when(col("__p0"), 1L).otherwise(0L)).as("__s0"),
+      stages.indices.map(i =>
+        sum(when(col(s"__p${i + 1}"), 1L).otherwise(0L)).as(s"__s${i + 1}")): _*)
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        col(s"__s$i").as("n_in"),
+        (col(s"__s$i") - col(s"__s${i + 1}")).as("n_dropped"),
+        col(s"__s${i + 1}").as("n_out"))
+    }
+    agg.select(explode(array(rows: _*)).as("f")).select(col("f.*"))
+  }
 }

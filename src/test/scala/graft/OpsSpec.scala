@@ -666,6 +666,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((600L, 1L, 2L)), "doc 4 spans sequences 1..2")
   }
 
+  test("filter funnel counts are ordered and conserve documents") {
+    val df = Seq(
+      (1L, "en", 100L), // passes all
+      (2L, "en", 500L), // fails max_chars
+      (3L, "de", 100L), // fails lang (its chars never reach stage 2)
+      (4L, "en", 500L), // fails max_chars
+      (5L, "fr", 900L)  // fails lang
+    ).toDF("doc_id", "lang", "n_chars")
+    val out = graft.ops.CorpusReport.filterFunnel(df, Seq(
+        "lang_en" -> (col("lang") === "en"),
+        "max_chars" -> (col("n_chars") <= 300)))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("n_out")))
+    assert(out.toSeq == Seq(
+      ("lang_en", 5L, 2L, 3L),
+      ("max_chars", 3L, 2L, 1L)))
+  }
+
+  test("filter funnel treats a null predicate result as a drop") {
+    val df = Seq((1L, Some("en")), (2L, None), (3L, Some("en")))
+      .toDF("doc_id", "lang")
+    val out = graft.ops.CorpusReport.filterFunnel(df,
+        Seq("lang_en" -> (col("lang") === "en")))
+      .collect()(0)
+    assert(out.getAs[Long]("n_dropped") == 1L)
+    assert(out.getAs[Long]("n_out") == 2L)
+  }
+
   test("sequence index is partition-layout invariant") {
     val df = (1L to 100L).map(i => (i, 37L)).toDF("doc_id", "nt")
     val a = Sampling.sequenceIndex(df, "doc_id", "nt", 128)
