@@ -1954,6 +1954,51 @@ object SparkEntry {
         .orderBy("probe_id", "corpus_id"), "corpus_id", "probe_id")
     }),
 
+    // graded contamination: per probe doc, the fraction of its 8-token
+    // windows that occur anywhere in the training corpus — planted
+    // full copy (1.0), half copy (~0.5), and clean synthetic (0.0)
+    // probes pin the scale; family near-dups land in between
+    "q_ngram_overlap" -> ((s, d) => {
+      val ref = docs(s, d).filter(col("doc_id") < 400)
+      val probe = docs(s, d).filter(col("doc_id") >= 430 && col("doc_id") < 440)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs(s, d).filter(col("doc_id") === 0)
+          .select(lit(9000L).as("doc_id"), col("text")))
+        .unionByName(docs(s, d).filter(col("doc_id") === 1)
+          .select(lit(9001L).as("doc_id"),
+            concat_ws(" ",
+              expr("concat_ws(' ', slice(split(lower(text), '\\\\s+'), 1, 20))"),
+              lit((1 to 20).map(i => s"novelglyph$i").mkString(" ")))
+              .as("text")))
+      asLong(Dedup.ngramOverlap(ref, probe, "doc_id", "text", n = 8)
+        .withColumn("overlap_pct", round(col("overlap_pct"), 6))
+        .orderBy("doc_id"))
+    }),
+
+    // deterministic sharded export with a verification manifest: shard
+    // membership and the order-independent id checksum are pure
+    // functions of (seed, md5(id)) — the oracle recomputes both
+    "q_export_shards" -> ((s, d) =>
+      Sampling.exportShards(docs(s, d), "doc_id",
+          s"/tmp/graft_shards_${d.replaceAll("[^a-zA-Z0-9]", "_")}",
+          nShards = 8, seed = "r9")
+        .orderBy("shard")),
+
+    // batched search-join BM25 over the persisted index: one plan for a
+    // whole query workload, per-query top-k via a partitioned rank
+    // window; the oracle replays each query against the full formula
+    "q_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val path = s"/tmp/graft_text_index_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      TextIndex.build(docs(s, d), "doc_id", "text", path, nBuckets = 32)
+      val queries = Seq((1L, "spark vector"), (2L, "customer order data"),
+        (3L, "window agg join")).toDF("query_id", "qtext")
+      asLong(TextIndex.bm25BatchTopK(s, path, queries, "query_id", "qtext",
+          k = 5, nBuckets = 32)
+        .withColumn("bm25", round(col("bm25"), 6))
+        .orderBy("query_id", "rank"), "rank", "doc_len")
+    }),
+
     // staged curation funnel in one corpus pass: language gate, token
     // floor, PII gate (emails planted on every 7th doc), length cap —
     // each stage's in/dropped/out counts are ordered (a doc dropped at
@@ -4125,6 +4170,86 @@ object SparkEntry {
         |      AS score
         |  FROM d CROSS JOIN s)
         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_ngram_overlap" ->
+      ("""WITH reft AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id < 400),
+        |refw AS (
+        |  SELECT DISTINCT array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS w
+        |  FROM reft, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i) s
+        |  WHERE len(t) >= 8),
+        |probe AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 430 AND doc_id < 440
+        |  UNION ALL SELECT 9000, text FROM documents WHERE doc_id = 0
+        |  UNION ALL SELECT 9001,
+        |    array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+        |      1, 20), ' ') || ' NOVELTOKENS' FROM documents WHERE doc_id = 1),
+        |pt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM probe),
+        |pw AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS w
+        |  FROM pt, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i) s
+        |  WHERE len(t) >= 8),
+        |hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN w IN (SELECT w FROM refw) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_overlapping
+        |  FROM pw GROUP BY 1)
+        |SELECT p.doc_id, coalesce(n_windows, 0) AS n_windows,
+        |  coalesce(n_overlapping, 0) AS n_overlapping,
+        |  round(n_overlapping * 1.0 / n_windows, 6) AS overlap_pct
+        |FROM (SELECT doc_id FROM probe) p LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+        .replace("NOVELTOKENS", (1 to 20).map(i => s"novelglyph$i").mkString(" "))),
+
+    "q_export_shards" ->
+      """WITH s AS (
+        |  SELECT ('0x' || substr(md5('r9:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |           % 8 AS shard,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS id_checksum
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q_bm25_batch" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(t) AS doc_len FROM tok),
+        |dt AS (
+        |  SELECT doc_id, unnest(t) AS token FROM tok),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n, avg(doc_len) AS avglen FROM d),
+        |q(query_id, token) AS (VALUES
+        |  (1, 'spark'), (1, 'vector'),
+        |  (2, 'customer'), (2, 'order'), (2, 'data'),
+        |  (3, 'window'), (3, 'agg'), (3, 'join')),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id, d.doc_len,
+        |    sum(ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |      * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * d.doc_len / st.avglen))) AS score
+        |  FROM q JOIN tf USING (token)
+        |  JOIN dfq USING (token)
+        |  JOIN d ON d.doc_id = tf.doc_id
+        |  CROSS JOIN st
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+        |  CAST(doc_len AS BIGINT) AS doc_len, round(score, 6) AS bm25
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc WHERE score > 0)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_filter_funnel" ->
       """WITH f AS (

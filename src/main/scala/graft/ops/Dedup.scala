@@ -317,6 +317,52 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Per-document n-gram overlap against a reference corpus: for each
+    * probe doc, the fraction of its distinct `n`-token windows that
+    * also occur anywhere in `reference` — the graded contamination
+    * metric (an eval doc 80% covered by training text is compromised
+    * even if no single window-pair crosses a dedup threshold; exact
+    * matching says "clean", pair-level LSH says "no pair", this says
+    * "0.8"). Complements [[crossSplitLeakage]] (exact) and
+    * [[crossCorpusNearDups]] (pairwise) with the coverage view.
+    *
+    * Both sides reduce to distinct window HASHES before the join — the
+    * shuffle carries 8-byte keys, never window text, and the reference
+    * side deduplicates corpus-wide first (boilerplate-heavy training
+    * sets collapse by orders of magnitude). One equi-join on a uniform
+    * hash key + one per-doc partial agg; window generation is linear
+    * per doc ([[duplicateWindows]]'s transform/slice shape, no
+    * self-join). Probe docs shorter than `n` tokens report null
+    * `overlap_pct` (they have no windows to cover — 0.0 would
+    * misreport them as verified-clean). */
+  def ngramOverlap(reference: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    require(n > 0, s"window size must be positive, got $n")
+    def windows(df: DataFrame): DataFrame = {
+      val toks = filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)
+      df.select(col(idCol).as("__doc"), toks.as("__t"))
+        .filter(size(col("__t")) >= n)
+        .select(col("__doc"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("__t")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))))
+          .as("__wh"))
+    }
+    val ref = windows(reference).select(col("__wh")).distinct()
+    val hits = windows(probe)
+      .join(ref.withColumn("__hit", lit(1L)), Seq("__wh"), "left")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlapping"))
+    probe.select(col(idCol))
+      .join(hits, col(idCol) === col("__doc"), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_overlapping"), lit(0L)).as("n_overlapping"),
+        (col("n_overlapping").cast("double") / col("n_windows"))
+          .as("overlap_pct"))
+  }
+
   /** Cross-split contamination (train/test leakage by exact content):
     * rows of the `probe` split whose text hash also appears in the
     * `reference` split. The decontamination primitive every eval

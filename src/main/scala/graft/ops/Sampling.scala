@@ -146,6 +146,43 @@ object Sampling {
       .drop("__sk")
   }
 
+  /** Deterministic sharded training-data export: every row is assigned
+    * a shard by a seed-keyed md5 of its id and written under
+    * `data/__shard=<i>/`, plus a `manifest/` table of per-shard row
+    * counts and id checksums — the artifact a downstream loader uses to
+    * verify it received every shard intact (count alone misses a
+    * swapped row; the order-independent id checksum does not).
+    *
+    * Everything is a pure function of (seed, id): re-exporting the same
+    * corpus reproduces byte-identical shard membership on any cluster
+    * layout, and the manifest is engine-portable (md5, not xxhash64) so
+    * an external system can recompute it. One shuffle (the shard
+    * repartition that also becomes the write layout); the manifest
+    * groupBy reuses the same key. Rows within a shard file are ordered
+    * by id — deterministic file content, and the natural layout for a
+    * loader that wants its own [[deterministicShuffle]] downstream. */
+  def exportShards(df: DataFrame, idCol: String, path: String,
+      nShards: Int, seed: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = conv(substring(
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val withShard = df.withColumn("__shard",
+      pmod(key, lit(nShards.toLong)).cast("int"))
+    withShard
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("__shard")
+      .parquet(s"$path/data")
+    val idsum = conv(substring(
+      md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val manifest = withShard
+      .groupBy(col("__shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(idsum).as("id_checksum"))
+    manifest.write.mode("overwrite").parquet(s"$path/manifest")
+    manifest
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
     * each row draws a uniform u and keeps key = u^(1/w); the n largest
     * keys are exactly a weighted sample without replacement. Rows with

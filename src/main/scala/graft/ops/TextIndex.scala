@@ -106,4 +106,60 @@ object TextIndex {
       .limit(k)
       .select(col("doc_id"), col("doc_len"), col("bm25"))
   }
+
+  /** Batched BM25: per-query top-k for a whole DataFrame of query
+    * strings in ONE plan — the search-join shape a retrieval service
+    * runs, instead of one [[bm25TopK]] plan per query.
+    *
+    * The batch's distinct terms (a query workload's vocabulary slice —
+    * driver-sized by nature) are collected once to compute the static
+    * `__tb IN (…)` partition filter; above `maxPrunedTerms` the bucket
+    * pruning is skipped (the IN-list itself would bloat the plan) and
+    * only the token semi-join filters the scan — correct either way,
+    * pruned when it matters. Matched postings broadcast-join the
+    * exploded query terms, scores aggregate per (query, doc) — rows =
+    * Σ df(term) over the batch, not corpus size — and the per-query
+    * top-k is a rank window PARTITIONED by query (never a global
+    * sort). */
+  def bm25BatchTopK(spark: SparkSession, path: String, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64,
+      maxPrunedTerms: Int = 10000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val (n, avglen) = loadStats(spark, path)
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+    val terms = qterms.select(col("token")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val base = spark.read.parquet(s"$path/postings")
+    val pruned =
+      if (terms.isEmpty) base.limit(0)
+      else if (terms.length <= maxPrunedTerms) {
+        // buckets computed through Spark's own xxhash64 (one local job),
+        // same as bm25TopK — build and query can never bucket differently
+        import spark.implicits._
+        val bs = terms.toDF("token")
+          .select(bucketOf(col("token"), nBuckets).as("b"))
+          .collect().map(_.getInt(0)).distinct.toSeq
+        base.filter(col("__tb").isin(bs: _*))
+          .filter(col("token").isin(terms: _*))
+      } else base
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5)
+      / (col("df") + 0.5))
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("doc_len") / avglen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    pruned
+      .join(broadcast(qterms), Seq("token"))
+      .withColumn("__s", idf * tf * (k1 + 1) / (tf + norm))
+      .groupBy(col("query_id"), col("doc_id"), col("doc_len"))
+      .agg(sum(col("__s")).as("bm25"))
+      .filter(col("bm25") > 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("doc_len"), col("bm25"))
+  }
 }

@@ -695,6 +695,50 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_out") == 2L)
   }
 
+  test("ngram overlap: full copy 1.0, disjoint 0.0, short probe null") {
+    val ref = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "one two three four five six seven eight nine ten"),
+      (12L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramOverlap(ref, probe, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"),
+          Option(r.getAs[java.lang.Double]("overlap_pct"))))).toMap
+    assert(out(10L) == ((3L, Some(1.0))))
+    assert(out(11L) == ((3L, Some(0.0))))
+    assert(out(12L)._1 == 0L)
+    assert(out(12L)._2.isEmpty,
+      "a probe with no windows must report null, not verified-clean 0.0")
+  }
+
+  test("export shards: manifest conserves rows and is layout-stable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = (1L to 500L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val m1 = Sampling.exportShards(df, "doc_id", tmp, nShards = 4, seed = "s")
+      .orderBy("shard").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("id_checksum")))
+    assert(m1.map(_._2).sum == 500L, "manifest must conserve rows")
+    assert(m1.map(_._1).toSeq == (0L until 4L))
+    val m2 = Sampling.exportShards(df.repartition(13), "doc_id",
+        tmp + "2", nShards = 4, seed = "s")
+      .orderBy("shard").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("id_checksum")))
+    assert(m1.toSeq == m2.toSeq, "shard assignment must not depend on layout")
+    // the written data must agree with its own manifest
+    val back = spark.read.parquet(s"$tmp/data")
+      .groupBy(col("__shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n")).toMap
+    m1.foreach { case (s, n, _) => assert(back(s) == n,
+      s"shard $s: manifest says $n, data has ${back(s)}") }
+  }
+
   test("sequence index is partition-layout invariant") {
     val df = (1L to 100L).map(i => (i, 37L)).toDF("doc_id", "nt")
     val a = Sampling.sequenceIndex(df, "doc_id", "nt", 128)

@@ -55,6 +55,34 @@ class TextIndexSpec extends AnyFunSuite {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("batched bm25 agrees with the single-query scorer per query") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tix5").toString
+    TextIndex.build(docs, "doc_id", "text", tmp, nBuckets = 32)
+    val qs = Seq((1L, "spark"), (2L, "vector customer")).toDF("qid", "qtext")
+    val batch = TextIndex.bm25BatchTopK(spark, tmp, qs, "qid", "qtext",
+        k = 5, nBuckets = 32)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+    val single1 = TextIndex.bm25TopK(spark, tmp, Seq("spark"), 5,
+        nBuckets = 32)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val single2 = TextIndex.bm25TopK(spark, tmp, Seq("vector", "customer"),
+        5, nBuckets = 32)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(batch.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq == single1)
+    assert(batch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq == single2)
+  }
+
+  test("batched bm25 with no usable query terms returns empty") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tix6").toString
+    TextIndex.build(docs.limit(50), "doc_id", "text", tmp, nBuckets = 8)
+    val qs = Seq((1L, "  ")).toDF("qid", "qtext")
+    assert(TextIndex.bm25BatchTopK(spark, tmp, qs, "qid", "qtext", k = 3,
+      nBuckets = 8).count() == 0)
+  }
+
   test("df/doc_len denormalized on postings agree with direct computation") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_tix3").toString
