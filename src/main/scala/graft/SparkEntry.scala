@@ -1954,6 +1954,34 @@ object SparkEntry {
         .orderBy("probe_id", "corpus_id"), "corpus_id", "probe_id")
     }),
 
+    // leakage-safe split: exact-dup groups co-assigned to one split
+    // (per-doc hashing would strand copies across train/test); the
+    // spanning-group count is computed from the assignment itself and
+    // must be zero, and the oracle replays group ids + md5 assignment
+    "q_leakage_split" -> ((s, d) => {
+      val a = Sampling.leakageSafeSplit(docs(s, d), "doc_id", "text",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      val spanning = a.groupBy(col("group_id"))
+        .agg(countDistinct(col("split")).as("__ns"))
+        .agg(sum(when(col("__ns") > 1, 1L).otherwise(0L))
+          .as("n_spanning_groups"))
+      a.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_id")).as("n_groups"))
+        .crossJoin(broadcast(spanning))
+        .orderBy("split")
+    }),
+
+    // token-budget mixture: per-language sampling until a character
+    // budget is met (mix recipes are written in tokens per source, not
+    // doc counts); unbudgeted strata drop, the last doc overshoots
+    "q_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(docs(s, d), "lang", "doc_id", "n_chars",
+          Seq("en" -> 20000L, "de" -> 8000L))
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          col("stratum_tokens"))
+        .orderBy("lang", "stratum_tokens")),
+
     // graded contamination: per probe doc, the fraction of its 8-token
     // windows that occur anywhere in the training corpus — planted
     // full copy (1.0), half copy (~0.5), and clean synthetic (0.0)
@@ -4170,6 +4198,41 @@ object SparkEntry {
         |      AS score
         |  FROM d CROSS JOIN s)
         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_leakage_split" ->
+      """WITH g AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS group_id
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, group_id,
+        |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |    ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000 AS b FROM g)),
+        |sp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_spanning_groups FROM (
+        |    SELECT group_id FROM a GROUP BY group_id
+        |    HAVING count(DISTINCT split) > 1))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+        |  (SELECT n_spanning_groups FROM sp) AS n_spanning_groups
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CASE WHEN lang = 'en' THEN 20000
+        |         WHEN lang = 'de' THEN 8000 END AS budget,
+        |    sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+        |               doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents
+        |  WHERE lang IN ('en', 'de'))
+        |SELECT lang, doc_id, n_chars, CAST(cum AS BIGINT) AS stratum_tokens
+        |FROM b WHERE cum - n_chars < budget
+        |ORDER BY lang, stratum_tokens""".stripMargin,
 
     "q_ngram_overlap" ->
       ("""WITH reft AS (

@@ -146,6 +146,61 @@ object Sampling {
       .drop("__sk")
   }
 
+  /** Leakage-safe split: like [[split]], but all copies of the same
+    * text are co-assigned to one split. A per-document hash split puts
+    * two copies of a duplicated document in train AND test with high
+    * probability (the classic eval-inflation bug); here the split key
+    * is the duplicate GROUP's id (min doc id over identical text), so
+    * a group lands wholly in one split. Output adds `group_id`.
+    *
+    * One shuffle keyed on xxhash64(text) (8-byte key, not document
+    * bytes) to label groups via a window min; the split itself stays a
+    * pure function of md5(group_id) — engine-portable, and stable
+    * under weight changes like [[split]]. For NEAR-duplicate safety,
+    * feed [[Dedup.duplicateClusters]] labels in as the id column of a
+    * plain [[split]] instead — same co-assignment mechanics, cluster-
+    * grade grouping. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val grp = Window.partitionBy(col("__gh"))
+    val g = df.withColumn("__gh", xxhash64(col(textCol)))
+      .withColumn("group_id", min(col(idCol)).over(grp))
+      .drop("__gh")
+    split(g, "group_id", weights)
+  }
+
+  /** Token-budget mixture sampling: per stratum, keep a deterministic
+    * uniform sample of documents until the stratum's TOKEN budget is
+    * reached — the data-mixing dial when recipes are written in tokens
+    * per source ("50B web, 10B code, 5B books"), not document counts
+    * ([[mixtureSample]]'s unit). Documents are ranked inside each
+    * stratum by (md5, id) — an unbiased draw, reproducible anywhere —
+    * and kept while the tokens BEFORE them are under budget, so the
+    * budget is always reached (one overshoot doc) rather than
+    * undershot. Strata without a budget are dropped.
+    *
+    * One shuffle on the stratum key; the per-stratum running sum is a
+    * window per stratum (hot strata: one sorted spill-safe reducer —
+    * same contract as [[stratifiedTopN]], same `hashBucket` pre-filter
+    * escape hatch). */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: String, budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample needs at least one budget")
+    val key = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key, col(idCol))
+    val budget = budgets.tail.foldLeft(
+        when(col(stratumCol) === budgets.head._1, budgets.head._2)) {
+      case (acc, (s, b)) => acc.when(col(stratumCol) === s, b)
+    }
+    df.withColumn("__budget", budget)
+      .filter(col("__budget").isNotNull)
+      .withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("__cum") - col(tokensCol) < col("__budget"))
+      .withColumn("stratum_tokens", col("__cum"))
+      .drop("__budget", "__cum")
+  }
+
   /** Deterministic sharded training-data export: every row is assigned
     * a shard by a seed-keyed md5 of its id and written under
     * `data/__shard=<i>/`, plus a `manifest/` table of per-shard row

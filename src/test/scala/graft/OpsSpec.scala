@@ -695,6 +695,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_out") == 2L)
   }
 
+  test("leakage-safe split co-assigns every copy of a duplicated text") {
+    // ids chosen so a per-ID split would scatter the copies
+    val df = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "the one duplicated document text" else s"unique $i"))
+      .toDF("doc_id", "text")
+    val a = Sampling.leakageSafeSplit(df, "doc_id", "text",
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    val dupSplits = a.filter(col("text") === "the one duplicated document text")
+      .select("split", "group_id").distinct().collect()
+    assert(dupSplits.length == 1, "all copies must land in ONE split")
+    assert(dupSplits(0).getAs[Long]("group_id") == 3L,
+      "group id is the minimum member id")
+    // sanity: the naive per-doc split WOULD scatter them
+    val naive = Sampling.split(df, "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .filter(col("text") === "the one duplicated document text")
+      .select("split").distinct().count()
+    assert(naive > 1, "test premise: per-doc hashing scatters the copies")
+  }
+
+  test("token-budget sample reaches each budget minimally, drops unbudgeted") {
+    val df = (1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", 50L)).toDF("doc_id", "lang", "nt")
+    val out = Sampling.tokenBudgetSample(df, "lang", "doc_id", "nt",
+      Seq("a" -> 1000L)).collect()
+    assert(out.forall(_.getAs[String]("lang") == "a"), "stratum b not budgeted")
+    assert(out.length == 20, "20 x 50 tokens reaches exactly 1000")
+    val total = out.map(_.getAs[Long]("nt")).sum
+    assert(total >= 1000L && total - 50L < 1000L,
+      "budget reached, minus the last doc it is not")
+    // layout invariance
+    val relaid = Sampling.tokenBudgetSample(df.repartition(7), "lang",
+        "doc_id", "nt", Seq("a" -> 1000L))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(relaid == out.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("ngram overlap: full copy 1.0, disjoint 0.0, short probe null") {
     val ref = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
