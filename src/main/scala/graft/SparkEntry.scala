@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, TextIndex}
+import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, KeyProfile, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, TextIndex}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2062,6 +2062,64 @@ object SparkEntry {
         .withColumn("est_jaccard", round(col("est_jaccard"), 6))
         .orderBy("batch_id", "corpus_id")
     }),
+
+    // dedupe-and-append ingest loop over the persisted LSH index: two
+    // planted corpus near-dups drop as corpus_dup, the in-batch twin
+    // drops as batch_dup against its smaller-id sibling, the two fresh
+    // docs append — and a follow-up probe proves the appended doc is
+    // immediately findable through the updated index
+    "q_dedup_ingest" -> ((s, d) => {
+      import s.implicits._
+      val path = s"/tmp/graft_dedup_ingest_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      DedupIndex.build(docs(s, d).filter(col("doc_id") < 800),
+        "doc_id", "text", path)
+      val syn = (1 to 60).map(i => s"synthtok$i").mkString(" ")
+      val synVar = ((1 to 30).map(i => s"synthtok$i") ++
+        Seq("variantglyph") ++ (32 to 60).map(i => s"synthtok$i"))
+        .mkString(" ")
+      val fresh = (1 to 60).map(i => s"freshglyph$i").mkString(" ")
+      val batch = docs(s, d).filter(col("doc_id") < 2)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" trailing ingest token")).as("text"))
+        .unionByName(Seq((20002L, syn), (20003L, synVar), (20004L, fresh))
+          .toDF("doc_id", "text"))
+      val st = DedupIndex.ingest(s, path, batch, "doc_id", "text")
+      val probe = Seq((30000L, syn + " probe tail glyph"))
+        .toDF("doc_id", "text")
+      val found = DedupIndex.query(s, path, probe, "doc_id", "text")
+        .select(col("batch_id"), lit("probe_match").as("status"),
+          col("corpus_id").as("ref_id"), col("est_jaccard"))
+      st.unionByName(found)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .orderBy("batch_id", "status", "ref_id")
+    }),
+
+    // SemDeDup-style semantic pruning: k-means cells (the IVF trainer)
+    // scope the pairwise check; 20 planted twins must drop against
+    // their smaller-id bases while every base stays kept
+    "q_semdedup" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val twins = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      Similarity.semDedup(aug, "vec_id", "embedding",
+          threshold = 0.9, nCells = 8)
+        .filter(col("id") < 20 || col("id") >= 100000)
+        .select(col("id"), col("cell_capped"), col("kept"), col("dup_of"))
+        .orderBy("id")
+    }),
+
+    // key-distribution skew profiler: the pre-shuffle diagnostic for
+    // picking salting/broadcast strategy — per column one histogram
+    // shuffle yields counts, hottest key + share, skew ratio vs the
+    // mean key, and distribution entropy
+    "q_key_profile" -> ((s, d) =>
+      KeyProfile.keyProfile(s.read.parquet(s"$d/orders.parquet"),
+        Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+        .orderBy("column")),
 
     // stupid-backoff bigram LM quality score: model trained on the 80%
     // hash-stable slice, scored docs include planted gibberish (reversed
@@ -4369,6 +4427,80 @@ object SparkEntry {
         |(10008, 245, 0.953125),
         |(10009, 9, 0.921875)) AS t(batch_id, corpus_id, est_jaccard)
         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // same formula as KeyProfile: H = log2(n) − Σ c·log2(c) / n, top key
+    // ties to the largest key string (max over a (count, key) struct on
+    // the Spark side, DESC/DESC row_number here)
+    "q_key_profile" ->
+      """WITH prof AS (
+        |  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS key FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders),
+        |c AS (SELECT col_name, key, count(*) AS cnt FROM prof GROUP BY 1, 2),
+        |a AS (SELECT col_name, sum(cnt) AS n_rows, count(*) AS n_distinct,
+        |        sum(cnt * log2(cnt)) AS slc
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT col_name, key AS top_key, cnt AS top_count FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY col_name
+        |          ORDER BY cnt DESC, key DESC) AS rn FROM c)
+        |      WHERE rn = 1)
+        |SELECT a.col_name AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, top_key,
+        |  CAST(top_count AS BIGINT) AS top_count,
+        |  round(top_count / n_rows, 6) AS top_share,
+        |  round(top_count / (n_rows / n_distinct), 6) AS skew_ratio,
+        |  round(log2(n_rows) - slc / n_rows, 6) AS entropy_bits
+        |FROM a JOIN t USING (col_name) ORDER BY "column"""".stripMargin,
+
+    // deterministic ingest verdicts (md5-seeded minhash + greedy drop
+    // policy), golden-pinned: corpus near-dups drop with their source's
+    // id+estimate, the in-batch twin drops against its sibling, and the
+    // post-append probe must find the appended doc — a regression in
+    // the receipt barrier flips 20003 to corpus_dup and fails the hash
+    "q_dedup_ingest" ->
+      """SELECT CAST(batch_id AS BIGINT) AS batch_id, status,
+        |  CAST(ref_id AS BIGINT) AS ref_id,
+        |  CAST(est_jaccard AS DOUBLE) AS est_jaccard FROM (VALUES
+        |(20000, 'corpus_dup', 0, 0.921875),
+        |(20001, 'corpus_dup', 1, 0.953125),
+        |(20002, 'appended', NULL, NULL),
+        |(20003, 'batch_dup', 20002, 0.90625),
+        |(20004, 'appended', NULL, NULL),
+        |(30000, 'probe_match', 20002, 0.921875)
+        |) AS t(batch_id, status, ref_id, est_jaccard)
+        |ORDER BY batch_id, status, ref_id""".stripMargin,
+
+    // deterministic SemDeDup verdicts (hash-seeded centroids), golden-
+    // pinned: every base keeps, 19/20 twins drop against exactly their
+    // base; twin 100002 straddles a cell boundary away from doc 2 and
+    // survives — the documented recall loss of cell-scoped pairing
+    "q_semdedup" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(cell_capped AS BOOLEAN) AS cell_capped,
+        |  CAST(kept AS BOOLEAN) AS kept, CAST(dup_of AS BIGINT) AS dup_of
+        |FROM (VALUES
+        |(0, false, true, NULL), (1, false, true, NULL),
+        |(2, false, true, NULL), (3, false, true, NULL),
+        |(4, false, true, NULL), (5, false, true, NULL),
+        |(6, false, true, NULL), (7, false, true, NULL),
+        |(8, false, true, NULL), (9, false, true, NULL),
+        |(10, false, true, NULL), (11, false, true, NULL),
+        |(12, false, true, NULL), (13, false, true, NULL),
+        |(14, false, true, NULL), (15, false, true, NULL),
+        |(16, false, true, NULL), (17, false, true, NULL),
+        |(18, false, true, NULL), (19, false, true, NULL),
+        |(100000, false, false, 0), (100001, false, false, 1),
+        |(100002, false, true, NULL), (100003, false, false, 3),
+        |(100004, false, false, 4), (100005, false, false, 5),
+        |(100006, false, false, 6), (100007, false, false, 7),
+        |(100008, false, false, 8), (100009, false, false, 9),
+        |(100010, false, false, 10), (100011, false, false, 11),
+        |(100012, false, false, 12), (100013, false, false, 13),
+        |(100014, false, false, 14), (100015, false, false, 15),
+        |(100016, false, false, 16), (100017, false, false, 17),
+        |(100018, false, false, 18), (100019, false, false, 19)
+        |) AS t(id, cell_capped, kept, dup_of)
+        |ORDER BY id""".stripMargin,
 
     // identical formula to q_bm25 — the index route must reproduce the
     // full-scan scorer exactly (score association differs by ~1e-15,

@@ -112,6 +112,15 @@ object DedupIndex {
         bands)
       .select(col("id").as("batch_id"), col("band"), col("bucket"),
         partBucket(nBuckets), col("sig").as("__bsig"))
+    matchProbes(spark, path, probes, numHashes, threshold)
+  }
+
+  /** [[query]] body for an already-keyed probe frame
+    * (batch_id, band, bucket, __pb, __bsig) — lets [[ingest]] reuse the
+    * batch's one signature pass for both the corpus match and the
+    * in-batch self match. */
+  private def matchProbes(spark: SparkSession, path: String,
+      probes: DataFrame, numHashes: Int, threshold: Double): DataFrame = {
     // a corpus whose every bucket crossed the build cap writes an empty
     // dataset (no parquet footers to infer from) — that index matches
     // nothing, which is exactly what an empty result says
@@ -128,11 +137,103 @@ object DedupIndex {
       // a pair colliding in several bands is one candidate; signatures
       // are identical across its copies so any row represents the pair
       .dropDuplicates("batch_id", "corpus_id")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("__bsig"), col("__csig"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .withColumn("est_jaccard", sigAgreement(numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard"))
+  }
+
+  /** Signature-agreement Jaccard estimate over `__bsig`/`__csig`. */
+  private def sigAgreement(numHashes: Int) =
+    aggregate(zip_with(col("__bsig"), col("__csig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / numHashes
+
+  /** Dedupe-and-append: the production ingest loop for a continuously
+    * crawled corpus. Each arriving slice is (1) matched against the
+    * indexed corpus ([[query]] — partition-pruned, I/O ∝ batch), (2)
+    * deduplicated within itself (band-bucket self-join on the batch's
+    * own keys — the batch is an ingest slice, small by contract), and
+    * (3) the survivors' band keys are APPENDED to the index so the next
+    * slice sees them — no full-corpus rebuild per slice.
+    *
+    * Drop policy, deterministic and greedy: a batch doc is
+    * `corpus_dup` when any indexed doc matches at ≥ `threshold`
+    * (`ref_id` = the smallest such corpus id), else `batch_dup` when a
+    * smaller-id batch doc matches it (`ref_id` = the smallest such id;
+    * chains drop every non-minimum like [[Similarity.semDedup]] — b and
+    * c both drop for a–b–c even when a,c don't match), else `appended`.
+    *
+    * Append caveats, by design: batch ids must be fresh (re-ingesting
+    * an already-appended slice sees its own ids as corpus rows — the
+    * self-id guard in [[query]] masks the match and the keys append
+    * twice); and the build-time `maxBucketSize` cap is NOT re-applied
+    * across appends (a global recount would be the full-corpus pass
+    * this operator exists to avoid) — buckets can drift over the cap
+    * until the periodic [[build]] rebuild, which re-caps and re-records
+    * the drop count. Returns one row per batch doc:
+    * (batch_id, status, ref_id, est_jaccard), read back from the
+    * `last_ingest/` receipt the verdicts are durably written to before
+    * the index mutates (see the barrier note in the body). */
+  def ingest(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val (shingleSize, numHashes, bands, nBuckets, _) = loadMeta(spark, path)
+    val bkeys = sigKeys(batch, idCol, textCol, shingleSize, numHashes,
+        bands)
+      .select(col("id"), col("band"), col("bucket"), col("sig"),
+        partBucket(nBuckets))
+      .persist() // feeds corpus match, self match, and the append write
+    val corpusDup = matchProbes(spark, path,
+        bkeys.select(col("id").as("batch_id"), col("band"), col("bucket"),
+          col("__pb"), col("sig").as("__bsig")),
+        numHashes, threshold)
+      .groupBy(col("batch_id").as("id"))
+      // ref and estimate stay one pair: the smallest matching corpus id
+      // with ITS estimate (min over a (id, est) struct)
+      .agg(min(struct(col("corpus_id"), col("est_jaccard"))).as("__c"))
+      .select(col("id"), col("__c.corpus_id").as("__cref"),
+        col("__c.est_jaccard").as("__cest"))
+    val selfDup = bkeys.select(col("id").as("id_a"), col("band"),
+        col("bucket"), col("sig").as("__bsig"))
+      .join(bkeys.select(col("id").as("id_b"), col("band"), col("bucket"),
+        col("sig").as("__csig")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("__est", sigAgreement(numHashes))
+      .filter(col("__est") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(struct(col("id_a"), col("__est"))).as("__b"))
+      .select(col("id"), col("__b.id_a").as("__bref"),
+        col("__b.__est").as("__best"))
+    val status = batch.select(col(idCol).as("id"))
+      .join(corpusDup, Seq("id"), "left")
+      .join(selfDup, Seq("id"), "left")
+      .select(col("id").as("batch_id"),
+        when(col("__cref").isNotNull, lit("corpus_dup"))
+          .when(col("__bref").isNotNull, lit("batch_dup"))
+          .otherwise(lit("appended")).as("status"),
+        coalesce(col("__cref"), col("__bref")).as("ref_id"),
+        coalesce(col("__cest"), col("__best")).as("est_jaccard"))
+    // Read-modify-write barrier: the verdicts are WRITTEN (an ingest
+    // receipt under the index) before the index they were computed
+    // against mutates. A persist+count barrier is NOT enough — the
+    // append's refreshByPath invalidates any cache whose lineage reads
+    // `keys/`, and the recompute would see the post-append index (a
+    // batch_dup would silently re-report as corpus_dup of its own
+    // sibling). The receipt is batch-sized I/O and doubles as the
+    // ingest audit trail (`last_ingest/` always holds the most recent
+    // slice's verdicts).
+    val receiptPath = s"$path/last_ingest"
+    status.write.mode("overwrite").parquet(receiptPath)
+    val receipt = spark.read.parquet(receiptPath)
+    bkeys.join(receipt.filter(col("status") === "appended")
+        .select(col("batch_id").as("id")), Seq("id"))
+      .select(col("id"), col("band"), col("bucket"), col("sig"),
+        col("__pb"))
+      .repartition(col("__pb"))
+      .write.mode("append").partitionBy("__pb")
+      .parquet(s"$path/keys")
+    bkeys.unpersist()
+    spark.read.parquet(receiptPath)
   }
 }

@@ -263,8 +263,11 @@ object Similarity {
       sum(col("__x") * element_at(typedlit(c), col("__p") + 1)).as(s"__dot$i")
     }
     val agg = pos.groupBy(idName).agg(dots.head, dots.tail: _*)
-    agg.select(col(idName),
-      least(cellDists(cents): _*).getField("cell").as("__cell"))
+    // least() requires two arguments — a degenerate single-cell
+    // clustering assigns everything to cell 0 directly
+    val cell = if (cents.size == 1) lit(0)
+      else least(cellDists(cents): _*).getField("cell")
+    agg.select(col(idName), cell.as("__cell"))
   }
 
   /** (query_id, __cell) rows: each query's `nprobe` nearest cells via a
@@ -372,16 +375,24 @@ object Similarity {
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Verify via explode → equi-join → aggregate (the same shape as
-    // minHashLSH's Jaccard verify), NOT a literal-expanded dot over two
-    // attached array columns: with arrays on both join sides Catalyst
-    // pushes `cosine >= t` INTO the join as a non-equi condition, the
-    // 128-term expression blows the join out of whole-stage codegen, and
-    // every candidate pays interpreted evaluation (measured 45 s of a
-    // 55 s sf1 run; this shape runs the whole verify in ~4 s). Everything
-    // below is equi-joins + one partial-aggregated sum — codegen end to
-    // end, shuffle keys are (id, dim-position), no array ever rides a
-    // join condition.
+    cosineVerify(df, idCol, vecCol, cand)
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact cosine for a narrow (id_a, id_b) candidate frame, via
+    * explode → equi-join → aggregate (the same shape as minHashLSH's
+    * Jaccard verify), NOT a literal-expanded dot over two attached array
+    * columns: with arrays on both join sides Catalyst pushes a
+    * `cosine >= t` caller filter INTO the join as a non-equi condition,
+    * the 128-term expression blows the join out of whole-stage codegen,
+    * and every candidate pays interpreted evaluation (measured 45 s of a
+    * 55 s sf1 run; this shape runs the whole verify in ~4 s). Everything
+    * here is equi-joins + one partial-aggregated sum — codegen end to
+    * end, shuffle keys are (id, dim-position), no array ever rides a
+    * join condition. Returns (id_a, id_b, cosine), unfiltered. */
+  private[ops] def cosineVerify(df: DataFrame, idCol: String,
+      vecCol: String, cand: DataFrame): DataFrame = {
     val vrows = df.select(col(idCol).as("__vid"),
       posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
     val norms = vrows.groupBy("__vid")
@@ -399,7 +410,62 @@ object Similarity {
       .join(norms.select(col("__vid").as("id_b"), col("__n").as("__nb")),
         Seq("id_b"))
       .withColumn("cosine", col("__dot") / (col("__na") * col("__nb")))
-      .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embeddings into `nCells` k-means cells
+    * (the SAME deterministic trainer IVF uses — one clustering can serve
+    * both ANN and dedup), generate candidate pairs ONLY within a cell,
+    * verify exact cosine, and drop every doc that has a smaller-id
+    * in-cell neighbor with cosine ≥ `threshold` (the deterministic
+    * greedy "keep the first representative" policy; a chain a–b–c drops
+    * both b and c even when cos(a,c) < t, which is the paper's
+    * one-per-epsilon-cluster behavior under min-id representatives).
+    *
+    * Complements [[cosineNearDupPairs]] (banded LSH): LSH candidates are
+    * data-oblivious hyperplane buckets tuned to a HIGH threshold;
+    * k-means cells adapt to the corpus's own cluster structure, which is
+    * what semantic (topic-level, t ≈ 0.7) dedup needs. Within-cell
+    * pairing is O(cell²) BY CONTRACT — at 100 TB you raise `nCells` so
+    * mean cell size stays bounded (the paper runs 50k clusters for
+    * LAION), train on a hash-sample (`trainSampleMod`), and the cap
+    * below guards the degenerate tail.
+    *
+    * Cells larger than `maxCellSize` skip pair generation; their rows
+    * return `cell_capped = true` and `kept = true` (no silent caps — the
+    * cap is visible per row, and exact copies inside a capped cell are
+    * still [[Dedup.exactDuplicates]]'s job).
+    *
+    * Returns one row per input doc:
+    * (id, cell, cell_capped, kept, dup_of) — `dup_of` is the smallest
+    * in-cell neighbor above threshold (null when kept). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.7, nCells: Int = 16, iters: Int = 3,
+      dim: Int = 64, trainSampleMod: Int = 1,
+      maxCellSize: Int = 10000): DataFrame = {
+    val cents = trainCentroids(df, idCol, vecCol, nCells, iters, dim,
+      trainSampleMod)
+    val cells = assignCells(
+      df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v")),
+      "__id", cents, dim)
+    // cell-size audit rides a window over the cells frame's own exchange
+    val w = Window.partitionBy(col("__cell"))
+    val sized = cells.withColumn("__cc", count(lit(1)).over(w))
+    val inPlay = sized.filter(col("__cc") <= maxCellSize)
+    val cand = inPlay.select(col("__id").as("id_a"), col("__cell"))
+      .join(inPlay.select(col("__id").as("id_b"), col("__cell")),
+        Seq("__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val dropped = cosineVerify(df, idCol, vecCol, cand)
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    sized.select(col("__id").as("id"), col("__cell").as("cell"),
+        (col("__cc") > maxCellSize).as("cell_capped"))
+      .join(dropped, Seq("id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+      .select("id", "cell", "cell_capped", "kept", "dup_of")
   }
 }

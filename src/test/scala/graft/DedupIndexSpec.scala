@@ -104,4 +104,41 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(selfPairs.subsetOf(viaIndex), s"index missed ${selfPairs -- viaIndex}")
     assert(selfPairs.subsetOf(live), s"live pass missed ${selfPairs -- live}")
   }
+
+  test("ingest drops corpus/batch dups, appends survivors, next slice sees them") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dix6").toString
+    DedupIndex.build(docs.filter(col("doc_id") < 400), "doc_id", "text", tmp)
+    val syn = (1 to 60).map(i => s"ingesttok$i").mkString(" ")
+    val synVar = ((1 to 30).map(i => s"ingesttok$i") ++ Seq("oddglyph") ++
+      (32 to 60).map(i => s"ingesttok$i")).mkString(" ")
+    val fresh = (1 to 60).map(i => s"lonetok$i").mkString(" ")
+    val batch = docs.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+      .unionByName(Seq((20002L, syn), (20003L, synVar), (20004L, fresh))
+        .toDF("doc_id", "text"))
+    val st = DedupIndex.ingest(spark, tmp, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[String]("status"), Option(r.getAs[Any]("ref_id"))))
+      .toMap
+    assert(st(20000L)._1 == "corpus_dup" && st(20000L)._2.contains(0L))
+    assert(st(20001L)._1 == "corpus_dup" && st(20001L)._2.contains(1L))
+    assert(st(20002L)._1 == "appended" && st(20002L)._2.isEmpty)
+    assert(st(20003L)._1 == "batch_dup" && st(20003L)._2.contains(20002L))
+    assert(st(20004L)._1 == "appended")
+    // the appended survivor is immediately visible; the dropped batch
+    // twin's keys were NOT appended, so a probe matches only 20002
+    val probe = Seq((30000L, syn + " probe tail")).toDF("doc_id", "text")
+    val found = DedupIndex.query(spark, tmp, probe, "doc_id", "text")
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(found == Set(20002L), s"probe saw $found")
+    // the next slice's ingest treats the appended doc as corpus
+    val st2 = DedupIndex.ingest(spark, tmp,
+        Seq((40000L, syn + " second slice")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+    assert(st2.length == 1 && st2(0).getAs[String]("status") == "corpus_dup"
+      && st2(0).getAs[Long]("ref_id") == 20002L)
+  }
 }
