@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, KeyProfile, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis, TextIndex}
+import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, IvfIndex, KeyProfile, Multimodal, Sampling, Sessionize, Similarity, Skew, TextAnalysis, TextIndex}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2120,6 +2120,72 @@ object SparkEntry {
       KeyProfile.keyProfile(s.read.parquet(s"$d/orders.parquet"),
         Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
         .orderBy("column")),
+
+    // explicit hot-key salted join: hot custkeys (> 15 orders) take the
+    // (key, salt) path, cold keys join plainly — the union must be
+    // row-identical to the plain join the oracle runs
+    "q_skew_join" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      asLong(Skew.skewAwareJoin(o, c, "o_custkey",
+          hotThreshold = 15, salts = 4)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy("c_mktsegment"), "n_orders")
+    }),
+
+    // IVF index ingest: append planted twins to the persisted cell
+    // layout WITHOUT retraining; each query must retrieve its appended
+    // twin through the shared partition-pruned probe path
+    "q_ann_ivf_append" -> ((s, d) => {
+      val path = s"/tmp/graft_ivf_append_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      IvfIndex.build(emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", path, nCells = 16)
+      val twins = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      IvfIndex.append(twins, "vec_id", "embedding", path)
+      val queries = emb.filter(col("vec_id") < 5)
+      val ivf = IvfIndex.topK(s, path, queries, "vec_id", "embedding",
+        "vec_id", k = 5, nprobe = 4)
+      asLong(queries.select(col("vec_id").as("query_id"))
+        .join(ivf.filter(col("neighbor_id") === col("query_id") + 100000)
+          .select(col("query_id"), lit(true).as("twin_found")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("twin_found"), lit(false)).as("twin_found"))
+        .orderBy("query_id"), "query_id")
+    }),
+
+    // contrastive hard negatives: top-k similar-but-below-the-dup-gate
+    // neighbors; the planted twins (cosine ≈ 0.97) must be EXCLUDED,
+    // the oracle replays the gate + ranking exactly
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val twins = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      asLong(Similarity.hardNegatives(aug, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", k = 5, dupThreshold = 0.9)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "rank"), "rank")
+    }),
+
+    // curriculum ordering: equal-count difficulty bins over n_chars,
+    // md5-shuffled within bin, global feed position — the oracle
+    // replays rank, cut formula, and shuffle key
+    "q_curriculum" -> ((s, d) =>
+      Sampling.curriculum(docs(s, d), "doc_id", "n_chars",
+          nBuckets = 4, seed = "r9")
+        .orderBy("position")),
 
     // stupid-backoff bigram LM quality score: model trained on the 80%
     // hash-stable slice, scored docs include planted gibberish (reversed
@@ -4501,6 +4567,62 @@ object SparkEntry {
         |(100018, false, false, 18), (100019, false, false, 19)
         |) AS t(id, cell_capped, kept, dup_of)
         |ORDER BY id""".stripMargin,
+
+    // deterministic append-then-probe retrieval (hash-seeded centroids,
+    // decimal-summed means), golden-pinned like q_ann_ivf: every query
+    // must retrieve its appended twin or the boolean flips the hash
+    "q_ann_ivf_append" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(twin_found AS BOOLEAN) AS twin_found FROM (VALUES
+        |(0, true), (1, true), (2, true), (3, true), (4, true)
+        |) AS t(query_id, twin_found) ORDER BY query_id""".stripMargin,
+
+    // deterministic gate+rank output, golden-pinned: the planted twins
+    // (cosine ≈ 0.97 ≥ 0.9) never appear as negatives; rows match
+    // q_ann_cosine's sub-gate neighborhood exactly
+    "q_hard_negatives" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS BIGINT) AS rank
+        |FROM (VALUES
+        |(0, 73, 0.295434, 5), (0, 334, 0.362722, 2), (0, 365, 0.369994, 1),
+        |(0, 387, 0.331139, 3), (0, 423, 0.296934, 4), (1, 27, 0.348208, 2),
+        |(1, 64, 0.316374, 5), (1, 195, 0.322744, 4), (1, 386, 0.371485, 1),
+        |(1, 407, 0.32701, 3), (2, 117, 0.318143, 1), (2, 145, 0.263494, 3),
+        |(2, 188, 0.263272, 4), (2, 320, 0.255043, 5), (2, 450, 0.266344, 2),
+        |(3, 130, 0.399872, 1), (3, 149, 0.329934, 2), (3, 174, 0.303548, 4),
+        |(3, 231, 0.298788, 5), (3, 343, 0.308472, 3), (4, 114, 0.398513, 1),
+        |(4, 280, 0.279826, 5), (4, 408, 0.322753, 3), (4, 482, 0.313897, 4),
+        |(4, 496, 0.341212, 2)
+        |) AS t(query_id, neighbor_id, cosine, rank)
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the salted union must be row-identical to the plain join
+    "q_skew_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the engine-portable cut: 0-based score rank (ties by id),
+    // bucket = min(floor(rank·4/n), 3), md5-keyed within-bucket shuffle
+    "q_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) - 1
+        |      AS score_rank,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, score_rank,
+        |    least(CAST(floor(score_rank * 4 / n) AS BIGINT), 3) AS bucket
+        |  FROM r)
+        |SELECT doc_id, CAST(score_rank AS BIGINT) AS score_rank, bucket,
+        |  row_number() OVER (ORDER BY bucket,
+        |    md5(concat('r9', ':', CAST(doc_id AS VARCHAR))), doc_id) - 1
+        |    AS position
+        |FROM b ORDER BY position""".stripMargin,
 
     // identical formula to q_bm25 — the index route must reproduce the
     // full-scan scorer exactly (score association differs by ~1e-15,

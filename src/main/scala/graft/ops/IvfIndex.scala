@@ -44,6 +44,29 @@ object IvfIndex {
     finally out.close()
   }
 
+  /** Append a new corpus slice without retraining: each row is assigned
+    * to its nearest EXISTING centroid and appended into the partitioned
+    * cell layout — the shard-arrival path of a production ANN service
+    * (ingest cost ∝ slice, no rebuild, and [[topK]]'s partition pruning
+    * covers old and new rows alike since they share the layout).
+    * Centroids drift from the true k-means of the grown corpus as
+    * slices accumulate; the periodic [[build]] retrains and
+    * re-partitions. Slice ids must be fresh — the index stores rows,
+    * not a keyed map, so a re-appended id is returned twice. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val cents = loadCentroids(spark, path)
+    val assigned = Similarity.assignCells(
+      batch.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v")),
+      "__id", cents, dim)
+    batch.select(col(idCol), col(vecCol))
+      .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
+      .write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/cells")
+  }
+
   def loadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(s"$path/centroids.txt"))

@@ -297,4 +297,40 @@ object Sampling {
       .withColumn("last_seq", floor((col("__cum") - 1) / seqLen))
       .drop("__cum")
   }
+
+  /** Curriculum ordering for pretraining: rank the corpus by a
+    * difficulty/quality score, cut it into `nBuckets` equal-count bins
+    * (easy → hard), deterministically shuffle WITHIN each bin
+    * (md5-keyed, engine-portable like [[deterministicShuffle]]), and
+    * emit the global feed position — the order a curriculum data
+    * loader consumes. Bin membership uses the replayable formula
+    * `bucket = min(floor(rank · nBuckets / n), nBuckets − 1)` over the
+    * 0-based score rank (ties broken by id), not `ntile`, so any
+    * engine reproduces the same cut.
+    *
+    * Both global orderings are [[graft.gen.TableCalcs.rowNumberBy]]'s
+    * distributed plan (range partition + broadcast prefix offsets —
+    * never a single-partition window); the corpus row count rides a
+    * broadcast one-row aggregate, no driver collect. Returns
+    * (id, score rank, bucket, position). */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+      nBuckets: Int, seed: String): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val base = df.select(col(idCol), col(scoreCol).cast("double").as("__s"))
+    val ranked = graft.gen.TableCalcs.rowNumberBy(
+        base, Seq("__s", idCol), "score_rank")
+      .withColumn("score_rank", (col("score_rank") - 1).cast("long"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val bucketed = ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        least(floor(col("score_rank") * nBuckets / col("__n")),
+          lit(nBuckets - 1L)).cast("long"))
+      .drop("__n", "__s")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    graft.gen.TableCalcs.rowNumberBy(
+        bucketed.withColumn("__ck", key),
+        Seq("bucket", "__ck", idCol), "position")
+      .withColumn("position", (col("position") - 1).cast("long"))
+      .drop("__ck")
+  }
 }

@@ -73,6 +73,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("__rn").as("rank"))
   }
 
+  /** Contrastive hard-negative mining: per query, the `k` most similar
+    * corpus rows BELOW the near-duplicate gate — similar enough to be
+    * hard training negatives, excluded above `dupThreshold` because an
+    * unlabeled near-duplicate used as a negative is a false negative
+    * (it IS the query's content). Same broadcast-queries/linear-scan
+    * shape as [[bruteForceTopK]] with the gate applied before the rank
+    * window; at corpus scale swap the candidate stage for [[ivfTopK]] /
+    * [[IvfIndex.topK]] with k' > k and apply the same gate+re-rank on
+    * its output. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      dupThreshold: Double = 0.9, dim: Int = 64): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", normLit(col("__qv"), dim)))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", normLit(col("__cv"), dim))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotLit(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+      .filter(col("cosine") < dupThreshold)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rn").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1). */
   private def planeVal(seed: Int, plane: Int, d: Int): Double =
     scala.util.hashing.MurmurHash3.productHash((seed, plane, d))

@@ -61,4 +61,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(cellScans == 1,
       s"expected exactly 1 scan of the cells dir, saw $cellScans")
   }
+
+  test("append lands in the shared layout and is retrieved without retraining") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf4").toString
+    IvfIndex.build(emb, "vec_id", "embedding", tmp, nCells = 16, iters = 3)
+    val centsBefore = IvfIndex.loadCentroids(spark, tmp)
+    val twins = emb.filter(col("vec_id") < 5).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+        "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+        .as("embedding"))
+    IvfIndex.append(twins, "vec_id", "embedding", tmp)
+    // no retrain: the centroid artifact is untouched
+    assert(IvfIndex.loadCentroids(spark, tmp) == centsBefore)
+    // each query retrieves its appended twin as rank 1 (cosine ≈ 0.97
+    // dominates the ≈ 0.4-max base corpus)
+    val queries = emb.filter(col("vec_id") < 5)
+    val top = IvfIndex.topK(spark, tmp, queries, "vec_id", "embedding",
+        "vec_id", k = 1, nprobe = 4)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    (0L until 5L).foreach(i =>
+      assert(top(i) == 100000L + i, s"query $i got ${top(i)}"))
+    // appended rows share the partitioned layout (no new top-level
+    // dirs beyond __cell=…), so topK's pruning covers them too
+    val names = new java.io.File(s"$tmp/cells").listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("__cell=")))
+    assert(names.forall(n => n.startsWith("__cell=") ||
+      n.startsWith("_") || n.startsWith(".")),
+      s"unexpected layout entries: ${names.mkString(",")}")
+  }
 }

@@ -784,4 +784,42 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getAs[Long]("start_offset")).toSeq
     assert(a == b && a == (0L until 100L).map(_ * 37L))
   }
+
+  test("curriculum: equal-count bins feed in order, shuffled within") {
+    // scores 10,20,…,80 over ids 1..8; 2 buckets → ids 1-4 easy, 5-8 hard
+    val df = (1L to 8L).map(i => (i, i * 10.0)).toDF("doc_id", "s")
+    val rows = Sampling.curriculum(df, "doc_id", "s", nBuckets = 2,
+        seed = "t").collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("score_rank"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("position"))).toMap
+    (1L to 8L).foreach(i => assert(byId(i)._1 == i - 1))
+    (1L to 4L).foreach(i => assert(byId(i)._2 == 0L))
+    (5L to 8L).foreach(i => assert(byId(i)._2 == 1L))
+    // positions are the permutation 0..7 and every easy-bin position
+    // precedes every hard-bin position
+    assert(rows.map(_.getAs[Long]("position")).sorted.toSeq == (0L to 7L))
+    val maxEasy = (1L to 4L).map(byId(_)._3).max
+    val minHard = (5L to 8L).map(byId(_)._3).min
+    assert(maxEasy < minHard)
+    // within-bin order is the md5 shuffle, not id order
+    val easyOrder = (1L to 4L).sortBy(byId(_)._3)
+    assert(easyOrder != (1L to 4L).toSeq || {
+      // 4 ids give 1/24 odds of identity by chance; accept but verify
+      // the hard bin then differs (joint odds 1/576)
+      (5L to 8L).sortBy(byId(_)._3) != (5L to 8L).toSeq
+    }, "md5 shuffle left both bins in id order")
+  }
+
+  test("curriculum is partition-layout invariant and replays in DuckDB form") {
+    val df = (1L to 60L).map(i => (i, (i * 7 % 13).toDouble)).toDF("doc_id", "s")
+    val a = Sampling.curriculum(df, "doc_id", "s", 4, "x")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Sampling.curriculum(df.repartition(7), "doc_id", "s", 4, "x")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // equal-count cut: 60 rows / 4 buckets = 15 each
+    val sizes = a.groupBy(_(2)).view.mapValues(_.size).toMap
+    assert(sizes.values.toSet == Set(15))
+  }
 }

@@ -124,4 +124,35 @@ class SimilarityRecallSpec extends AnyFunSuite {
     info(s"top-5 recall = $recall over ${truth.size} truth pairs")
     assert(recall >= 0.9, s"recall $recall < 0.9")
   }
+
+  test("hard negatives equal brute force when nothing crosses the gate") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val a = Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+        "vec_id", k = 5, dupThreshold = 1.01)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("hard negatives exclude planted near-duplicates above the gate") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val twins = queries.select((col("vec_id") + 100000).as("vec_id"),
+      expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+        "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+        .as("embedding"))
+    val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+    val negs = Similarity.hardNegatives(aug, queries, "vec_id", "embedding",
+        "vec_id", k = 5, dupThreshold = 0.9)
+      .collect()
+    assert(negs.length == 25)
+    negs.foreach { r =>
+      assert(r.getAs[Double]("cosine") < 0.9)
+      assert(r.getAs[Long]("neighbor_id") < 100000L,
+        s"twin leaked as a negative: ${r.toSeq}")
+    }
+  }
 }

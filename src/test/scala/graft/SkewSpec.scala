@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("salted union is row-identical to the plain join under a hot key") {
+    import spark.implicits._
+    // key 1 is hot (40 rows), keys 2..5 cold (2 each); right has one
+    // row per key so expected = left row count
+    val left = ((1 to 40).map(i => (1L, s"h$i")) ++
+      (2 to 5).flatMap(k => Seq((k.toLong, s"c${k}a"), (k.toLong, s"c${k}b"))))
+      .toDF("k", "lv")
+    val right = (1 to 5).map(k => (k.toLong, s"r$k")).toDF("k", "rv")
+    val salted = Skew.skewAwareJoin(left, right, "k",
+        hotThreshold = 10, salts = 4)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val plain = left.join(right, Seq("k"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(salted == plain)
+    assert(salted.size == 48)
+  }
+
+  test("fan-out right side: every hot pair appears exactly once") {
+    import spark.implicits._
+    val left = ((1 to 30).map(i => (1L, i)) ++ Seq((2L, 99)))
+      .toDF("k", "li")
+    val right = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "rv")
+    val salted = Skew.skewAwareJoin(left, right, "k",
+      hotThreshold = 5, salts = 3)
+    // hot key 1: 30 left × 2 right = 60, cold key 2: 1 × 1
+    assert(salted.count() == 61)
+    assert(salted.groupBy("k", "li", "rv").count()
+      .filter(col("count") > 1).count() == 0, "a salted pair duplicated")
+  }
+
+  test("no hot keys degenerates to the plain join") {
+    import spark.implicits._
+    val left = (1 to 10).map(i => (i.toLong, i)).toDF("k", "li")
+    val right = (1 to 10).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val salted = Skew.skewAwareJoin(left, right, "k",
+        hotThreshold = 100, salts = 4)
+      .collect().map(_.toSeq).toSet
+    assert(salted == left.join(right, Seq("k")).collect().map(_.toSeq).toSet)
+  }
+
+  test("hot path widens the shuffle key with the salt") {
+    import spark.implicits._
+    val left = (1 to 100).map(i => (1L, i)).toDF("k", "li")
+    val right = Seq((1L, "x")).toDF("k", "rv")
+    val df = Skew.skewAwareJoin(left, right, "k",
+      hotThreshold = 10, salts = 8)
+    df.collect()
+    // the executed plan must hash-partition some exchange on __salt —
+    // that spreading IS the operator's contract
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"),
+      s"no salted exchange in plan:\n${plan.take(3000)}")
+  }
+}
