@@ -21,27 +21,42 @@ class OpsPlanSpec extends AnyFunSuite {
   private def sparkPlan(df: DataFrame) =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.sparkPlan
 
+  /** The FINAL adaptive physical plan, materialized — exchanges are
+    * inserted by EnsureRequirements (after `sparkPlan`), so shuffle
+    * counting must look here; AQE's treeString repeats the pre-run tree
+    * under "== Initial Plan ==", which is cut off. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution
+      .executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def shuffleCount(plan: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+
   test("line dedup broadcasts the offender set (corpus never shuffled by line)") {
-    val plan = sparkPlan(SparkEntry.queries("q_line_dedup")(spark, dir))
+    val df = SparkEntry.queries("q_line_dedup")(spark, dir)
+    val plan = sparkPlan(df)
     val bcJoins = plan.collect { case j: BroadcastHashJoinExec => j }
     assert(bcJoins.nonEmpty, s"expected a broadcast offender join:\n$plan")
     // shuffles allowed: offender count agg, doc-id reassembly agg, final
     // sort — NOT a join-keyed shuffle of the exploded corpus lines
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.size <= 3,
-      s"unexpected extra shuffles (corpus lines shuffled by content?):\n$plan")
+    val fp = finalPlan(df)
+    assert(shuffleCount(fp) <= 3,
+      s"unexpected extra shuffles (corpus lines shuffled by content?):\n$fp")
   }
 
   test("bloom incremental dedup keeps the corpus shuffle-free") {
-    val plan = sparkPlan(SparkEntry.queries("q_incremental_new")(spark, dir))
+    val df = SparkEntry.queries("q_incremental_new")(spark, dir)
+    val plan = sparkPlan(df)
     val bcJoins = plan.collect { case j: BroadcastHashJoinExec => j }
     assert(bcJoins.size >= 2,
       s"expected broadcast semi + anti joins around the corpus scan:\n$plan")
     // the final orderBy range-partitions the (small) result; the corpus
     // itself must never be exchange-partitioned
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.size <= 1,
-      s"corpus side should not shuffle in the bloom path:\n$plan")
+    val fp = finalPlan(df)
+    assert(shuffleCount(fp) <= 1,
+      s"corpus side should not shuffle in the bloom path:\n$fp")
   }
 
   test("per-doc windows stay partitioned in tfidf and LM scoring") {
@@ -60,12 +75,13 @@ class OpsPlanSpec extends AnyFunSuite {
   }
 
   test("bm25 never shuffles the corpus: stats broadcast + top-k heap") {
-    val plan = sparkPlan(SparkEntry.queries("q_bm25")(spark, dir))
+    val df = SparkEntry.queries("q_bm25")(spark, dir)
+    val plan = sparkPlan(df)
     assert(plan.toString.contains("TakeOrderedAndProject"),
       s"top-k must plan as a per-partition heap, not a global sort:\n$plan")
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.isEmpty,
-      s"literal-term scoring is map-side; no exchange belongs here:\n$plan")
+    val fp = finalPlan(df)
+    assert(shuffleCount(fp) == 0,
+      s"literal-term scoring is map-side; no exchange belongs here:\n$fp")
     assert(plan.toString.contains("Broadcast"),
       s"the 1-row stats frame should broadcast:\n$plan")
   }
@@ -86,5 +102,48 @@ class OpsPlanSpec extends AnyFunSuite {
     val plan = sparkPlan(SparkEntry.queries("q_weighted_sample")(spark, dir))
     assert(plan.toString.contains("TakeOrderedAndProject"),
       s"selection must not globally sort the corpus:\n$plan")
+  }
+
+  test("key profile shuffles each column's histogram exactly once") {
+    // exchanges are inserted by EnsureRequirements, so pin the EXECUTED
+    // plan: 3 profiled columns → exactly 3 hash exchanges (the per-
+    // column key histograms); everything downstream is single-row
+    // aggregation (SinglePartition) plus the 3-row output sort
+    val df = SparkEntry.queries("q_key_profile")(spark, dir)
+    df.collect()
+    val finalPlan = df.asInstanceOf[classic.Dataset[Row]].queryExecution
+      .executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r
+      .findAllIn(finalPlan).size
+    assert(hashEx == 3,
+      s"expected 3 histogram shuffles, got $hashEx:\n${finalPlan.take(4000)}")
+    assert(!finalPlan.contains("Window"),
+      s"profile must aggregate, not window:\n${finalPlan.take(4000)}")
+  }
+
+  test("curriculum's two global orderings stay distributed") {
+    val plan = sparkPlan(SparkEntry.queries("q_curriculum")(spark, dir))
+    val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty,
+      s"rank/position must use range-partition + offsets, not a global window:\n$plan")
+  }
+
+  test("skew join broadcasts the hot-key set on every split path") {
+    val plan = sparkPlan(SparkEntry.queries("q_skew_join")(spark, dir))
+    // two semi joins + one anti join against the hot-key histogram, all
+    // broadcast — a shuffled split would re-partition the fact table
+    // three times before the real join even starts
+    val bc = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bc.size >= 3,
+      s"hot/cold split must broadcast the hot-key set (got ${bc.size}):\n$plan")
+  }
+
+  test("semdedup verifies via equi-joins, never a cartesian product") {
+    val plan = sparkPlan(SparkEntry.queries("q_semdedup")(spark, dir))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"within-cell pairing must be the __cell equi-join:\n$plan")
+    val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, s"cell-size audit window lost its partitioning:\n$plan")
   }
 }
