@@ -2187,6 +2187,20 @@ object SparkEntry {
           nBuckets = 4, seed = "r9")
         .orderBy("position")),
 
+    // date-spine densification: one customer's 25 orders over 84 months
+    // leave gaps at month grain; every missing month must materialize
+    // with the zero fills while observed months pass through unchanged
+    "q_date_spine" -> ((s, d) => {
+      val m = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_custkey") === 605)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      asLong(graft.ops.TimeSpine.densify(m, "month", "1 month",
+          fills = Map("revenue" -> lit(0), "n_orders" -> lit(0)))
+        .orderBy("month"), "n_orders")
+    }),
+
     // stupid-backoff bigram LM quality score: model trained on the 80%
     // hash-stable slice, scored docs include planted gibberish (reversed
     // tokens) that must score measurably lower than in-distribution text
@@ -4604,6 +4618,21 @@ object SparkEntry {
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // generate_series replays the sequence(min, max, interval) spine
+    "q_date_spine" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |    count(*) AS n_orders
+        |  FROM orders WHERE o_custkey = 605 GROUP BY 1),
+        |s AS (
+        |  SELECT unnest(generate_series((SELECT min(month) FROM m),
+        |                                (SELECT max(month) FROM m),
+        |                                INTERVAL 1 MONTH)) AS month)
+        |SELECT s.month, coalesce(revenue, 0) AS revenue,
+        |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+        |FROM s LEFT JOIN m USING (month) ORDER BY month""".stripMargin,
 
     // replays the engine-portable cut: 0-based score rank (ties by id),
     // bucket = min(floor(rank·4/n), 3), md5-keyed within-bucket shuffle
