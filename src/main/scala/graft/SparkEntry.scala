@@ -2187,6 +2187,37 @@ object SparkEntry {
           nBuckets = 4, seed = "r9")
         .orderBy("position")),
 
+    // embedding-distribution drift: the new snapshot doubles the mass
+    // near the first 50 vectors' cells (planted twins); those cells
+    // must show positive delta under the frozen baseline centroids
+    "q_embedding_drift" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val twins = emb.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      val newer = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 8)
+      asLong(Embeddings.cellDrift(emb, newer, "vec_id", "embedding", cents)
+        .orderBy("cell"), "cell")
+    }),
+
+    // content-defined chunking dedup: boundaries are a pure function of
+    // local token content, so the shift-planted copy (one token
+    // prepended to doc 0) re-aligns and still shares its chunks —
+    // fixed-offset chunking would match nothing past the edit
+    "q_cdc_chunks" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs(s, d).filter(col("doc_id") === 0)
+          .select(lit(9000L).as("doc_id"),
+            concat(lit("shiftglyph "), col("text")).as("text")))
+      asLong(Dedup.sharedChunks(base, "doc_id", "text")
+        .orderBy("chunk_hash"), "n_docs", "n_tokens")
+    }),
+
     // date-spine densification: one customer's 25 orders over 84 months
     // leave gaps at month grain; every missing month must materialize
     // with the zero fills while observed months pass through unchanged
@@ -4618,6 +4649,57 @@ object SparkEntry {
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deterministic cell assignment (hash-seeded centroids), golden-
+    // pinned per cell: counts, shares, and the signed drift delta
+    "q_embedding_drift" ->
+      """SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(n_base AS BIGINT) AS n_base, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(share_base AS DOUBLE) AS share_base,
+        |  CAST(share_new AS DOUBLE) AS share_new,
+        |  CAST(delta AS DOUBLE) AS delta FROM (VALUES
+        |(0, 66, 72, 0.132, 0.130909, -0.001091),
+        |(1, 65, 71, 0.13, 0.129091, -0.000909),
+        |(2, 78, 86, 0.156, 0.156364, 0.000364),
+        |(3, 53, 61, 0.106, 0.110909, 0.004909),
+        |(4, 61, 69, 0.122, 0.125455, 0.003455),
+        |(5, 59, 62, 0.118, 0.112727, -0.005273),
+        |(6, 63, 70, 0.126, 0.127273, 0.001273),
+        |(7, 55, 59, 0.11, 0.107273, -0.002727)
+        |) AS t(cell, n_base, n_new, share_base, share_new, delta)
+        |ORDER BY cell""".stripMargin,
+
+    // replays the full CDC cut: md5-derived boundary hash (the
+    // engine-portable conv/0x form), chunk spans, chunk md5 identity
+    "q_cdc_chunks" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT 9000 AS doc_id, 'shiftglyph ' || text FROM documents WHERE doc_id = 0),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM base),
+        |nn AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+        |bnd AS (
+        |  SELECT doc_id, t, n,
+        |    list_sort(list_distinct(list_append(
+        |      CASE WHEN n >= 8 THEN
+        |        list_filter(list_transform(range(8, n + 1), p ->
+        |          CASE WHEN ('0x' || substr(md5(array_to_string(t[p-7:p], ' ')), 1, 8))::BIGINT % 16 = 0
+        |               THEN p ELSE -1 END), x -> x >= 0)
+        |      ELSE [] END, n))) AS b
+        |  FROM nn),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(t[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END):(b[j])], ' ')) AS chunk_hash,
+        |    b[j] - (CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) + 1 AS n_tokens
+        |  FROM bnd, unnest(range(1, len(b) + 1)) AS u(j)),
+        |d AS (SELECT DISTINCT doc_id, chunk_hash, n_tokens FROM ch)
+        |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
 
     // generate_series replays the sequence(min, max, interval) spine
     "q_date_spine" ->

@@ -611,4 +611,81 @@ object Dedup {
       .join(hits, col(textCol) === col("__seen"), "left_anti")
     definitelyNew.unionByName(confirmedNew)
   }
+
+  /** Content-defined chunking: cut each document into variable-length
+    * chunks whose boundaries are a pure function of the LOCAL token
+    * content — a token position `p` ends a chunk when the md5-derived
+    * hash of the `window`-token span ending at `p` is ≡ 0 (mod
+    * `divisor`); the final position always closes the last chunk.
+    * Because boundaries depend only on nearby tokens, inserting or
+    * deleting text re-cuts ONLY the chunks it touches — every chunk
+    * after the edit region re-aligns (the storage-dedup CDC property) —
+    * where fixed-offset chunking shifts every subsequent chunk and
+    * matches nothing.
+    *
+    * Complements [[duplicateWindows]] for cross-doc shared-content
+    * detection at scale: sliding windows emit one key PER TOKEN
+    * POSITION; CDC emits one key per ~`divisor` tokens (expected chunk
+    * length), so the dedup shuffle carries ~divisor× fewer, longer
+    * keys with the same shift-robustness. Boundary hashing is the
+    * engine-portable md5 form (`conv(substr(md5(…),1,8),16,10)` —
+    * DuckDB replays it as `('0x'||substr(md5(…),1,8))::BIGINT`), chunk
+    * identity is `md5(chunk_text)`; chunk generation is linear per doc
+    * (transform over positions + slice, no self-join, no UDF).
+    *
+    * Documents shorter than `window` tokens become one whole-doc chunk;
+    * empty documents emit no rows. Returns one row per chunk:
+    * (id, chunk_idx 1-based, chunk_hash, n_tokens, chunk_text). */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(divisor > 1, s"divisor must exceed 1, got $divisor")
+    val toks = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    df.select(col(idCol).as("id"), toks.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      // 1-based boundary positions; the sequence guard matters —
+      // sequence(window, n) with n < window would count DESCENDING
+      .withColumn("__cand", expr(
+        s"""CASE WHEN __n >= $window THEN
+           |  filter(transform(sequence($window, __n), p ->
+           |    IF(pmod(cast(conv(substring(md5(concat_ws(' ',
+           |         slice(__t, p - ${window - 1}, $window))), 1, 8),
+           |       16, 10) as bigint), $divisor) = 0, p, -1)),
+           |    x -> x >= 0)
+           |ELSE array() END""".stripMargin))
+      .withColumn("__b", expr(
+        "array_sort(array_distinct(concat(__cand, array(__n))))"))
+      .select(col("id"), col("__t"),
+        posexplode(expr(
+          """transform(sequence(1, size(__b)), j -> named_struct(
+            |  'start', CASE WHEN j = 1 THEN 1
+            |           ELSE element_at(__b, j - 1) + 1 END,
+            |  'end', element_at(__b, j)))""".stripMargin))
+          .as(Seq("__j", "__c")))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("__t"), col("__c.start"),
+          col("__c.end") - col("__c.start") + 1)))
+      .select(col("id"), (col("__j") + 1).as("chunk_idx"),
+        md5(col("chunk_text")).as("chunk_hash"),
+        (col("__c.end") - col("__c.start") + 1).as("n_tokens"),
+        col("chunk_text"))
+  }
+
+  /** Cross-document shared CDC chunks: [[contentDefinedChunks]] keyed
+    * and counted — chunk hashes present in at least `minDocs` distinct
+    * documents, the chunk-level analog of [[duplicateWindows]] with
+    * ~divisor× fewer shuffle keys. A chunk repeated inside one doc
+    * counts that doc once. */
+  def sharedChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16, minDocs: Int = 2): DataFrame = {
+    require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
+    contentDefinedChunks(df, idCol, textCol, window, divisor)
+      .select(col("id"), col("chunk_hash"), col("n_tokens"))
+      .dropDuplicates("id", "chunk_hash")
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

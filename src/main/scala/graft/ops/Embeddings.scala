@@ -56,4 +56,49 @@ object Embeddings {
         / size(codes)), errDecimals).as("rmse"),
       round(array_max(errs), errDecimals).as("max_err"))
   }
+
+  /** Embedding-distribution drift between two corpus snapshots, the
+    * input-data monitor for an ANN/retrieval service: both snapshots
+    * are assigned to the SAME frozen centroids (train once on the
+    * baseline — or reuse the production [[IvfIndex]]'s — so the cells
+    * mean the same thing on both sides) and compared cell by cell.
+    * A new-crawl slice that piles into two cells while the baseline
+    * spread evenly is topic shift the service must see BEFORE recall
+    * degrades; it also tells an [[IvfIndex]] operator when the frozen
+    * centroids have drifted enough to schedule a [[IvfIndex.build]]
+    * retrain.
+    *
+    * One aggregate per snapshot (the [[Similarity.assignCells]] shape),
+    * one broadcast-sized per-cell join — no pairwise work, cost linear
+    * in rows. Returns one row per cell:
+    * (cell, n_base, n_new, share_base, share_new, delta) with shares
+    * rounded to `decimals`; Σ|delta|/2 is the total-variation distance
+    * if a single drift scalar is wanted. Empty cells on one side
+    * report zero counts, so every centroid appears exactly once. */
+  def cellDrift(base: DataFrame, newer: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Seq[Double]], dim: Int = 64,
+      decimals: Int = 6): DataFrame = {
+    def shares(df: DataFrame, nCol: String, sCol: String): DataFrame = {
+      val counts = Similarity.assignCells(
+          df.select(col(idCol).as("__id"),
+            col(vecCol).cast("array<double>").as("__v")),
+          "__id", cents, dim)
+        .groupBy(col("__cell")).agg(count(lit(1)).as(nCol))
+      counts.crossJoin(broadcast(counts.agg(sum(col(nCol)).as("__tot"))))
+        .withColumn(sCol, col(nCol) / col("__tot"))
+        .drop("__tot")
+    }
+    val cells = base.sparkSession.range(cents.size)
+      .select(col("id").cast("int").as("__cell"))
+    cells
+      .join(shares(base, "n_base", "__sb"), Seq("__cell"), "left")
+      .join(shares(newer, "n_new", "__sn"), Seq("__cell"), "left")
+      .select(col("__cell").as("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        round(coalesce(col("__sb"), lit(0.0)), decimals).as("share_base"),
+        round(coalesce(col("__sn"), lit(0.0)), decimals).as("share_new"),
+        round(coalesce(col("__sn"), lit(0.0))
+          - coalesce(col("__sb"), lit(0.0)), decimals).as("delta"))
+  }
 }

@@ -785,6 +785,68 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b && a == (0L until 100L).map(_ * 37L))
   }
 
+  test("cdc chunks: shifted copy re-aligns; chunks reassemble the doc") {
+    // deterministic 300-token doc and a copy with one token prepended
+    val toks = (0 until 300).map(i => s"w${(i * 7919) % 97}x$i")
+    val a = toks.mkString(" ")
+    val b = "zshift " + a
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val ch = Dedup.contentDefinedChunks(df, "id", "text").collect()
+    val byDoc = ch.groupBy(_.getAs[Long]("id"))
+    // reassembly: chunks in order concatenate back to the token stream
+    val re = byDoc(1L).sortBy(_.getAs[Int]("chunk_idx"))
+      .map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(re == a.toLowerCase)
+    // shift-robustness: boundaries re-align after the edit, so the two
+    // docs share most chunk hashes — fixed-offset chunks would share 0
+    val ha = byDoc(1L).map(_.getAs[String]("chunk_hash")).toSet
+    val hb = byDoc(2L).map(_.getAs[String]("chunk_hash")).toSet
+    val jac = (ha & hb).size.toDouble / (ha | hb).size
+    assert(jac >= 0.6, s"chunk jaccard $jac — boundaries did not re-align")
+    // and sharedChunks reports exactly the intersection
+    val shared = Dedup.sharedChunks(df, "id", "text")
+      .collect().map(_.getAs[String]("chunk_hash")).toSet
+    assert(shared == (ha & hb))
+  }
+
+  test("cell drift: identical snapshots are flat, planted mass shows up") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 8)
+    val self = Embeddings.cellDrift(emb, emb, "vec_id", "embedding", cents)
+      .collect()
+    assert(self.length == 8)
+    self.foreach { r =>
+      assert(r.getAs[Double]("delta") == 0.0)
+      assert(r.getAs[Long]("n_base") == r.getAs[Long]("n_new"))
+    }
+    assert(math.abs(self.map(_.getAs[Double]("share_base")).sum - 1.0) < 1e-4)
+    // doubling one cell's members must push its share up
+    val cell0 = Similarity.assignCells(
+        emb.select(col("vec_id").as("__id"),
+          col("embedding").cast("array<double>").as("__v")),
+        "__id", cents, 64)
+      .filter(col("__cell") === 0).select(col("__id"))
+    val heavier = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.join(cell0, emb("vec_id") === cell0("__id"))
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
+    val drifted = Embeddings.cellDrift(emb, heavier, "vec_id", "embedding",
+        cents).collect()
+    val d0 = drifted.find(_.getAs[Int]("cell") == 0).get
+    assert(d0.getAs[Double]("delta") > 0.0,
+      s"cell 0 should gain share: ${d0.toSeq}")
+  }
+
+  test("cdc chunks: short doc is one whole chunk, empty doc emits none") {
+    val df = Seq((1L, "only five tokens right here"), (2L, "  "))
+      .toDF("id", "text")
+    val ch = Dedup.contentDefinedChunks(df, "id", "text").collect()
+    assert(ch.length == 1)
+    assert(ch(0).getAs[Long]("id") == 1L)
+    assert(ch(0).getAs[String]("chunk_text") == "only five tokens right here")
+    assert(ch(0).getAs[Int]("n_tokens") == 5)
+  }
+
   test("curriculum: equal-count bins feed in order, shuffled within") {
     // scores 10,20,…,80 over ids 1..8; 2 buckets → ids 1-4 easy, 5-8 hard
     val df = (1L to 8L).map(i => (i, i * 10.0)).toDF("doc_id", "s")
