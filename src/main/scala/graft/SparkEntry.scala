@@ -2209,10 +2209,9 @@ object SparkEntry {
     // prepended to doc 0) re-aligns and still shares its chunks —
     // fixed-offset chunking would match nothing past the edit
     "q_cdc_chunks" -> ((s, d) => {
-      val base = docs(s, d).filter(col("doc_id") < 400)
-        .select(col("doc_id"), col("text"))
+      val base = docs(s, d).select(col("doc_id"), col("text"))
         .unionByName(docs(s, d).filter(col("doc_id") === 0)
-          .select(lit(9000L).as("doc_id"),
+          .select(lit(1000000L).as("doc_id"),
             concat(lit("shiftglyph "), col("text")).as("text")))
       asLong(Dedup.sharedChunks(base, "doc_id", "text")
         .orderBy("chunk_hash"), "n_docs", "n_tokens")
@@ -4673,9 +4672,9 @@ object SparkEntry {
     // engine-portable conv/0x form), chunk spans, chunk md5 identity
     "q_cdc_chunks" ->
       """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT 9000 AS doc_id, 'shiftglyph ' || text FROM documents WHERE doc_id = 0),
+        |  SELECT 1000000 AS doc_id, 'shiftglyph ' || text FROM documents WHERE doc_id = 0),
         |tok AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0) AS t

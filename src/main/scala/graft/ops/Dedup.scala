@@ -301,13 +301,19 @@ object Dedup {
     * the same shuffle, so the honest lever is raising `n` or sampling
     * docs, both caller-side. Window count per doc is linear in doc
     * length (sequence of starts), never quadratic. */
+  /** Lowercased whitespace tokens with empties dropped — THE tokenizer
+    * every window/chunk op shares, and the form every DuckDB oracle
+    * replays as `list_filter(string_split_regex(lower(text), '\\s+'),
+    * x -> len(x) > 0)`. Tokenization changes happen HERE only, or the
+    * window ops silently diverge from each other and their oracles. */
+  private[ops] def wsTokens(textCol: String): Column =
+    filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+
   def duplicateWindows(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int = 2): DataFrame = {
     require(n > 0, s"window size must be positive, got $n")
     require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
-    val toks = filter(split(lower(col(textCol)), "\\s+"),
-      t => length(t) > 0)
-    df.select(col(idCol).as("__doc"), toks.as("__t"))
+    df.select(col(idCol).as("__doc"), wsTokens(textCol).as("__t"))
       .filter(size(col("__t")) >= n)
       .select(col("__doc"), explode(array_distinct(
         transform(sequence(lit(0), size(col("__t")) - n),
@@ -339,9 +345,7 @@ object Dedup {
       textCol: String, n: Int = 8): DataFrame = {
     require(n > 0, s"window size must be positive, got $n")
     def windows(df: DataFrame): DataFrame = {
-      val toks = filter(split(lower(col(textCol)), "\\s+"),
-        t => length(t) > 0)
-      df.select(col(idCol).as("__doc"), toks.as("__t"))
+      df.select(col(idCol).as("__doc"), wsTokens(textCol).as("__t"))
         .filter(size(col("__t")) >= n)
         .select(col("__doc"), explode(array_distinct(
           transform(sequence(lit(0), size(col("__t")) - n),
@@ -640,9 +644,7 @@ object Dedup {
       window: Int = 8, divisor: Int = 16): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(divisor > 1, s"divisor must exceed 1, got $divisor")
-    val toks = filter(split(lower(col(textCol)), "\\s+"),
-      t => length(t) > 0)
-    df.select(col(idCol).as("id"), toks.as("__t"))
+    df.select(col(idCol).as("id"), wsTokens(textCol).as("__t"))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") > 0)
       // 1-based boundary positions; the sequence guard matters —

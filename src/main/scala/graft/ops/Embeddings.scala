@@ -68,37 +68,47 @@ object Embeddings {
     * centroids have drifted enough to schedule a [[IvfIndex.build]]
     * retrain.
     *
-    * One aggregate per snapshot (the [[Similarity.assignCells]] shape),
-    * one broadcast-sized per-cell join — no pairwise work, cost linear
-    * in rows. Returns one row per cell:
+    * ONE aggregate per snapshot (the [[Similarity.assignCells]] shape)
+    * is the entire distributed cost; the k-row per-cell histograms are
+    * collected (k cells by design — the same admissibility argument as
+    * [[Similarity.trainCentroids]]'s k×dim collect) and the k-row
+    * report is assembled from literals, so the expensive assignment
+    * subtree is never referenced twice in one plan. Snapshots are
+    * deduplicated on `idCol` first — assignCells groups the exploded
+    * vector components by id, so a repeated id (a re-ingested shard
+    * unioned into a snapshot) would otherwise sum two vectors into one
+    * nonsense assignment. Returns one row per cell:
     * (cell, n_base, n_new, share_base, share_new, delta) with shares
     * rounded to `decimals`; Σ|delta|/2 is the total-variation distance
-    * if a single drift scalar is wanted. Empty cells on one side
+    * if a single drift scalar is wanted. Empty cells on either side
     * report zero counts, so every centroid appears exactly once. */
   def cellDrift(base: DataFrame, newer: DataFrame, idCol: String,
-      vecCol: String, cents: Seq[Seq[Double]], dim: Int = 64,
+      vecCol: String, cents: Seq[Seq[Double]],
       decimals: Int = 6): DataFrame = {
-    def shares(df: DataFrame, nCol: String, sCol: String): DataFrame = {
-      val counts = Similarity.assignCells(
+    def cellCounts(df: DataFrame): Map[Int, Long] =
+      Similarity.assignCells(
           df.select(col(idCol).as("__id"),
-            col(vecCol).cast("array<double>").as("__v")),
-          "__id", cents, dim)
-        .groupBy(col("__cell")).agg(count(lit(1)).as(nCol))
-      counts.crossJoin(broadcast(counts.agg(sum(col(nCol)).as("__tot"))))
-        .withColumn(sCol, col(nCol) / col("__tot"))
-        .drop("__tot")
-    }
-    val cells = base.sparkSession.range(cents.size)
-      .select(col("id").cast("int").as("__cell"))
-    cells
-      .join(shares(base, "n_base", "__sb"), Seq("__cell"), "left")
-      .join(shares(newer, "n_new", "__sn"), Seq("__cell"), "left")
-      .select(col("__cell").as("cell"),
-        coalesce(col("n_base"), lit(0L)).as("n_base"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"),
-        round(coalesce(col("__sb"), lit(0.0)), decimals).as("share_base"),
-        round(coalesce(col("__sn"), lit(0.0)), decimals).as("share_new"),
-        round(coalesce(col("__sn"), lit(0.0))
-          - coalesce(col("__sb"), lit(0.0)), decimals).as("delta"))
+            col(vecCol).cast("array<double>").as("__v"))
+            .dropDuplicates("__id"),
+          "__id", cents)
+        .groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nb = cellCounts(base)
+    val nn = cellCounts(newer)
+    val (totB, totN) = (nb.values.sum, nn.values.sum)
+    val session = base.sparkSession
+    import session.implicits._
+    cents.indices
+      .map(c => (c, nb.getOrElse(c, 0L), nn.getOrElse(c, 0L)))
+      .toDF("cell", "n_base", "n_new")
+      .select(col("cell"), col("n_base"), col("n_new"),
+        round(shareOf(col("n_base"), totB), decimals).as("share_base"),
+        round(shareOf(col("n_new"), totN), decimals).as("share_new"),
+        round(shareOf(col("n_new"), totN)
+          - shareOf(col("n_base"), totB), decimals).as("delta"))
   }
+
+  /** n / total as double; an empty snapshot reports share 0, not NaN. */
+  private def shareOf(n: Column, total: Long): Column =
+    if (total == 0L) lit(0.0) else n / lit(total)
 }

@@ -24,15 +24,15 @@ object IvfIndex {
     * row once, write partitioned by cell. Rebuild-in-place is atomic per
     * run via overwrite mode. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-      nCells: Int = 16, iters: Int = 3, dim: Int = 64,
+      nCells: Int = 16, iters: Int = 3,
       trainSampleMod: Int = 1): Unit = {
     val spark = corpus.sparkSession
     val cents = Similarity.trainCentroids(corpus, idCol, vecCol, nCells,
-      iters, dim, trainSampleMod)
+      iters, trainSampleMod)
     val assigned = Similarity.assignCells(
       corpus.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v")),
-      "__id", cents, dim)
+      "__id", cents)
     corpus.select(col(idCol), col(vecCol))
       .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
       .write.mode("overwrite").partitionBy("__cell")
@@ -54,13 +54,13 @@ object IvfIndex {
     * re-partitions. Slice ids must be fresh — the index stores rows,
     * not a keyed map, so a re-appended id is returned twice. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
-      path: String, dim: Int = 64): Unit = {
+      path: String): Unit = {
     val spark = batch.sparkSession
     val cents = loadCentroids(spark, path)
     val assigned = Similarity.assignCells(
       batch.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v")),
-      "__id", cents, dim)
+      "__id", cents)
     batch.select(col(idCol), col(vecCol))
       .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
       .write.mode("append").partitionBy("__cell")
@@ -88,7 +88,7 @@ object IvfIndex {
     val cents = loadCentroids(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val probes = broadcast(
-      Similarity.probeCells(queries, queryIdCol, vecCol, cents, nprobe, dim))
+      Similarity.probeCells(queries, queryIdCol, vecCol, cents, nprobe))
     val cand = cells.join(probes, Seq("__cell"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),

@@ -254,7 +254,7 @@ object Similarity {
     * seeded form keeps centroid determinism trivially auditable. Not
     * worth the extra machinery until `iters` grows past a handful. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 3, dim: Int = 64,
+      k: Int, iters: Int = 3,
       trainSampleMod: Int = 1): Seq[Seq[Double]] = {
     val base = corpus.select(col(idCol).as("__id"),
       asDouble(col(vecCol)).as("__v"))
@@ -264,7 +264,7 @@ object Similarity {
       .orderBy(xxhash64(col("__id")), col("__id")).limit(k)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 0 until iters) {
-      val assigned = assignCells(v, "__id", cents, dim).join(v, "__id")
+      val assigned = assignCells(v, "__id", cents).join(v, "__id")
       val means = assigned
         .select(col("__cell"), posexplode(col("__v")).as(Seq("__p", "__x")))
         .groupBy(col("__cell"), col("__p"))
@@ -287,7 +287,7 @@ object Similarity {
     * overflow at any k), then argmin via a `least` over (dist², cell)
     * structs. dist² = |c|² − 2·v·c (+|v|², constant per row, dropped). */
   def assignCells(vecs: DataFrame, idName: String,
-      cents: Seq[Seq[Double]], dim: Int): DataFrame = {
+      cents: Seq[Seq[Double]]): DataFrame = {
     val pos = vecs.select(col(idName),
       posexplode(col("__v")).as(Seq("__p", "__x")))
     val dots = cents.zipWithIndex.map { case (c, i) =>
@@ -305,8 +305,7 @@ object Similarity {
     * sorted (dist, cell) struct array. Same aggregate shape as
     * [[assignCells]]. */
   private[ops] def probeCells(queries: DataFrame, queryIdCol: String,
-      vecCol: String, cents: Seq[Seq[Double]], nprobe: Int,
-      dim: Int): DataFrame = {
+      vecCol: String, cents: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     val qpos = queries.select(col(queryIdCol).as("query_id"),
       posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
     val qdots = cents.zipWithIndex.map { case (cn, i) =>
@@ -343,17 +342,17 @@ object Similarity {
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
       nCells: Int = 16, nprobe: Int = 4, iters: Int = 3, dim: Int = 64,
       trainSampleMod: Int = 1): DataFrame = {
-    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters, dim,
+    val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters,
       trainSampleMod)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
       .withColumn("__cn", normLit(col("__cv"), dim))
     val cCells = assignCells(
       corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v")),
-      "__id", cents, dim)
+      "__id", cents)
       .select(col("__id").as("neighbor_id"), col("__cell"))
     val cand = broadcast(probeCells(queries, queryIdCol, vecCol, cents,
-      nprobe, dim)).join(cCells, Seq("__cell"))
+      nprobe)).join(cCells, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
@@ -473,13 +472,13 @@ object Similarity {
     * in-cell neighbor above threshold (null when kept). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.7, nCells: Int = 16, iters: Int = 3,
-      dim: Int = 64, trainSampleMod: Int = 1,
+      trainSampleMod: Int = 1,
       maxCellSize: Int = 10000): DataFrame = {
-    val cents = trainCentroids(df, idCol, vecCol, nCells, iters, dim,
+    val cents = trainCentroids(df, idCol, vecCol, nCells, iters,
       trainSampleMod)
     val cells = assignCells(
       df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v")),
-      "__id", cents, dim)
+      "__id", cents)
     // cell-size audit rides a window over the cells frame's own exchange
     val w = Window.partitionBy(col("__cell"))
     val sized = cells.withColumn("__cc", count(lit(1)).over(w))

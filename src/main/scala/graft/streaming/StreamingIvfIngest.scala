@@ -25,12 +25,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingIvfIngest {
 
   def maintain(stream: DataFrame, idCol: String, vecCol: String,
-      path: String, checkpoint: String, dim: Int = 64): StreamingQuery =
+      path: String, checkpoint: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          IvfIndex.append(batch, idCol, vecCol, path, dim)
+          IvfIndex.append(batch, idCol, vecCol, path)
       }
       .start()
 }

@@ -825,7 +825,7 @@ class OpsSpec extends AnyFunSuite {
     val cell0 = Similarity.assignCells(
         emb.select(col("vec_id").as("__id"),
           col("embedding").cast("array<double>").as("__v")),
-        "__id", cents, 64)
+        "__id", cents)
       .filter(col("__cell") === 0).select(col("__id"))
     val heavier = emb.select(col("vec_id"), col("embedding"))
       .unionByName(emb.join(cell0, emb("vec_id") === cell0("__id"))
