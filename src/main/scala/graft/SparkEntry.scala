@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, IvfIndex, KeyProfile, Multimodal, Sampling, Sessionize, Similarity, Skew, TextAnalysis, TextIndex}
+import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, IvfIndex, KeyProfile, Multimodal, Sampling, Sessionize, Similarity, Sketches, Skew, TextAnalysis, TextIndex}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2186,6 +2186,27 @@ object SparkEntry {
       Sampling.curriculum(docs(s, d), "doc_id", "n_chars",
           nBuckets = 4, seed = "r9")
         .orderBy("position")),
+
+    // sharded HLL distinct: per-shard sketches union to the global
+    // estimate (the mergeable-state pattern that replaces full-corpus
+    // count-distinct rescans); the verdict gate is q_approx_distinct's
+    "q_hll_shards" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      Sketches.shardedDistinct(li, "l_partkey")
+        .crossJoin(broadcast(
+          li.agg(countDistinct(col("l_partkey")).as("distinct_parts"))))
+        .select(col("n_shards"), col("distinct_parts"),
+          (abs(col("approx_distinct") - col("distinct_parts")) <=
+            col("distinct_parts") * 0.05).as("within_5pct"))
+    }),
+
+    // pre-flight self-join sizing on the customer key: exact output
+    // cardinality and hot-key concentration from the histograms alone
+    "q_join_card" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      asLong(Skew.joinCardinality(o, o, "o_custkey", "o_custkey"),
+        "n_join_keys")
+    }),
 
     // embedding-distribution drift: the new snapshot doubles the mass
     // near the first 50 vectors' cells (planted twins); those cells
@@ -4648,6 +4669,30 @@ object SparkEntry {
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the HLL union holds within 5% at any cardinality (near-exact in
+    // sparse mode); the gate is the same verdict form as q_approx_distinct
+    "q_hll_shards" ->
+      """SELECT CAST(32 AS BIGINT) AS n_shards,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  true AS within_5pct
+        |FROM lineitem""".stripMargin,
+
+    // replays join_rows = Σ cnt²  over the custkey histogram exactly
+    "q_join_card" ->
+      """WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT k AS top_key, n * n AS top_key_rows FROM (
+        |        SELECT *, row_number() OVER (ORDER BY n * n DESC, k DESC)
+        |          AS rn FROM c) WHERE rn = 1)
+        |SELECT (SELECT count(*) FROM orders) AS n_left,
+        |  (SELECT count(*) FROM orders) AS n_right,
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_join_keys,
+        |  CAST((SELECT sum(n * n) FROM c) AS DECIMAL(38,0)) AS join_rows,
+        |  top_key, CAST(top_key_rows AS BIGINT) AS top_key_rows,
+        |  round(CAST(top_key_rows AS DOUBLE)
+        |    / CAST((SELECT sum(n * n) FROM c) AS DOUBLE), 6) AS top_share
+        |FROM t""".stripMargin,
 
     // deterministic cell assignment (hash-seeded centroids), golden-
     // pinned per cell: counts, shares, and the signed drift delta

@@ -56,4 +56,48 @@ object Skew {
       .join(right, Seq(key))
     coldJoined.unionByName(hotJoined.select(coldJoined.columns.map(col): _*))
   }
+
+  /** Pre-flight join sizing: the EXACT row count an inner equi-join
+    * would produce, plus its hot-key concentration, computed from the
+    * two key histograms — shuffle cost ∝ distinct keys — without
+    * running the join, whose output can be quadratically larger (a
+    * self-join on a zipfian key). This is the check you run BEFORE
+    * committing a 100 TB join: `join_rows` says whether the output is
+    * even storable, `top_share` says whether one key produces most of
+    * it (→ [[skewAwareJoin]] or a broadcast of that key's slice), and
+    * the histograms already ARE [[KeyProfile.keyProfile]]'s shuffle, so
+    * the diagnosis costs one aggregation per side.
+    *
+    * `join_rows = Σ_k cnt_left(k) · cnt_right(k)` exactly, summed in
+    * decimal — per-key products of two multi-billion-row skewed inputs
+    * overflow int64 precisely in the cases this check exists to catch.
+    * Keys compare as strings for the hottest-key tie-break (largest
+    * contribution, then largest key string — same rule both engines).
+    * Returns one row: (n_left, n_right, n_join_keys, join_rows,
+    * top_key, top_key_rows, top_share); an empty key intersection
+    * reports zero rows and a null top key. */
+  def joinCardinality(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__nl"))
+    val rc = right.groupBy(col(rightKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__nr"))
+    val contrib = lc.join(rc, Seq("__k"))
+      .select(col("__k"), (col("__nl") * col("__nr")).as("__c"))
+    val totals = left.agg(count(lit(1)).as("n_left"))
+      .crossJoin(right.agg(count(lit(1)).as("n_right")))
+    contrib
+      .agg(count(lit(1)).as("n_join_keys"),
+        coalesce(sum(col("__c").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("join_rows"),
+        max(struct(col("__c"), col("__k"))).as("__top"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_left"), col("n_right"), col("n_join_keys"),
+        col("join_rows"),
+        col("__top.__k").as("top_key"),
+        col("__top.__c").as("top_key_rows"),
+        when(col("join_rows") > 0,
+          round(col("__top.__c") / col("join_rows").cast("double"), 6))
+          .as("top_share"))
+  }
 }

@@ -48,6 +48,33 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == left.join(right, Seq("k")).collect().map(_.toSeq).toSet)
   }
 
+  test("join cardinality: exact sizing from histograms, verified vs the join") {
+    import spark.implicits._
+    val left = (Seq.fill(3)(1L) ++ Seq(2L)).map((_, "l")).toDF("k", "lv")
+    val right = (Seq.fill(2)(1L) ++ Seq.fill(5)(3L)).map((_, "r")).toDF("k", "rv")
+    val row = Skew.joinCardinality(left, right, "k", "k").collect()(0)
+    assert(row.getAs[Long]("n_left") == 4L)
+    assert(row.getAs[Long]("n_right") == 7L)
+    assert(row.getAs[Long]("n_join_keys") == 1L)
+    assert(row.getAs[java.math.BigDecimal]("join_rows").longValueExact == 6L)
+    assert(row.getAs[String]("top_key") == "1")
+    assert(row.getAs[Long]("top_key_rows") == 6L)
+    assert(row.getAs[Double]("top_share") == 1.0)
+    // the prediction matches the join it predicts
+    assert(left.join(right, Seq("k")).count() == 6L)
+  }
+
+  test("join cardinality: empty key intersection reports zero, null top key") {
+    import spark.implicits._
+    val left = Seq((1L, "l")).toDF("k", "lv")
+    val right = Seq((2L, "r")).toDF("k", "rv")
+    val row = Skew.joinCardinality(left, right, "k", "k").collect()(0)
+    assert(row.getAs[Long]("n_join_keys") == 0L)
+    assert(row.getAs[java.math.BigDecimal]("join_rows").longValueExact == 0L)
+    assert(row.isNullAt(row.fieldIndex("top_key")))
+    assert(row.isNullAt(row.fieldIndex("top_share")))
+  }
+
   test("hot path widens the shuffle key with the salt") {
     import spark.implicits._
     val left = (1 to 100).map(i => (1L, i)).toDF("k", "li")
