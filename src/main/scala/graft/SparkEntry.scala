@@ -1,7 +1,7 @@
 package graft
 
 import graft.gen.{Generator, TableCalcs}
-import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, IvfIndex, KeyProfile, Multimodal, Sampling, Sessionize, Similarity, Sketches, Skew, TextAnalysis, TextIndex}
+import graft.ops.{Bpe, Chunking, Dedup, DedupIndex, Embeddings, Fusion, IvfIndex, KeyProfile, Multimodal, Sampling, Sessionize, Similarity, Sketches, Skew, TextAnalysis, TextIndex}
 import graft.plan.SemanticQuery
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2186,6 +2186,46 @@ object SparkEntry {
       Sampling.curriculum(docs(s, d), "doc_id", "n_chars",
           nBuckets = 4, seed = "r9")
         .orderBy("position")),
+
+    // hybrid retrieval: per query, fuse the lexical BM25 ranking with
+    // the vector ANN ranking over the shared doc-id space via RRF —
+    // rank-only fusion, no score calibration; golden-pinned (both input
+    // rankings are individually SQL-gated by q_bm25 / q_ann_cosine)
+    "q_rrf" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val termSets = Seq(1L -> Seq("spark", "vector"),
+        2L -> Seq("customer", "order", "data"),
+        3L -> Seq("window", "agg", "join"))
+      val lexical = termSets.map { case (qid, terms) =>
+        TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text", terms, k = 20)
+          .select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
+      }.reduce(_ unionByName _)
+      val lexRanked = lexical.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+          "vec_id", "embedding", "vec_id", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      asLong(Fusion.rrf(Seq(lexRanked, vec), topK = 10)
+        .orderBy("query_id", "fused_rank"), "fused_rank")
+    }),
+
+    // chunk→document embedding pooling: decimal-summed per-dimension
+    // means, bit-stable across layouts; the comparator takes scalars,
+    // so the pooled vectors are emitted as (group, dim, value) rows —
+    // every element oracle-exact
+    "q_mean_pool" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      asLong(Embeddings.meanPool(
+          emb.withColumn("group_id", pmod(col("vec_id"), lit(25L))),
+          "group_id", "embedding")
+        .select(col("group_id"),
+          posexplode(col("pooled")).as(Seq("dim", "value")))
+        .orderBy("group_id", "dim"), "dim")
+    }),
 
     // sharded HLL distinct: per-shard sketches union to the global
     // estimate (the mergeable-state pattern that replaces full-corpus
@@ -4669,6 +4709,48 @@ object SparkEntry {
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deterministic rank fusion over two individually-gated rankings
+    // (q_bm25's formula, q_ann_cosine's cosine), golden-pinned: docs
+    // 128 and 174 fuse contributions from BOTH retrievers and take the
+    // per-query head — single-list docs cap at 1/61
+    "q_rrf" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(rrf_score AS DOUBLE) AS rrf_score,
+        |  CAST(fused_rank AS BIGINT) AS fused_rank FROM (VALUES
+        |(1, 146, 0.016393, 1), (1, 386, 0.016393, 2),
+        |(1, 27, 0.016129, 3), (1, 97, 0.016129, 4),
+        |(1, 337, 0.015873, 5), (1, 407, 0.015873, 6),
+        |(1, 22, 0.015625, 7), (1, 195, 0.015625, 8),
+        |(1, 64, 0.015385, 9), (1, 153, 0.015385, 10),
+        |(2, 128, 0.026334, 1), (2, 7, 0.016393, 2),
+        |(2, 117, 0.016393, 3), (2, 21, 0.016129, 4),
+        |(2, 450, 0.016129, 5), (2, 118, 0.015873, 6),
+        |(2, 145, 0.015873, 7), (2, 126, 0.015625, 8),
+        |(2, 188, 0.015625, 9), (2, 250, 0.015385, 10),
+        |(3, 174, 0.03101, 1), (3, 444, 0.026316, 2),
+        |(3, 13, 0.016393, 3), (3, 130, 0.016393, 4),
+        |(3, 149, 0.016129, 5), (3, 309, 0.016129, 6),
+        |(3, 42, 0.015873, 7), (3, 343, 0.015873, 8),
+        |(3, 394, 0.015625, 9), (3, 231, 0.015385, 10)
+        |) AS t(query_id, doc_id, rrf_score, fused_rank)
+        |ORDER BY query_id, fused_rank""".stripMargin,
+
+    // replays the decimal-mean pooling per (group, dimension) with
+    // ordinality-ordered reassembly
+    "q_mean_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id % 25 AS group_id, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) AS p
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT group_id, p,
+        |    CAST(sum(CAST(x AS DECIMAL(30,12))) / count(*) AS DOUBLE) AS m
+        |  FROM e GROUP BY 1, 2)
+        |SELECT group_id, CAST(p - 1 AS BIGINT) AS dim,
+        |  round(m, 6) AS value
+        |FROM m ORDER BY group_id, dim""".stripMargin,
 
     // the HLL union holds within 5% at any cardinality (near-exact in
     // sparse mode); the gate is the same verdict form as q_approx_distinct

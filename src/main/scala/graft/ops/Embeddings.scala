@@ -57,6 +57,26 @@ object Embeddings {
       round(array_max(errs), errDecimals).as("max_err"))
   }
 
+  /** Mean-pool member vectors to one vector per group — chunk
+    * embeddings to a document embedding in a RAG pipeline, or a dup
+    * cluster's members to its representative. Per-dimension means sum
+    * in decimal (the [[Similarity.trainCentroids]] trick) so the pooled
+    * vector is bit-identical across partition layouts and replayable by
+    * the DuckDB oracle; elements round to `decimals`. One posexplode +
+    * two partial-aggregated groupBys, shuffle keyed on (group, dim) —
+    * uniform at any corpus size. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String,
+      decimals: Int = 6): DataFrame =
+    df.select(col(groupCol).as("group_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__p", "__x")))
+      .groupBy(col("group_id"), col("__p"))
+      .agg((sum(col("__x").cast("decimal(30,12)")) / count(lit(1)))
+        .cast("double").as("__m"))
+      .groupBy(col("group_id"))
+      .agg(sort_array(collect_list(struct(col("__p").as("p"),
+        round(col("__m"), decimals).as("m")))).as("__pm"))
+      .select(col("group_id"), col("__pm.m").as("pooled"))
+
   /** Embedding-distribution drift between two corpus snapshots, the
     * input-data monitor for an ANN/retrieval service: both snapshots
     * are assigned to the SAME frozen centroids (train once on the

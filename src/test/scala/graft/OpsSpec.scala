@@ -809,6 +809,21 @@ class OpsSpec extends AnyFunSuite {
     assert(shared == (ha & hb))
   }
 
+  test("mean pool: hand-checkable means, layout invariant") {
+    val df = Seq(
+      (1L, Array(1.0f, 3.0f)), (1L, Array(3.0f, 5.0f)),
+      (2L, Array(10.0f, 0.0f)))
+      .toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Embeddings.meanPool(d, "g", "v")
+        .collect().map(r => r.getAs[Long]("group_id") ->
+          r.getSeq[Double](r.fieldIndex("pooled")).toList).toMap
+    val out = run(df)
+    assert(out(1L) == Seq(2.0, 4.0))
+    assert(out(2L) == Seq(10.0, 0.0))
+    assert(run(df.repartition(5)) == out)
+  }
+
   test("cell drift: identical snapshots are flat, planted mass shows up") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.01/embeddings.parquet")
