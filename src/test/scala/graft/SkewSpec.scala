@@ -2,11 +2,43 @@ package graft
 
 import graft.ops.Skew
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 class SkewSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
+
+  test("property: salted join equals plain join on random zipf-ish data") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(0, 120)
+      lrows <- Gen.listOfN(nl, for {
+        k <- Gen.frequency(6 -> Gen.const(1L), 2 -> Gen.choose(2L, 4L),
+          2 -> Gen.choose(5L, 40L)) // hot key 1, warm 2-4, cold tail
+        v <- Gen.choose(0, 999)
+      } yield (k, v))
+      nr <- Gen.choose(0, 40)
+      rrows <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1L, 40L); v <- Gen.alphaStr.map(_.take(4))
+      } yield (k, v))
+      thr <- Gen.choose(1L, 20L)
+      salts <- Gen.choose(2, 6)
+    } yield (lrows, rrows, thr, salts)
+    (1 to 6).foreach { i =>
+      val (lrows, rrows, thr, salts) =
+        gen(Gen.Parameters.default, Seed(4200L + i)).get
+      val left = lrows.toDF("k", "lv")
+      val right = rrows.toDF("k", "rv")
+      val salted = Skew.skewAwareJoin(left, right, "k", thr, salts)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val plain = left.join(right, Seq("k"))
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted == plain,
+        s"case $i (thr=$thr salts=$salts): salted multiset != plain join")
+    }
+  }
 
   test("salted union is row-identical to the plain join under a hot key") {
     import spark.implicits._
