@@ -2187,6 +2187,28 @@ object SparkEntry {
           nBuckets = 4, seed = "r9")
         .orderBy("position")),
 
+    // split-balance audit: per (split, stratum) the within-split share
+    // vs the corpus share — the post-split distribution parity check;
+    // every pair materializes even at zero count
+    "q_split_balance" -> ((s, d) =>
+      asLong(Sampling.splitBalance(
+        Sampling.split(docs(s, d), "doc_id",
+          Seq("train" -> 800, "val" -> 100, "test" -> 100)),
+        "split", "lang")
+        .orderBy("split", "stratum"), "n")),
+
+    // winsorized clipping with exact interpolated percentiles — the
+    // oracle replays quantile_cont (same linear-interpolation
+    // definition as Spark's percentile)
+    "q_winsorize" -> ((s, d) =>
+      asLong(TextAnalysis.winsorize(
+          docs(s, d).select(col("doc_id"), col("n_chars")),
+          "n_chars", exact = true)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+          round(col("clipped"), 6).as("clipped"))
+        .orderBy("doc_id"), "n_chars")),
+
     // hybrid retrieval: per query, fuse the lexical BM25 ranking with
     // the vector ANN ranking over the shared doc-id space via RRF —
     // rank-only fusion, no score calibration; golden-pinned (both input
@@ -4709,6 +4731,40 @@ object SparkEntry {
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the md5 bucket split, then the share arithmetic over the
+    // complete (split, stratum) scaffold
+    "q_split_balance" ->
+      """WITH b AS (
+        |  SELECT lang AS stratum,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |cells AS (SELECT split, stratum, count(*) AS n FROM b GROUP BY 1, 2),
+        |sp AS (SELECT split, sum(n) AS ns FROM cells GROUP BY 1),
+        |st AS (SELECT stratum, sum(n) AS nt FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n) AS t FROM cells),
+        |scaffold AS (SELECT split, stratum FROM sp, st)
+        |SELECT s.split, s.stratum, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |  round(coalesce(n, 0) / ns, 6) AS share_in_split,
+        |  round(nt / t, 6) AS share_overall,
+        |  round(coalesce(n, 0) / ns - nt / t, 6) AS delta
+        |FROM scaffold s
+        |LEFT JOIN cells USING (split, stratum)
+        |JOIN sp USING (split) JOIN st USING (stratum) CROSS JOIN tot
+        |ORDER BY split, stratum""".stripMargin,
+
+    // exact interpolated percentiles: quantile_cont == Spark percentile
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+        |         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(lo, 6) AS lo, round(hi, 6) AS hi,
+        |  round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6)
+        |    AS clipped
+        |FROM documents, q ORDER BY doc_id""".stripMargin,
 
     // deterministic rank fusion over two individually-gated rankings
     // (q_bm25's formula, q_ann_cosine's cosine), golden-pinned: docs

@@ -298,6 +298,45 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Split-balance audit: the check you run AFTER [[split]] (or
+    * [[leakageSafeSplit]]) — per (split, stratum), the stratum's share
+    * WITHIN the split against its share of the whole corpus. A hash
+    * split is distribution-free in expectation, but a correlated id
+    * space (ids assigned by crawl source), a skewed stratum, or a buggy
+    * bucket function all show up here as deltas — and a model trained
+    * on a language-skewed train split evaluates on a val split that no
+    * longer measures the same distribution. Two aggregations (per-cell
+    * and per-stratum) joined on broadcast-sized frames (splits ×
+    * strata rows); corpus cost is the histogram shuffle.
+    *
+    * Returns (split, stratum, n, share_in_split, share_overall, delta
+    * rounded to `decimals`), every (split, stratum) pair present with
+    * zero counts so a stratum MISSING from a split is a visible row,
+    * not an absent one. */
+  def splitBalance(df: DataFrame, splitCol: String, stratumCol: String,
+      decimals: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(splitCol).as("split"),
+        col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val splits = cells.groupBy(col("split")).agg(sum(col("n")).as("__ns"))
+    val strata = cells.groupBy(col("stratum")).agg(sum(col("n")).as("__nt"))
+    val total = cells.agg(sum(col("n")).as("__tot"))
+    val scaffold = splits.select(col("split"))
+      .crossJoin(strata.select(col("stratum")))
+    scaffold
+      .join(cells, Seq("split", "stratum"), "left")
+      .join(broadcast(splits), Seq("split"))
+      .join(broadcast(strata), Seq("stratum"))
+      .crossJoin(broadcast(total))
+      .select(col("split"), col("stratum"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)) / col("__ns"), decimals)
+          .as("share_in_split"),
+        round(col("__nt") / col("__tot"), decimals).as("share_overall"),
+        round(coalesce(col("n"), lit(0L)) / col("__ns")
+          - col("__nt") / col("__tot"), decimals).as("delta"))
+  }
+
   /** Curriculum ordering for pretraining: rank the corpus by a
     * difficulty/quality score, cut it into `nBuckets` equal-count bins
     * (easy → hard), deterministically shuffle WITHIN each bin

@@ -356,4 +356,30 @@ object TextAnalysis {
         (sum(col("__p10").cast("decimal(30,12)")) / count(lit(1)))
           .cast("double").as("avg_log10_p"))
   }
+
+  /** Winsorized clipping of a numeric feature column: values outside
+    * the [pLow, pHigh] quantile band clamp to the band — the robust-
+    * scaling step before a length/quality feature feeds a filter or a
+    * sampler (one 10 MB document otherwise dominates any mean-based
+    * threshold). `exact = true` uses exact interpolated percentiles
+    * (cross-engine replayable: Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition); exact
+    * percentile aggregates a per-value map, fine into millions of
+    * distinct values — at 100 TB use the default sketch path
+    * (`approx_percentile`, bounded memory), same clipping semantics
+    * with approximate bounds. The single-row bounds frame broadcasts;
+    * corpus cost is one aggregate plus the map-side clamp. Returns the
+    * input plus (lo, hi, clipped). */
+  def winsorize(df: DataFrame, valueCol: String, pLow: Double = 0.05,
+      pHigh: Double = 0.95, exact: Boolean = false): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val v = col(valueCol).cast("double")
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val bounds = df.agg(
+      expr(s"$fn(cast($valueCol as double), $pLow)").as("lo"),
+      expr(s"$fn(cast($valueCol as double), $pHigh)").as("hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("clipped", least(greatest(v, col("lo")), col("hi")))
+  }
 }

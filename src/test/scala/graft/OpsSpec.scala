@@ -809,6 +809,35 @@ class OpsSpec extends AnyFunSuite {
     assert(shared == (ha & hb))
   }
 
+  test("split balance: shares and deltas hand-checkable, zero cells visible") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("split", "lang")
+    val out = Sampling.splitBalance(df, "split", "lang")
+      .collect().map(r => (r.getAs[String]("split"), r.getAs[String]("stratum")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share_in_split"),
+          r.getAs[Double]("share_overall"), r.getAs[Double]("delta"))).toMap
+    assert(out.size == 4, "every (split, stratum) pair must materialize")
+    assert(out(("a", "x")) == (3L, 0.75, 0.8, -0.05))
+    assert(out(("a", "y")) == (1L, 0.25, 0.2, 0.05))
+    assert(out(("b", "x")) == (1L, 1.0, 0.8, 0.2))
+    assert(out(("b", "y")) == (0L, 0.0, 0.2, -0.2), "missing stratum is a zero row")
+  }
+
+  test("winsorize: exact interpolated bounds clamp the tails") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = TextAnalysis.winsorize(df, "v", exact = true).collect()
+    // p05 of 1..100 = 1 + 0.05·99 = 5.95; p95 = 95.05 (linear interp)
+    out.foreach { r =>
+      assert(r.getAs[Double]("lo") == 5.95 && r.getAs[Double]("hi") == 95.05)
+      val v = r.getAs[Double]("v"); val c = r.getAs[Double]("clipped")
+      assert(c == math.min(math.max(v, 5.95), 95.05))
+    }
+    // the sketch path lands near the exact bounds on this tiny input
+    val approx = TextAnalysis.winsorize(df, "v").collect()(0)
+    assert(math.abs(approx.getAs[Double]("lo") - 5.95) < 2.0)
+    assert(math.abs(approx.getAs[Double]("hi") - 95.05) < 2.0)
+  }
+
   test("mean pool: hand-checkable means, layout invariant") {
     val df = Seq(
       (1L, Array(1.0f, 3.0f)), (1L, Array(3.0f, 5.0f)),
