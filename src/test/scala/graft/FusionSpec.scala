@@ -45,4 +45,32 @@ class FusionSpec extends AnyFunSuite {
     val a = (1 to 30).map(i => (1L, i.toLong, i)).toDF("query_id", "doc_id", "rank")
     assert(Fusion.rrf(Seq(a), topK = 10).count() == 10)
   }
+
+  test("rrf fuses real IVF-index output with a second retriever") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rrf").toString
+    graft.ops.IvfIndex.build(emb, "vec_id", "embedding", tmp, nCells = 16)
+    val queries = emb.filter(col("vec_id") < 3)
+    val ann = graft.ops.IvfIndex.topK(spark, tmp, queries, "vec_id",
+        "embedding", "vec_id", k = 10, nprobe = 16)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    // second retriever: the same ANN list shifted by one rank — every
+    // fused doc then has contributions from both lists, and the fused
+    // order must follow the (deterministic) combined reciprocal sums
+    val shifted = ann.withColumn("rank", col("rank") + 1)
+    val fused = Fusion.rrf(Seq(ann, shifted), topK = 5)
+    val rows = fused.collect()
+    assert(rows.length == 3 * 5)
+    // rank-1 of the fused list must be rank-1 of the base list (it holds
+    // the max possible score 1/61 + 1/62)
+    val top = ann.filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("doc_id")).toMap
+    rows.filter(_.getAs[Int]("fused_rank") == 1).foreach { r =>
+      assert(top(r.getAs[Long]("query_id")) == r.getAs[Long]("doc_id"))
+      assert(r.getAs[Double]("rrf_score") ==
+        math.rint((1.0 / 61 + 1.0 / 62) * 1e6) / 1e6)
+    }
+  }
 }

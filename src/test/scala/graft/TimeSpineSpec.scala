@@ -53,6 +53,33 @@ class TimeSpineSpec extends AnyFunSuite {
     assert(out(("2024-02-01 00:00:00.0", "b")) == 2L)
   }
 
+  test("densify composes over a real time-grained semantic query") {
+    // one sparse customer's monthly revenue from the actual generator
+    // output: gaps materialize with the fills, observed months ride
+    // through untouched, and the spine spans exactly min..max
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val hot = orders.groupBy(col("o_custkey")).count()
+      .orderBy(col("count").desc, col("o_custkey"))
+      .limit(1).collect()(0).getLong(0)
+    val df = orders.filter(col("o_custkey") === hot)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+    val sparse = df.count()
+    val dense = TimeSpine.densify(df, "month", "1 month",
+      fills = Map("revenue" -> lit(0)))
+    val rows = dense.orderBy("month").collect()
+    assert(rows.length >= sparse, "densified can never lose rows")
+    // consecutive months, no gaps left
+    val months = rows.map(_.getAs[java.sql.Timestamp]("month").toLocalDateTime)
+    months.sliding(2).foreach { case Array(a, b) =>
+      assert(a.plusMonths(1) == b, s"gap between $a and $b")
+    }
+    // filled rows are exactly the generated ones and sum is unchanged
+    val total = df.agg(sum(col("revenue"))).collect()(0).getDecimal(0)
+    val denseTotal = dense.agg(sum(col("revenue"))).collect()(0).getDecimal(0)
+    assert(total.compareTo(denseTotal) == 0)
+  }
+
   test("empty input densifies to empty, dense input is identity") {
     import spark.implicits._
     val empty = Seq.empty[(java.sql.Timestamp, Long)].toDF("month", "n")
