@@ -141,4 +141,28 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(st2.length == 1 && st2(0).getAs[String]("status") == "corpus_dup"
       && st2(0).getAs[Long]("ref_id") == 20002L)
   }
+
+  test("ingest against a fully-capped index: batch self-dedup still works") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dix7").toString
+    // every build bucket crosses the cap — the index matches nothing
+    // (the documented boilerplate contract), but the batch's OWN keys
+    // are not capped, so the in-batch twin still drops
+    val boiler = (1L to 30L).map(i => (i, "capped boilerplate body here"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(boiler, "doc_id", "text", tmp, maxBucketSize = 5)
+    val st = DedupIndex.ingest(spark, tmp,
+        Seq((100L, "capped boilerplate body here"),
+          (101L, "capped boilerplate body here"),
+          (102L, (1 to 40).map(i => s"freshcap$i").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        r.getAs[String]("status")).toMap
+    // 100 can't match the capped corpus → appended (exact copies inside
+    // capped buckets are exactDuplicates' job, per the scaladoc)
+    assert(st(100L) == "appended")
+    assert(st(101L) == "batch_dup", "in-batch twin must still drop")
+    assert(st(102L) == "appended")
+  }
 }

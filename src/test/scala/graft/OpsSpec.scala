@@ -917,6 +917,20 @@ class OpsSpec extends AnyFunSuite {
     }, "md5 shuffle left both bins in id order")
   }
 
+  test("curriculum degenerate: more buckets than rows stays a permutation") {
+    val df = Seq((1L, 5.0), (2L, 1.0), (3L, 9.0)).toDF("doc_id", "s")
+    val rows = Sampling.curriculum(df, "doc_id", "s", nBuckets = 10,
+        seed = "z").collect()
+    // ranks by score: 2 (1.0) -> 0, 1 (5.0) -> 1, 3 (9.0) -> 2; cut
+    // formula floor(rank*10/3) gives sparse buckets {0, 3, 6}
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("bucket"), r.getAs[Long]("position"))).toMap
+    assert(byId(2L)._1 == 0L && byId(1L)._1 == 3L && byId(3L)._1 == 6L)
+    assert(rows.map(_.getAs[Long]("position")).sorted.toSeq == Seq(0L, 1L, 2L))
+    // feed order follows bucket order even with gaps
+    assert(byId(2L)._2 < byId(1L)._2 && byId(1L)._2 < byId(3L)._2)
+  }
+
   test("curriculum is partition-layout invariant and replays in DuckDB form") {
     val df = (1L to 60L).map(i => (i, (i * 7 % 13).toDouble)).toDF("doc_id", "s")
     val a = Sampling.curriculum(df, "doc_id", "s", 4, "x")
