@@ -3577,7 +3577,7 @@ object SparkEntry {
         |  coalesce(string_agg(line, chr(10) ORDER BY pos)
         |    FILTER (WHERE NOT dropped), '') AS clean_text,
         |  count(*) AS n_lines,
-        |  sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM tagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_incremental_new" ->
@@ -3610,7 +3610,7 @@ object SparkEntry {
         |dd AS (
         |  SELECT doc_id, domain, count(*) AS m FROM hosts
         |  WHERE len(domain) > 0 GROUP BY 1, 2)
-        |SELECT domain, count(*) AS n_docs, sum(m) AS n_mentions
+        |SELECT domain, count(*) AS n_docs, CAST(sum(m) AS BIGINT) AS n_mentions
         |FROM dd GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q_redact" ->
@@ -3693,7 +3693,7 @@ object SparkEntry {
         |bad AS (
         |  SELECT DISTINCT doc_id FROM hosts
         |  WHERE domain IN ('site1.example.com', 'site4.example.com'))
-        |SELECT count(*) AS n_kept, sum(doc_id) AS sum_ids
+        |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM raw WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "q_shuffle" ->
@@ -3714,7 +3714,7 @@ object SparkEntry {
         |      AS quality_score
         |  FROM documents)
         |SELECT lang, count(*) AS doc_count,
-        |  sum(n_tokens) AS total_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  round(avg(quality_score), 4) AS avg_quality,
         |  count(*) FILTER (WHERE quality_score >= 0.8) AS high_quality_docs
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
@@ -3745,8 +3745,8 @@ object SparkEntry {
     // 8 corrupt lines planted (after docs 5,11,17,23,29,35,41,47); the
     // good-row aggregates must reconcile against the source table exactly
     "q_jsonl_ingest" ->
-      """SELECT count(*) AS n_good, sum(doc_id) AS sum_ids,
-        |  sum(n_chars) AS sum_chars, CAST(8 AS BIGINT) AS n_quarantined
+      """SELECT count(*) AS n_good, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(8 AS BIGINT) AS n_quarantined
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
     "q_quality_quantiles" ->
@@ -3779,10 +3779,10 @@ object SparkEntry {
         |g AS (
         |  SELECT count(*) AS n_docs,
         |    count(DISTINCT text) AS n_distinct_texts,
-        |    sum(toks) AS total_ws_tokens,
+        |    CAST(sum(toks) AS BIGINT) AS total_ws_tokens,
         |    round(avg(len(text)), 4) AS avg_chars,
         |    count(DISTINCT lang) AS n_langs,
-        |    sum(CASE WHEN pii THEN 1 ELSE 0 END) AS n_pii_docs
+        |    CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
         |  FROM feats),
         |top AS (
         |  SELECT lang AS top_lang, count(*) AS top_lang_docs
@@ -4413,7 +4413,7 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t WHERE n_tokens > 0)
         |SELECT doc_id, n_tokens,
-        |  cum - n_tokens AS start_offset,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
         |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS first_seq,
         |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS last_seq
         |FROM c ORDER BY doc_id""".stripMargin,
