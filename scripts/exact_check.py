@@ -12,6 +12,11 @@ round-1 outputs.
 Mirror rules:
   - duck side:  .df()  (DECIMAL -> float64, DATE/TIMESTAMP -> datetime64)
   - spark side: pyarrow read (decimal -> Decimal, timestamp[ns] -> Timestamp)
+  - spark int columns CONTAINING NULLS promote to float (pandas semantics:
+    the driver reads the spark parquet through pandas, where a nullable
+    int64 column becomes float64 — so '20002' renders '20002.0' on BOTH
+    sides; verified against CORRECTNESS_r09, where q_dedup_ingest /
+    q_semdedup hash-match at the driver with exactly this shape)
   - columns sorted by name, rows sorted, cells compared as canonical strings
   - datetimes normalized to 'YYYY-MM-DDTHH:MM:SS' on both sides
 
@@ -26,6 +31,7 @@ import sys
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -61,6 +67,13 @@ def spark_rows(path):
     names = sorted(tbl.column_names)
     cols = {c: tbl.column(c).to_pylist() for c in names}
     types = {c: str(tbl.schema.field(c).type) for c in names}
+    for c in names:
+        t = tbl.schema.field(c).type
+        if pa.types.is_integer(t) and any(v is None for v in cols[c]):
+            # pandas promotes nullable int64 -> float64; the driver reads
+            # the spark side through pandas, so mirror that here
+            cols[c] = [None if v is None else float(v) for v in cols[c]]
+            types[c] = f"{types[c]}->float64"
     rows = [tuple(canon(cols[c][i]) for c in names)
             for i in range(tbl.num_rows)]
     return names, sorted(rows), types

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Pre-ship correctness gate: the ONE command to run at HEAD before
+# committing artifacts or claiming battery status.
+#
+#   scripts/gate.sh [sfDir] [queries...]
+#
+# Runs the full battery (or the named subset) through graft.Verify,
+# then BOTH oracle checks:
+#   - check_oracle.py  : tolerant (rtol=1e-9) value compare — catches
+#                        real wrong answers with a readable diff
+#   - exact_check.py   : strict stringify-hash mirror of the driver's
+#                        CORRECTNESS gate — catches type/format drift
+#                        (HUGEINT-vs-BIGINT, trailing zeros) that the
+#                        tolerant check waves through
+# Exit 0 only if both pass. This exists because round 9 shipped 7 red
+# driver rows that check_oracle.py alone had green-lit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.01}"
+shift || true
+OUT_DIR="$(mktemp -d /tmp/graft_gate.XXXXXX)"
+trap 'rm -rf "$OUT_DIR"' EXIT
+echo "== gate: verify battery @ $SF_DIR -> $OUT_DIR"
+sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $*" >"$OUT_DIR/verify.log" 2>&1 \
+  || { tail -40 "$OUT_DIR/verify.log"; echo "GATE FAIL: Verify crashed"; exit 1; }
+echo "== gate: tolerant check (check_oracle.py)"
+python3 scripts/check_oracle.py "$SF_DIR" "$OUT_DIR"
+echo "== gate: strict driver mirror (exact_check.py)"
+python3 scripts/exact_check.py "$SF_DIR" "$OUT_DIR" "$@"
+echo "== gate: PASS"

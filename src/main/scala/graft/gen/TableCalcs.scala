@@ -220,6 +220,14 @@ object TableCalcs {
         .drop(rn, "__tc_s", "__tc_c", "__tc_s_prev", "__tc_c_prev")
     }
 
+  /** Free-form expression calc (reference type `formula`,
+    * core/table_calculation.py:14): evaluate a SQL expression over the
+    * result frame's columns into a new column — the named API for what
+    * `expr()` passthrough composes implicitly. Row-local by definition
+    * (no window), so it never changes the plan's partitioning. */
+  def formula(df: DataFrame, expression: String, as: String): DataFrame =
+    df.withColumn(as, expr(expression))
+
   /** Top-N rows per partition by `value` (QUALIFY row_number() <= n shape,
     * reference: query_rewriter.py:1201-1478). The no-partition case is a
     * global sort-limit — Catalyst executes TakeOrderedAndProject, no full

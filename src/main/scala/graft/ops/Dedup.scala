@@ -284,6 +284,14 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  /** Lowercased whitespace tokens with empties dropped — THE tokenizer
+    * every window/chunk op shares, and the form every DuckDB oracle
+    * replays as `list_filter(string_split_regex(lower(text), '\\s+'),
+    * x -> len(x) > 0)`. Tokenization changes happen HERE only, or the
+    * window ops silently diverge from each other and their oracles. */
+  private[ops] def wsTokens(textCol: String): Column =
+    filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+
   /** Substring-level duplication: every `n`-token sliding window that
     * appears in at least `minDocs` distinct documents. Document-level
     * dedup misses shared boilerplate (headers, license blocks, templated
@@ -301,14 +309,6 @@ object Dedup {
     * the same shuffle, so the honest lever is raising `n` or sampling
     * docs, both caller-side. Window count per doc is linear in doc
     * length (sequence of starts), never quadratic. */
-  /** Lowercased whitespace tokens with empties dropped — THE tokenizer
-    * every window/chunk op shares, and the form every DuckDB oracle
-    * replays as `list_filter(string_split_regex(lower(text), '\\s+'),
-    * x -> len(x) > 0)`. Tokenization changes happen HERE only, or the
-    * window ops silently diverge from each other and their oracles. */
-  private[ops] def wsTokens(textCol: String): Column =
-    filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
-
   def duplicateWindows(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int = 2): DataFrame = {
     require(n > 0, s"window size must be positive, got $n")

@@ -99,4 +99,31 @@ object IvfIndex {
       .withColumn("__qn", Similarity.normLit(col("__qv"), dim)))
     Similarity.rerankCarried(cand, q, k, dim)
   }
+
+  /** Hard-negative mining over the persisted index — the production
+    * composition [[Similarity.hardNegatives]]'s scaladoc promises:
+    * over-fetch `overfetch` candidates per query through [[topK]]'s
+    * pruned scan, then apply the near-duplicate gate (`cosine <
+    * dupThreshold`) and re-rank to the final `k`. Per-query I/O stays ∝
+    * the probed cells; the gate and re-rank run on candidate frames of
+    * queries × overfetch rows, never the corpus. `overfetch` must
+    * exceed `k` by at least the expected near-duplicate count per query
+    * (gated rows consume candidate slots). */
+  def hardNegatives(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      dupThreshold: Double = 0.9, overfetch: Int = 0,
+      nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val kFetch = if (overfetch > 0) overfetch else 4 * k
+    require(kFetch >= k, s"overfetch $kFetch must be >= k $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    topK(spark, path, queries, idCol, vecCol, queryIdCol, kFetch,
+        nprobe, dim)
+      .filter(col("cosine") < dupThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
 }

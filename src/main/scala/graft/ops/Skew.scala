@@ -27,33 +27,56 @@ import org.apache.spark.sql.DataFrame
   * causing the straggler. Catalyst's exchange reuse executes the
   * histogram subtree once even though both split sides reference it.
   *
-  * Inner equi-join on one key column (callers with composite keys
-  * pre-concatenate; left/right column names must be disjoint apart
-  * from the key, same as a plain `join(right, Seq(key))`). The salt is
-  * `pmod` over a per-row monotonic id — layout-dependent, which is
-  * admissible here because the RESULT is salt-invariant (any spreading
-  * of a hot key's rows is correct); only physical placement varies.
+  * Equi-join on one or more key columns, `inner` or `left` (left/right
+  * column names must be disjoint apart from the keys, same as a plain
+  * `join(right, keys)`). Left-join correctness falls out of the split:
+  * each hot LEFT row carries exactly one salt, so an unmatched hot row
+  * null-fills exactly once, and null-keyed left rows never semi-match
+  * the hot set (null ≠ null) — they take the cold path, where the
+  * plain left join preserves them. The salt is `pmod` over a per-row
+  * monotonic id — layout-dependent, which is admissible here because
+  * the RESULT is salt-invariant (any spreading of a hot key's rows is
+  * correct); only physical placement varies.
   */
 object Skew {
 
+  /** Single-key convenience overload. */
   def skewAwareJoin(left: DataFrame, right: DataFrame, key: String,
-      hotThreshold: Long, salts: Int = 8): DataFrame = {
+      hotThreshold: Long, salts: Int): DataFrame =
+    skewAwareJoin(left, right, Seq(key), hotThreshold, salts)
+
+  def skewAwareJoin(left: DataFrame, right: DataFrame, key: String,
+      hotThreshold: Long): DataFrame =
+    skewAwareJoin(left, right, Seq(key), hotThreshold)
+
+  def skewAwareJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      hotThreshold: Long, salts: Int = 8,
+      joinType: String = "inner"): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
     require(hotThreshold > 0, s"hotThreshold must be positive")
-    val hot = left.groupBy(col(key)).agg(count(lit(1)).as("__hc"))
+    require(keys.nonEmpty, "skewAwareJoin needs at least one key column")
+    val jt = joinType.toLowerCase.replace("outer", "").stripSuffix("_")
+    require(jt == "inner" || jt == "left",
+      s"skewAwareJoin supports inner and left joins, got $joinType")
+    val keyCols = keys.map(col)
+    val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__hc"))
       .filter(col("__hc") > hotThreshold)
-      .select(col(key))
-    val leftHot = left.join(broadcast(hot), Seq(key), "left_semi")
+      .select(keyCols: _*)
+    val leftHot = left.join(broadcast(hot), keys, "left_semi")
       .withColumn("__salt",
         pmod(monotonically_increasing_id(), lit(salts.toLong)))
-    val rightHot = right.join(broadcast(hot), Seq(key), "left_semi")
+    val rightHot = right.join(broadcast(hot), keys, "left_semi")
       .withColumn("__salt",
         explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    val hotJoined = leftHot.join(rightHot,
-        leftHot(key) === rightHot(key) && leftHot("__salt") === rightHot("__salt"))
-      .drop(rightHot(key)).drop(leftHot("__salt")).drop(rightHot("__salt"))
-    val coldJoined = left.join(broadcast(hot), Seq(key), "left_anti")
-      .join(right, Seq(key))
+    val cond = keys.map(k => leftHot(k) === rightHot(k))
+      .reduce(_ && _) && leftHot("__salt") === rightHot("__salt")
+    val hotJoined = keys.foldLeft(
+        leftHot.join(rightHot, cond, jt)
+          .drop(leftHot("__salt")).drop(rightHot("__salt"))) {
+        (acc, k) => acc.drop(rightHot(k))
+      }
+    val coldJoined = left.join(broadcast(hot), keys, "left_anti")
+      .join(right, keys, jt)
     coldJoined.unionByName(hotJoined.select(coldJoined.columns.map(col): _*))
   }
 
@@ -68,9 +91,12 @@ object Skew {
     * the histograms already ARE [[KeyProfile.keyProfile]]'s shuffle, so
     * the diagnosis costs one aggregation per side.
     *
-    * `join_rows = Σ_k cnt_left(k) · cnt_right(k)` exactly, summed in
-    * decimal — per-key products of two multi-billion-row skewed inputs
-    * overflow int64 precisely in the cases this check exists to catch.
+    * `join_rows = Σ_k cnt_left(k) · cnt_right(k)` exactly, with the
+    * per-key product ALREADY in decimal(38,0) — two multi-billion-row
+    * sides of one key overflow int64 at the multiply, before any sum,
+    * precisely in the cases this check exists to catch — so the
+    * product, the hottest-key struct, and the sum are all
+    * overflow-safe.
     * Keys compare as strings for the hottest-key tie-break (largest
     * contribution, then largest key string — same rule both engines).
     * Returns one row: (n_left, n_right, n_join_keys, join_rows,
@@ -83,12 +109,15 @@ object Skew {
     val rc = right.groupBy(col(rightKey).cast("string").as("__k"))
       .agg(count(lit(1)).as("__nr"))
     val contrib = lc.join(rc, Seq("__k"))
-      .select(col("__k"), (col("__nl") * col("__nr")).as("__c"))
+      .select(col("__k"),
+        (col("__nl").cast("decimal(38,0)")
+          * col("__nr").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("__c"))
     val totals = left.agg(count(lit(1)).as("n_left"))
       .crossJoin(right.agg(count(lit(1)).as("n_right")))
     contrib
       .agg(count(lit(1)).as("n_join_keys"),
-        coalesce(sum(col("__c").cast("decimal(38,0)")),
+        coalesce(sum(col("__c")),
           lit(0).cast("decimal(38,0)")).as("join_rows"),
         max(struct(col("__c"), col("__k"))).as("__top"))
       .crossJoin(broadcast(totals))

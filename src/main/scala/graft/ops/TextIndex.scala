@@ -18,7 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `postings/__tb=<b>/…` — (token, doc_id, tf, doc_len, df) rows,
   *     df/doc_len denormalized onto each posting so scoring needs no
   *     join at query time (both repeat-compress to nothing in parquet)
-  *   - `stats.txt` — `<nDocs>,<avgLen>` (driver-sized by design)
+  *   - `stats.txt` — `<nDocs>,<avgLen>,<nBuckets>` (driver-sized by
+  *     design). nBuckets is part of the index layout, so it is
+  *     persisted at build and read back by every query path — a
+  *     caller-supplied bucket count that disagreed with the build
+  *     would silently select the wrong `__tb` partitions and drop
+  *     matching postings.
   */
 object TextIndex {
 
@@ -55,19 +60,22 @@ object TextIndex {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$path/stats.txt"), true)
-    try out.write(s"${stats.getLong(0)},${stats.getDouble(1)}"
+    try out.write(s"${stats.getLong(0)},${stats.getDouble(1)},$nBuckets"
       .getBytes("UTF-8"))
     finally out.close()
   }
 
-  private def loadStats(spark: SparkSession, path: String): (Long, Double) = {
+  /** (nDocs, avgLen, nBuckets); indexes written before nBuckets was
+    * persisted carry two fields and default to the old build default. */
+  private def loadStats(spark: SparkSession, path: String): (Long, Double, Int) = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(s"$path/stats.txt"))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val parts = text.trim.split(",")
-    (parts(0).toLong, parts(1).toDouble)
+    (parts(0).toLong, parts(1).toDouble,
+      if (parts.length >= 3) parts(2).toInt else 64)
   }
 
   /** BM25 top-k over the persisted index. The query terms' buckets are
@@ -79,11 +87,10 @@ object TextIndex {
     * Σ df(term), NOT corpus size), and a top-k heap. Identical scores
     * to [[TextAnalysis.bm25TopK]] on the same corpus. */
   def bm25TopK(spark: SparkSession, path: String, terms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75,
-      nBuckets: Int = 64): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     require(k > 0, s"k must be positive, got $k")
-    val (n, avglen) = loadStats(spark, path)
+    val (n, avglen, nBuckets) = loadStats(spark, path)
     // buckets computed through Spark's own xxhash64 (a local 1-job
     // evaluation over the literal terms) so they can never drift from
     // the build-side bucketing
@@ -123,10 +130,10 @@ object TextIndex {
     * sort). */
   def bm25BatchTopK(spark: SparkSession, path: String, queries: DataFrame,
       queryIdCol: String, queryTextCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75,
       maxPrunedTerms: Int = 10000): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val (n, avglen) = loadStats(spark, path)
+    val (n, avglen, nBuckets) = loadStats(spark, path)
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
     val terms = qterms.select(col("token")).distinct()

@@ -90,7 +90,7 @@ class SkewSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_join_keys") == 1L)
     assert(row.getAs[java.math.BigDecimal]("join_rows").longValueExact == 6L)
     assert(row.getAs[String]("top_key") == "1")
-    assert(row.getAs[Long]("top_key_rows") == 6L)
+    assert(row.getAs[java.math.BigDecimal]("top_key_rows").longValueExact == 6L)
     assert(row.getAs[Double]("top_share") == 1.0)
     // the prediction matches the join it predicts
     assert(left.join(right, Seq("k")).count() == 6L)
@@ -105,6 +105,67 @@ class SkewSpec extends AnyFunSuite {
     assert(row.getAs[java.math.BigDecimal]("join_rows").longValueExact == 0L)
     assert(row.isNullAt(row.fieldIndex("top_key")))
     assert(row.isNullAt(row.fieldIndex("top_share")))
+  }
+
+  test("property: salted LEFT join on a 2-column key equals the plain left join") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(0, 120)
+      lrows <- Gen.listOfN(nl, for {
+        k1 <- Gen.frequency(6 -> Gen.const(1L), 4 -> Gen.choose(2L, 20L))
+        k2 <- Gen.oneOf("a", "b") // composite key: (k1, k2)
+        v <- Gen.choose(0, 999)
+      } yield (k1, k2, v))
+      nr <- Gen.choose(0, 40)
+      rrows <- Gen.listOfN(nr, for {
+        k1 <- Gen.choose(1L, 20L); k2 <- Gen.oneOf("a", "b", "c")
+        v <- Gen.alphaStr.map(_.take(4))
+      } yield (k1, k2, v))
+      thr <- Gen.choose(1L, 20L)
+      salts <- Gen.choose(2, 6)
+    } yield (lrows, rrows, thr, salts)
+    (1 to 6).foreach { i =>
+      val (lrows, rrows, thr, salts) =
+        gen(Gen.Parameters.default, Seed(9300L + i)).get
+      val left = lrows.toDF("k1", "k2", "lv")
+      val right = rrows.toDF("k1", "k2", "rv")
+      val salted = Skew.skewAwareJoin(left, right, Seq("k1", "k2"), thr,
+          salts, joinType = "left")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val plain = left.join(right, Seq("k1", "k2"), "left")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted == plain,
+        s"case $i (thr=$thr salts=$salts): salted left-join multiset != plain")
+    }
+  }
+
+  test("left join: unmatched and null-keyed hot lefts null-fill exactly once") {
+    import spark.implicits._
+    // key 1 hot with NO right match; key 2 hot WITH matches; one
+    // null-keyed left row (never semi-matches the hot set)
+    val left = ((1 to 30).map(i => (java.lang.Long.valueOf(1L), s"a$i")) ++
+      (1 to 25).map(i => (java.lang.Long.valueOf(2L), s"b$i")) ++
+      Seq((null.asInstanceOf[java.lang.Long], "n1"), (java.lang.Long.valueOf(3L), "c1")))
+      .toDF("k", "lv")
+    val right = Seq((2L, "x"), (2L, "y"), (3L, "z")).toDF("k", "rv")
+    val salted = Skew.skewAwareJoin(left, right, Seq("k"),
+        hotThreshold = 10, salts = 4, joinType = "left")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = left.join(right, Seq("k"), "left")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain)
+    // 30 unmatched hot + 25*2 matched hot + 1 null + 1 cold = 82
+    assert(salted.values.sum == 82)
+  }
+
+  test("unsupported join types raise") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Skew.skewAwareJoin(df, df.select(col("k"), col("v").as("w")),
+        Seq("k"), 10, 4, joinType = "full")
+    }
+    assert(e.getMessage.contains("inner and left"))
   }
 
   test("hot path widens the shuffle key with the salt") {

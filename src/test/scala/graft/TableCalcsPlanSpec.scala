@@ -80,4 +80,19 @@ class TableCalcsPlanSpec extends AnyFunSuite {
     assert(byId(TableCalcs.percentileOf(one, "v", "x"), "x")
       == Map(1 -> Some(0.0)), "percent_rank single row")
   }
+
+  test("formula is a named row-local expression over result columns") {
+    import spark.implicits._
+    val df = Seq((1, 10.0, 2L), (2, 9.0, 3L), (3, 5.0, 0L))
+      .toDF("id", "rev", "n")
+    val out = TableCalcs.formula(df, "rev / nullif(n, 0)", "aov")
+      .collect().map(r => (r.getInt(0),
+        Option(r.get(r.fieldIndex("aov"))).map(_.asInstanceOf[Double]))).toMap
+    assert(out == Map(1 -> Some(5.0), 2 -> Some(3.0), 3 -> None))
+    // row-local: no exchange, no window in the plan
+    val plan = TableCalcs.formula(df, "rev * 2", "x")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"formula changed the plan shape:\n$plan")
+  }
 }

@@ -14,8 +14,7 @@ class TextIndexSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tix").toString
     TextIndex.build(docs, "doc_id", "text", tmp, nBuckets = 32)
     val terms = Seq("spark", "vector", "customer")
-    val fromIndex = TextIndex.bm25TopK(spark, tmp, terms, k = 10,
-        nBuckets = 32)
+    val fromIndex = TextIndex.bm25TopK(spark, tmp, terms, k = 10)
       .collect().map(r => (r.getAs[Long]("doc_id"),
         r.getAs[Long]("doc_len"), r.getAs[Double]("bm25")))
     val fullScan = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10)
@@ -33,8 +32,7 @@ class TextIndexSpec extends AnyFunSuite {
   test("query scan is statically pruned to the terms' buckets") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tix2").toString
     TextIndex.build(docs, "doc_id", "text", tmp, nBuckets = 32)
-    val result = TextIndex.bm25TopK(spark, tmp, Seq("spark"), k = 5,
-      nBuckets = 32)
+    val result = TextIndex.bm25TopK(spark, tmp, Seq("spark"), k = 5)
     result.collect()
     // descend through AQE wrappers/stages — the scan is not a direct leaf
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
@@ -61,14 +59,12 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.build(docs, "doc_id", "text", tmp, nBuckets = 32)
     val qs = Seq((1L, "spark"), (2L, "vector customer")).toDF("qid", "qtext")
     val batch = TextIndex.bm25BatchTopK(spark, tmp, qs, "qid", "qtext",
-        k = 5, nBuckets = 32)
+        k = 5)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
         r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
-    val single1 = TextIndex.bm25TopK(spark, tmp, Seq("spark"), 5,
-        nBuckets = 32)
+    val single1 = TextIndex.bm25TopK(spark, tmp, Seq("spark"), 5)
       .collect().map(_.getAs[Long]("doc_id")).toSeq
-    val single2 = TextIndex.bm25TopK(spark, tmp, Seq("vector", "customer"),
-        5, nBuckets = 32)
+    val single2 = TextIndex.bm25TopK(spark, tmp, Seq("vector", "customer"), 5)
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(batch.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq == single1)
     assert(batch.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq == single2)
@@ -79,8 +75,8 @@ class TextIndexSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tix6").toString
     TextIndex.build(docs.limit(50), "doc_id", "text", tmp, nBuckets = 8)
     val qs = Seq((1L, "  ")).toDF("qid", "qtext")
-    assert(TextIndex.bm25BatchTopK(spark, tmp, qs, "qid", "qtext", k = 3,
-      nBuckets = 8).count() == 0)
+    assert(TextIndex.bm25BatchTopK(spark, tmp, qs, "qid", "qtext", k = 3)
+      .count() == 0)
   }
 
   test("df/doc_len denormalized on postings agree with direct computation") {
@@ -102,5 +98,36 @@ class TextIndexSpec extends AnyFunSuite {
       ("beta", 2L, 1L, 2L, 2L),
       ("gamma", 2L, 1L, 2L, 1L),
       ("alpha", 3L, 1L, 1L, 2L)))
+  }
+
+  test("query paths read nBuckets from the index, not the caller") {
+    // build with a bucket count no caller default would guess; a query
+    // that assumed the old default (64) would prune to the wrong __tb
+    // dirs and silently drop postings — the regression this guards
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tix7").toString
+    TextIndex.build(docs, "doc_id", "text", tmp, nBuckets = 7)
+    val terms = Seq("spark", "vector", "customer")
+    val fromIndex = TextIndex.bm25TopK(spark, tmp, terms, k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+    val fullScan = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+    assert(fromIndex.map(_._1).toSeq == fullScan.map(_._1).toSeq)
+    fromIndex.zip(fullScan).foreach { case (a, b) =>
+      assert(math.abs(a._2 - b._2) < 1e-9, s"score drift at doc ${a._1}")
+    }
+  }
+
+  test("legacy two-field stats.txt falls back to the old default buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tix8").toString
+    TextIndex.build(docs.limit(50), "doc_id", "text", tmp, nBuckets = 64)
+    // rewrite stats.txt in the pre-persistence format (no third field)
+    val statsPath = java.nio.file.Paths.get(tmp, "stats.txt")
+    val legacy = new String(java.nio.file.Files.readAllBytes(statsPath),
+      "UTF-8").split(",").take(2).mkString(",")
+    java.nio.file.Files.write(statsPath, legacy.getBytes("UTF-8"))
+    // drop Hadoop's CRC sidecar, now stale for the rewritten file
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(tmp, ".stats.txt.crc"))
+    assert(TextIndex.bm25TopK(spark, tmp, Seq("the"), k = 3).count() > 0)
   }
 }
