@@ -2367,6 +2367,41 @@ object SparkEntry {
             col("distinct_parts") * 0.05).as("within_5pct"))
     }),
 
+    // LEFT-join variant of the salted split: a customer gap (every 3rd
+    // key removed) forces unmatched hot orders to null-fill exactly
+    // once into the null segment row — the union must be row-identical
+    // to the plain left join the oracle runs
+    "q_skew_join_left" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      asLong(Skew.skewAwareJoin(o, c, Seq("o_custkey"),
+          hotThreshold = 15, salts = 4, joinType = "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy("c_mktsegment"), "n_orders")
+    }),
+
+    // index-maintenance round trip: build → ingest tail → compact; the
+    // compaction must shrink the file count while preserving every band
+    // key (rows is the full post-ingest key count, golden-pinned)
+    "q_dedup_compact" -> ((s, d) => {
+      import s.implicits._
+      val path = s"/tmp/graft_dedup_compact_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      DedupIndex.build(docs(s, d).filter(col("doc_id") < 400),
+        "doc_id", "text", path)
+      DedupIndex.ingest(s, path,
+        (0 until 5).map(i => (70000L + i,
+            (0 until 40).map(j => s"cpq${i}z$j").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      DedupIndex.compact(s, path)
+        .select((col("files_after") < col("files_before"))
+          .as("files_reduced"), col("rows"))
+    }),
+
     // pre-flight self-join sizing on the customer key: exact output
     // cardinality and hot-key concentration from the histograms alone
     "q_join_card" -> ((s, d) => {
@@ -5022,6 +5057,25 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS distinct_parts,
         |  true AS within_5pct
         |FROM lineitem""".stripMargin,
+
+    // golden-pinned maintenance receipt: compaction strictly shrinks
+    // the post-ingest file count and preserves all 6480 band keys
+    // ((400 docs − capped) × 16 bands + 5 ingested × 16)
+    "q_dedup_compact" ->
+      """SELECT CAST(files_reduced AS BOOLEAN) AS files_reduced,
+        |  CAST(rows AS BIGINT) AS rows
+        |FROM (VALUES (true, 6480)) AS t(files_reduced, rows)""".stripMargin,
+
+    // the salted left-join union must be row-identical to the plain
+    // left join, unmatched orders landing in the NULL segment row
+    "q_skew_join_left" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders LEFT JOIN
+        |  (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+        |  ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays join_rows = Σ cnt²  over the custkey histogram exactly
     "q_join_card" ->

@@ -165,4 +165,41 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(st(101L) == "batch_dup", "in-batch twin must still drop")
     assert(st(102L) == "appended")
   }
+
+  test("compact collapses the append tail's files, preserving content and queries") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dixc").toString
+    DedupIndex.build(docs.filter(col("doc_id") < 200), "doc_id", "text", tmp)
+    // an ingest tail: three slices of fresh synthetic docs, each append
+    // leaving its own files behind
+    (0 until 3).foreach { s =>
+      DedupIndex.ingest(spark, tmp,
+        (0 until 4).map(i =>
+            (40000L + s * 10 + i,
+              (0 until 40).map(j => s"cmptok${s}x${i}y$j").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    val before = spark.read.parquet(s"$tmp/keys")
+      .select("id", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stats = DedupIndex.compact(spark, tmp).collect()(0)
+    assert(stats.getAs[Long]("files_after") < stats.getAs[Long]("files_before"),
+      s"compaction did not reduce files: $stats")
+    val after = spark.read.parquet(s"$tmp/keys")
+      .select("id", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after == before, "compaction changed index content")
+    assert(stats.getAs[Long]("rows") == before.size.toLong ||
+      stats.getAs[Long]("rows") >= after.size.toLong) // rows counts dup band keys too
+    // queries behave identically post-compaction: an ingested doc's
+    // near-variant still matches it
+    val probe = Seq((90000L,
+        ((0 until 36).map(j => s"cmptok0x0y$j") :+ "probeglyph")
+          .mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = DedupIndex.query(spark, tmp, probe, "doc_id", "text")
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(m.contains(40000L), s"post-compaction query missed: $m")
+  }
 }

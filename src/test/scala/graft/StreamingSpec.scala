@@ -282,4 +282,47 @@ class StreamingSpec extends AnyFunSuite {
     (0L until 4L).foreach(i =>
       assert(top(i) == 100000L + i, s"query $i got ${top.get(i)}"))
   }
+
+  test("streaming dedup ingest: slices dedupe against corpus AND earlier slices") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdix").toString
+    graft.ops.DedupIndex.build(docs.filter(col("doc_id") < 400),
+      "doc_id", "text", tmp)
+    // slice 1: a near-dup of corpus doc 0 + a fresh synthetic doc;
+    // slice 2: a near-dup of slice 1's FRESH doc — only findable if the
+    // first micro-batch's append is visible to the second
+    val nearDup0 = docs.filter(col("doc_id") === 0)
+      .select(concat(col("text"), lit(" stream tail")).as("text"))
+      .collect()(0).getString(0)
+    val freshBase = (1 to 60).map(i => s"streamtok$i").mkString(" ")
+    val freshVar = ((1 to 55).map(i => s"streamtok$i") :+ "varglyph")
+      .mkString(" ")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedupIngest.maintain(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      tmp, s"$tmp/_checkpoint")
+    try {
+      in.addData(Seq((50000L, nearDup0), (50001L, freshBase)))
+      q.processAllAvailable()
+      in.addData(Seq((50002L, freshVar)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last_ingest holds the most recent slice's verdicts: 50002 must be
+    // a corpus_dup OF THE STREAMED doc 50001 (cross-micro-batch dedup)
+    val receipt = spark.read.parquet(s"$tmp/last_ingest")
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("status"), r.getAs[Long]("ref_id"))).toSeq
+    assert(receipt == Seq((50002L, "corpus_dup", 50001L)),
+      s"unexpected receipt: $receipt")
+    // and the corpus near-dup from slice 1 did NOT append: a follow-up
+    // probe of doc 0's text matches doc 0, never 50000
+    val probe = Seq((60000L, nearDup0 + " probe")).toDF("doc_id", "text")
+    val m = graft.ops.DedupIndex.query(spark, tmp, probe, "doc_id", "text")
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(m.contains(0L) && !m.contains(50000L),
+      s"slice-1 corpus_dup leaked into the index: $m")
+  }
 }
