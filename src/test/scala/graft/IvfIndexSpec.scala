@@ -91,4 +91,39 @@ class IvfIndexSpec extends AnyFunSuite {
       n.startsWith("_") || n.startsWith(".")),
       s"unexpected layout entries: ${names.mkString(",")}")
   }
+
+  test("compact collapses the append tail, preserving rows and retrieval") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfc").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 400), "vec_id", "embedding",
+      tmp, nCells = 8)
+    // two append slices, each leaving its own file set behind
+    Seq(0, 1).foreach { s =>
+      IvfIndex.append(emb.filter(col("vec_id") >= 400 + s * 50 &&
+          col("vec_id") < 450 + s * 50)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", tmp)
+    }
+    val before = spark.read.parquet(s"$tmp/cells")
+      .select("vec_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val queriesBefore = IvfIndex.topK(spark, tmp,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    val stats = IvfIndex.compact(spark, tmp).collect()(0)
+    assert(stats.getAs[Long]("files_after") < stats.getAs[Long]("files_before"),
+      s"compaction did not reduce files: $stats")
+    val after = spark.read.parquet(s"$tmp/cells")
+      .select("vec_id", "__cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before, "compaction changed index content")
+    val queriesAfter = IvfIndex.topK(spark, tmp,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id",
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(queriesAfter == queriesBefore,
+      "retrieval changed across compaction")
+  }
 }
