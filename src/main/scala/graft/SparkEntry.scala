@@ -2065,6 +2065,24 @@ object SparkEntry {
     // batched search-join BM25 over the persisted index: one plan for a
     // whole query workload, per-query top-k via a partitioned rank
     // window; the oracle replays each query against the full formula
+    // append-then-search round trip on the persisted text index: the
+    // appended doc must be immediately findable through the pruned scan
+    // with exact stats-aware scoring (n=301, df=1) — golden-pinned like
+    // q_ann_ivf_append; the build is part of the operation (no memo),
+    // so every pass exercises build → append → query
+    "q_bm25_append" -> ((s, d) => {
+      import s.implicits._
+      val path = s"/tmp/graft_text_append_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      TextIndex.build(docs(s, d).filter(col("doc_id") < 300),
+        "doc_id", "text", path, nBuckets = 16)
+      TextIndex.append(
+        Seq((90001L, "appendglyph spark index maintenance words"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", path)
+      asLong(TextIndex.bm25TopK(s, path, Seq("appendglyph"), k = 3)
+        .withColumn("bm25", round(col("bm25"), 6)), "doc_id", "doc_len")
+    }),
+
     "q_bm25_batch" -> ((s, d) => {
       import s.implicits._
       val path = s"/tmp/graft_text_index_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -2521,6 +2539,11 @@ object SparkEntry {
           "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
           .as("embedding"))
       val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      // bands=16 is right AT THIS n (~10k at sf1): keying cost ∝ bands×p
+      // dominates here, so the corpus-size lever (raise bands → fewer
+      // random candidates; cosineNearDupPairs scaladoc) only pays when
+      // n² collision volume overtakes keying — measured: bands=32 is
+      // ~2 s SLOWER at sf1, identical found pairs
       Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
         threshold = 0.9, bands = 16) // planesPerBand auto-tunes to t=0.9
         .withColumn("cosine", round(col("cosine"), 6))
@@ -4717,6 +4740,13 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(h) AS BIGINT) AS id_checksum
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // golden append-then-search receipt: the appended doc found with
+    // exact stats-aware scoring (n=301 docs, df=1, tf=1, len 5)
+    "q_bm25_append" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(doc_len AS BIGINT) AS doc_len, CAST(bm25 AS DOUBLE) AS bm25
+        |FROM (VALUES (90001, 5, 8.439854)) AS t(doc_id, doc_len, bm25)""".stripMargin,
 
     "q_bm25_batch" ->
       """WITH tok AS (

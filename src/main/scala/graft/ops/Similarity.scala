@@ -375,6 +375,18 @@ object Similarity {
     * band) where a fixed p=8 let ~7% of ALL pairs through as candidates
     * — the verify stage, not the keying, is what burns time at scale.
     *
+    * The corpus-size lever is `bands`, not `planesPerBand`: random
+    * collisions grow ∝ n²·0.5^p per band, and RAISING bands loosens
+    * the per-band recall target (1 − 0.05^(1/bands) shrinks), which
+    * auto-tunes p UP — doubling bands 16 → 32 at t=0.9 moves p 11 → 15,
+    * ~8× fewer random candidates for ~2.7× keying cost. The trade only
+    * pays once n²·0.5^p collision volume overtakes the (linear,
+    * codegen'd) keying — measured at sf1 (n ≈ 10⁴) bands=32 is slightly
+    * SLOWER because keying still dominates; at n ≥ 10⁶ the n² term
+    * owns the wall-clock and each 10× corpus growth wants a few more
+    * bands. Recall at the threshold stays ≥ 95% by construction at any
+    * bands.
+    *
     * Buckets larger than `maxBucketSize` are dropped before the self-join
     * (see [[capBuckets]]) — without the cap a single degenerate embedding
     * cluster makes the candidate join quadratic at corpus scale.

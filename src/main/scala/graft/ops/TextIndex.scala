@@ -78,6 +78,106 @@ object TextIndex {
       if (parts.length >= 3) parts(2).toInt else 64)
   }
 
+  /** Append a new document slice without rebuilding — the text twin of
+    * [[IvfIndex.append]]'s shard-arrival path. The slice's postings are
+    * keyed with the index's OWN persisted bucket count and appended
+    * into the partitioned layout; `stats.txt` gets the updated corpus
+    * size and (exactly re-weighted) average length, so idf and length
+    * normalization for NEW postings reflect the grown corpus
+    * immediately.
+    *
+    * The documented drift trade, same shape as IVF centroid drift: each
+    * appended posting carries df = (indexed df for that token, read
+    * through the bucket-pruned scan — cost ∝ slice vocabulary, not
+    * corpus) + (slice df), but EXISTING postings keep the df they were
+    * built with, so idf for old documents goes stale as slices
+    * accumulate — scores skew, matching never breaks (matching is by
+    * token, df only weighs scores). The periodic [[build]] rebuild
+    * restores exact global df (and compacts the append tail's files;
+    * [[compact]] does the file part alone). Slice ids must be fresh —
+    * a re-appended id surfaces twice in top-k. */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val (n, avglen, nBuckets) = loadStats(spark, path)
+    val base = batch.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__t"))
+      .withColumn("doc_len", size(col("__t")).cast("long"))
+    val docTok = base
+      .select(col("doc_id"), col("doc_len"), explode(col("__t")).as("token"))
+      .groupBy(col("doc_id"), col("doc_len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val batchDf = docTok.groupBy(col("token")).agg(count(lit(1)).as("__bdf"))
+    // existing df per slice token: one bucket-pruned, token-filtered
+    // scan (the same pruning the query paths use), collapsed to one row
+    // per token — slice vocabularies are small by contract, so the
+    // collect behind isin() is the usual driver-sized term list
+    val terms = batchDf.select(col("token")).collect().map(_.getString(0)).toSeq
+    val oldDf =
+      if (terms.isEmpty) batchDf.limit(0).select(col("token"), col("__bdf").as("__odf"))
+      else {
+        import spark.implicits._
+        val bs = terms.toDF("token")
+          .select(bucketOf(col("token"), nBuckets).as("b"))
+          .collect().map(_.getInt(0)).distinct.toSeq
+        spark.read.parquet(s"$path/postings")
+          .filter(col("__tb").isin(bs: _*))
+          .filter(col("token").isin(terms: _*))
+          .groupBy(col("token")).agg(max(col("df")).as("__odf"))
+      }
+    docTok.join(batchDf, "token")
+      .join(oldDf, Seq("token"), "left")
+      .withColumn("df", col("__bdf") + coalesce(col("__odf"), lit(0L)))
+      .select(col("doc_id"), col("doc_len"), col("token"), col("tf"),
+        col("df"))
+      .withColumn("__tb", bucketOf(col("token"), nBuckets))
+      .repartition(col("__tb"))
+      .write.mode("append").partitionBy("__tb")
+      .parquet(s"$path/postings")
+    val bstats = base.agg(count(lit(1)).cast("long").as("bn"),
+      coalesce(sum(col("doc_len")), lit(0L)).as("blen")).head()
+    val (bn, blen) = (bstats.getLong(0), bstats.getLong(1))
+    val newN = n + bn
+    val newAvg = if (newN == 0) 0.0 else (avglen * n + blen) / newN
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$path/stats.txt"), true)
+    try out.write(s"$newN,$newAvg,$nBuckets".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Layout-only maintenance for the append tail: rewrite `postings/`
+    * so each `__tb=` bucket partition holds one file set again —
+    * content-preserving (stale df stays stale; [[build]] is the exact
+    * refresh), write-then-swap ordering, single-writer contract, same
+    * as [[DedupIndex.compact]] / [[IvfIndex.compact]]. Returns one row:
+    * (rows, files_before, files_after). */
+  def compact(spark: SparkSession, path: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val live = new Path(s"$path/postings")
+    val tmp = new Path(s"$path/postings.compact")
+    val filesBefore = parquetFiles(live)
+    spark.read.parquet(live.toString)
+      .repartition(col("__tb"))
+      .write.mode("overwrite").partitionBy("__tb")
+      .parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    spark.catalog.refreshByPath(live.toString)
+    val filesAfter = parquetFiles(live)
+    import spark.implicits._
+    Seq((rows, filesBefore, filesAfter))
+      .toDF("rows", "files_before", "files_after")
+  }
+
   /** BM25 top-k over the persisted index. The query terms' buckets are
     * STATIC partition filters (`__tb IN (…)` computed up front — the
     * scan lists only those directories), the token equality prunes

@@ -325,4 +325,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(m.contains(0L) && !m.contains(50000L),
       s"slice-1 corpus_dup leaked into the index: $m")
   }
+
+  test("streaming text ingest: streamed docs searchable per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stix").toString
+    graft.ops.TextIndex.build(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", tmp, nBuckets = 16)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingTextIngest.maintain(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      tmp, s"$tmp/_checkpoint")
+    try {
+      in.addData(Seq((95001L, "streamglyphone retrieval test words")))
+      q.processAllAvailable()
+      in.addData(Seq((95002L, "streamglyphtwo more retrieval words")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // each micro-batch's docs are searchable through the pruned scan
+    assert(graft.ops.TextIndex.bm25TopK(spark, tmp, Seq("streamglyphone"), 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(95001L))
+    assert(graft.ops.TextIndex.bm25TopK(spark, tmp, Seq("streamglyphtwo"), 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(95002L))
+    // stats grew with both slices, bucket count untouched
+    val stats = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp, "stats.txt")), "UTF-8").split(",")
+    assert(stats(0).toLong == 302L && stats(2).toInt == 16)
+  }
 }

@@ -117,6 +117,64 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("append: new docs are retrievable, stats update, df accumulates") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tixa").toString
+    TextIndex.build(docs.filter(col("doc_id") < 300), "doc_id", "text",
+      tmp, nBuckets = 16)
+    // slice: one doc with a token no corpus doc has, one doc sharing
+    // the corpus word "the"
+    val slice = Seq(
+      (90001L, "uniqueglyph alpha " + (1 to 20).map(_ => "pad").mkString(" ")),
+      (90002L, "the the common words here")).toDF("doc_id", "text")
+    TextIndex.append(slice, "doc_id", "text", tmp)
+    // the appended-only token is findable through the pruned scan
+    val hit = TextIndex.bm25TopK(spark, tmp, Seq("uniqueglyph"), k = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(hit == Seq(90001L), s"appended doc not retrieved: $hit")
+    // stats: corpus size grew by exactly the slice
+    val stats = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tmp, "stats.txt")), "UTF-8").split(",")
+    assert(stats(0).toLong == 302L, s"nDocs not updated: ${stats.toSeq}")
+    assert(stats(2).toInt == 16, "nBuckets must survive append")
+    // df on the appended "the" posting = indexed df + slice df
+    val corpusThe = spark.read.parquet(s"$tmp/postings")
+      .filter(col("token") === "the" && col("doc_id") < 300)
+      .agg(max(col("df"))).collect()(0).getLong(0)
+    val appendedThe = spark.read.parquet(s"$tmp/postings")
+      .filter(col("token") === "the" && col("doc_id") === 90002L)
+      .collect()(0).getAs[Long]("df")
+    assert(appendedThe == corpusThe + 1,
+      s"appended df $appendedThe != corpus $corpusThe + 1")
+  }
+
+  test("compact collapses the append tail, preserving postings and top-k") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tixc").toString
+    TextIndex.build(docs.filter(col("doc_id") < 200), "doc_id", "text",
+      tmp, nBuckets = 8)
+    (0 until 3).foreach { s =>
+      TextIndex.append(
+        Seq((91000L + s, s"compactglyph$s spark data " +
+          (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", tmp)
+    }
+    val before = spark.read.parquet(s"$tmp/postings")
+      .select("doc_id", "token", "tf", "df", "doc_len").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val topBefore = TextIndex.bm25TopK(spark, tmp, Seq("spark"), k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val stats = TextIndex.compact(spark, tmp).collect()(0)
+    assert(stats.getAs[Long]("files_after") < stats.getAs[Long]("files_before"),
+      s"compaction did not reduce files: $stats")
+    val after = spark.read.parquet(s"$tmp/postings")
+      .select("doc_id", "token", "tf", "df", "doc_len").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(after == before, "compaction changed postings")
+    assert(TextIndex.bm25TopK(spark, tmp, Seq("spark"), k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == topBefore)
+  }
+
   test("legacy two-field stats.txt falls back to the old default buckets") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tix8").toString
     TextIndex.build(docs.limit(50), "doc_id", "text", tmp, nBuckets = 64)
