@@ -407,17 +407,49 @@ object Similarity {
         val target = 1.0 - math.pow(0.05, 1.0 / bands)
         math.max(1, math.min(24, (math.log(target) / math.log(s)).toInt))
       }
-    val keyed = capBuckets(
-      bandedKeys(df.select(col(idCol).as("id"), col(vecCol)),
-        "id", vecCol, bands, p, dim, seed),
-      maxBucketSize, dropSingletons = true)
+    val rawKeys = bandedKeys(df.select(col(idCol).as("id"), col(vecCol)),
+      "id", vecCol, bands, p, dim, seed)
+    val keyed = capBuckets(rawKeys, maxBucketSize, dropSingletons = true)
     val cand = keyed
       .join(keyed.select(col("id").as("id_b"), col("__band"), col("__bucket")),
         Seq("__band", "__bucket"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cosineVerify(df, idCol, vecCol, cand)
+    // Signature-agreement pre-gate (the DedupIndex estimate-then-verify
+    // trick, on bits this operator already computed): per candidate
+    // pair, the fraction of the bands × p sign bits the two vectors
+    // agree on estimates per-plane agreement s = 1 − θ/π, unbiased with
+    // σ = sqrt(s(1−s)/nbits). Random-collision candidates sit far below
+    // a THRESHOLD pair's expected agreement (s≈0.67 vs 0.86 at t=0.9
+    // with 176 bits, ~5σ apart), so gating at s(t) − 3σ kills the junk
+    // before the dim-wide exact join — measured, this is where the
+    // operator's wall-clock lived (2.2M candidates for 90k true pairs
+    // at sf1). A true pair clears the gate w.p. ≈ Φ(3) ≈ 99.9%; the
+    // residual miss folds into the 5% LSH candidate-recall budget.
+    // Per-band buckets re-aggregate into an array signature off the
+    // SAME uncapped key rows (a capped band still carries information),
+    // Hamming agreement is bands literal-expanded xor/bit_count terms —
+    // codegen, no lambda.
+    val sAtT = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
+    val nbits = (bands * p).toDouble
+    val gate = sAtT - 3.0 * math.sqrt(sAtT * (1 - sAtT) / nbits)
+    val sigAgg = (0 until bands).map(b =>
+      max(when(col("__band") === b, col("__bucket"))).as(s"__s$b"))
+    val sigs = rawKeys.groupBy(col("id"))
+      .agg(sigAgg.head, sigAgg.tail: _*)
+    def sigCols(side: String, as: String) =
+      sigs.select((col("id").as(as)) +:
+        (0 until bands).map(b => col(s"__s$b").as(s"__$side$b")): _*)
+    val matchedBits = (0 until bands).map(b =>
+      lit(p) - bit_count(col(s"__a$b").bitwiseXOR(col(s"__b$b"))))
+      .reduce(_ + _)
+    val gated = cand
+      .join(sigCols("a", "id_a"), "id_a")
+      .join(sigCols("b", "id_b"), "id_b")
+      .filter(matchedBits >= lit(gate * nbits))
+      .select("id_a", "id_b")
+    cosineVerify(df, idCol, vecCol, gated)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
