@@ -374,6 +374,16 @@ object SparkEntry {
         dimensions = Seq("orders.orderpriority"))),
       "revenue", "revenue_pctile").orderBy("orderpriority"), "revenue_pctile")),
 
+    // the reference's percentile TYPE: a constant interpolated quantile
+    // (p90 revenue over the monthly series) on every row — distinct
+    // from q_tablecalc_percentile's percent_rank helper
+    "q_tablecalc_pctvalue" -> ((s, d) => round4(TableCalcs.percentileValue(
+      q(s, d)(SemanticQuery(
+        metrics = Seq("orders.revenue"),
+        dimensions = Seq("orders.order_date__month"))),
+      "revenue", 0.9, "revenue_p90").orderBy("order_date__month"),
+      "revenue_p90")),
+
     "q_tablecalc_rownum" -> ((s, d) => asLong(TableCalcs.rowNumberBy(
       q(s, d)(SemanticQuery(
         metrics = Seq("orders.revenue"),
@@ -3260,6 +3270,15 @@ object SparkEntry {
         |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |      FROM orders GROUP BY 1)
         |ORDER BY orderpriority""".stripMargin,
+
+    "q_tablecalc_pctvalue" ->
+      """SELECT order_date__month, revenue,
+        |  round(quantile_cont(cast(revenue as double), 0.9) OVER (), 4)
+        |    AS revenue_p90
+        |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
 
     "q_tablecalc_rownum" ->
       """SELECT order_date__month, revenue,

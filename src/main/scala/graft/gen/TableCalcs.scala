@@ -157,7 +157,31 @@ object TableCalcs {
     else globalOrdinal(df, orderBy.map(col), as)
       .withColumn(as, col(as).cast("int"))
 
-  /** percent_rank of `value`. */
+  /** The reference's `percentile` type (table_calc_processor.py:286):
+    * the linearly interpolated p-quantile of `value` over the result
+    * set, attached to every row as a CONSTANT column — the "compare
+    * each row against the distribution" calc (p95 line on a chart).
+    * Spark's `percentile` aggregate uses the same linear interpolation
+    * as the reference's numpy-style formula (and DuckDB's
+    * quantile_cont), so the value is oracle-exact cross-engine. The
+    * global form broadcasts a one-row aggregate; the partitioned form
+    * is a window aggregate per partition. */
+  def percentileValue(df: DataFrame, value: String, p: Double, as: String,
+      partitionBy: Seq[String] = Nil): DataFrame = {
+    require(p >= 0 && p <= 1, s"percentile must be in [0, 1], got $p")
+    if (partitionBy.nonEmpty)
+      df.withColumn(as,
+        percentile(col(value).cast("double"), lit(p)).over(part(partitionBy)))
+    else {
+      val q = df.agg(
+        percentile(col(value).cast("double"), lit(p)).as("__tc_q"))
+      df.crossJoin(broadcast(q)).withColumn(as, col("__tc_q")).drop("__tc_q")
+    }
+  }
+
+  /** percent_rank of `value` — the per-row position-in-distribution
+    * companion to [[percentileValue]] (not a reference type; kept as a
+    * named helper). */
   def percentileOf(df: DataFrame, value: String, as: String,
       partitionBy: Seq[String] = Nil): DataFrame =
     if (partitionBy.nonEmpty)

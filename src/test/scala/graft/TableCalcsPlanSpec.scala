@@ -81,6 +81,25 @@ class TableCalcsPlanSpec extends AnyFunSuite {
       == Map(1 -> Some(0.0)), "percent_rank single row")
   }
 
+  test("percentileValue: constant interpolated quantile, numpy-style") {
+    import spark.implicits._
+    // values 10,20,30,40: p=0.5 -> pos 1.5 -> 25.0 (linear interpolation,
+    // the reference's formula); p=1 -> 40; p=0 -> 10
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)).toDF("id", "v")
+    def vals(p: Double) = TableCalcs.percentileValue(df, "v", p, "q")
+      .select("q").distinct().collect().map(_.getDouble(0)).toSeq
+    assert(vals(0.5) == Seq(25.0))
+    assert(vals(0.0) == Seq(10.0))
+    assert(vals(1.0) == Seq(40.0))
+    // partitioned: per-group constants
+    val g = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0))
+      .toDF("k", "v")
+    val byK = TableCalcs.percentileValue(g, "v", 0.5, "q", Seq("k"))
+      .select("k", "q").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byK == Map("a" -> 2.0, "b" -> 20.0))
+  }
+
   test("formula is a named row-local expression over result columns") {
     import spark.implicits._
     val df = Seq((1, 10.0, 2L), (2, 9.0, 3L), (3, 5.0, 0L))
