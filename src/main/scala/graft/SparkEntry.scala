@@ -398,6 +398,23 @@ object SparkEntry {
       "cast(revenue as double) / nullif(order_count, 0)", "avg_order_value")
       .orderBy("orderstatus"), "avg_order_value")),
 
+    // structured graph introspection (reference introspection.py
+    // describe_graph): the UI-facing catalog document round-trips
+    // through Spark's JSON reader and must describe every model with
+    // its exact field counts — golden-pinned per model
+    "q_describe_graph" -> ((s, d) => {
+      import s.implicits._
+      val doc = graft.model.Introspection.describeGraph(
+        TpchCatalog.build(d))
+      asLong(s.read.json(Seq(doc).toDS)
+        .select(explode(col("models")).as("m"))
+        .select(col("m.name").as("model"), col("m.kind").as("kind"),
+          size(col("m.dimensions")).as("n_dims"),
+          size(col("m.metrics")).as("n_metrics"),
+          size(col("m.relationships")).as("n_rels"))
+        .orderBy("model"), "n_dims", "n_metrics", "n_rels")
+    }),
+
     // ---- §2.2 timezone localization / §2.6 dimension window / saved query ----
     "q_timezone" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders.order_count"),
@@ -3296,6 +3313,26 @@ object SparkEntry {
         |  round(cast(sum(cast(o_totalprice as decimal(18,2))) as double)
         |    / nullif(count(*), 0), 4) AS avg_order_value
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // golden catalog-introspection document: per-model field counts
+    // after the JSON round trip
+    "q_describe_graph" ->
+      """SELECT model, kind, CAST(n_dims AS BIGINT) AS n_dims,
+        |  CAST(n_metrics AS BIGINT) AS n_metrics,
+        |  CAST(n_rels AS BIGINT) AS n_rels
+        |FROM (VALUES
+        |('customer', 'table', 3, 4, 2),
+        |('events', 'table', 5, 11, 0),
+        |('events_secured', 'table', 3, 2, 0),
+        |('lineitem', 'table', 3, 11, 3),
+        |('nation', 'table', 2, 1, 1),
+        |('orders', 'table', 5, 19, 1),
+        |('orders_secured', 'table', 2, 2, 0),
+        |('part', 'table', 3, 2, 1),
+        |('region', 'table', 2, 1, 0),
+        |('supplier', 'table', 1, 2, 1)
+        |) AS t(model, kind, n_dims, n_metrics, n_rels)
+        |ORDER BY model""".stripMargin,
 
     "q_timezone" ->
       """SELECT date_trunc('month',
