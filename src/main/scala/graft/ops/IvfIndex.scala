@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VectorExprs
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -84,7 +85,7 @@ object IvfIndex {
     * both — is proportional to the probed fraction, not the corpus. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
-      nprobe: Int = 4, dim: Int = 64): DataFrame = {
+      nprobe: Int = 4): DataFrame = {
     val cents = loadCentroids(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val probes = broadcast(
@@ -93,11 +94,11 @@ object IvfIndex {
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__cn", Similarity.normLit(col("__cv"), dim))
+      .withColumn("__cn", VectorExprs.l2norm(col("__cv")))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__qn", Similarity.normLit(col("__qv"), dim)))
-    Similarity.rerankCarried(cand, q, k, dim)
+      .withColumn("__qn", VectorExprs.l2norm(col("__qv"))))
+    Similarity.rerankCarried(cand, q, k)
   }
 
   /** Layout-only maintenance for the append tail ([[append]] /
@@ -148,14 +149,14 @@ object IvfIndex {
   def hardNegatives(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
       dupThreshold: Double = 0.9, overfetch: Int = 0,
-      nprobe: Int = 4, dim: Int = 64): DataFrame = {
+      nprobe: Int = 4): DataFrame = {
     val kFetch = if (overfetch > 0) overfetch else 4 * k
     require(kFetch >= k, s"overfetch $kFetch must be >= k $k")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     topK(spark, path, queries, idCol, vecCol, queryIdCol, kFetch,
-        nprobe, dim)
+        nprobe)
       .filter(col("cosine") < dupThreshold)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

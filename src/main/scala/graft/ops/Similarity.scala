@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VectorExprs
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -17,55 +18,42 @@ import org.apache.spark.sql.{Column, DataFrame}
   * disguise at corpus scale; banding is what makes the shuffle keys
   * scale.
   *
-  * All vector math is literal-expanded per dimension (element_at chains)
-  * so every operator stays inside whole-stage codegen — Spark's
-  * higher-order lambdas (aggregate/zip_with) are CodegenFallback,
-  * interpreted at ~µs/element, and bucketing here is a pure projection:
-  * no explode, no aggregate, no join-back.
+  * All vector math runs through the native codegen'd kernels in
+  * [[graft.functions.VectorExprs]] (tight `ArrayData` loops — Spark's
+  * higher-order lambdas are CodegenFallback, interpreted at ~µs/element,
+  * and the earlier per-dimension literal expansion generated O(dim)
+  * expression nodes per use, unusable at real embedding widths). Plane
+  * and centroid dots ([[VectorExprs.MatVecDots]]) are pure projections:
+  * no explode, no aggregate, no join-back, no shuffle.
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns (lambda form —
-    * kept for ad-hoc use; batch operators use the codegen'd literal
-    * expansion below). */
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+  /** Cosine similarity between two float/double-array columns (native
+    * codegen'd kernels — see [[graft.functions.VectorExprs]]). */
+  def dot(x: Column, y: Column): Column = VectorExprs.dot(x, y)
 
-  def norm(x: Column): Column =
-    sqrt(aggregate(x, lit(0.0d), (acc, v) => acc + v * v))
+  def norm(x: Column): Column = VectorExprs.l2norm(x)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosine(a, b)
 
   // native array cast (codegen'd) — a transform() lambda would interpret
   private def asDouble(c: Column): Column = c.cast("array<double>")
-
-  /** Literal-expanded dot product: dim multiply-adds in ascending index
-    * order (bit-identical to the sequential lambda fold, but codegen'd). */
-  private def dotLit(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(d => element_at(a, d + 1) * element_at(b, d + 1))
-      .reduce(_ + _)
-
-  private[ops] def normLit(a: Column, dim: Int): Column =
-    sqrt((0 until dim).map { d =>
-      val x = element_at(a, d + 1); x * x
-    }.reduce(_ + _))
 
   /** Brute-force cosine top-k: for each row of `queries` (small — it gets
     * broadcast), the `k` nearest corpus rows. One pass over the corpus,
     * TopK per query via window (Catalyst prunes with rank pushdown). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, queryIdCol: String, k: Int,
-      dim: Int = 64): DataFrame = {
+      idCol: String, vecCol: String, queryIdCol: String, k: Int): DataFrame = {
     // norms precomputed once per vector — not once per (query, corpus) pair
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__qn", normLit(col("__qv"), dim)))
+      .withColumn("__qn", VectorExprs.l2norm(col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cn", normLit(col("__cv"), dim))
+      .withColumn("__cn", VectorExprs.l2norm(col("__cv")))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        dotLit(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+        VectorExprs.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -84,17 +72,17 @@ object Similarity {
     * its output. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
-      dupThreshold: Double = 0.9, dim: Int = 64): DataFrame = {
+      dupThreshold: Double = 0.9): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__qn", normLit(col("__qv"), dim)))
+      .withColumn("__qn", VectorExprs.l2norm(col("__qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cn", normLit(col("__cv"), dim))
+      .withColumn("__cn", VectorExprs.l2norm(col("__cv")))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
-        dotLit(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+        VectorExprs.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .filter(col("cosine") < dupThreshold)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -120,40 +108,35 @@ object Similarity {
   /** (id, __band, __bucket) rows — ids only, vectors are re-joined after
     * candidate dedup so the shuffle payload stays narrow.
     *
-    * The dots are computed with the explode→aggregate shape (posexplode
-    * the vector once, one plain `sum` aggregate per plane against a
-    * literal plane array — the same codegen-proven pattern as SimHash's
-    * 64 bit-sums): bands×planes literal-expansion projections collapse
-    * into a single expression tree that overflows janino's 64 KB method
-    * limit and then re-evaluates the array cast per term in interpreted
-    * fallback (measured 40s+ at sf0.1). HashAggregate splits its
-    * aggregate expressions across generated methods, so this stays in
-    * whole-stage codegen at any bands×planes. One uniform shuffle keyed
-    * by id; bucket assembly and band explosion ride the agg output — no
-    * join-back. (A per-(id, band) grouping with bands× replicated rows
-    * was A/B'd in round 8: identical full-operator wall time locally,
-    * 16× the shuffle volume — rejected at the 100× lens.) */
+    * All bands×planes dots come from ONE [[VectorExprs.MatVecDots]]
+    * projection (native loop over the plane matrix shipped as a
+    * reference object) — a constant-size generated method at any
+    * bands×planes, so no shuffle, no explode, no aggregate. Earlier
+    * shapes both lost: per-plane literal expansion collapsed into an
+    * expression tree that overflowed janino's 64 KB method limit and
+    * fell back to interpreted eval (measured 40s+ at sf0.1), and the
+    * posexplode + per-plane `sum` aggregate workaround paid a full
+    * corpus shuffle keyed by id for what is semantically a per-row
+    * projection. Bucket assembly and band explosion ride the projected
+    * dots array — the operator's first exchange is now the candidate
+    * join's own (band, bucket) shuffle. */
   private def bandedKeys(df: DataFrame, idName: String, vecName: String,
       bands: Int, planesPerBand: Int, dim: Int, seed: Int): DataFrame = {
     val nPlanes = bands * planesPerBand
-    // one literal array per plane, constant offset lookups (benchmarked
-    // fastest: a single flat plane-major literal with computed offsets ran
-    // 4× slower, and chunked multi-pass aggregation re-executed the shared
-    // subtree per chunk)
-    val planeLits = (0 until nPlanes).map(p =>
-      typedlit((0 until dim).map(i => planeVal(seed, p, i))))
-    val pos = df.select(col(idName),
-      posexplode(asDouble(col(vecName))).as(Seq("__p", "__x")))
-    val dots = (0 until nPlanes).map(p =>
-      sum(col("__x") * element_at(planeLits(p), col("__p") + 1)).as(s"__d$p"))
-    val agg = pos.groupBy(idName).agg(dots.head, dots.tail: _*)
+    val planes = (0 until nPlanes).map(p =>
+      (0 until dim).map(i => planeVal(seed, p, i)))
     val bandCols = (0 until bands).map { b =>
       val bits = (0 until planesPerBand).map(p =>
-        when(col(s"__d${b * planesPerBand + p}") > 0, lit(1L << p))
-          .otherwise(lit(0L))).reduce(_ + _)
+        when(element_at(col("__dots"), b * planesPerBand + p + 1) > 0,
+          lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
       struct(lit(b).as("band"), bits.as("bucket"))
     }
-    agg.select(col(idName), explode(array(bandCols: _*)).as("lsh"))
+    // null / wrong-dim vectors produced no rows under the old explode
+    // shape; the explicit filter keeps that contract
+    df.filter(col(vecName).isNotNull && size(col(vecName)) === dim)
+      .select(col(idName),
+        VectorExprs.matVecDots(asDouble(col(vecName)), planes).as("__dots"))
+      .select(col(idName), explode(array(bandCols: _*)).as("lsh"))
       .select(col(idName), col("lsh.band").as("__band"),
         col("lsh.bucket").as("__bucket"))
   }
@@ -196,29 +179,29 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cn", normLit(col("__cv"), dim))
+      .withColumn("__cn", VectorExprs.l2norm(col("__cv")))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__qn", normLit(col("__qv"), dim)))
-    exactRerank(cand, c, q, k, dim)
+      .withColumn("__qn", VectorExprs.l2norm(col("__qv"))))
+    exactRerank(cand, c, q, k)
   }
 
   /** Exact cosine re-rank of a narrow (query_id, neighbor_id) candidate
     * frame: broadcast-join the (small) query vectors, shuffle-join the
-    * corpus vectors, literal-expanded dot, window top-k per query. */
+    * corpus vectors, native codegen'd dot, window top-k per query. */
   private[ops] def exactRerank(cand: DataFrame, corpusVecs: DataFrame,
-      queryVecs: DataFrame, k: Int, dim: Int): DataFrame =
-    rerankCarried(cand.join(corpusVecs, Seq("neighbor_id")), queryVecs, k, dim)
+      queryVecs: DataFrame, k: Int): DataFrame =
+    rerankCarried(cand.join(corpusVecs, Seq("neighbor_id")), queryVecs, k)
 
   /** Score+top-k half of [[exactRerank]] for a candidate frame that
     * already carries the corpus vector and norm (`__cv`, `__cn`) — lets
     * a partition-pruned candidate scan ([[IvfIndex.topK]]) skip the
     * corpus-wide vector-fetch join entirely. */
   private[ops] def rerankCarried(cand: DataFrame,
-      queryVecs: DataFrame, k: Int, dim: Int): DataFrame = {
+      queryVecs: DataFrame, k: Int): DataFrame = {
     val scored = cand.join(queryVecs, Seq("query_id"))
       .withColumn("cosine",
-        dotLit(col("__qv"), col("__cv"), dim) / (col("__qn") * col("__cn")))
+        VectorExprs.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -281,37 +264,39 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid cell per row as a Spark aggregate: posexplode the
-    * vector once, one codegen'd `sum` per centroid against a literal
-    * centroid array (the [[bandedKeys]] shape — immune to janino method
-    * overflow at any k), then argmin via a `least` over (dist², cell)
-    * structs. dist² = |c|² − 2·v·c (+|v|², constant per row, dropped). */
+  /** Nearest-centroid cell per row as a pure projection: ONE
+    * [[VectorExprs.MatVecDots]] against the centroid matrix (shipped as
+    * a reference object — constant-size generated code at any k), then
+    * argmin via a `least` over (dist², cell) structs. dist² = |c|² −
+    * 2·v·c (+|v|², constant per row, dropped). No explode, no aggregate,
+    * no shuffle — the earlier posexplode + per-centroid `sum` shape paid
+    * a corpus-wide exchange keyed by id for a per-row computation. */
   def assignCells(vecs: DataFrame, idName: String,
       cents: Seq[Seq[Double]]): DataFrame = {
-    val pos = vecs.select(col(idName),
-      posexplode(col("__v")).as(Seq("__p", "__x")))
-    val dots = cents.zipWithIndex.map { case (c, i) =>
-      sum(col("__x") * element_at(typedlit(c), col("__p") + 1)).as(s"__dot$i")
-    }
-    val agg = pos.groupBy(idName).agg(dots.head, dots.tail: _*)
+    val dotCols = cents.indices.map(i =>
+      element_at(col("__dots"), i + 1).as(s"__dot$i"))
+    val withDots = vecs.filter(col("__v").isNotNull)
+      .select(col(idName),
+        VectorExprs.matVecDots(col("__v"), cents).as("__dots"))
+      .select(col(idName) +: dotCols: _*)
     // least() requires two arguments — a degenerate single-cell
     // clustering assigns everything to cell 0 directly
     val cell = if (cents.size == 1) lit(0)
       else least(cellDists(cents): _*).getField("cell")
-    agg.select(col(idName), cell.as("__cell"))
+    withDots.select(col(idName), cell.as("__cell"))
   }
 
   /** (query_id, __cell) rows: each query's `nprobe` nearest cells via a
-    * sorted (dist, cell) struct array. Same aggregate shape as
+    * sorted (dist, cell) struct array. Same projection shape as
     * [[assignCells]]. */
   private[ops] def probeCells(queries: DataFrame, queryIdCol: String,
       vecCol: String, cents: Seq[Seq[Double]], nprobe: Int): DataFrame = {
-    val qpos = queries.select(col(queryIdCol).as("query_id"),
-      posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
-    val qdots = cents.zipWithIndex.map { case (cn, i) =>
-      sum(col("__x") * element_at(typedlit(cn), col("__p") + 1)).as(s"__dot$i")
-    }
-    qpos.groupBy(col("query_id")).agg(qdots.head, qdots.tail: _*)
+    val dotCols = cents.indices.map(i =>
+      element_at(col("__dots"), i + 1).as(s"__dot$i"))
+    queries.filter(col(vecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        VectorExprs.matVecDots(asDouble(col(vecCol)), cents).as("__dots"))
+      .select(col("query_id") +: dotCols: _*)
       .select(col("query_id"),
         explode(slice(array_sort(array(cellDists(cents): _*)), 1, nprobe))
           .as("__probe"))
@@ -340,13 +325,13 @@ object Similarity {
     * cells, probes, and the final ranking are reproducible end to end. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
-      nCells: Int = 16, nprobe: Int = 4, iters: Int = 3, dim: Int = 64,
+      nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
       trainSampleMod: Int = 1): DataFrame = {
     val cents = trainCentroids(corpus, idCol, vecCol, nCells, iters,
       trainSampleMod)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
-      .withColumn("__cn", normLit(col("__cv"), dim))
+      .withColumn("__cn", VectorExprs.l2norm(col("__cv")))
     val cCells = assignCells(
       corpus.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v")),
       "__id", cents)
@@ -357,8 +342,8 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
-      .withColumn("__qn", normLit(col("__qv"), dim)))
-    exactRerank(cand, c, q, k, dim)
+      .withColumn("__qn", VectorExprs.l2norm(col("__qv"))))
+    exactRerank(cand, c, q, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, candidates

@@ -106,7 +106,7 @@ class OpsSpec extends AnyFunSuite {
       (4L, Array(0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
-      "vec_id", "embedding", "vec_id", 2, dim = 3).collect()
+      "vec_id", "embedding", "vec_id", 2).collect()
     assert(top.length == 2)
     assert(top.map(_.getLong(1)).toSeq == Seq(2L, 3L))
     assert(math.abs(top(0).getDouble(2) - 1.0) < 1e-12)
