@@ -1,0 +1,246 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row kernels for the text-dedup family (MinHash, SimHash).
+  *
+  * Both fingerprints are per-document functions of the token array, but
+  * the original shapes computed them as corpus-wide AGGREGATES — explode
+  * the tokens, window-lead them into shingles, distinct the hashes,
+  * groupBy the document — because Spark's array lambdas are
+  * CodegenFallback and the per-seed/per-bit column expansions were the
+  * only codegen'd alternative. That cost real exchanges: the shingle
+  * front alone paid a window sort plus a distinct shuffle plus the
+  * signature groupBy, all keyed by doc id, before any candidate was
+  * generated.
+  *
+  * These expressions collapse each front to ONE projection: a tight
+  * loop over the token `ArrayData`, calling the same hash primitives
+  * Spark's own expressions use (`XXH64.hashUTF8String` with seed 42 for
+  * `xxhash64`, `Murmur3_x86_32.hashLong/hashInt` with seed 42 for
+  * `hash(h, i)`), so every produced value is bit-identical to the
+  * aggregate shapes — signatures, band buckets and Jaccard numbers all
+  * replay exactly against the pinned goldens. Codegen emits a single
+  * static call into [[DedupKernels]]; the heavy loop runs as compiled
+  * Scala inside the whole-stage-generated method, never as interpreted
+  * expression fallback.
+  *
+  * Null semantics: a null token array returns NULL; an EMPTY token
+  * array returns NULL too (the explode shapes dropped such documents —
+  * callers filter nulls to preserve "no rows for empty docs"). Null
+  * elements cannot come out of `split()`; they are skipped inside a
+  * shingle (mirroring `concat_ws`) and skipped by SimHash.
+  */
+object DedupExprs {
+
+  /** Distinct shingle hashes of a token array, first-occurrence order.
+    *
+    * Shingles are the space-joins of `shingleSize` consecutive tokens
+    * at every valid start (`p + shingleSize <= len`), plus the
+    * truncated whole-prefix shingle at position 0 when the document is
+    * shorter than one shingle — exactly the window-lead construction it
+    * replaces; each is hashed with xxhash64 (seed 42) and deduped.
+    *
+    * Deliberately SEPARATE from [[MinHashSigs]]: a projection has no
+    * exchange for Spark to reuse, so consumers that only need the hash
+    * sets (the Jaccard verify joins) must not pay the numHashes×
+    * signature murmurs on recompute — column pruning drops the
+    * signature expression wherever `sigs` is unused. */
+  case class ShingleHashes(child: Expression, shingleSize: Int)
+      extends UnaryExpression {
+    require(shingleSize > 0, "shingleSize must be positive")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_shingle_hashes"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${t.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      DedupKernels.shingleHashes(v.asInstanceOf[ArrayData], shingleSize)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("sh")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $r =
+           |  graft.functions.DedupKernels.shingleHashes($a, $shingleSize);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
+  /** `numHashes` MinHash signature minima over a shingle-hash array:
+    * `sigs[i] = min over h of hash(h, i)` with Spark's `hash()` murmur3
+    * folding (seed 42 → hashLong(h) → hashInt(i)) — value-identical to
+    * the `min(hash(col, lit(i)))` aggregates it replaces. */
+  case class MinHashSigs(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    require(numHashes > 0, "numHashes must be positive")
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_minhash_sigs"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint> hashes, got ${t.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      DedupKernels.minhashSigs(v.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = graft.functions.DedupKernels.minhashSigs($a, $numHashes);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash over the token array: xxhash64 each token (seed 42),
+    * bit b of the fingerprint is set when tokens with bit b set outweigh
+    * those without — identical to the per-bit ±1 sum aggregate it
+    * replaces (integer sums are order-free, so the value is exact). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_simhash"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${t.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      DedupKernels.simhash64(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("sh")
+        s"""
+           |java.lang.Long $r = graft.functions.DedupKernels.simhash64($a);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.longValue(); }
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  // ---- Column API ----
+
+  def shingleHashes(tokens: Column, shingleSize: Int): Column =
+    GraftSqlBridge.column(ShingleHashes(
+      GraftSqlBridge.expression(tokens), shingleSize))
+
+  def minHashSigs(hashes: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSigs(
+      GraftSqlBridge.expression(hashes), numHashes))
+
+  def simHash64(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+}
+
+/** Static per-row workers called from both `eval` and generated code —
+  * the loops live here as compiled Scala, so codegen'd plans make one
+  * static call per row instead of interpreting per-element lambdas. */
+object DedupKernels {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** See [[DedupExprs.ShingleHashes]]. Returns null for an empty
+    * token array (the explode shapes dropped such docs). */
+  def shingleHashes(tokens: ArrayData, shingleSize: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len == 0) return null
+    // distinct shingle hashes, first-occurrence order
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    val parts = new Array[UTF8String](shingleSize)
+    var p = 0
+    val lastStart = math.max(0, len - shingleSize)
+    while (p <= lastStart) {
+      // a start is valid when its last token exists and is non-null —
+      // except position 0, which always contributes (possibly truncated)
+      val full = p + shingleSize <= len
+      if (p == 0 || (full && !tokens.isNullAt(p + shingleSize - 1))) {
+        var i = p
+        var m = 0
+        val hi = math.min(p + shingleSize, len)
+        while (i < hi) {
+          if (!tokens.isNullAt(i)) { parts(m) = tokens.getUTF8String(i); m += 1 }
+          i += 1
+        }
+        val shingle =
+          if (m == shingleSize) UTF8String.concatWs(Space, parts: _*)
+          else UTF8String.concatWs(Space, java.util.Arrays.copyOf(parts, m): _*)
+        seen.add(XXH64.hashUTF8String(shingle, 42L))
+      }
+      p += 1
+    }
+    val hashes = new Array[Long](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) { hashes(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(hashes)
+  }
+
+  /** See [[DedupExprs.MinHashSigs]]. */
+  def minhashSigs(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sigs = Array.fill(numHashes)(Int.MaxValue)
+    var j = 0
+    while (j < n) {
+      val inner = Murmur3_x86_32.hashLong(hashes.getLong(j), 42)
+      var s = 0
+      while (s < numHashes) {
+        val v = Murmur3_x86_32.hashInt(s, inner)
+        if (v < sigs(s)) sigs(s) = v
+        s += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  /** See [[DedupExprs.SimHash64]]. Returns null for an empty array. */
+  def simhash64(tokens: ArrayData): java.lang.Long = {
+    val len = tokens.numElements()
+    if (len == 0) return null
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < len) {
+      if (!tokens.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -269,6 +269,87 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Sign-LSH bucket assembly over a plane-dots array: the dots are
+    * consumed in groups of `planesPerBand`; bucket b's bit p is set
+    * when `dots[b*planesPerBand + p] > 0`. Output: one long bucket per
+    * band. Kept native because the `when(element_at(...))` column
+    * expansion is bands×planes expression nodes — at 16 bands × 11
+    * planes the generated whole-stage method crossed janino's 64 KB
+    * limit and the whole stage fell back to interpreted eval. */
+  case class SignBuckets(child: Expression, planesPerBand: Int)
+      extends UnaryExpression {
+    require(planesPerBand > 0, "planesPerBand must be positive")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_sign_buckets"
+    override def checkInputDataTypes(): TypeCheckResult =
+      arrayCheck(prettyName, child.dataType)
+
+    @transient private lazy val elem =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n % planesPerBand != 0) return null
+      val bands = n / planesPerBand
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var bits = 0L
+        var p = 0
+        while (p < planesPerBand) {
+          if (a.isNullAt(b * planesPerBand + p)) return null
+          if (getElem(a, elem, b * planesPerBand + p) > 0.0)
+            bits |= (1L << p)
+          p += 1
+        }
+        out(b) = bits
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val bands = ctx.freshName("bands")
+        val out = ctx.freshName("out")
+        val b = ctx.freshName("b")
+        val p = ctx.freshName("p")
+        val bits = ctx.freshName("bits")
+        val idx = ctx.freshName("idx")
+        val bad = ctx.freshName("bad")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n % $planesPerBand != 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  final int $bands = $n / $planesPerBand;
+           |  final long[] $out = new long[$bands];
+           |  boolean $bad = false;
+           |  for (int $b = 0; $b < $bands && !$bad; $b++) {
+           |    long $bits = 0L;
+           |    for (int $p = 0; $p < $planesPerBand; $p++) {
+           |      final int $idx = $b * $planesPerBand + $p;
+           |      if ($a.isNullAt($idx)) { $bad = true; break; }
+           |      if (${getter(elem, a, idx)} > 0.0) $bits |= (1L << $p);
+           |    }
+           |    $out[$b] = $bits;
+           |  }
+           |  if ($bad) { ${ev.isNull} = true; }
+           |  else {
+           |    ${ev.value} =
+           |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |  }
+           |}""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SignBuckets =
+      copy(child = newChild)
+  }
+
   // ---- Column API ----
 
   def dot(a: Column, b: Column): Column =
@@ -280,6 +361,10 @@ object VectorExprs {
 
   def matVecDots(vec: Column, matrix: Seq[Seq[Double]]): Column =
     GraftSqlBridge.column(MatVecDots(GraftSqlBridge.expression(vec), matrix))
+
+  def signBuckets(dots: Column, planesPerBand: Int): Column =
+    GraftSqlBridge.column(SignBuckets(
+      GraftSqlBridge.expression(dots), planesPerBand))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 }

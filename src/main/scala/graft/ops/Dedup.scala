@@ -38,6 +38,49 @@ object Dedup {
     expr(s"transform(sequence(0, ${numHashes - 1}), " +
       s"seed -> array_min(transform($hashesCol, h -> xxhash64(h, seed))))")
 
+  /** (id, __hashes, __sigs, __n) per-document MinHash front — the
+    * shared head of every MinHash path ([[minHashLSH]], [[DedupIndex]]).
+    * ONE native projection ([[DedupExprs.MinHashShingles]]): tokenize,
+    * shingle, xxhash64, dedupe, per-seed murmur minima, all in a tight
+    * per-row loop that emits the same values as the explode + window-
+    * lead + distinct + groupBy shape it replaces — that shape paid a
+    * window sort, a distinct exchange and a signature groupBy (all
+    * keyed by doc id, all corpus-wide) before a single candidate
+    * existed. The front now reaches the band-bucket join with ZERO
+    * exchanges behind it. */
+  private[graft] def minhashFront(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.DedupExprs.shingleHashes(
+          split(lower(col(textCol)), "\\s+"), shingleSize).as("__hashes"))
+      // empty-token docs produced no rows under the explode shape
+      .filter(col("__hashes").isNotNull)
+      // sigs chained as a SEPARATE projection: consumers that prune
+      // `__sigs` (the Jaccard verify joins need only the hash sets)
+      // skip the numHashes× murmur stage entirely on recompute
+      .select(col("id"), col("__hashes"),
+        graft.functions.DedupExprs.minHashSigs(col("__hashes"), numHashes)
+          .as("__sigs"),
+        size(col("__hashes")).cast("long").as("__n"))
+
+  /** The per-band (band, bucket) struct array over a `__sigs` signature
+    * column: bucket = hash of the band's signature slice (codegen'd). */
+  private[graft] def bandStructs(numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      val cs = (b * rows until (b + 1) * rows).map(i =>
+        element_at(col("__sigs"), i + 1))
+      struct(lit(b).as("band"), xxhash64(cs: _*).as("bucket"))
+    }: _*)
+  }
+
+  /** (id, band, bucket) LSH band keys from the front's `__sigs`. */
+  private[ops] def bandedSigKeys(front: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    front
+      .select(col("id"), explode(bandStructs(numHashes, bands)).as("lsh"))
+      .select(col("id"), col("lsh.band"), col("lsh.bucket"))
+
   /** Near-duplicate pairs via MinHash + LSH banding.
     *
     * Signature rows are split into `bands`; docs sharing any band bucket
@@ -46,73 +89,16 @@ object Dedup {
     * sets. Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
     * `threshold`.
     */
-  /** (id, __h) distinct shingle-hash rows — the shared front of every
-    * MinHash path ([[minHashLSH]], [[DedupIndex]]). Spark's higher-
-    * order-function lambdas are CodegenFallback (interpreted,
-    * ~µs/element) — at corpus scale everything must stay inside
-    * whole-stage codegen, so shingles come from posexploded tokens +
-    * window lead() (no array lambdas), hashed once into (id, h) rows. */
-  private[ops] def shingleHashes(df: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("__p", "__t")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("__p")
-    val parts = col("__t") +: (1 until shingleSize).map(i =>
-      lead(col("__t"), i).over(w))
-    toks
-      .withColumn("__s", concat_ws(" ", parts: _*))
-      .withColumn("__last", parts.last)
-      // valid shingle starts only — plus position 0 so a doc shorter than
-      // the shingle size still contributes its (truncated) single shingle
-      .filter(col("__last").isNotNull || col("__p") === 0)
-      .select(col("id"), xxhash64(col("__s")).as("__h"))
-      .distinct()
-  }
-
-  /** (id, __m0..__m{n-1}, __n) MinHash signatures from shingle-hash
-    * rows: per-seed re-mix with 32-bit murmur over the 8-byte shingle
-    * hash — roughly half the ALU work of a full xxhash64 per (shingle,
-    * seed), and overflow-free under ANSI mode (multiplicative mixing of
-    * longs would throw on overflow in Spark 4's default ANSI dialect).
-    * The distinct-shingle count `__n` rides the same aggregation (the
-    * union size for Jaccard needs no second pass). */
-  private[ops] def minhashSigRows(exploded: DataFrame,
-      numHashes: Int): DataFrame = {
-    val minCols = (0 until numHashes).map(i =>
-      min(hash(col("__h"), lit(i))).as(s"__m$i"))
-    exploded.groupBy("id")
-      .agg(minCols.head, (minCols.tail :+ count(lit(1)).as("__n")): _*)
-  }
-
-  /** (id, band, bucket) LSH band keys from signature rows: bucket =
-    * hash of the band's signature slice (all codegen'd). */
-  private[ops] def bandedSigKeys(sigs: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    val bandStructs = (0 until bands).map { b =>
-      val cs = (b * rows until (b + 1) * rows).map(i => col(s"__m$i"))
-      struct(lit(b).as("band"), xxhash64(cs: _*).as("bucket"))
-    }
-    sigs
-      .select(col("id"), explode(array(bandStructs: _*)).as("lsh"))
-      .select(col("id"), col("lsh.band"), col("lsh.bucket"))
-  }
-
   def minHashLSH(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
 
-    // shared front: shingle rows are consumed by the signature
-    // aggregation AND both sides of the Jaccard-verify join — identical
-    // subtrees ending in the distinct's shuffle, which Spark's exchange
-    // reuse executes once (no persist: cached corpus×shingle-factor
-    // blocks would pin executor storage with no release path once the
-    // plan is returned lazily)
-    val exploded = shingleHashes(df, idCol, textCol, shingleSize)
-    val sigs = minhashSigRows(exploded, numHashes)
-    val banded = bandedSigKeys(sigs, numHashes, bands)
+    // shared front: the per-row projection is consumed by the band keys
+    // AND both sides of the Jaccard-verify join — recomputing a
+    // projection is cheap and pins no storage (no persist needed)
+    val front = minhashFront(df, idCol, textCol, shingleSize, numHashes)
+    val banded = bandedSigKeys(front, numHashes, bands)
 
     // skew cap: a band-bucket holding b docs yields b²/2 candidate pairs;
     // buckets beyond `maxBucketSize` (boilerplate/empty-doc clusters) are
@@ -131,31 +117,23 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
 
-    // exact-Jaccard verify as hash joins over the exploded shingle rows:
-    // |A∩B| = matches of (id_b, h) after attaching each candidate's id_a
-    // shingles; |A∪B| = |A|+|B|-|A∩B|. No array intersections, no shingle
-    // recomputation — everything stays in codegen'd joins/aggregates.
-    val sizes = sigs.select(col("id"), col("__n"))
-    val inter = candidates
-      .join(exploded.select(col("id").as("id_a"), col("__h")), Seq("id_a"))
-      .join(exploded.select(col("id").as("id_b"), col("__h")), Seq("id_b", "__h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
-    val out = candidates
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("__i"))
-      .join(sizes.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+    // exact-Jaccard verify over the per-doc distinct-hash ARRAYS: two
+    // equi-joins attach each side's set, |A∩B| = size(array_intersect)
+    // (codegen'd primitive-array fast path), |A∪B| = |A|+|B|-|A∩B|.
+    // Only candidate rows ever carry an array across a shuffle — the
+    // old exploded-row verify shuffled the full corpus×shingle rows.
+    val sets = front.select(col("id"), col("__hashes"), col("__n"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("__hashes").as("__ha"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__hashes").as("__hb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__i",
+        size(array_intersect(col("__ha"), col("__hb"))).cast("long"))
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-
-    // LAZY return: no persist, no checkpoint. The repeated `exploded` /
-    // `sigs` subtrees are canonically identical, so exchange reuse runs
-    // each underlying shuffle once per action; an eager local checkpoint
-    // would pin non-resilient executor blocks with no release path (and
-    // fail the job on executor loss in a real cluster)
-    out
   }
 
   /** 64-bit SimHash over a pre-hashed token array (`array<long>`): bit b
@@ -175,9 +153,12 @@ object Dedup {
           ) > 0 THEN 1L ELSE 0L END, b))
     """)
 
-  /** SimHash of a text column (convenience wrapper for single use). */
+  /** SimHash of a text column — native per-row kernel
+    * ([[graft.functions.DedupExprs.SimHash64]]), same values as the
+    * lambda/aggregate shapes. */
   def simHash(textCol: String): Column =
-    simHashFromHashes(s"transform(split(lower($textCol), '\\\\s+'), t -> xxhash64(t))")
+    graft.functions.DedupExprs.simHash64(
+      split(lower(col(textCol)), "\\s+"))
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDistance`.
     *
@@ -240,24 +221,22 @@ object Dedup {
 
   /** (id, sig, c, v) rows: each doc's 64-bit SimHash exploded into the
     * `maxDistance + 1` pigeonhole chunks keyed (chunk idx, chunk value).
-    * Codegen path (see [[minHashLSH]]): explode tokens, one string hash
-    * each, 64 per-bit sign sums as plain aggregates, fingerprint
-    * assembled from the sums with scalar column math. */
+    * The fingerprint is ONE native projection
+    * ([[graft.functions.DedupExprs.SimHash64]]) — the explode + 64
+    * per-bit sign-sum aggregate shape it replaces paid a corpus-wide
+    * exchange keyed by id for a per-row computation (the ±1 bit sums
+    * are order-free integers, so the native loop emits identical
+    * fingerprints). */
   private def simHashChunks(df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int): DataFrame = {
     val chunks = maxDistance + 1
     val width = 64 / chunks
-    val exploded = df
+    val withSig = df
       .select(col(idCol).as("id"),
-        explode(split(lower(col(textCol)), "\\s+")).as("__t"))
-      .select(col("id"), xxhash64(col("__t")).as("__h"))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$b"))
-    val sigExpr = (0 until 64).map(b =>
-      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val withSig = exploded.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), sigExpr.as("sig"))
+        graft.functions.DedupExprs.simHash64(
+          split(lower(col(textCol)), "\\s+")).as("sig"))
+      // empty-token docs produced no rows under the explode shape
+      .filter(col("sig").isNotNull)
     withSig.select(col("id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${chunks - 1}), c -> named_struct(" +
         s"'c', c, 'v', (sig >> (c * $width)) & ${(1L << width) - 1}))")).as("ch"))

@@ -43,15 +43,16 @@ object DedupIndex {
     pmod(col("bucket"), lit(nBuckets.toLong)).cast("int").as("__pb")
 
   /** Signature + band-key computation shared verbatim with
-    * [[Dedup.minHashLSH]] — index and live pass can never drift. */
+    * [[Dedup.minHashLSH]] — index and live pass can never drift. The
+    * signature array rides the band explosion directly (no join-back:
+    * the front is a single native projection, see
+    * [[Dedup.minhashFront]]). */
   private def sigKeys(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
-    val sigs = Dedup.minhashSigRows(
-      Dedup.shingleHashes(df, idCol, textCol, shingleSize), numHashes)
-    val sigArr = sigs.select(col("id"),
-      array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
-    Dedup.bandedSigKeys(sigs, numHashes, bands).join(sigArr, "id")
-  }
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame =
+    Dedup.minhashFront(df, idCol, textCol, shingleSize, numHashes)
+      .select(col("id"), col("__sigs").cast("array<int>").as("sig"),
+        explode(Dedup.bandStructs(numHashes, bands)).as("lsh"))
+      .select(col("id"), col("lsh.band"), col("lsh.bucket"), col("sig"))
 
   def build(corpus: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 64,

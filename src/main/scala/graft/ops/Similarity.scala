@@ -120,26 +120,31 @@ object Similarity {
     * projection. Bucket assembly and band explosion ride the projected
     * dots array — the operator's first exchange is now the candidate
     * join's own (band, bucket) shuffle. */
-  private def bandedKeys(df: DataFrame, idName: String, vecName: String,
+  /** (id, __buckets) — one bucket per band, as an array, straight off
+    * the dots projection (shared by [[bandedKeys]] and the signature
+    * columns in [[cosineNearDupPairs]], so neither needs a groupBy). */
+  private def bandedBuckets(df: DataFrame, idName: String, vecName: String,
       bands: Int, planesPerBand: Int, dim: Int, seed: Int): DataFrame = {
     val nPlanes = bands * planesPerBand
     val planes = (0 until nPlanes).map(p =>
       (0 until dim).map(i => planeVal(seed, p, i)))
-    val bandCols = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map(p =>
-        when(element_at(col("__dots"), b * planesPerBand + p + 1) > 0,
-          lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
-      struct(lit(b).as("band"), bits.as("bucket"))
-    }
     // null / wrong-dim vectors produced no rows under the old explode
-    // shape; the explicit filter keeps that contract
+    // shape; the explicit filter keeps that contract. Bucket assembly is
+    // native too (SignBuckets) — the when(element_at) column expansion
+    // was bands×planes expression nodes, which overflowed janino's 64 KB
+    // method limit at auto-tuned plane counts.
     df.filter(col(vecName).isNotNull && size(col(vecName)) === dim)
       .select(col(idName),
-        VectorExprs.matVecDots(asDouble(col(vecName)), planes).as("__dots"))
-      .select(col(idName), explode(array(bandCols: _*)).as("lsh"))
-      .select(col(idName), col("lsh.band").as("__band"),
-        col("lsh.bucket").as("__bucket"))
+        VectorExprs.signBuckets(
+          VectorExprs.matVecDots(asDouble(col(vecName)), planes),
+          planesPerBand).as("__buckets"))
   }
+
+  private def bandedKeys(df: DataFrame, idName: String, vecName: String,
+      bands: Int, planesPerBand: Int, dim: Int, seed: Int): DataFrame =
+    bandedBuckets(df, idName, vecName, bands, planesPerBand, dim, seed)
+      .select(col(idName),
+        posexplode(col("__buckets")).as(Seq("__band", "__bucket")))
 
   /** Keeps only (band, bucket) groups of size ≤ `maxBucketSize` (and, when
     * `dropSingletons`, > 1 — a singleton bucket can never produce a pair).
@@ -392,8 +397,10 @@ object Similarity {
         val target = 1.0 - math.pow(0.05, 1.0 / bands)
         math.max(1, math.min(24, (math.log(target) / math.log(s)).toInt))
       }
-    val rawKeys = bandedKeys(df.select(col(idCol).as("id"), col(vecCol)),
+    val fronted = bandedBuckets(df.select(col(idCol).as("id"), col(vecCol)),
       "id", vecCol, bands, p, dim, seed)
+    val rawKeys = fronted.select(col("id"),
+      posexplode(col("__buckets")).as(Seq("__band", "__bucket")))
     val keyed = capBuckets(rawKeys, maxBucketSize, dropSingletons = true)
     val cand = keyed
       .join(keyed.select(col("id").as("id_b"), col("__band"), col("__bucket")),
@@ -412,17 +419,16 @@ object Similarity {
     // operator's wall-clock lived (2.2M candidates for 90k true pairs
     // at sf1). A true pair clears the gate w.p. ≈ Φ(3) ≈ 99.9%; the
     // residual miss folds into the 5% LSH candidate-recall budget.
-    // Per-band buckets re-aggregate into an array signature off the
-    // SAME uncapped key rows (a capped band still carries information),
-    // Hamming agreement is bands literal-expanded xor/bit_count terms —
-    // codegen, no lambda.
+    // The per-band signature columns come straight off the bucket-array
+    // projection — no groupBy re-aggregation (a capped band still
+    // carries information). Hamming agreement is bands literal-expanded
+    // xor/bit_count terms — codegen, no lambda.
     val sAtT = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
     val nbits = (bands * p).toDouble
     val gate = sAtT - 3.0 * math.sqrt(sAtT * (1 - sAtT) / nbits)
-    val sigAgg = (0 until bands).map(b =>
-      max(when(col("__band") === b, col("__bucket"))).as(s"__s$b"))
-    val sigs = rawKeys.groupBy(col("id"))
-      .agg(sigAgg.head, sigAgg.tail: _*)
+    val sigs = fronted.select(col("id") +:
+      (0 until bands).map(b =>
+        element_at(col("__buckets"), b + 1).as(s"__s$b")): _*)
     def sigCols(side: String, as: String) =
       sigs.select((col("id").as(as)) +:
         (0 until bands).map(b => col(s"__s$b").as(s"__$side$b")): _*)
@@ -439,36 +445,31 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Exact cosine for a narrow (id_a, id_b) candidate frame, via
-    * explode → equi-join → aggregate (the same shape as minHashLSH's
-    * Jaccard verify), NOT a literal-expanded dot over two attached array
-    * columns: with arrays on both join sides Catalyst pushes a
-    * `cosine >= t` caller filter INTO the join as a non-equi condition,
-    * the 128-term expression blows the join out of whole-stage codegen,
-    * and every candidate pays interpreted evaluation (measured 45 s of a
-    * 55 s sf1 run; this shape runs the whole verify in ~4 s). Everything
-    * here is equi-joins + one partial-aggregated sum — codegen end to
-    * end, shuffle keys are (id, dim-position), no array ever rides a
-    * join condition. Returns (id_a, id_b, cosine), unfiltered. */
+  /** Exact cosine for a narrow (id_a, id_b) candidate frame: two
+    * equi-joins attach each side's vector + precomputed norm, then ONE
+    * native dot ([[VectorExprs.DotProduct]]) per candidate. Only
+    * candidate rows ever carry a vector across a shuffle. The previous
+    * explode → (id, dim-position) equi-join → aggregate shape existed
+    * because a literal-expanded dot riding a join condition blew the
+    * join out of whole-stage codegen (measured 45 s of a 55 s sf1 run);
+    * with the kernel the dot is one static call, codegen'd wherever
+    * Catalyst places it, and the corpus-wide exploded-row shuffle and
+    * the per-pair aggregation are gone. The kernel's ascending-index
+    * fold also makes the dot deterministic — the grouped sum's merge
+    * order was partition-dependent. Returns (id_a, id_b, cosine),
+    * unfiltered. */
   private[ops] def cosineVerify(df: DataFrame, idCol: String,
       vecCol: String, cand: DataFrame): DataFrame = {
-    val vrows = df.select(col(idCol).as("__vid"),
-      posexplode(asDouble(col(vecCol))).as(Seq("__p", "__x")))
-    val norms = vrows.groupBy("__vid")
-      .agg(sqrt(sum(col("__x") * col("__x"))).as("__n"))
-    val dots = cand
-      .join(vrows.select(col("__vid").as("id_a"), col("__p"),
-        col("__x").as("__xa")), Seq("id_a"))
-      .join(vrows.select(col("__vid").as("id_b"), col("__p"),
-        col("__x").as("__xb")), Seq("id_b", "__p"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("__xa") * col("__xb")).as("__dot"))
-    dots
-      .join(norms.select(col("__vid").as("id_a"), col("__n").as("__na")),
-        Seq("id_a"))
-      .join(norms.select(col("__vid").as("id_b"), col("__n").as("__nb")),
-        Seq("id_b"))
-      .withColumn("cosine", col("__dot") / (col("__na") * col("__nb")))
+    val vecs = df.select(col(idCol).as("__vid"),
+        asDouble(col(vecCol)).as("__vv"))
+      .withColumn("__nrm", VectorExprs.l2norm(col("__vv")))
+    cand
+      .join(vecs.select(col("__vid").as("id_a"), col("__vv").as("__va"),
+        col("__nrm").as("__na")), Seq("id_a"))
+      .join(vecs.select(col("__vid").as("id_b"), col("__vv").as("__vb"),
+        col("__nrm").as("__nb")), Seq("id_b"))
+      .withColumn("cosine",
+        VectorExprs.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .select("id_a", "id_b", "cosine")
   }
 

@@ -117,6 +117,29 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(out(3).isNullAt(0))
   }
 
+  test("signBuckets matches the when(element_at) column expansion") {
+    val bands = 16
+    val p = 11
+    val planes = (0 until bands * p).map(i => vec(3000 + i, 8))
+    val df = spark.range(40)
+      .select(array((0 until 8).map(d =>
+        sin(col("id") * (d + 1)).cast("double")): _*).as("v"))
+      .select(VectorExprs.matVecDots(col("v"), planes).as("__dots"))
+    val litCols = (0 until bands).map { b =>
+      (0 until p).map(q =>
+        when(element_at(col("__dots"), b * p + q + 1) > 0, lit(1L << q))
+          .otherwise(lit(0L))).reduce(_ + _).as(s"lit_$b")
+    }
+    val out = df.select(
+      (VectorExprs.signBuckets(col("__dots"), p).as("native") +: litCols): _*)
+      .collect()
+    out.foreach { r =>
+      val native = r.getSeq[Long](0)
+      (0 until bands).foreach(b =>
+        assert(native(b) === r.getLong(b + 1), s"band $b"))
+    }
+  }
+
   test("interpreted eval path matches codegen (direct Expression.eval)") {
     val a = Literal.create(Seq(1.5, -2.0, 3.25), ArrayType(DoubleType))
     val b = Literal.create(Seq(2.0, 0.5, -1.0), ArrayType(DoubleType))
