@@ -350,6 +350,78 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Total agreeing bits between two equal-length long-array bit
+    * signatures, counting `bitsPerElement` low bits per element:
+    * `Σᵢ bitsPerElement − popcount(aᵢ xor bᵢ)`.
+    *
+    * Exists so the LSH signature gate carries ONE array column through
+    * its joins: expanding the signature into per-band `element_at`
+    * columns made Catalyst's constraint inference re-derive null checks
+    * that re-evaluated the entire upstream kernel chain once per band
+    * in pushed-down filters — a silent bands× recompute of the
+    * plane-dots projection (measured 19 s of a 20 s sf0.1 run). */
+  case class BitAgreement(left: Expression, right: Expression,
+      bitsPerElement: Int) extends BinaryExpression {
+    require(bitsPerElement > 0 && bitsPerElement <= 64,
+      "bitsPerElement must be in 1..64")
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_bit_agreement"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<bigint> signatures, got ${l.sql}, ${r.sql}")
+      }
+
+    private val mask =
+      if (bitsPerElement == 64) -1L else (1L << bitsPerElement) - 1
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) return null
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        total += bitsPerElement -
+          java.lang.Long.bitCount((a.getLong(i) ^ b.getLong(i)) & mask)
+        i += 1
+      }
+      total
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val tot = ctx.freshName("tot")
+        val bad = ctx.freshName("bad")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $tot = 0L;
+           |  boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+           |    $tot += $bitsPerElement - java.lang.Long.bitCount(
+           |      ($a.getLong($i) ^ $b.getLong($i)) & ${mask}L);
+           |  }
+           |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $tot; }
+           |}""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BitAgreement =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column API ----
 
   def dot(a: Column, b: Column): Column =
@@ -365,6 +437,11 @@ object VectorExprs {
   def signBuckets(dots: Column, planesPerBand: Int): Column =
     GraftSqlBridge.column(SignBuckets(
       GraftSqlBridge.expression(dots), planesPerBand))
+
+  def bitAgreement(a: Column, b: Column, bitsPerElement: Int): Column =
+    GraftSqlBridge.column(BitAgreement(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+      bitsPerElement))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 }

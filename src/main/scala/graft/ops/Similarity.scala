@@ -419,26 +419,23 @@ object Similarity {
     // operator's wall-clock lived (2.2M candidates for 90k true pairs
     // at sf1). A true pair clears the gate w.p. ≈ Φ(3) ≈ 99.9%; the
     // residual miss folds into the 5% LSH candidate-recall budget.
-    // The per-band signature columns come straight off the bucket-array
+    // The signature rides as ONE bucket-array column straight off the
     // projection — no groupBy re-aggregation (a capped band still
-    // carries information). Hamming agreement is bands literal-expanded
-    // xor/bit_count terms — codegen, no lambda.
+    // carries information), and no per-band element_at fan-out: the
+    // expanded columns made constraint inference re-derive null checks
+    // that re-evaluated the whole plane-dots kernel once per band in
+    // pushed-down filters. Agreement is one native popcount kernel
+    // ([[graft.functions.VectorExprs.BitAgreement]]).
     val sAtT = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
     val nbits = (bands * p).toDouble
     val gate = sAtT - 3.0 * math.sqrt(sAtT * (1 - sAtT) / nbits)
-    val sigs = fronted.select(col("id") +:
-      (0 until bands).map(b =>
-        element_at(col("__buckets"), b + 1).as(s"__s$b")): _*)
-    def sigCols(side: String, as: String) =
-      sigs.select((col("id").as(as)) +:
-        (0 until bands).map(b => col(s"__s$b").as(s"__$side$b")): _*)
-    val matchedBits = (0 until bands).map(b =>
-      lit(p) - bit_count(col(s"__a$b").bitwiseXOR(col(s"__b$b"))))
-      .reduce(_ + _)
     val gated = cand
-      .join(sigCols("a", "id_a"), "id_a")
-      .join(sigCols("b", "id_b"), "id_b")
-      .filter(matchedBits >= lit(gate * nbits))
+      .join(fronted.select(col("id").as("id_a"),
+        col("__buckets").as("__sa")), "id_a")
+      .join(fronted.select(col("id").as("id_b"),
+        col("__buckets").as("__sb")), "id_b")
+      .filter(VectorExprs.bitAgreement(col("__sa"), col("__sb"), p) >=
+        lit(gate * nbits))
       .select("id_a", "id_b")
     cosineVerify(df, idCol, vecCol, gated)
       .filter(col("cosine") >= threshold)
