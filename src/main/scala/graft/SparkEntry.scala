@@ -41,7 +41,10 @@ object SparkEntry {
     * side — the build cost lands in the warmup pass, mirroring the
     * production split (indexes are maintained, queries are served).
     * Queries whose MEASURED operator is the build itself
-    * (q_dedup_index) stay unmemoized. Correctness is unaffected: the
+    * (q_dedup_index) stay unmemoized, and queries that MUTATE the
+    * index (q_dedup_ingest, q_ann_ivf_append) memoize a pristine base
+    * and run against a [[workingCopy]] so repeated passes never see
+    * their own prior appends. Correctness is unaffected: the
     * driver's Verify runs each query once per JVM, and a fresh JVM
     * always rebuilds (overwrite mode), so stale cross-run /tmp state
     * never leaks in. Only a SUCCESSFUL build marks the path built. */
@@ -49,6 +52,25 @@ object SparkEntry {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def buildOnce(path: String)(build: => Unit): Unit =
     if (!builtIndexes.contains(path)) { build; builtIndexes.add(path) }
+
+  /** Per-invocation working copy of a memoized base index: queries
+    * that MUTATE an index (append / ingest) clone the pristine
+    * memoized build to a working path first, so Bench's repeated
+    * passes each see identical pre-mutation state — without the copy,
+    * pass N would probe an index carrying N−1 prior appends, drifting
+    * both the result set and the timed workload. The clone is a
+    * local-FS directory copy, cheap next to the build it avoids
+    * re-running; the refresh drops any plan cached against the
+    * previous copy's files. */
+  private def workingCopy(s: SparkSession, base: String, work: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(base)
+    val fs = sp.getFileSystem(conf)
+    val dp = new org.apache.hadoop.fs.Path(work)
+    if (fs.exists(dp)) fs.delete(dp, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, conf)
+    s.catalog.refreshByPath(work)
+  }
 
   /** events with `ts` surfaced as a session-zoned TimestampType column
     * `ts_t`. The file stores TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ);
@@ -401,7 +423,9 @@ object SparkEntry {
     // structured graph introspection (reference introspection.py
     // describe_graph): the UI-facing catalog document round-trips
     // through Spark's JSON reader and must describe every model with
-    // its exact field counts — golden-pinned per model
+    // its exact field counts — golden-pinned per model. _drop_none
+    // parity: an empty relationships list omits the key entirely
+    // (reads back null → rels_omitted pins which models omit it)
     "q_describe_graph" -> ((s, d) => {
       import s.implicits._
       val doc = graft.model.Introspection.describeGraph(
@@ -411,7 +435,8 @@ object SparkEntry {
         .select(col("m.name").as("model"), col("m.kind").as("kind"),
           size(col("m.dimensions")).as("n_dims"),
           size(col("m.metrics")).as("n_metrics"),
-          size(col("m.relationships")).as("n_rels"))
+          coalesce(size(col("m.relationships")), lit(0)).as("n_rels"),
+          col("m.relationships").isNull.as("rels_omitted"))
         .orderBy("model"), "n_dims", "n_metrics", "n_rels")
     }),
 
@@ -2166,10 +2191,12 @@ object SparkEntry {
     // immediately findable through the updated index
     "q_dedup_ingest" -> ((s, d) => {
       import s.implicits._
-      val path = s"/tmp/graft_dedup_ingest_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      buildOnce(path) {
+      val base = s"/tmp/graft_dedup_ingest_base_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = s"/tmp/graft_dedup_ingest_work_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      buildOnce(base) {
         DedupIndex.build(docs(s, d).filter(col("doc_id") < 800),
-          "doc_id", "text", path) }
+          "doc_id", "text", base) }
+      workingCopy(s, base, path)
       val syn = (1 to 60).map(i => s"synthtok$i").mkString(" ")
       val synVar = ((1 to 30).map(i => s"synthtok$i") ++
         Seq("variantglyph") ++ (32 to 60).map(i => s"synthtok$i"))
@@ -2237,11 +2264,13 @@ object SparkEntry {
     // layout WITHOUT retraining; each query must retrieve its appended
     // twin through the shared partition-pruned probe path
     "q_ann_ivf_append" -> ((s, d) => {
-      val path = s"/tmp/graft_ivf_append_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val base = s"/tmp/graft_ivf_append_base_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = s"/tmp/graft_ivf_append_work_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       val emb = s.read.parquet(s"$d/embeddings.parquet")
-      buildOnce(path) {
+      buildOnce(base) {
         IvfIndex.build(emb.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", path, nCells = 16) }
+          "vec_id", "embedding", base, nCells = 16) }
+      workingCopy(s, base, path)
       val twins = emb.filter(col("vec_id") < 5).select(
         (col("vec_id") + 100000).as("vec_id"),
         expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
@@ -3319,19 +3348,19 @@ object SparkEntry {
     "q_describe_graph" ->
       """SELECT model, kind, CAST(n_dims AS BIGINT) AS n_dims,
         |  CAST(n_metrics AS BIGINT) AS n_metrics,
-        |  CAST(n_rels AS BIGINT) AS n_rels
+        |  CAST(n_rels AS BIGINT) AS n_rels, rels_omitted
         |FROM (VALUES
-        |('customer', 'table', 3, 4, 2),
-        |('events', 'table', 5, 11, 0),
-        |('events_secured', 'table', 3, 2, 0),
-        |('lineitem', 'table', 3, 11, 3),
-        |('nation', 'table', 2, 1, 1),
-        |('orders', 'table', 5, 19, 1),
-        |('orders_secured', 'table', 2, 2, 0),
-        |('part', 'table', 3, 2, 1),
-        |('region', 'table', 2, 1, 0),
-        |('supplier', 'table', 1, 2, 1)
-        |) AS t(model, kind, n_dims, n_metrics, n_rels)
+        |('customer', 'table', 3, 4, 2, false),
+        |('events', 'table', 5, 11, 0, true),
+        |('events_secured', 'table', 3, 2, 0, true),
+        |('lineitem', 'table', 3, 11, 3, false),
+        |('nation', 'table', 2, 1, 1, false),
+        |('orders', 'table', 5, 19, 1, false),
+        |('orders_secured', 'table', 2, 2, 0, true),
+        |('part', 'table', 3, 2, 1, false),
+        |('region', 'table', 2, 1, 0, true),
+        |('supplier', 'table', 1, 2, 1, false)
+        |) AS t(model, kind, n_dims, n_metrics, n_rels, rels_omitted)
         |ORDER BY model""".stripMargin,
 
     "q_timezone" ->

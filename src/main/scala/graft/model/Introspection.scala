@@ -23,8 +23,15 @@ import graft.load.Fidelity
   *     `calculated_table` kind is a DAX-import artifact carried by its
   *     TMDL adapter — graft's TMDL import translates DAX at load, so
   *     the resulting model IS a derived table)
-  *   - empty collections render as `[]`, absent optionals are omitted
-  *     (the reference's `_drop_none`)
+  *   - absent optionals AND empty collections are omitted — the
+  *     reference's `_drop_none` (`introspection.py:330`) filters
+  *     `item != []` too, so a model with no relationships has no
+  *     `relationships` key at all. Two exceptions, mirroring the
+  *     reference's `setdefault` at `introspection.py:150-151`: metric
+  *     `filters` and `drill_fields` stay present as `[]` (downstream
+  *     DTOs decode them as non-optional arrays). The top-level
+  *     `models`/`metrics`/`import_warnings` keys are always present
+  *     (`describe_graph` returns them without `_drop_none`).
   */
 object Introspection {
 
@@ -78,11 +85,11 @@ object Introspection {
       "kind" -> Some(str(kind)),
       "table" -> table.map(str),
       "sql" -> sql.map(str),
-      "primary_key" -> Some(arr(m.primaryKey.map(str))),
-      "dimensions" -> Some(arr(dims.map(describeDimension))),
-      "metrics" -> Some(arr(mets.map(describeMetric(_, Some(m.name))))),
-      "relationships" -> Some(arr(m.relationships.map(describeRelationship))),
-      "segments" -> Some(arr(m.segments.map(s => str(s.name)))),
+      "primary_key" -> arrOpt(m.primaryKey.map(str)),
+      "dimensions" -> arrOpt(dims.map(describeDimension)),
+      "metrics" -> arrOpt(mets.map(describeMetric(_, Some(m.name)))),
+      "relationships" -> arrOpt(m.relationships.map(describeRelationship)),
+      "segments" -> arrOpt(m.segments.map(s => str(s.name))),
       "default_time_dimension" -> m.defaultTimeDimension.map(str),
       "default_grain" -> m.defaultGrain.map(str)))
   }
@@ -111,15 +118,19 @@ object Introspection {
     "window" -> m.window.map(str),
     "grain_to_date" -> m.grainToDate.map(str),
     "window_order" -> m.windowOrder.map(str),
+    // filters/drill_fields stay present even when empty — the
+    // reference setdefault()s them back after _drop_none because
+    // downstream DTOs decode them as non-optional arrays
     "filters" -> Some(arr(m.filters.map(str))),
+    "drill_fields" -> Some(arr(Nil)),
     "label" -> m.label.map(str),
     "public" -> Some(m.public.toString)))
 
   private def describeRelationship(r: Relationship): String = obj(Seq(
     "name" -> Some(str(r.to)),
     "type" -> Some(str(r.relType)),
-    "foreign_key" -> Some(arr(r.foreignKey.map(str))),
-    "primary_key" -> Some(arr(r.primaryKey.map(str))),
+    "foreign_key" -> arrOpt(r.foreignKey.map(str)),
+    "primary_key" -> arrOpt(r.primaryKey.map(str)),
     "through" -> r.through.map(str),
     "sql_on" -> r.sqlOn.map(str)))
 
@@ -137,6 +148,10 @@ object Introspection {
 
   private def arr(items: Seq[String]): String =
     items.mkString("[", ",", "]")
+
+  /** `_drop_none` list rule: an empty collection omits its key. */
+  private def arrOpt(items: Seq[String]): Option[String] =
+    if (items.isEmpty) None else Some(arr(items))
 
   private def obj(fields: Seq[(String, Option[String])]): String =
     fields.collect { case (k, Some(v)) => str(k) + ":" + v }

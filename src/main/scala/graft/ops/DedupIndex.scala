@@ -247,36 +247,14 @@ object DedupIndex {
     * layout changes — re-applying the bucket cap or re-banding is
     * [[build]]'s job, not compaction's.
     *
-    * Write-then-swap, in that order: the compacted copy is fully
-    * written to `keys.compact/` BEFORE the live directory is replaced,
-    * so a crash at any point leaves either the old layout or the new
-    * one, never a half-deleted index. (Same single-writer contract as
-    * [[ingest]] — don't compact concurrently with an ingest.)
+    * Write-then-rename-aside swap ([[IndexFiles.compactSwap]]'s
+    * protocol): the compacted copy is fully written BEFORE the live
+    * directory moves, and a complete copy of the index exists on disk
+    * at every instant, so a crash at any point is recoverable to the
+    * old layout or the new one, never a half-deleted index. (Same
+    * single-writer contract as [[ingest]] — don't compact concurrently
+    * with an ingest.)
     * Returns one row: (rows, files_before, files_after). */
-  def compact(spark: SparkSession, path: String): DataFrame = {
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    val live = new Path(s"$path/keys")
-    val tmp = new Path(s"$path/keys.compact")
-    val filesBefore = parquetFiles(live)
-    spark.read.parquet(live.toString)
-      .repartition(col("__pb"))
-      .write.mode("overwrite").partitionBy("__pb")
-      .parquet(tmp.toString)
-    val rows = spark.read.parquet(tmp.toString).count()
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-    // drop any cached plan still pointing at the pre-compaction files
-    spark.catalog.refreshByPath(live.toString)
-    val filesAfter = parquetFiles(live)
-    import spark.implicits._
-    Seq((rows, filesBefore, filesAfter))
-      .toDF("rows", "files_before", "files_after")
-  }
+  def compact(spark: SparkSession, path: String): DataFrame =
+    IndexFiles.compactSwap(spark, path, "keys", "__pb")
 }

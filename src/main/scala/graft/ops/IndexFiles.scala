@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared file-layout maintenance for the three persisted indexes
+  * ([[DedupIndex]] `keys/`, [[IvfIndex]] `cells/`, [[TextIndex]]
+  * `postings/`). Compaction rewrites a partitioned directory so each
+  * partition holds one file set again (the append tail's small-files
+  * problem: per-append file listing + parquet footer overhead on every
+  * probe, and object-store LIST throttling at scale).
+  *
+  * Swap protocol — every step is a directory-atomic operation, and a
+  * COMPLETE copy of the index exists on disk at every instant:
+  *
+  *   1. write the compacted copy to `<live>.compact` (overwrite);
+  *   2. rename `<live>` aside to `<live>.old`;
+  *   3. rename `<live>.compact` into place as `<live>`;
+  *   4. delete `<live>.old`.
+  *
+  * A crash between 2 and 3 is the only window with no `<live>`
+  * directory, and BOTH `<live>.old` (old layout, complete) and
+  * `<live>.compact` (new layout, complete) exist there — recovery is
+  * renaming either into place (re-running compact also heals: step 1's
+  * overwrite rewrites the copy). Contrast delete-then-rename, whose
+  * crash window destroys the old copy before the new one is live.
+  * Single-writer contract as with the ingest paths: don't compact
+  * concurrently with an append/ingest.
+  */
+private[graft] object IndexFiles {
+
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Long = {
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** Rewrite `<path>/<sub>` repartitioned by `partCol` (one file set
+    * per partition), swap it live per the protocol above, and return
+    * one row: (rows, files_before, files_after). */
+  def compactSwap(spark: SparkSession, path: String, sub: String,
+      partCol: String): DataFrame = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/$sub")
+    val tmp = new Path(s"$path/$sub.compact")
+    val old = new Path(s"$path/$sub.old")
+    val filesBefore = parquetFiles(fs, live)
+    spark.read.parquet(live.toString)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    // a stale .old from a previous crashed swap would block the rename
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old), s"rename $live -> $old failed")
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    fs.delete(old, true)
+    // drop any cached plan still pointing at the pre-compaction files
+    spark.catalog.refreshByPath(live.toString)
+    val filesAfter = parquetFiles(fs, live)
+    import spark.implicits._
+    Seq((rows, filesBefore, filesAfter))
+      .toDF("rows", "files_before", "files_after")
+  }
+}

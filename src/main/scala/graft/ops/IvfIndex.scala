@@ -107,35 +107,13 @@ object IvfIndex {
     * file. Content-preserving — re-training drifted centroids and
     * re-assigning rows is [[build]]'s job; compaction only removes the
     * per-query file-listing/footer overhead that grows with every
-    * ingested slice. Write-then-swap ordering (the compacted copy is
-    * complete before the live directory is replaced), same
-    * single-writer contract as the ingest paths. Returns one row:
+    * ingested slice. Write-then-rename-aside swap via
+    * [[IndexFiles.compactSwap]] (a complete copy exists at every
+    * instant; crash-recoverable), same single-writer contract as the
+    * ingest paths. Returns one row:
     * (rows, files_before, files_after). */
-  def compact(spark: SparkSession, path: String): DataFrame = {
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    val live = new Path(s"$path/cells")
-    val tmp = new Path(s"$path/cells.compact")
-    val filesBefore = parquetFiles(live)
-    spark.read.parquet(live.toString)
-      .repartition(col("__cell"))
-      .write.mode("overwrite").partitionBy("__cell")
-      .parquet(tmp.toString)
-    val rows = spark.read.parquet(tmp.toString).count()
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-    spark.catalog.refreshByPath(live.toString)
-    val filesAfter = parquetFiles(live)
-    import spark.implicits._
-    Seq((rows, filesBefore, filesAfter))
-      .toDF("rows", "files_before", "files_after")
-  }
+  def compact(spark: SparkSession, path: String): DataFrame =
+    IndexFiles.compactSwap(spark, path, "cells", "__cell")
 
   /** Hard-negative mining over the persisted index — the production
     * composition [[Similarity.hardNegatives]]'s scaladoc promises:

@@ -65,8 +65,13 @@ object TextIndex {
     finally out.close()
   }
 
-  /** (nDocs, avgLen, nBuckets); indexes written before nBuckets was
-    * persisted carry two fields and default to the old build default. */
+  /** (nDocs, avgLen, nBuckets). nBuckets is REQUIRED: the bucket
+    * modulus must match the one the postings were written with, and it
+    * cannot be inferred from the `__tb=` directories (empty buckets
+    * leave no directory, so the visible max/count under-reports).
+    * Guessing a default would bucket-prune probe terms with the wrong
+    * modulus and silently drop matching postings — a pre-nBuckets
+    * index must be rebuilt with [[build]] instead. */
   private def loadStats(spark: SparkSession, path: String): (Long, Double, Int) = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -74,8 +79,11 @@ object TextIndex {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val parts = text.trim.split(",")
-    (parts(0).toLong, parts(1).toDouble,
-      if (parts.length >= 3) parts(2).toInt else 64)
+    require(parts.length >= 3,
+      s"$path/stats.txt predates the persisted bucket count " +
+        "(n,avglen,nBuckets); rebuild the index with TextIndex.build " +
+        "— assuming a default modulus would silently mis-prune buckets")
+    (parts(0).toLong, parts(1).toDouble, parts(2).toInt)
   }
 
   /** Append a new document slice without rebuilding — the text twin of
@@ -149,34 +157,13 @@ object TextIndex {
   /** Layout-only maintenance for the append tail: rewrite `postings/`
     * so each `__tb=` bucket partition holds one file set again —
     * content-preserving (stale df stays stale; [[build]] is the exact
-    * refresh), write-then-swap ordering, single-writer contract, same
-    * as [[DedupIndex.compact]] / [[IvfIndex.compact]]. Returns one row:
+    * refresh), write-then-rename-aside swap via
+    * [[IndexFiles.compactSwap]] (a complete copy exists at every
+    * instant; crash-recoverable), single-writer contract, same as
+    * [[DedupIndex.compact]] / [[IvfIndex.compact]]. Returns one row:
     * (rows, files_before, files_after). */
-  def compact(spark: SparkSession, path: String): DataFrame = {
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    val live = new Path(s"$path/postings")
-    val tmp = new Path(s"$path/postings.compact")
-    val filesBefore = parquetFiles(live)
-    spark.read.parquet(live.toString)
-      .repartition(col("__tb"))
-      .write.mode("overwrite").partitionBy("__tb")
-      .parquet(tmp.toString)
-    val rows = spark.read.parquet(tmp.toString).count()
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-    spark.catalog.refreshByPath(live.toString)
-    val filesAfter = parquetFiles(live)
-    import spark.implicits._
-    Seq((rows, filesBefore, filesAfter))
-      .toDF("rows", "files_before", "files_after")
-  }
+  def compact(spark: SparkSession, path: String): DataFrame =
+    IndexFiles.compactSwap(spark, path, "postings", "__tb")
 
   /** BM25 top-k over the persisted index. The query terms' buckets are
     * STATIC partition filters (`__tb IN (…)` computed up front — the

@@ -81,4 +81,23 @@ class IntrospectionSpec extends AnyFunSuite {
   test("document is deterministic byte-for-byte") {
     assert(Introspection.describeGraph(cat) == Introspection.describeGraph(cat))
   }
+
+  test("_drop_none parity: empty lists omitted except metric filters/drill_fields") {
+    val c = Catalog().add(Model("bare", ModelSource.Table("t"),
+      primaryKey = Seq("id"),
+      dimensions = Seq(Dimension("id")),
+      metrics = Seq(Metric("m1", agg = Some("count")))))
+    val doc = Introspection.describeGraph(c)
+    // a model with no relationships/segments omits the keys entirely
+    // (reference _drop_none drops empty lists, introspection.py:330)
+    assert(!doc.contains("\"relationships\""))
+    assert(!doc.contains("\"segments\""))
+    // but metric filters + drill_fields are setdefault'd back as []
+    // (introspection.py:150-151)
+    assert(doc.contains("\"filters\":[]"))
+    assert(doc.contains("\"drill_fields\":[]"))
+    // top-level keys always present, even when empty
+    assert(doc.contains("\"metrics\":[]") || doc.contains("\"metrics\":["))
+    assert(doc.contains("\"import_warnings\":[]"))
+  }
 }

@@ -942,4 +942,19 @@ class OpsSpec extends AnyFunSuite {
     val sizes = a.groupBy(_(2)).view.mapValues(_.size).toMap
     assert(sizes.values.toSet == Set(15))
   }
+
+  test("index-mutating battery queries are invocation-stable (bench pass parity)") {
+    // q_dedup_ingest / q_ann_ivf_append memoize a pristine base index
+    // and mutate a per-invocation working copy; without that, Bench's
+    // pass N would probe an index carrying N-1 prior appends and both
+    // results and timed work would drift pass-over-pass
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q_dedup_ingest", "q_ann_ivf_append")) {
+      val first = SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val second = SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(second == first, s"$name drifted on re-invocation")
+    }
+  }
 }

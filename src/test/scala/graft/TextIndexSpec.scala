@@ -175,9 +175,12 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSeq == topBefore)
   }
 
-  test("legacy two-field stats.txt falls back to the old default buckets") {
+  test("legacy two-field stats.txt fails loudly instead of guessing the modulus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tix8").toString
-    TextIndex.build(docs.limit(50), "doc_id", "text", tmp, nBuckets = 64)
+    // a non-default bucket count makes the hazard concrete: any assumed
+    // default would prune probe terms with the wrong modulus and
+    // silently drop matching postings
+    TextIndex.build(docs.limit(50), "doc_id", "text", tmp, nBuckets = 32)
     // rewrite stats.txt in the pre-persistence format (no third field)
     val statsPath = java.nio.file.Paths.get(tmp, "stats.txt")
     val legacy = new String(java.nio.file.Files.readAllBytes(statsPath),
@@ -186,6 +189,9 @@ class TextIndexSpec extends AnyFunSuite {
     // drop Hadoop's CRC sidecar, now stale for the rewritten file
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(tmp, ".stats.txt.crc"))
-    assert(TextIndex.bm25TopK(spark, tmp, Seq("the"), k = 3).count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bm25TopK(spark, tmp, Seq("the"), k = 3).count()
+    }
+    assert(e.getMessage.contains("rebuild the index"))
   }
 }
