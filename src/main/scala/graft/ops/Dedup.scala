@@ -227,8 +227,8 @@ object Dedup {
     * exchange keyed by id for a per-row computation (the ±1 bit sums
     * are order-free integers, so the native loop emits identical
     * fingerprints). */
-  private def simHashChunks(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int): DataFrame = {
+  private[graft] def simHashChunks(df: DataFrame, idCol: String,
+      textCol: String, maxDistance: Int): DataFrame = {
     val chunks = maxDistance + 1
     val width = 64 / chunks
     val withSig = df

@@ -140,7 +140,7 @@ object Similarity {
           planesPerBand).as("__buckets"))
   }
 
-  private def bandedKeys(df: DataFrame, idName: String, vecName: String,
+  private[graft] def bandedKeys(df: DataFrame, idName: String, vecName: String,
       bands: Int, planesPerBand: Int, dim: Int, seed: Int): DataFrame =
     bandedBuckets(df, idName, vecName, bands, planesPerBand, dim, seed)
       .select(col(idName),

@@ -146,4 +146,40 @@ class OpsPlanSpec extends AnyFunSuite {
     val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
     assert(bad.isEmpty, s"cell-size audit window lost its partitioning:\n$plan")
   }
+
+  // ---- zero-exchange kernel fronts (the DedupExprsSpec minhash pin's
+  // siblings): each front is claimed to be a pure per-row projection, so
+  // any exchange before the first candidate join is a regression ----
+
+  test("the simhash chunk front plan has zero exchanges") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val front = graft.ops.Dedup.simHashChunks(docs, "doc_id", "text", 3)
+    val fp = finalPlan(front)
+    assert(shuffleCount(fp) == 0,
+      s"simhash front must be a projection (explode is not an exchange):\n$fp")
+  }
+
+  test("the LSH banded-key front plan has zero exchanges") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("v"))
+    val front = graft.ops.Similarity.bandedKeys(emb, "id", "v",
+      bands = 8, planesPerBand = 3, dim = 64, seed = 42)
+    val fp = finalPlan(front)
+    assert(shuffleCount(fp) == 0,
+      s"banded keys must be sign-bucket projection + posexplode:\n$fp")
+  }
+
+  test("the IVF cell-assignment plan has zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("__id"),
+        col("embedding").cast("array<double>").as("__v"))
+    val cents = (0 until 4).map(i =>
+      (0 until 64).map(j => ((i * 31 + j) % 7).toDouble).toSeq).toSeq
+    val assigned = graft.ops.Similarity.assignCells(emb, "__id", cents)
+    val fp = finalPlan(assigned)
+    assert(shuffleCount(fp) == 0,
+      s"cell assignment must be a MatVecDots projection + least():\n$fp")
+  }
 }
