@@ -2557,6 +2557,29 @@ object SparkEntry {
         .orderBy("query_id", "rank"), "rank")
     }),
 
+    // the native vector kernels through the SQL surface: graft_dot /
+    // graft_l2norm registered as SQL functions (GraftFunctions — same
+    // builders the GraftExtensions route injects) and driven from plain
+    // spark.sql text; the one-row q0 side broadcasts. Oracle replays
+    // with DuckDB's list_dot_product over DOUBLE[] (identical fold
+    // order: ascending index, double accumulation)
+    "q_sql_kernels" -> ((s, d) => {
+      graft.functions.GraftFunctions.install(s)
+      s.read.parquet(s"$d/embeddings.parquet")
+        .createOrReplaceTempView("emb_sql_kernels")
+      s.sql("""SELECT e.vec_id,
+        |  round(graft_dot(e.embedding, e.embedding), 6) AS self_dot,
+        |  round(graft_l2norm(e.embedding), 6) AS norm,
+        |  round(graft_dot(e.embedding, q.embedding)
+        |    / nullif(graft_l2norm(e.embedding) * graft_l2norm(q.embedding),
+        |             0.0d), 6) AS cos_q0
+        |FROM emb_sql_kernels e
+        |CROSS JOIN (SELECT embedding FROM emb_sql_kernels
+        |            WHERE vec_id = 0) q
+        |WHERE e.vec_id < 20
+        |ORDER BY e.vec_id""".stripMargin)
+    }),
+
     // IVF in its design regime: planted near-twins (cos ≈ 0.97) must be
     // retrieved through centroid-cell probing. twin_found is fully
     // deterministic (hash-seeded centroids, decimal-summed means), so
@@ -4315,6 +4338,20 @@ object SparkEntry {
         |            FROM embeddings c, embeddings q
         |            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id))
         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_sql_kernels" ->
+      """SELECT e.vec_id,
+        |  round(list_dot_product(e.emb, e.emb), 6) AS self_dot,
+        |  round(sqrt(list_dot_product(e.emb, e.emb)), 6) AS norm,
+        |  round(list_dot_product(e.emb, q.emb)
+        |    / nullif(sqrt(list_dot_product(e.emb, e.emb))
+        |             * sqrt(list_dot_product(q.emb, q.emb)), 0.0), 6)
+        |    AS cos_q0
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e,
+        |     (SELECT embedding::DOUBLE[] AS emb FROM embeddings
+        |      WHERE vec_id = 0) q
+        |WHERE e.vec_id < 20
+        |ORDER BY e.vec_id""".stripMargin,
 
     // argmax by (score, lang) with ties to the lexicographically larger
     // lang — same rule as Spark's greatest() over (score, lang) structs

@@ -22,8 +22,12 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
   * for regular SQL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => new SemanticModelRule(session))
+    // native kernel expressions as SQL functions (graft_dot,
+    // graft_simhash, …) — same builders as GraftFunctions.install
+    graft.functions.GraftFunctions.descriptions.foreach(ext.injectFunction)
+  }
 }
 
 object GraftExtensions {

@@ -62,4 +62,42 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql("SELECT count(*) FROM plain_region").collect()(0).getLong(0) == 5)
     }
   }
+
+  test("kernel functions are callable from SQL on the extended session") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "graft_l2norm(array(3.0d, 4.0d)) AS n, " +
+          "graft_simhash(array('a', 'b', 'c')) AS sh, " +
+          "size(graft_minhash_sigs(" +
+          "  graft_shingle_hashes(array('a','b','c','a','b'), 3), 8)) AS k, " +
+          "graft_bit_agreement(array(0L), array(0L), 64) AS agree")
+        .collect()(0)
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == 5.0)
+      assert(!r.isNullAt(2))
+      assert(r.getInt(3) == 8)
+      assert(r.getLong(4) == 64L)
+      // SQL values must equal the Column-API kernels they alias
+      import org.apache.spark.sql.functions.{array, lit, split}
+      val viaApi = s.range(1).select(
+        graft.functions.VectorExprs.dot(
+          array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d"),
+        graft.functions.DedupExprs.simHash64(
+          split(lit("a b c"), " ")).as("sh")).collect()(0)
+      assert(viaApi.getDouble(0) == r.getDouble(0))
+      assert(viaApi.getLong(1) == r.getLong(2))
+    }
+  }
+
+  test("structural kernel args must be integer literals") {
+    withExtendedSession { s =>
+      val e = intercept[Exception] {
+        s.sql("SELECT graft_shingle_hashes(array('a'), 1 + cast(rand() as int))")
+          .collect()
+      }
+      assert(e.getMessage.contains("integer literal"),
+        s"unexpected error: ${e.getMessage}")
+    }
+  }
 }
