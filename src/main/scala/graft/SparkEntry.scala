@@ -2458,6 +2458,24 @@ object SparkEntry {
         .orderBy("c_mktsegment"), "n_orders")
     }),
 
+    // FULL-outer variant: the customer gap leaves unmatched hot orders
+    // (null segment) AND order-less customers (null order columns) —
+    // both must survive the hot/cold split exactly once; n_orders
+    // counts non-null order keys so the customer-only rows are visible
+    "q_skew_join_full" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      asLong(Skew.skewAwareJoin(o, c, Seq("o_custkey"),
+          hotThreshold = 15, salts = 4, joinType = "full")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+        .orderBy("c_mktsegment"), "n_rows", "n_orders")
+    }),
+
     // index-maintenance round trip: build → ingest tail → compact; the
     // compaction must shrink the file count while preserving every band
     // key (rows is the full post-ingest key count, golden-pinned)
@@ -5225,6 +5243,17 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |FROM orders LEFT JOIN
+        |  (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+        |  ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both unmatched sides of the salted full join, replayed plainly
+    "q_skew_join_full" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders FULL JOIN
         |  (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
         |  ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -27,16 +27,31 @@ import org.apache.spark.sql.DataFrame
   * causing the straggler. Catalyst's exchange reuse executes the
   * histogram subtree once even though both split sides reference it.
   *
-  * Equi-join on one or more key columns, `inner` or `left` (left/right
-  * column names must be disjoint apart from the keys, same as a plain
-  * `join(right, keys)`). Left-join correctness falls out of the split:
-  * each hot LEFT row carries exactly one salt, so an unmatched hot row
-  * null-fills exactly once, and null-keyed left rows never semi-match
-  * the hot set (null ≠ null) — they take the cold path, where the
-  * plain left join preserves them. The salt is `pmod` over a per-row
-  * monotonic id — layout-dependent, which is admissible here because
-  * the RESULT is salt-invariant (any spreading of a hot key's rows is
-  * correct); only physical placement varies.
+  * Equi-join on one or more key columns, `inner` / `left` / `right` /
+  * `full` (left/right column names must be disjoint apart from the
+  * keys, same as a plain `join(right, keys)`). Left-join correctness
+  * falls out of the split: each hot LEFT row carries exactly one salt,
+  * so an unmatched hot row null-fills exactly once, and null-keyed
+  * left rows never semi-match the hot set (null ≠ null) — they take
+  * the cold path, where the plain left join preserves them.
+  *
+  * Right/full outer ride one extra invariant: hot keys come from the
+  * LEFT histogram, so every hot-key RIGHT row has a key-level left
+  * match and can never null-fill. The hot path therefore joins
+  * `inner` (for right) / `left` (for full) on (key, salt) — a salted
+  * (key, salt) outer join would be WRONG, spuriously null-filling
+  * right replicas whose salt bucket happens to be empty on the left.
+  * What right/full DO need is the right side split like the left: the
+  * cold path must exclude hot-key right rows (they already joined in
+  * the hot path; a right/full cold join against the unsplit right
+  * side would null-fill each of them a second time). Null-keyed right
+  * rows never semi-match the hot set and null-fill once in the cold
+  * path.
+  *
+  * The salt is `pmod` over a per-row monotonic id — layout-dependent,
+  * which is admissible here because the RESULT is salt-invariant (any
+  * spreading of a hot key's rows is correct); only physical placement
+  * varies.
   */
 object Skew {
 
@@ -56,8 +71,8 @@ object Skew {
     require(hotThreshold > 0, s"hotThreshold must be positive")
     require(keys.nonEmpty, "skewAwareJoin needs at least one key column")
     val jt = joinType.toLowerCase.replace("outer", "").stripSuffix("_")
-    require(jt == "inner" || jt == "left",
-      s"skewAwareJoin supports inner and left joins, got $joinType")
+    require(Set("inner", "left", "right", "full")(jt),
+      s"skewAwareJoin supports inner, left, right and full joins, got $joinType")
     val keyCols = keys.map(col)
     val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__hc"))
       .filter(col("__hc") > hotThreshold)
@@ -68,15 +83,33 @@ object Skew {
     val rightHot = right.join(broadcast(hot), keys, "left_semi")
       .withColumn("__salt",
         explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    // hot keys have >= hotThreshold left rows by construction, so the
+    // hot partition never null-fills a right row: right collapses to
+    // inner there, full collapses to left (see the scaladoc — an outer
+    // join keyed on (key, salt) would null-fill empty salt buckets)
+    val hotJt = jt match {
+      case "right" => "inner"
+      case "full" => "left"
+      case other => other
+    }
     val cond = keys.map(k => leftHot(k) === rightHot(k))
       .reduce(_ && _) && leftHot("__salt") === rightHot("__salt")
     val hotJoined = keys.foldLeft(
-        leftHot.join(rightHot, cond, jt)
+        leftHot.join(rightHot, cond, hotJt)
           .drop(leftHot("__salt")).drop(rightHot("__salt"))) {
         (acc, k) => acc.drop(rightHot(k))
       }
+    // right/full preserve unmatched RIGHT rows, so their cold path must
+    // not see hot-key right rows again (they joined in the hot path);
+    // inner/left keep the unsplit right side (hot-key right rows cannot
+    // match the anti-joined cold left, and skipping the split saves a
+    // broadcast anti-join on the big side)
+    val rightCold =
+      if (jt == "right" || jt == "full")
+        right.join(broadcast(hot), keys, "left_anti")
+      else right
     val coldJoined = left.join(broadcast(hot), keys, "left_anti")
-      .join(right, keys, jt)
+      .join(rightCold, keys, jt)
     coldJoined.unionByName(hotJoined.select(coldJoined.columns.map(col): _*))
   }
 

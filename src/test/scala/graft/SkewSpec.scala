@@ -158,14 +158,69 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.values.sum == 82)
   }
 
+  test("property: salted RIGHT and FULL joins on a 2-column key equal the plain joins") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(0, 120)
+      lrows <- Gen.listOfN(nl, for {
+        k1 <- Gen.frequency(6 -> Gen.const(1L), 4 -> Gen.choose(2L, 20L))
+        k2 <- Gen.oneOf("a", "b")
+        v <- Gen.choose(0, 999)
+      } yield (k1, k2, v))
+      nr <- Gen.choose(0, 40)
+      rrows <- Gen.listOfN(nr, for {
+        k1 <- Gen.choose(1L, 20L); k2 <- Gen.oneOf("a", "b", "c")
+        v <- Gen.alphaStr.map(_.take(4))
+      } yield (k1, k2, v))
+      thr <- Gen.choose(1L, 20L)
+      salts <- Gen.choose(2, 6)
+    } yield (lrows, rrows, thr, salts)
+    for (jt <- Seq("right", "full"); i <- 1 to 4) {
+      val (lrows, rrows, thr, salts) =
+        gen(Gen.Parameters.default, Seed(7700L + i)).get
+      val left = lrows.toDF("k1", "k2", "lv")
+      val right = rrows.toDF("k1", "k2", "rv")
+      val salted = Skew.skewAwareJoin(left, right, Seq("k1", "k2"), thr,
+          salts, joinType = jt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val plain = left.join(right, Seq("k1", "k2"), jt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted == plain,
+        s"$jt case $i (thr=$thr salts=$salts): salted multiset != plain")
+    }
+  }
+
+  test("right/full: hot-key right rows never null-fill, unmatched rights once") {
+    import spark.implicits._
+    // key 1 hot with right matches; key 9 right-only (unmatched); a
+    // null-keyed right row; key 2 hot with NO right rows (full must
+    // null-fill its lefts, right must drop them)
+    val left = ((1 to 30).map(i => (java.lang.Long.valueOf(1L), s"a$i")) ++
+      (1 to 20).map(i => (java.lang.Long.valueOf(2L), s"b$i")) ++
+      Seq((java.lang.Long.valueOf(3L), "c1")))
+      .toDF("k", "lv")
+    val right = Seq((java.lang.Long.valueOf(1L), "x"),
+      (java.lang.Long.valueOf(1L), "y"), (java.lang.Long.valueOf(3L), "z"),
+      (java.lang.Long.valueOf(9L), "u"),
+      (null.asInstanceOf[java.lang.Long], "n")).toDF("k", "rv")
+    for (jt <- Seq("right", "full")) {
+      val salted = Skew.skewAwareJoin(left, right, Seq("k"),
+          hotThreshold = 10, salts = 4, joinType = jt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val plain = left.join(right, Seq("k"), jt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted == plain, s"$jt: salted multiset != plain")
+    }
+  }
+
   test("unsupported join types raise") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {
       Skew.skewAwareJoin(df, df.select(col("k"), col("v").as("w")),
-        Seq("k"), 10, 4, joinType = "full")
+        Seq("k"), 10, 4, joinType = "left_semi")
     }
-    assert(e.getMessage.contains("inner and left"))
+    assert(e.getMessage.contains("inner, left, right and full"))
   }
 
   test("hot path widens the shuffle key with the salt") {
