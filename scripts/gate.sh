@@ -27,4 +27,15 @@ echo "== gate: tolerant check (check_oracle.py)"
 python3 scripts/check_oracle.py "$SF_DIR" "$OUT_DIR"
 echo "== gate: strict driver mirror (exact_check.py)"
 python3 scripts/exact_check.py "$SF_DIR" "$OUT_DIR" "$@"
+if [ "${SKIP_TESTS:-0}" != "1" ]; then
+  echo "== gate: full test suite (SKIP_TESTS=1 skips during iteration)"
+  sbt -batch test >"$OUT_DIR/test.log" 2>&1 \
+    || { tail -40 "$OUT_DIR/test.log"; echo "GATE FAIL: sbt test"; exit 1; }
+  TESTS_TOTAL=$(grep -o 'Total number of tests run: [0-9]*' "$OUT_DIR/test.log" \
+    | tail -1 | grep -o '[0-9]*$')
+else
+  TESTS_TOTAL=""
+fi
+echo "== gate: doc-count drift (README/COVERAGE vs HEAD)"
+python3 scripts/check_counts.py "$OUT_DIR" $TESTS_TOTAL
 echo "== gate: PASS"
