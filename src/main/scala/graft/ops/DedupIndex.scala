@@ -257,4 +257,9 @@ object DedupIndex {
     * Returns one row: (rows, files_before, files_after). */
   def compact(spark: SparkSession, path: String): DataFrame =
     IndexFiles.compactSwap(spark, path, "keys", "__pb")
+
+  /** Heal a [[compact]] swap interrupted mid-crash-window (see
+    * [[IndexFiles.recover]]); no-op on a healthy index. */
+  def recover(spark: SparkSession, path: String): String =
+    IndexFiles.recover(spark, path, "keys")
 }

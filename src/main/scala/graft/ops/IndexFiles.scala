@@ -38,6 +38,35 @@ private[graft] object IndexFiles {
     n
   }
 
+  /** Heal a swap interrupted in the window between steps 2 and 3: when
+    * `<live>` is missing, rename the completed `<live>.compact` into
+    * place (preferring the new layout — it holds the same rows), else
+    * fall back to `<live>.old`; stale leftovers from a completed swap
+    * are deleted. Idempotent, cheap (renames only), safe to call on a
+    * healthy index (no-op). Returns the state found:
+    * "ok" | "recovered_compact" | "recovered_old". */
+  def recover(spark: SparkSession, path: String, sub: String): String = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/$sub")
+    val tmp = new Path(s"$path/$sub.compact")
+    val old = new Path(s"$path/$sub.old")
+    val state =
+      if (fs.exists(live)) "ok"
+      else if (fs.exists(tmp)) {
+        require(fs.rename(tmp, live), s"recover: rename $tmp -> $live failed")
+        "recovered_compact"
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, live), s"recover: rename $old -> $live failed")
+        "recovered_old"
+      } else throw new IllegalStateException(
+        s"no $sub, $sub.compact or $sub.old under $path — not an index")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (state != "ok") spark.catalog.refreshByPath(live.toString)
+    state
+  }
+
   /** Rewrite `<path>/<sub>` repartitioned by `partCol` (one file set
     * per partition), swap it live per the protocol above, and return
     * one row: (rows, files_before, files_after). */

@@ -115,6 +115,11 @@ object IvfIndex {
   def compact(spark: SparkSession, path: String): DataFrame =
     IndexFiles.compactSwap(spark, path, "cells", "__cell")
 
+  /** Heal a [[compact]] swap interrupted mid-crash-window (see
+    * [[IndexFiles.recover]]); no-op on a healthy index. */
+  def recover(spark: SparkSession, path: String): String =
+    IndexFiles.recover(spark, path, "cells")
+
   /** Hard-negative mining over the persisted index — the production
     * composition [[Similarity.hardNegatives]]'s scaladoc promises:
     * over-fetch `overfetch` candidates per query through [[topK]]'s

@@ -165,6 +165,11 @@ object TextIndex {
   def compact(spark: SparkSession, path: String): DataFrame =
     IndexFiles.compactSwap(spark, path, "postings", "__tb")
 
+  /** Heal a [[compact]] swap interrupted mid-crash-window (see
+    * [[IndexFiles.recover]]); no-op on a healthy index. */
+  def recover(spark: SparkSession, path: String): String =
+    IndexFiles.recover(spark, path, "postings")
+
   /** BM25 top-k over the persisted index. The query terms' buckets are
     * STATIC partition filters (`__tb IN (…)` computed up front — the
     * scan lists only those directories), the token equality prunes

@@ -175,6 +175,29 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSeq == topBefore)
   }
 
+  test("recover heals a compact swap interrupted in the crash window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tix9").toString
+    TextIndex.build(docs.limit(80), "doc_id", "text", tmp, nBuckets = 8)
+    val before = TextIndex.bm25TopK(spark, tmp, Seq("spark"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(TextIndex.recover(spark, tmp) == "ok", "healthy index is a no-op")
+    // simulate the swap's only no-live-directory instant: the compacted
+    // copy is complete and the live dir was renamed aside, but the
+    // compact -> live rename never ran
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$tmp/postings")
+    val fs = live.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs,
+      new org.apache.hadoop.fs.Path(s"$tmp/postings.compact"), false, conf)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$tmp/postings.old")))
+    assert(TextIndex.recover(spark, tmp) == "recovered_compact")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/postings.old")),
+      "recover must clean the leftover .old")
+    val after = TextIndex.bm25TopK(spark, tmp, Seq("spark"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "recovered index must answer identically")
+  }
+
   test("legacy two-field stats.txt fails loudly instead of guessing the modulus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tix8").toString
     // a non-default bucket count makes the hazard concrete: any assumed
