@@ -22,8 +22,17 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+# make_sf1.py [DST] [SRC] [tables]
+#   DST     output dir (default /tmp/graft_sf1)
+#   SRC     input dir (default sf0.1; pass /tmp/graft_sf1 to build sf10 —
+#           replication composes because offsets stride by the SOURCE's
+#           own pk domain)
+#   tables  comma list restricting the build (e.g. "documents,embeddings"
+#           for the index-family sf10 spot check); alignment spot checks
+#           only run for tables actually built
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 COPIES = 10
 
 # key domain registry: domain name -> (owning table, pk column). Every
@@ -88,11 +97,15 @@ if violations:
     sys.exit("fk/pk domain violations:\n  " + "\n  ".join(violations))
 
 for table in COPY_AS_IS:
+    if ONLY is not None and table not in ONLY:
+        continue
     con.sql(f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO "
             f"'{DST}/{table}.parquet' (FORMAT PARQUET)")
     print(f"{table}: copied")
 
 for table, keymap in OFFSET_KEYS.items():
+    if ONLY is not None and table not in ONLY:
+        continue
     src = f"'{SRC}/{table}.parquet'"
     cols = columns(table)
     present = {k: d for k, d in keymap.items() if k in cols}
@@ -116,6 +129,8 @@ for table, keymap in OFFSET_KEYS.items():
 # post-build spot check: fk/pk alignment must hold on the replicas too
 for fact, fk, dim, pk in [("orders", "o_custkey", "customer", "c_custkey"),
                           ("lineitem", "l_orderkey", "orders", "o_orderkey")]:
+    if ONLY is not None and (fact not in ONLY or dim not in ONLY):
+        continue
     dangling = con.sql(
         f"SELECT count(*) FROM '{DST}/{fact}.parquet' f "
         f"LEFT JOIN '{DST}/{dim}.parquet' d ON f.{fk} = d.{pk} "
