@@ -46,7 +46,8 @@ for q, a, b, r in sorted(rows, key=lambda x: -x[2])[:25]:
     mark = " ⚠" if (q, a, b, r) in flagged else ""
     lines.append(f"| {q}{mark} | {a:.3f} | {b:.3f} | {r:.1f}x |")
 lines.append("")
-lines.append("(top 25 by sf1 time; full numbers in BENCH_sf01_r06.json / BENCH_sf1_r06.json)")
+import os
+lines.append(f"(top 25 by sf1 time; full numbers in {os.path.basename(sys.argv[1])} / {os.path.basename(sys.argv[2])})")
 if flagged:
     lines.append("")
     lines.append("## Flagged queries")
