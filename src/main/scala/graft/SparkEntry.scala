@@ -1752,6 +1752,21 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b")),
 
+    // the production collapse-first composition: plant exact copies
+    // (gate data has none) so the collapse itself is under the oracle —
+    // copies of docs < 30 at +200000 collapse onto their min-id
+    // originals, so the pair set equals q_dedup_minhash's among
+    // representatives while dups_* records the family sizes
+    "q_dedup_minhash_collapsed" -> ((s, d) => {
+      val base = docs(s, d)
+      val copies = base.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 200000)
+      Dedup.minHashLSHCollapsed(base.unionByName(copies), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       asLong(Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxDistance = 3)
         .orderBy("id_a", "id_b"), "hamming")),
@@ -2643,6 +2658,27 @@ object SparkEntry {
       // ~2 s SLOWER at sf1, identical found pairs
       Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
         threshold = 0.9, bands = 16) // planesPerBand auto-tunes to t=0.9
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // collapse-first twin of q_embedding_neardup: the same planted
+    // near-dup twins PLUS exact vector copies (vec_id < 25 at +200000)
+    // that must collapse onto their min-id originals before banding —
+    // pair set matches q_embedding_neardup's, dups_* carries family size
+    "q_embedding_neardup_collapsed" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val twins = emb.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      val copies = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      val aug = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(twins).unionByName(copies)
+      Similarity.cosineNearDupPairsCollapsed(aug, "vec_id", "embedding",
+        threshold = 0.9, bands = 16)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -4235,6 +4271,37 @@ object SparkEntry {
         |(458, 462, 0.9828))
         |t(id_a, id_b, jaccard)""".stripMargin,
 
+    "q_dedup_minhash_collapsed" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(jaccard AS DOUBLE) AS jaccard, CAST(dups_a AS BIGINT) AS dups_a, CAST(dups_b AS BIGINT) AS dups_b
+        |FROM (VALUES
+        |(8, 245, 0.9878, 2, 1),
+        |(26, 455, 0.9, 2, 1),
+        |(31, 383, 0.9762, 1, 1),
+        |(44, 446, 0.9565, 1, 1),
+        |(45, 267, 0.974, 1, 1),
+        |(45, 413, 0.987, 1, 1),
+        |(58, 293, 0.9857, 1, 1),
+        |(61, 185, 0.9825, 1, 1),
+        |(70, 447, 0.9891, 1, 1),
+        |(72, 377, 0.9756, 1, 1),
+        |(87, 134, 0.9545, 1, 1),
+        |(92, 450, 0.9583, 1, 1),
+        |(98, 290, 0.9891, 1, 1),
+        |(107, 387, 0.9737, 1, 1),
+        |(120, 332, 0.9714, 1, 1),
+        |(152, 178, 0.973, 1, 1),
+        |(166, 323, 0.9833, 1, 1),
+        |(267, 413, 0.9868, 1, 1),
+        |(285, 301, 0.9891, 1, 1),
+        |(295, 374, 0.9667, 1, 1),
+        |(310, 389, 0.9615, 1, 1),
+        |(326, 457, 0.9714, 1, 1),
+        |(393, 420, 0.9873, 1, 1),
+        |(435, 486, 0.9667, 1, 1),
+        |(458, 462, 0.9828, 1, 1)
+        |) AS t(id_a, id_b, jaccard, dups_a, dups_b)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_simhash" ->
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM (VALUES
@@ -4341,6 +4408,62 @@ object SparkEntry {
         |(48, 100048, 0.970178),
         |(49, 100049, 0.970463))
         |t(id_a, id_b, cosine)""".stripMargin,
+
+    "q_embedding_neardup_collapsed" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(cosine AS DOUBLE) AS cosine, CAST(dups_a AS BIGINT) AS dups_a, CAST(dups_b AS BIGINT) AS dups_b
+        |FROM (VALUES
+        |(0, 100000, 0.969705, 2, 1),
+        |(1, 100001, 0.969725, 2, 1),
+        |(2, 100002, 0.970326, 2, 1),
+        |(3, 100003, 0.969653, 2, 1),
+        |(4, 100004, 0.969105, 2, 1),
+        |(5, 100005, 0.968575, 2, 1),
+        |(6, 100006, 0.970227, 2, 1),
+        |(7, 100007, 0.969181, 2, 1),
+        |(8, 100008, 0.969561, 2, 1),
+        |(9, 100009, 0.970363, 2, 1),
+        |(10, 100010, 0.968742, 2, 1),
+        |(11, 100011, 0.969786, 2, 1),
+        |(12, 100012, 0.9689, 2, 1),
+        |(13, 100013, 0.970666, 2, 1),
+        |(14, 100014, 0.968255, 2, 1),
+        |(15, 100015, 0.974368, 2, 1),
+        |(16, 100016, 0.97135, 2, 1),
+        |(17, 100017, 0.974004, 2, 1),
+        |(18, 100018, 0.971629, 2, 1),
+        |(19, 100019, 0.969662, 2, 1),
+        |(20, 100020, 0.972679, 2, 1),
+        |(21, 100021, 0.971748, 2, 1),
+        |(22, 100022, 0.969297, 2, 1),
+        |(23, 100023, 0.968892, 2, 1),
+        |(24, 100024, 0.969105, 2, 1),
+        |(25, 100025, 0.974723, 1, 1),
+        |(26, 100026, 0.970916, 1, 1),
+        |(27, 100027, 0.968246, 1, 1),
+        |(28, 100028, 0.969175, 1, 1),
+        |(29, 100029, 0.96874, 1, 1),
+        |(30, 100030, 0.968746, 1, 1),
+        |(31, 100031, 0.970923, 1, 1),
+        |(32, 100032, 0.972739, 1, 1),
+        |(33, 100033, 0.97165, 1, 1),
+        |(34, 100034, 0.969667, 1, 1),
+        |(35, 100035, 0.969258, 1, 1),
+        |(36, 100036, 0.969808, 1, 1),
+        |(37, 100037, 0.970317, 1, 1),
+        |(38, 100038, 0.969184, 1, 1),
+        |(39, 100039, 0.969921, 1, 1),
+        |(40, 100040, 0.972178, 1, 1),
+        |(41, 100041, 0.970957, 1, 1),
+        |(42, 100042, 0.968843, 1, 1),
+        |(43, 100043, 0.969823, 1, 1),
+        |(44, 100044, 0.968543, 1, 1),
+        |(45, 100045, 0.97054, 1, 1),
+        |(46, 100046, 0.971812, 1, 1),
+        |(47, 100047, 0.970022, 1, 1),
+        |(48, 100048, 0.970178, 1, 1),
+        |(49, 100049, 0.970463, 1, 1)
+        |) AS t(id_a, id_b, cosine, dups_a, dups_b)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_cosine" ->
       """SELECT query_id, neighbor_id, round(sim, 6) AS cosine,

@@ -669,4 +669,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("n_tokens"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Exact-duplicate collapse: one representative row per distinct
+    * `textCol` value — (textCol, idCol = min id, family_size).
+    *
+    * This is the production FIRST stage in front of any pair-forming
+    * near-dup search: real corpora carry heavy exact duplication
+    * (mirrors, reposts, boilerplate), and every exact family of size f
+    * would otherwise inflate the candidate space by f² inside each LSH
+    * bucket — pair count grows QUADRATICALLY in copy count while the
+    * collapse cost is one linear aggregation. Grouping on the content
+    * itself (not a digest) makes the collapse collision-proof, and the
+    * aggregate's map-side combine dedupes co-located copies before the
+    * exchange, so the shuffle moves at most one copy of each distinct
+    * text per input partition. Min-id representative keeps the output
+    * deterministic under any partitioning. */
+  def collapseExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("family_size"))
+
+  /** [[minHashLSH]] over the [[collapseExact]] representatives: the
+    * scale path for near-dup detection on corpora with exact-duplicate
+    * families. Near-dup pairs are found among DISTINCT texts only, so
+    * candidate-pair cost is bound by unique-content volume rather than
+    * raw row count (at 100 TB with 10-copy families that is a 100×
+    * smaller pair space for one extra linear aggregation); each output
+    * pair carries both families' sizes — the pair stands for
+    * dups_a × dups_b underlying row pairs, and the exact families
+    * themselves remain [[exactDuplicateGroups]]'s report.
+    *
+    * Output: (id_a, id_b, jaccard, dups_a, dups_b) with id_a < id_b,
+    * jaccard ≥ `threshold`, ids = family representatives (min ids). On a
+    * corpus with no exact duplicates this returns exactly
+    * [[minHashLSH]]'s pairs with dups = 1. */
+  def minHashLSHCollapsed(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val reps = collapseExact(df, idCol, textCol)
+    val sizes = reps.select(col(idCol), col("family_size"))
+    minHashLSH(reps.select(col(idCol), col(textCol)), idCol, textCol,
+        shingleSize, numHashes, bands, threshold, maxBucketSize)
+      .join(sizes.select(col(idCol).as("id_a"),
+        col("family_size").as("dups_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"),
+        col("family_size").as("dups_b")), Seq("id_b"))
+      .select("id_a", "id_b", "jaccard", "dups_a", "dups_b")
+  }
 }

@@ -442,6 +442,36 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** [[cosineNearDupPairs]] over exact-vector-collapsed representatives:
+    * the scale path when the corpus carries identical embeddings
+    * (re-encoded mirrors, empty/boilerplate content hitting one
+    * embedding, dedup-worthy reposts). An identical-vector family of
+    * size f contributes f²/2 candidate pairs to EVERY band bucket it
+    * lands in — collapsing first (groupBy on the vector itself: exact,
+    * collision-proof, map-side combined) makes pair cost ∝ distinct
+    * vectors for one linear aggregation. Min-id representatives; each
+    * pair carries both family sizes (the pair stands for dups_a × dups_b
+    * underlying row pairs). On a corpus with all-distinct vectors this
+    * is [[cosineNearDupPairs]] with dups = 1.
+    *
+    * Output: (id_a, id_b, cosine, dups_a, dups_b), id_a < id_b,
+    * cosine ≥ `threshold`. */
+  def cosineNearDupPairsCollapsed(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.4, bands: Int = 16,
+      planesPerBand: Int = 0, dim: Int = 64, seed: Int = 42,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val reps = df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("family_size"))
+    val sizes = reps.select(col(idCol), col("family_size"))
+    cosineNearDupPairs(reps.select(col(idCol), col(vecCol)), idCol, vecCol,
+        threshold, bands, planesPerBand, dim, seed, maxBucketSize)
+      .join(sizes.select(col(idCol).as("id_a"),
+        col("family_size").as("dups_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"),
+        col("family_size").as("dups_b")), Seq("id_b"))
+      .select("id_a", "id_b", "cosine", "dups_a", "dups_b")
+  }
+
   /** Exact cosine for a narrow (id_a, id_b) candidate frame: two
     * equi-joins attach each side's vector + precomputed norm, then ONE
     * native dot ([[VectorExprs.DotProduct]]) per candidate. Only

@@ -41,6 +41,62 @@ class OpsSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("collapseExact: one min-id representative per distinct text") {
+    val reps = Dedup.collapseExact(docs, "doc_id", "text")
+      .select("doc_id", "family_size")
+      .as[(Long, Long)].collect().toMap
+    assert(reps == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L),
+      "doc 2 collapses onto min-id 1; all other families are singletons")
+  }
+
+  test("minHashLSHCollapsed: pairs = minHashLSH over representatives, " +
+      "with family sizes attached") {
+    val collapsed = Dedup.minHashLSHCollapsed(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 2 is collapsed away: no pair may mention it, and the exact
+    // pair (1,2) is the collapse's job, not the near-dup search's
+    assert(!collapsed.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+    // the surviving near-dup pair carries doc 1's family size
+    val ((j, da, db)) = collapsed((1L, 3L))
+    assert(j > 0.3 && da == 2L && db == 1L)
+    // pair parity: same (id, jaccard) set as running the uncollapsed
+    // operator over the representatives directly
+    val reps = Dedup.collapseExact(docs, "doc_id", "text")
+      .select("doc_id", "text")
+    val direct = Dedup.minHashLSH(reps, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(collapsed.view.mapValues(_._1).toMap == direct)
+  }
+
+  test("cosineNearDupPairsCollapsed: identical vectors collapse before " +
+      "banding; pairs carry family sizes") {
+    val base = (0 until 16).map(_.toFloat).toArray
+    val near = base.zipWithIndex.map { case (v, i) =>
+      v + (if (i == 0) 0.3f else 0f) }
+    val far = (0 until 16).map(i => ((i * 7 + 3) % 16).toFloat).toArray
+    val vecs = Seq(
+      (10L, base), (11L, base), (12L, base), // family of 3
+      (20L, near),                           // near dup of the family
+      (30L, far)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairsCollapsed(vecs, "vec_id",
+      "embedding", threshold = 0.9, bands = 8, planesPerBand = 4, dim = 16)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!out.keySet.exists(p =>
+      Set(11L, 12L).contains(p._1) || Set(11L, 12L).contains(p._2)),
+      "non-representative family members must not appear")
+    val (cos, da, db) = out((10L, 20L))
+    assert(cos > 0.9 && da == 3L && db == 1L)
+    assert(!out.keySet.exists(p => p._1 == 30L || p._2 == 30L))
+  }
+
   test("simhash: identical docs at distance 0, near dups within 16") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDistance = 16)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
