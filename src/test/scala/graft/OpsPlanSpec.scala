@@ -182,4 +182,22 @@ class OpsPlanSpec extends AnyFunSuite {
     assert(shuffleCount(fp) == 0,
       s"cell assignment must be a MatVecDots projection + least():\n$fp")
   }
+
+  test("the collapse-first minhash front adds exactly one exchange " +
+      "(the content-keyed collapse), two-phase aggregated") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val reps = graft.ops.Dedup.collapseExact(docs, "doc_id", "text")
+    val front = graft.ops.Dedup.minhashFront(
+      reps.select(col("doc_id"), col("text")), "doc_id", "text", 3, 16)
+    val fp = finalPlan(front)
+    assert(shuffleCount(fp) == 1,
+      s"collapse is one content-keyed exchange; the minhash projection " +
+        s"must add none:\n$fp")
+    // partial + final HashAggregate = map-side combine dedupes co-located
+    // copies BEFORE the exchange (the property that bounds shuffle volume
+    // by distinct-per-partition content, not raw rows)
+    assert("HashAggregate".r.findAllIn(fp).size >= 2,
+      s"collapse must be a two-phase aggregate:\n$fp")
+  }
 }
