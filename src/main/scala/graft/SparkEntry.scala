@@ -2038,6 +2038,21 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("window"))
         .limit(25)),
 
+    // collapse-first twin: planted exact copies (gate data has none)
+    // must be weighted by family size, yielding the same output the
+    // uncollapsed operator computes on the raw frame — the DuckDB
+    // oracle replays the raw-frame semantics directly
+    "q_window_dedup_collapsed" -> ((s, d) => {
+      val base = docs(s, d)
+      val aug = base.select(col("doc_id"), col("text")).unionByName(
+        base.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      Dedup.duplicateWindowsCollapsed(aug, "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy(col("n_docs").desc, col("window"))
+        .limit(25)
+    }),
+
     // distributed BPE merge learning over the word-frequency table (the
     // corpus is never re-scanned after the word count); the learned merge
     // sequence is deterministic (count desc, pair asc) and golden-pinned
@@ -2544,6 +2559,22 @@ object SparkEntry {
           .select(lit(1000000L).as("doc_id"),
             concat(lit("shiftglyph "), col("text")).as("text")))
       asLong(Dedup.sharedChunks(base, "doc_id", "text")
+        .orderBy("chunk_hash"), "n_docs", "n_tokens")
+    }),
+
+    // collapse-first twin of q_cdc_chunks: same shiftglyph probe plus
+    // planted exact copies; the rolling-hash boundary scan runs once
+    // per distinct text and the doc counts are family-size weighted —
+    // output must equal the raw-frame semantics the oracle replays
+    "q_cdc_chunks_collapsed" -> ((s, d) => {
+      val raw = docs(s, d).select(col("doc_id"), col("text"))
+      val base = raw
+        .unionByName(docs(s, d).filter(col("doc_id") === 0)
+          .select(lit(1000000L).as("doc_id"),
+            concat(lit("shiftglyph "), col("text")).as("text")))
+        .unionByName(raw.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      asLong(Dedup.sharedChunksCollapsed(base, "doc_id", "text")
         .orderBy("chunk_hash"), "n_docs", "n_tokens")
     }),
 
@@ -5448,6 +5479,38 @@ object SparkEntry {
         |FROM d GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY chunk_hash""".stripMargin,
 
+    "q_cdc_chunks_collapsed" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 1000000 AS doc_id, 'shiftglyph ' || text FROM documents WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM base),
+        |nn AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+        |bnd AS (
+        |  SELECT doc_id, t, n,
+        |    list_sort(list_distinct(list_append(
+        |      CASE WHEN n >= 8 THEN
+        |        list_filter(list_transform(range(8, n + 1), p ->
+        |          CASE WHEN ('0x' || substr(md5(array_to_string(t[p-7:p], ' ')), 1, 8))::BIGINT % 16 = 0
+        |               THEN p ELSE -1 END), x -> x >= 0)
+        |      ELSE [] END, n))) AS b
+        |  FROM nn),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(t[(CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END):(b[j])], ' ')) AS chunk_hash,
+        |    b[j] - (CASE WHEN j = 1 THEN 1 ELSE b[j-1] + 1 END) + 1 AS n_tokens
+        |  FROM bnd, unnest(range(1, len(b) + 1)) AS u(j)),
+        |d AS (SELECT DISTINCT doc_id, chunk_hash, n_tokens FROM ch)
+        |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS n_tokens
+        |FROM d GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
+
     // generate_series replays the sequence(min, max, interval) spine
     "q_date_spine" ->
       """WITH m AS (
@@ -5523,6 +5586,23 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '\s+'),
         |      x -> len(x) > 0) AS t
         |  FROM documents),
+        |w AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS "window"
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i) s
+        |  WHERE len(t) >= 8)
+        |SELECT "window", count(*) AS n_docs
+        |FROM w GROUP BY "window" HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, "window" LIMIT 25""".stripMargin,
+
+    "q_window_dedup_collapsed" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 500000, text FROM documents WHERE doc_id < 40)),
         |w AS (
         |  SELECT DISTINCT doc_id,
         |    array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS "window"

@@ -670,6 +670,51 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** [[sharedChunks]] at distinct-content cost: identical texts produce
+    * identical chunk sets, so chunk each distinct text once
+    * ([[collapseExact]]) and weight each chunk's doc count by the
+    * family size — the output is ALGEBRAICALLY IDENTICAL to
+    * [[sharedChunks]] on the raw frame, but the expensive per-token
+    * rolling-hash boundary scan runs once per distinct text instead of
+    * once per copy. On boilerplate-heavy corpora (the skew battery's
+    * 40% identical documents; real crawls are worse) that is the
+    * difference between chunking the corpus and chunking its content. */
+  def sharedChunksCollapsed(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 16, minDocs: Int = 2): DataFrame = {
+    require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
+    val reps = collapseExact(df, idCol, textCol)
+    contentDefinedChunks(reps.select(col(idCol), col(textCol)),
+        idCol, textCol, window, divisor)
+      .select(col("id"), col("chunk_hash"), col("n_tokens"))
+      .dropDuplicates("id", "chunk_hash")
+      .join(reps.select(col(idCol).as("id"), col("family_size")), Seq("id"))
+      .groupBy(col("chunk_hash"))
+      .agg(sum(col("family_size")).as("n_docs"),
+        max(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** [[duplicateWindows]] at distinct-content cost — same
+    * weight-by-family-size identity as [[sharedChunksCollapsed]]:
+    * window generation (the transform/slice explode, the dominant cost)
+    * runs once per distinct text, and the window-key aggregation sums
+    * family sizes instead of counting rows. Output identical to
+    * [[duplicateWindows]] on the raw frame. */
+  def duplicateWindowsCollapsed(df: DataFrame, idCol: String,
+      textCol: String, n: Int, minDocs: Int = 2): DataFrame = {
+    require(n > 0, s"window size must be positive, got $n")
+    require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
+    collapseExact(df, idCol, textCol)
+      .select(col("family_size"), wsTokens(textCol).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("family_size"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("__t")) - n),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))).as("window"))
+      .groupBy(col("window"))
+      .agg(sum(col("family_size")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Exact-duplicate collapse: one representative row per distinct
     * `textCol` value — (textCol, idCol = min id, family_size).
     *

@@ -73,6 +73,29 @@ class OpsSpec extends AnyFunSuite {
     assert(collapsed.view.mapValues(_._1).toMap == direct)
   }
 
+  test("sharedChunksCollapsed and duplicateWindowsCollapsed equal their " +
+      "raw-frame operators on a dup-heavy corpus") {
+    // 8 copies of one long doc + the base docs: the collapsed paths must
+    // weight by family size to exactly reproduce the raw-frame counts
+    val long1 = ((1 to 40).map(i => s"tok$i").mkString(" "))
+    val long2 = ((1 to 40).map(i => s"tok${i + 3}").mkString(" "))
+    val heavy = (100L until 108L).map(i => (i, long1, "x")) ++
+      Seq((200L, long2, "x"), (201L, long2, "x"))
+    val corpus = docs.union(heavy.toDF("doc_id", "text", "source"))
+    def key(r: org.apache.spark.sql.Row) =
+      (0 until r.length).map(r.get).mkString("|")
+    val rawChunks = Dedup.sharedChunks(corpus, "doc_id", "text",
+      window = 4, divisor = 4, minDocs = 2).collect().map(key).sorted
+    val colChunks = Dedup.sharedChunksCollapsed(corpus, "doc_id", "text",
+      window = 4, divisor = 4, minDocs = 2).collect().map(key).sorted
+    assert(rawChunks.nonEmpty && rawChunks.sameElements(colChunks))
+    val rawWin = Dedup.duplicateWindows(corpus, "doc_id", "text",
+      n = 4, minDocs = 2).collect().map(key).sorted
+    val colWin = Dedup.duplicateWindowsCollapsed(corpus, "doc_id", "text",
+      n = 4, minDocs = 2).collect().map(key).sorted
+    assert(rawWin.nonEmpty && rawWin.sameElements(colWin))
+  }
+
   test("cosineNearDupPairsCollapsed: identical vectors collapse before " +
       "banding; pairs carry family sizes") {
     val base = (0 until 16).map(_.toFloat).toArray
