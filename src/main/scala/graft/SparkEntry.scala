@@ -1771,6 +1771,17 @@ object SparkEntry {
       asLong(Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxDistance = 3)
         .orderBy("id_a", "id_b"), "hamming")),
 
+    // collapse-first simhash twin (planted exact copies, as the other
+    // collapsed gates): pairs among distinct texts with family sizes
+    "q_dedup_simhash_collapsed" -> ((s, d) => {
+      val base = docs(s, d)
+      val copies = base.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 200000)
+      asLong(Dedup.simHashPairsCollapsed(base.unionByName(copies),
+          "doc_id", "text", maxDistance = 3)
+        .orderBy("id_a", "id_b"), "hamming")
+    }),
+
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardWithinBlocks(
         docs(s, d).filter(col("doc_id") < 200), "doc_id", "text", "source",
@@ -4354,6 +4365,29 @@ object SparkEntry {
         |(435, 486, 3),
         |(458, 462, 2))
         |t(id_a, id_b, hamming)""".stripMargin,
+
+    "q_dedup_simhash_collapsed" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(hamming AS BIGINT) AS hamming, CAST(dups_a AS BIGINT) AS dups_a, CAST(dups_b AS BIGINT) AS dups_b
+        |FROM (VALUES
+        |(8, 245, 2, 2, 1),
+        |(45, 413, 3, 1, 1),
+        |(58, 293, 0, 1, 1),
+        |(61, 185, 0, 1, 1),
+        |(70, 447, 1, 1, 1),
+        |(76, 102, 2, 1, 1),
+        |(98, 290, 2, 1, 1),
+        |(107, 387, 1, 1, 1),
+        |(120, 332, 3, 1, 1),
+        |(166, 323, 3, 1, 1),
+        |(251, 473, 3, 1, 1),
+        |(267, 413, 2, 1, 1),
+        |(285, 301, 0, 1, 1),
+        |(326, 457, 2, 1, 1),
+        |(393, 420, 0, 1, 1),
+        |(435, 486, 3, 1, 1),
+        |(458, 462, 2, 1, 1)
+        |) AS t(id_a, id_b, hamming, dups_a, dups_b)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_lsh" ->
       """SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(cosine AS DOUBLE) AS cosine, CAST(rank AS BIGINT) AS rank

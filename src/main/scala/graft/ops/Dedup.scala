@@ -205,6 +205,28 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** [[simHashPairs]] over [[collapseExact]] representatives — the
+    * collapse-first member of the SimHash family (see
+    * [[minHashLSHCollapsed]] for the rationale: exact families inflate
+    * every pigeonhole block they land in by f² candidate pairs, while
+    * the collapse is one linear aggregation). Pairs are found among
+    * distinct texts only, with both family sizes attached; exact copies
+    * themselves (hamming 0 by construction) are the collapse's report,
+    * not the pair search's. On an all-distinct corpus this is
+    * [[simHashPairs]] with dups = 1. */
+  def simHashPairsCollapsed(df: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 3, maxBlockSize: Int = 1000): DataFrame = {
+    val reps = collapseExact(df, idCol, textCol)
+    val sizes = reps.select(col(idCol), col("family_size"))
+    simHashPairs(reps.select(col(idCol), col(textCol)), idCol, textCol,
+        maxDistance, maxBlockSize)
+      .join(sizes.select(col(idCol).as("id_a"),
+        col("family_size").as("dups_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"),
+        col("family_size").as("dups_b")), Seq("id_b"))
+      .select("id_a", "id_b", "hamming", "dups_a", "dups_b")
+  }
+
   /** Audit companion to [[simHashPairs]]: the (chunk, value) blocks its
     * `maxBlockSize` cap excludes from candidate generation, with their
     * sizes — so a capped run can report exactly how many docs sit in

@@ -73,6 +73,25 @@ class OpsSpec extends AnyFunSuite {
     assert(collapsed.view.mapValues(_._1).toMap == direct)
   }
 
+  test("simHashPairsCollapsed: pairs among representatives with family " +
+      "sizes; exact copies never pair") {
+    val out = Dedup.simHashPairsCollapsed(docs, "doc_id", "text",
+      maxDistance = 16)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!out.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      "doc 2 (exact copy of 1) is collapsed, not paired")
+    val (ham, da, db) = out((1L, 3L))
+    assert(ham <= 16 && da == 2L && db == 1L)
+    // parity with the raw operator over the representatives
+    val reps = Dedup.collapseExact(docs, "doc_id", "text")
+      .select("doc_id", "text")
+    val direct = Dedup.simHashPairs(reps, "doc_id", "text", maxDistance = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.view.mapValues(_._1).toMap == direct)
+  }
+
   test("sharedChunksCollapsed and duplicateWindowsCollapsed equal their " +
       "raw-frame operators on a dup-heavy corpus") {
     // 8 copies of one long doc + the base docs: the collapsed paths must
