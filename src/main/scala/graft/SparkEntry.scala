@@ -1810,6 +1810,24 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // the full collapse-first dedup pipeline end-to-end: collapse →
+    // near-dup pairs among representatives → union exact-family star
+    // edges → connected components → keep each cluster's min id. The
+    // planted exact copies must ALL be dropped (their families' reps
+    // survive or fall with the near-dup graph), at collapsed pair cost
+    "q_dedup_apply_collapsed" -> ((s, d) => {
+      val base = docs(s, d)
+      val all = base.unionByName(base.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 200000))
+      val pairs = Dedup.minHashLSHCollapsed(all, "doc_id", "text",
+          shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4)
+        .select("id_a", "id_b")
+        .unionByName(Dedup.exactFamilyEdges(all, "doc_id", "text"))
+      Dedup.dedupByClusters(all, "doc_id", pairs)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // corpus-wide boilerplate line removal: a nav banner on every doc and
     // a copyright footer on every even doc are planted so the gate sees
     // real cross-document line repetition; unique body lines survive
@@ -3964,6 +3982,32 @@ object SparkEntry {
         |WHERE doc_id < 200 AND doc_id NOT IN (
         |  SELECT id FROM walk GROUP BY id HAVING id <> min(label))
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dedup_apply_collapsed" ->
+      """SELECT source, CAST(n_docs AS BIGINT) AS n_docs
+        |FROM (VALUES
+        |('src0', 24),
+        |('src1', 24),
+        |('src10', 23),
+        |('src11', 25),
+        |('src12', 24),
+        |('src13', 23),
+        |('src14', 23),
+        |('src15', 24),
+        |('src16', 25),
+        |('src17', 23),
+        |('src18', 24),
+        |('src19', 25),
+        |('src2', 24),
+        |('src3', 23),
+        |('src4', 25),
+        |('src5', 23),
+        |('src6', 23),
+        |('src7', 22),
+        |('src8', 25),
+        |('src9', 24)
+        |) AS t(source, n_docs)
+        |ORDER BY source""".stripMargin,
 
     "q_line_dedup" ->
       """WITH raw AS (

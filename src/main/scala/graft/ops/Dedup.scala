@@ -755,6 +755,24 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("family_size"))
 
+  /** (id_a = representative, id_b = member) star edges for every
+    * exact-duplicate family with more than one member. Union these with
+    * a collapsed pair frame to recover FULL-CORPUS duplicate clusters at
+    * collapsed cost: a raw near-dup edge between two exact copies is
+    * exactly its representatives' edge (identical text → identical
+    * shingles/signatures), so `(collapsed rep pairs) ∪ (family stars)`
+    * has the same connected components as the raw pair graph — see the
+    * OpsSpec equivalence property. One content-keyed window (no sort:
+    * min over the partition), the same single shuffle [[collapseExact]]
+    * pays. */
+  def exactFamilyEdges(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol))
+    df.select(col(textCol), col(idCol))
+      .withColumn("id_a", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
+  }
+
   /** [[minHashLSH]] over the [[collapseExact]] representatives: the
     * scale path for near-dup detection on corpora with exact-duplicate
     * families. Near-dup pairs are found among DISTINCT texts only, so

@@ -73,6 +73,32 @@ class OpsSpec extends AnyFunSuite {
     assert(collapsed.view.mapValues(_._1).toMap == direct)
   }
 
+  test("collapsed pairs + family star edges reproduce the raw pair " +
+      "graph's clusters (end-to-end dedup equivalence)") {
+    // base docs (1,2 exact dups; 3 near dup of 1) + 3 more copies of
+    // doc 4's text: clusters from raw pairs must equal clusters from
+    // the collapsed path's rep pairs union the family stars
+    val corpus = docs.union(Seq(
+      (6L, "completely different text about spark engines and catalyst", "b"),
+      (7L, "completely different text about spark engines and catalyst", "b"),
+      (8L, "completely different text about spark engines and catalyst", "b")
+    ).toDF("doc_id", "text", "source"))
+    def survivors(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupByClusters(corpus, "doc_id", pairs)
+        .select("doc_id").as[Long].collect().toSet
+    val raw = Dedup.minHashLSH(corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b")
+    val collapsed = Dedup.minHashLSHCollapsed(corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b")
+      .unionByName(Dedup.exactFamilyEdges(corpus, "doc_id", "text"))
+    val rawKept = survivors(raw)
+    assert(survivors(collapsed) == rawKept)
+    assert(rawKept == Set(1L, 4L, 5L),
+      "family 4/6/7/8 and family 1/2 keep min ids; near dup 3 drops")
+  }
+
   test("simHashPairsCollapsed: pairs among representatives with family " +
       "sizes; exact copies never pair") {
     val out = Dedup.simHashPairsCollapsed(docs, "doc_id", "text",
