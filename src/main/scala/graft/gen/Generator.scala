@@ -446,11 +446,27 @@ final class Generator(spark: SparkSession, cat: Catalog,
     }
   }
 
+  /** True when any field the query asks for lives on a model with a
+    * declared security policy — the preagg-bypass predicate. Segments
+    * carry a model prefix too; raw filter strings are NOT parsed here
+    * because a rollup can only serve fields of its own (checked) model,
+    * so a filter-only reference can never route a secured model's rows
+    * through a rollup. */
+  private def referencesSecuredModel(q: SemanticQuery): Boolean =
+    (q.metrics ++ q.dimensions ++ q.segments).iterator
+      .filter(_.contains('.')) // unprefixed graph metrics never route
+      .map(r => FieldRef.parse(r).model) // through a (model-scoped) rollup
+      .exists(m => cat.models.get(m).exists(_.security.isDefined))
+
   private def compute(q: SemanticQuery): DataFrame = withTimezone(q.timezone) {
     // pre-aggregation routing first (reference route order,
     // generator.py:1258); timezone localization bypasses rollups, which
-    // store UTC-truncated buckets (reference: generator.py:1038)
-    if (q.usePreAggs && q.timezone.isEmpty)
+    // store UTC-truncated buckets (reference: generator.py:1038).
+    // Secured models also bypass: rollups are materialized WITHOUT
+    // per-user row scope, so serving one would leak rows the security
+    // filter removes (reference: transport_security.py:135-140 —
+    // "structured compile already disables them for active row filters")
+    if (q.usePreAggs && q.timezone.isEmpty && !referencesSecuredModel(q))
       preagg.flatMap(_.plan(q)).foreach { df =>
         lastRoute = "preagg"; return df
       }

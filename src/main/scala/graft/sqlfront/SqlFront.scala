@@ -46,6 +46,66 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
       s"SQL does not reference a semantic model: $text"))
   }
 
+  /** User attributes for semantic queries compiled inside a
+    * [[transportSql]] call (deny-by-default: None outside one). */
+  private val currentUser =
+    new scala.util.DynamicVariable[Option[Map[String, String]]](None)
+
+  /** Transport-grade entry with fail-closed security (reference:
+    * core/transport_security.py rewrite_transport_sql, :96-182): when
+    * any control is active ([[TransportSecurity.controlsAreActive]]),
+    * SQL that cannot be PROVEN to route through the semantic layer is
+    * refused before execution —
+    *
+    *  - sources that are not semantic models / `metrics` / local CTEs
+    *  - expression subqueries (reads outside any securable scope)
+    *  - Yardstick AS MEASURE text (that rewrite expands directly
+    *    against model tables, transport_security.py:152-162)
+    *  - semantic-looking SQL the rewriter nevertheless left untouched
+    *
+    * Projection-only SQL (`SELECT 1`) stays available. Pre-aggregation
+    * routing is already bypassed for secured models inside the planner
+    * itself (rollups are materialized without per-user row scope), so
+    * the transport needs no extra preagg switch. With no controls
+    * declared this is exactly [[sql]]. */
+  def transportSql(text: String, transport: String = "sql_transport",
+      user: Option[Map[String, String]] = None): DataFrame = {
+    if (!TransportSecurity.controlsAreActive(cat))
+      return currentUser.withValue(user) { sql(text) }
+    if (yardstick.handles(text)) throw new SecurityException(
+      s"$transport refused Yardstick semantic SQL while security controls " +
+        "are active: the AS MEASURE rewrite expands directly against model " +
+        "tables and cannot prove access gates, row filters, and column " +
+        "restrictions were enforced. Use a structured query or standard " +
+        "semantic SQL.")
+    val plan = GraftSqlBridge.parser(spark).parsePlan(text)
+    val unrec = TransportSecurity.unrecognizedSources(plan, cat)
+    if (unrec.nonEmpty) throw new SecurityException(
+      s"$transport refused non-semantic source(s) ${unrec.mkString(", ")} " +
+        "while security controls are active. Query semantic model fields, " +
+        "or use a structured query transport so access gates, row filters, " +
+        "and column restrictions are enforced.")
+    if (TransportSecurity.hasExpressionSubquery(plan))
+      throw new SecurityException(
+        s"$transport refused an expression subquery while security " +
+          "controls are active: nested expression reads cannot prove " +
+          "access gates, row filters, and column restrictions were " +
+          "enforced. Rewrite as structured semantic filters or a " +
+          "supported semantic join.")
+    currentUser.withValue(user) {
+      rewrite(plan).getOrElse {
+        if (TransportSecurity.readsAnySource(plan))
+          throw new SecurityException(
+            s"$transport refused SQL that could not be proven to use the " +
+              "semantic layer while security controls are active. Query " +
+              "semantic model fields, or use a structured query transport " +
+              "so access gates, row filters, and column restrictions are " +
+              "enforced.")
+        spark.sql(text)
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
 
   /** Plan-level entry for the analyzer-rule integration: Some(df) when the
@@ -259,7 +319,8 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
     }
 
     val q = SemanticQuery(metrics = metrics, dimensions = dims,
-      filters = filters, orderBy = orderBy, limit = limit, offset = offset)
+      filters = filters, orderBy = orderBy, limit = limit, offset = offset,
+      user = currentUser.value)
     val df = gen.plan(q)
     Some(renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
   }
