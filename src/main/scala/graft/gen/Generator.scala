@@ -90,18 +90,30 @@ final class Generator(spark: SparkSession, cat: Catalog,
   }
 
   /** Simple-aggregate dependencies of a metric (transitive through
-    * derived/ratio/cumulative/time_comparison). */
-  private def simpleDeps(mr: MetricRef): Seq[MetricRef] = mr.metric.kind match {
-    case "simple" => Seq(mr)
-    case "ratio" =>
-      Seq(mr.metric.numerator, mr.metric.denominator).flatten
-        .flatMap(r => simpleDeps(resolveDep(mr, r)))
-    case "derived" =>
-      metricNameRefs(mr).flatMap(r => simpleDeps(r))
-    case "cumulative" | "time_comparison" =>
-      simpleDeps(resolveDep(mr, mr.metric.baseMetric.getOrElse(
-        throw new IllegalArgumentException(s"Metric '${mr.metric.name}' needs base_metric"))))
-    case _ => Nil // funnel kinds plan their own pipelines
+    * derived/ratio/cumulative/time_comparison). `path` carries the
+    * reference chain so a cycle raises the reference's circular-
+    * dependency error (validation.py:752 _check_circular_dependencies)
+    * instead of overflowing the stack. */
+  private def simpleDeps(mr: MetricRef,
+      path: List[String] = Nil): Seq[MetricRef] = {
+    val key =
+      if (mr.model.isEmpty) mr.metric.name else s"${mr.model}.${mr.metric.name}"
+    if (path.contains(key)) throw new IllegalArgumentException(
+      s"Circular metric dependency: ${(key :: path).reverse.mkString(" -> ")}")
+    val p = key :: path
+    mr.metric.kind match {
+      case "simple" => Seq(mr)
+      case "ratio" =>
+        Seq(mr.metric.numerator, mr.metric.denominator).flatten
+          .flatMap(r => simpleDeps(resolveDep(mr, r), p))
+      case "derived" =>
+        metricNameRefs(mr).flatMap(r => simpleDeps(r, p))
+      case "cumulative" | "time_comparison" =>
+        simpleDeps(resolveDep(mr, mr.metric.baseMetric.getOrElse(
+          throw new IllegalArgumentException(
+            s"Metric '${mr.metric.name}' needs base_metric"))), p)
+      case _ => Nil // funnel kinds plan their own pipelines
+    }
   }
 
   /** Resolve a dependency reference relative to the referring metric's model. */
@@ -578,7 +590,7 @@ final class Generator(spark: SparkSession, cat: Catalog,
     val havingMetrics = having.flatMap(h => fieldRefsIn(h.e))
       .filter { case (m, f) => isMetricRefPair(m, f) }
       .map { case (m, f) => metricRef(s"$m.$f") }
-    val simples = (requested ++ havingMetrics).flatMap(simpleDeps)
+    val simples = (requested ++ havingMetrics).flatMap(simpleDeps(_))
       .distinctBy(m => (m.model, m.metric.name))
     require(simples.forall(_.model.nonEmpty),
       "Graph-level metrics must resolve to model metrics")

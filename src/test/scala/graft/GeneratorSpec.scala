@@ -239,4 +239,23 @@ class GeneratorSpec extends AnyFunSuite {
     assert(total.length == 1)
     assert(total.head.getLong(1) == details.map(_.getLong(1)).sum)
   }
+
+  test("circular derived-metric dependencies raise with the chain, not a " +
+      "stack overflow (reference: validation.py:752)") {
+    import graft.model.Metric
+    val cat = TpchCatalog.build(TestSpark.sfDir)
+    val orders = cat.model("orders")
+    val cyclic = cat.copy(models = cat.models + ("orders" -> orders.copy(
+      metrics = orders.metrics ++ Seq(
+        Metric("loop_a", metricType = Some("derived"),
+          sql = Some("loop_b + 1")),
+        Metric("loop_b", metricType = Some("derived"),
+          sql = Some("loop_a + 1"))))))
+    val g = new Generator(spark, cyclic)
+    val msg = intercept[IllegalArgumentException](
+      g.plan(SemanticQuery(metrics = Seq("orders.loop_a"),
+        dimensions = Seq("orders.orderstatus")))).getMessage
+    assert(msg.contains("Circular metric dependency"))
+    assert(msg.contains("orders.loop_a") && msg.contains("orders.loop_b"))
+  }
 }
