@@ -183,6 +183,21 @@ class OpsPlanSpec extends AnyFunSuite {
       s"cell assignment must be a MatVecDots projection + least():\n$fp")
   }
 
+  test("the collapse-first cosine front adds exactly one exchange " +
+      "(the vector-keyed collapse), banding stays a projection") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val reps = emb.groupBy(col("embedding"))
+      .agg(org.apache.spark.sql.functions.min(col("vec_id")).as("id"))
+    val front = graft.ops.Similarity.bandedKeys(
+      reps.select(col("id"), col("embedding").as("v")), "id", "v",
+      bands = 8, planesPerBand = 3, dim = 64, seed = 42)
+    val fp = finalPlan(front)
+    assert(shuffleCount(fp) == 1,
+      s"vector collapse is one exchange; sign-bucket banding must add " +
+        s"none:\n$fp")
+  }
+
   test("the collapse-first minhash front adds exactly one exchange " +
       "(the content-keyed collapse), two-phase aggregated") {
     import org.apache.spark.sql.functions.col
