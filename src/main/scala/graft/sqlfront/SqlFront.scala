@@ -81,10 +81,11 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
     val plan = GraftSqlBridge.parser(spark).parsePlan(text)
     val unrec = TransportSecurity.unrecognizedSources(plan, cat)
     if (unrec.nonEmpty) throw new SecurityException(
-      s"$transport refused non-semantic source(s) ${unrec.mkString(", ")} " +
-        "while security controls are active. Query semantic model fields, " +
-        "or use a structured query transport so access gates, row filters, " +
-        "and column restrictions are enforced.")
+      s"$transport refused non-semantic source(s) ${unrec.mkString(", ")}: " +
+        "security controls are active, and reads outside the declared " +
+        "models cannot carry the access gates, row filters, or hidden-" +
+        "field rules. Reference declared model fields instead (or use the " +
+        "structured API).")
     if (TransportSecurity.hasExpressionSubquery(plan))
       throw new SecurityException(
         s"$transport refused an expression subquery while security " +
@@ -96,11 +97,10 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
       rewrite(plan).getOrElse {
         if (TransportSecurity.readsAnySource(plan))
           throw new SecurityException(
-            s"$transport refused SQL that could not be proven to use the " +
-              "semantic layer while security controls are active. Query " +
-              "semantic model fields, or use a structured query transport " +
-              "so access gates, row filters, and column restrictions are " +
-              "enforced.")
+            s"$transport refused SQL the semantic rewriter left untouched: " +
+              "with security controls active, a passthrough that reads any " +
+              "relation cannot be shown to honor them. Reference declared " +
+              "model fields instead (or use the structured API).")
         spark.sql(text)
       }
     }

@@ -98,8 +98,9 @@ object TransportSecurity {
         Some("column visibility restrictions")
       else None).flatten
     if (controls.nonEmpty) throw new SecurityException(
-      s"$transport is disabled because ${controls.mkString(" and ")} are " +
-        "active and raw SQL bypasses semantic enforcement. Use structured " +
-        "queries or semantic SQL instead.")
+      s"$transport is disabled: ${controls.mkString(" and ")} are in " +
+        "force, and a raw database channel would sidestep them entirely. " +
+        "Route queries through the semantic layer (structured API or " +
+        "semantic SQL).")
   }
 }

@@ -69,7 +69,7 @@ class TransportSecuritySpec extends AnyFunSuite {
       "passthrough that reads anything is refused (reference conservatism)") {
     val msg = refused(front.transportSql(
       "WITH t AS (SELECT 1 AS n) SELECT n FROM t"))
-    assert(msg.contains("could not be proven"))
+    assert(msg.contains("left untouched"))
   }
 
   test("denyRawSql names every active control class") {
