@@ -600,6 +600,27 @@ object SparkEntry {
         orderBy = Seq("orderstatus", "order_date__month"))), "avg_order_value")
     }),
 
+    // structured routing diagnostics (reference: core/query_plan.py):
+    // one row per (candidate, check) for a query only the wider rollup
+    // can serve — the fk rollup must fail its dimensions check by name
+    "q_preagg_explain" -> ((s, d) => {
+      import s.implicits._
+      val cat = TpchCatalog.build(d)
+      val store = new graft.preagg.PreAggStore(s, cat,
+        s"${System.getProperty("java.io.tmpdir")}/graft_preagg_${math.abs(d.hashCode)}")
+      // materialize BOTH rollups so the `materialized` check is
+      // deterministic regardless of which battery query ran first
+      cat.model("orders").preAggregations
+        .foreach(store.materializeIfAbsent("orders", _))
+      val ex = store.explainCandidates(SemanticQuery(
+        metrics = Seq("orders.revenue"),
+        dimensions = Seq("orders.orderstatus", "orders.order_date__month")))
+      ex.candidates.flatMap(c => c.checks.map(ch =>
+        (c.name, c.matched, c.selected, ch.name, ch.passed)))
+        .toDF("candidate", "matched", "selected", "check", "passed")
+        .orderBy("candidate", "check")
+    }),
+
     // ---- §2.13 external adapters: Cube ----
     // the reference's own cube fixture, bound to the TPC-H orders table
     // through a derived view (sql_table resolution is pluggable)
@@ -3591,6 +3612,24 @@ object SparkEntry {
         |    / cast(count(o_totalprice) as double), 4) AS avg_order_value
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_preagg_explain" ->
+      """SELECT candidate, CAST(matched AS BOOLEAN) AS matched,
+        |  CAST(selected AS BOOLEAN) AS selected, "check",
+        |  CAST(passed AS BOOLEAN) AS passed
+        |FROM (VALUES
+        |('daily', true, true, 'dimensions', true),
+        |('daily', true, true, 'filters', true),
+        |('daily', true, true, 'join_keys', true),
+        |('daily', true, true, 'materialized', true),
+        |('daily', true, true, 'measures', true),
+        |('daily_by_customer', false, false, 'dimensions', false),
+        |('daily_by_customer', false, false, 'filters', true),
+        |('daily_by_customer', false, false, 'join_keys', true),
+        |('daily_by_customer', false, false, 'materialized', true),
+        |('daily_by_customer', false, false, 'measures', true)
+        |) AS t(candidate, matched, selected, "check", passed)
+        |ORDER BY candidate, "check"""".stripMargin,
 
     "q_preagg_join" ->
       """SELECT n.n_name AS name,

@@ -551,8 +551,25 @@ final class Generator(spark: SparkSession, cat: Catalog,
     * reference's explain diagnostics (query_rewriter.py:331). */
   def explain(q: SemanticQuery): String = {
     val df = plan(q)
+    // per-candidate rollup diagnostics (reference: core/query_plan.py) —
+    // why each declared pre-aggregation matched or failed this query
+    val preaggLines = preagg.map { st =>
+      val ex = st.explainCandidates(q)
+      if (!ex.eligible)
+        s"preagg: ineligible — ${ex.reason.getOrElse("")}\n"
+      else if (ex.candidates.isEmpty) "preagg: no candidates declared\n"
+      else ex.candidates.map { c =>
+        val status =
+          if (c.selected) "SELECTED"
+          else if (c.matched) "matched (narrower candidate selected)"
+          else "rejected"
+        val failed = c.checks.filterNot(_.passed)
+        s"preagg candidate '${c.name}': $status" +
+          failed.map(ch => s"\n  $ch").mkString
+      }.mkString("", "\n", "\n")
+    }.getOrElse("")
     s"route: $lastRoute\nmetrics: ${q.metrics.mkString(", ")}\n" +
-      s"dimensions: ${q.dimensions.mkString(", ")}\n" +
+      s"dimensions: ${q.dimensions.mkString(", ")}\n" + preaggLines +
       org.apache.spark.sql.GraftSqlBridge.explainString(df, "formatted")
   }
 

@@ -175,16 +175,34 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
       dims: Seq[FieldRef], ownFilters: Seq[String],
       hops: Seq[graft.graph.JoinHop], foreignFilters: Map[String, Seq[String]])
 
-  private def matchQuery(q: SemanticQuery): Option[Match] = {
-    if (q.ungrouped || q.withTotals || q.segments.nonEmpty) return None
+  /** Query-level routing context shared by [[matchQuery]] and
+    * [[explainCandidates]] — or the reason no rollup can ever serve
+    * this query. */
+  private case class Prep(m: Model, dims: Seq[FieldRef],
+      ownFilters: Seq[String], foreignFilters: Map[String, Seq[String]],
+      hops: Seq[graft.graph.JoinHop])
+
+  private def prepare(q: SemanticQuery): Either[String, Prep] = {
+    if (q.ungrouped)
+      return Left("ungrouped (drill-to-detail) queries read raw rows")
+    if (q.withTotals)
+      return Left("with_totals needs GROUPING SETS over raw rows")
+    if (q.segments.nonEmpty)
+      return Left("segment predicates are not stored in rollups")
     val metricRefs = q.metrics.map(FieldRef.parse)
     val models = metricRefs.map(_.model).distinct
-    if (models.size != 1) return None
-    val m = cat.models.getOrElse(models.head, return None)
-    val metrics = metricRefs.map(r => m.metric(r.field).getOrElse(return None))
-    if (!metrics.forall(met => met.isSimple && met.filters.isEmpty &&
-      met.nonAdditive.isEmpty &&
-      Seq("sum", "count", "avg", "min", "max").contains(met.agg.get))) return None
+    if (models.size != 1)
+      return Left(s"metrics span models ${models.mkString(", ")}")
+    val m = cat.models.getOrElse(models.head,
+      return Left(s"unknown model '${models.head}'"))
+    for (r <- metricRefs) {
+      val met = m.metric(r.field).getOrElse(
+        return Left(s"unknown metric '${r.field}' on '${m.name}'"))
+      if (!(met.isSimple && met.filters.isEmpty && met.nonAdditive.isEmpty &&
+          met.agg.exists(Seq("sum", "count", "avg", "min", "max").contains)))
+        return Left(s"metric '${met.name}' is not derivable from additive " +
+          "rollup components")
+    }
 
     val dims = q.dimensions.map(FieldRef.parse)
 
@@ -192,14 +210,14 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     // rolled-up columns; foreign conjuncts push into that model's frame
     var ownFilters = Seq.empty[String]
     var foreignFilters = Map.empty[String, Seq[String]].withDefaultValue(Nil)
-    q.filters.foreach { f =>
+    for (f <- q.filters) {
       val refModels = Exprs.refs(spark, Exprs.interpolate(f, q.parameters))
         .collect { case Seq(mm, _) => mm }.distinct
       refModels match {
         case Seq(mm) if mm == m.name => ownFilters :+= f
         case Seq(mm) if cat.models.contains(mm) =>
           foreignFilters += mm -> (foreignFilters(mm) :+ f)
-        case _ => return None // cross-model or unqualified filter — bail
+        case _ => return Left(s"filter '$f' is cross-model or unqualified")
       }
     }
     val foreignModels = (dims.map(_.model) ++ foreignFilters.keys).distinct
@@ -213,46 +231,97 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
       if (foreignModels.isEmpty) Nil
       else try {
         val hs = graph.joinPlan(m.name, foreignModels)
-        if (hs.exists(h => h.cross || h.sqlOn.isDefined)) return None
-        if (graph.fannedOutModels(m.name, hs)(m.name)) return None
+        if (hs.exists(h => h.cross || h.sqlOn.isDefined))
+          return Left("join path uses cross or custom-SQL hops")
+        if (graph.fannedOutModels(m.name, hs)(m.name))
+          return Left("join path fans out the rollup's model")
         hs
-      } catch { case _: IllegalArgumentException => return None }
-
-    m.preAggregations.view.flatMap { pa =>
-      val dimsOk = dims.forall { d =>
-        if (d.model != m.name) true // foreign dims come from the join
-        else if (pa.dimensions.contains(d.field) && d.grain.isEmpty) true
-        else pa.timeDimension.contains(d.field) && d.grain.exists(g =>
-          canRollup(pa.granularity.getOrElse("day"), g))
-      }
-      // every first-hop foreign key must be stored in the rollup
-      val keysOk = hops.filter(_.fromModel == m.name)
-        .forall(_.fromKeys.forall(pa.dimensions.contains))
-      val measuresOk = q.metrics.map(FieldRef.parse(_).field)
-        .forall(pa.measures.contains)
-      // every own-model filter conjunct must reference only rolled-up columns
-      val filtersOk = ownFilters.forall { f =>
-        Exprs.refs(spark, Exprs.interpolate(f, q.parameters)).forall {
-          case Seq(mm, fld) =>
-            mm == m.name && {
-              val (b, g) = fld.split("__") match {
-                case Array(x, gg) if Grains.isGrain(gg) => (x, Some(gg))
-                case _ => (fld, None)
-              }
-              pa.dimensions.contains(b) ||
-                (pa.timeDimension.contains(b) && g.exists(gg =>
-                  canRollup(pa.granularity.getOrElse("day"), gg)))
-            }
-          case _ => false
-        }
-      }
-      val path = rollupPath(m.name, pa)
-      if (dimsOk && keysOk && measuresOk && filtersOk && rollupExists(path))
-        Some(Match(m, pa, path, dims, ownFilters, hops, foreignFilters))
-      else None
-    } // prefer the narrowest matching rollup (fewest stored dimensions)
-      .toSeq.sortBy(mt => mt.pa.dimensions.size).headOption
+      } catch { case e: IllegalArgumentException => return Left(e.getMessage) }
+    Right(Prep(m, dims, ownFilters, foreignFilters, hops))
   }
+
+  /** The per-candidate compatibility checks, named and detailed —
+    * [[matchQuery]] requires all of them to pass; [[explainCandidates]]
+    * reports them verbatim. */
+  private def candidateChecks(q: SemanticQuery, p: Prep,
+      pa: PreAggregation): Seq[PreaggCheck] = {
+    val m = p.m
+    val badDims = p.dims.filter { d =>
+      if (d.model != m.name) false // foreign dims come from the join
+      else if (pa.dimensions.contains(d.field) && d.grain.isEmpty) false
+      else !(pa.timeDimension.contains(d.field) && d.grain.exists(g =>
+        canRollup(pa.granularity.getOrElse("day"), g)))
+    }
+    // every first-hop foreign key must be stored in the rollup
+    val missingKeys = p.hops.filter(_.fromModel == m.name)
+      .flatMap(_.fromKeys).filterNot(pa.dimensions.contains)
+    val missingMeasures = q.metrics.map(FieldRef.parse(_).field)
+      .filterNot(pa.measures.contains)
+    // every own-model filter conjunct must reference only rolled-up columns
+    val badFilters = p.ownFilters.filterNot { f =>
+      Exprs.refs(spark, Exprs.interpolate(f, q.parameters)).forall {
+        case Seq(mm, fld) =>
+          mm == m.name && {
+            val (b, g) = fld.split("__") match {
+              case Array(x, gg) if Grains.isGrain(gg) => (x, Some(gg))
+              case _ => (fld, None)
+            }
+            pa.dimensions.contains(b) ||
+              (pa.timeDimension.contains(b) && g.exists(gg =>
+                canRollup(pa.granularity.getOrElse("day"), gg)))
+          }
+        case _ => false
+      }
+    }
+    val path = rollupPath(m.name, pa)
+    val exists = rollupExists(path)
+    Seq(
+      PreaggCheck("dimensions", badDims.isEmpty,
+        if (badDims.isEmpty) "query dims covered by stored dims / time grain"
+        else s"not stored (or grain not reachable): ${badDims.map(_.outName).mkString(", ")}"),
+      PreaggCheck("join_keys", missingKeys.isEmpty,
+        if (missingKeys.isEmpty) "first-hop foreign keys stored"
+        else s"missing stored keys: ${missingKeys.mkString(", ")}"),
+      PreaggCheck("measures", missingMeasures.isEmpty,
+        if (missingMeasures.isEmpty) "all metrics rolled up"
+        else s"not rolled up: ${missingMeasures.mkString(", ")}"),
+      PreaggCheck("filters", badFilters.isEmpty,
+        if (badFilters.isEmpty) "own-model filters hit stored columns"
+        else s"reference unrolled columns: ${badFilters.mkString("; ")}"),
+      PreaggCheck("materialized", exists,
+        if (exists) path else s"not materialized: $path"))
+  }
+
+  private def matchQuery(q: SemanticQuery): Option[Match] =
+    prepare(q).toOption.flatMap { p =>
+      p.m.preAggregations.view
+        .filter(pa => candidateChecks(q, p, pa).forall(_.passed))
+        // prefer the narrowest matching rollup (fewest stored dimensions)
+        .toSeq.sortBy(_.dimensions.size).headOption
+        .map(pa => Match(p.m, pa, rollupPath(p.m.name, pa), p.dims,
+          p.ownFilters, p.hops, p.foreignFilters))
+    }
+
+  /** Structured routing explanation (reference: core/query_plan.py —
+    * PreaggCheck / PreaggCandidate / QueryPlan): why each declared
+    * candidate matched or failed, and which one routing would select.
+    * `eligible = false` carries the query-level reason no rollup can
+    * ever serve this query (ungrouped, multi-model metrics, …). */
+  def explainCandidates(q: SemanticQuery): PreaggExplanation =
+    prepare(q) match {
+      case Left(reason) => PreaggExplanation(eligible = false,
+        reason = Some(reason), candidates = Nil)
+      case Right(p) =>
+        val evald = p.m.preAggregations.map(pa =>
+          (pa, candidateChecks(q, p, pa)))
+        val selected = evald.filter(_._2.forall(_.passed))
+          .sortBy(_._1.dimensions.size).headOption.map(_._1.name)
+        PreaggExplanation(eligible = true, reason = None,
+          candidates = evald.map { case (pa, cs) =>
+            PreaggCandidate(pa.name, matched = cs.forall(_.passed),
+              selected = selected.contains(pa.name), checks = cs)
+          })
+    }
 
   /** Column in rollup scope for a query field ref. */
   private def rollupCol(mt: Match, field: String, grain: Option[String]): Column =
@@ -364,3 +433,20 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     out
   }
 }
+
+/** One named pre-aggregation compatibility check; formats as
+  * `[pass|FAIL] name: detail` (reference: core/query_plan.py:7-17). */
+final case class PreaggCheck(name: String, passed: Boolean, detail: String) {
+  override def toString: String =
+    s"[${if (passed) "pass" else "FAIL"}] $name: $detail"
+}
+
+/** Evaluation of one declared rollup candidate
+  * (reference: core/query_plan.py:19-44). */
+final case class PreaggCandidate(name: String, matched: Boolean,
+    selected: Boolean, checks: Seq[PreaggCheck])
+
+/** Structured pre-aggregation routing explanation
+  * (reference: core/query_plan.py QueryPlan). */
+final case class PreaggExplanation(eligible: Boolean,
+    reason: Option[String], candidates: Seq[PreaggCandidate])

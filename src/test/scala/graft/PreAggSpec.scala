@@ -100,4 +100,35 @@ class PreAggSpec extends AnyFunSuite {
       dimensions = Seq("orders.order_date__month"))).get)
     assert(after == full)
   }
+
+  test("explainCandidates reports named per-candidate checks and selection") {
+    store.materialize("orders", pa)
+    val ex = store.explainCandidates(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus", "orders.order_date__month")))
+    assert(ex.eligible && ex.reason.isEmpty)
+    assert(ex.candidates.map(_.name).toSet == Set("daily", "daily_by_customer"))
+    val daily = ex.candidates.find(_.name == "daily").get
+    assert(daily.matched && daily.selected)
+    assert(daily.checks.map(_.name) ==
+      Seq("dimensions", "join_keys", "measures", "filters", "materialized"))
+    assert(daily.checks.forall(_.passed))
+    // the fk rollup does not store orderstatus: dimensions check fails
+    val byCust = ex.candidates.find(_.name == "daily_by_customer").get
+    assert(!byCust.matched && !byCust.selected)
+    val dimCheck = byCust.checks.find(_.name == "dimensions").get
+    assert(!dimCheck.passed && dimCheck.detail.contains("orderstatus"))
+    assert(dimCheck.toString.startsWith("[FAIL] dimensions:"))
+  }
+
+  test("explainCandidates carries the query-level ineligibility reason") {
+    val ex = store.explainCandidates(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus"), ungrouped = true))
+    assert(!ex.eligible && ex.candidates.isEmpty)
+    assert(ex.reason.exists(_.contains("ungrouped")))
+    val multi = store.explainCandidates(SemanticQuery(
+      metrics = Seq("orders.revenue", "customer.total_acctbal")))
+    assert(!multi.eligible && multi.reason.exists(_.contains("span models")))
+  }
 }
