@@ -2574,6 +2574,25 @@ object SparkEntry {
           .as("files_reduced"), col("rows"))
     }),
 
+    // corpus-level small-file compaction (CorpusFiles.compactBySize):
+    // rebuild a drip-ingested layout (12-file base + 6 one-file appends,
+    // so files_before is exact), compact to 64 MB targets with a doc_id
+    // range layout, and return the receipt. rows = base + appended.
+    "q_corpus_compact" -> ((s, d) => {
+      val path = s"/tmp/graft_corpus_compact_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val dir = s"$path/docs"
+      docs(s, d).repartition(12).write.mode("overwrite").parquet(dir)
+      (0 until 6).foreach(i =>
+        docs(s, d).filter(col("doc_id") % 100 === i).repartition(1)
+          .write.mode("append").parquet(dir))
+      ops.CorpusFiles.compactBySize(s, dir, 64L << 20, Seq("doc_id"))
+        .select(col("rows"), col("files_before"),
+          (col("files_after") < col("files_before")).as("files_reduced"))
+    }),
+
     // pre-flight self-join sizing on the customer key: exact output
     // cardinality and hot-key concentration from the histograms alone
     "q_join_card" -> ((s, d) => {
@@ -2847,6 +2866,23 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // header-only sniff over the WHOLE corpus (vs q_multimodal's 50-row
+    // full decode): O(header) per row, codegen'd, no codec — the catalog
+    // pass that scales to any payload size. Media bytes are real encodes
+    // (ImageIO png/jpeg, hand-built RIFF wav) with id-analytic geometry,
+    // so the sniffed struct has a pure-SQL oracle.
+    "q_media_sniff" -> ((s, d) => {
+      val media = Multimodal.syntheticMixedMedia(docs(s, d), "doc_id")
+      media.select(col("media_id"),
+          Multimodal.sniffMedia(col("content")).as("m"))
+        .select(col("media_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"))
+        .orderBy("media_id")
+    }),
+
     // ---- pipeline ops: sessionization ----
     // declarative route: built-in session_window aggregation; the DuckDB
     // oracle re-derives the same sessions via lag + running-sum, pinning
@@ -3018,6 +3054,33 @@ object SparkEntry {
         |    AS target_height,
         |  least(1.0, 16.0 / greatest(width, height)) < 1.0 AS needs_resize
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // the compaction receipt is fully derivable: 12 base + 6 append files,
+    // rows = corpus + the six appended doc_id%100 slices
+    "q_corpus_compact" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents) +
+        |    (SELECT count(*) FROM documents WHERE doc_id % 100 < 6) AS rows,
+        |  CAST(18 AS BIGINT) AS files_before,
+        |  true AS files_reduced""".stripMargin,
+
+    // sniffed metadata is analytic in the id (see syntheticMixedMedia):
+    // images carry the tile geometry, wav rows the RIFF fmt/data math
+    "q_media_sniff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav'
+        |    END AS format,
+        |  CASE WHEN doc_id % 3 < 2 THEN cast(8 + (doc_id % 16) as int)
+        |    END AS width,
+        |  CASE WHEN doc_id % 3 < 2 THEN cast(8 + ((doc_id // 16) % 16) as int)
+        |    END AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN
+        |      ((((doc_id % 200) + 1) * 16) * 1000) // (16000 * (1 + doc_id % 2))
+        |    END AS duration_ms,
+        |  CASE WHEN doc_id % 3 = 2 THEN cast(1 + doc_id % 2 as int)
+        |    END AS channels,
+        |  CASE WHEN doc_id % 3 = 2 THEN 8000 END AS sample_rate
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_simple_agg" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,

@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_simhash(tokens)`        — [[DedupExprs.SimHash64]]
   *   - `graft_shingle_hashes(t, n)`   — [[DedupExprs.ShingleHashes]]
   *   - `graft_minhash_sigs(h, n)`     — [[DedupExprs.MinHashSigs]]
+  *   - `graft_sniff_media(bytes)`     — [[MediaExprs.SniffMedia]]
   *
   * Two installation routes, same builders:
   *   - `spark.sql.extensions=graft.sqlfront.GraftExtensions` injects
@@ -74,6 +75,11 @@ object GraftFunctions {
           arity("graft_minhash_sigs", args, 2)
           DedupExprs.MinHashSigs(args(0),
             intLit(args(1), "graft_minhash_sigs", "numHashes"))
+        }),
+      ("graft_sniff_media", classOf[MediaExprs.SniffMedia],
+        (args: Seq[Expression]) => {
+          arity("graft_sniff_media", args, 1)
+          MediaExprs.SniffMedia(args(0))
         })
     ).map { case (name, cls, builder) =>
       (FunctionIdentifier(name),

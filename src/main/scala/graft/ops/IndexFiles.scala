@@ -71,17 +71,26 @@ private[graft] object IndexFiles {
     * per partition), swap it live per the protocol above, and return
     * one row: (rows, files_before, files_after). */
   def compactSwap(spark: SparkSession, path: String, sub: String,
-      partCol: String): DataFrame = {
+      partCol: String): DataFrame =
+    compactWith(spark, path, sub) { df =>
+      df.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol)
+    }
+
+  /** The shared compact-then-swap skeleton: `write` receives the live
+    * frame and must overwrite-write it to the path it is given; the
+    * rewritten copy is then swapped live per the protocol above.
+    * Returns one row: (rows, files_before, files_after). */
+  def compactWith(spark: SparkSession, path: String, sub: String)(
+      write: DataFrame => org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row]): DataFrame = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val live = new Path(s"$path/$sub")
     val tmp = new Path(s"$path/$sub.compact")
     val old = new Path(s"$path/$sub.old")
     val filesBefore = parquetFiles(fs, live)
-    spark.read.parquet(live.toString)
-      .repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol)
-      .parquet(tmp.toString)
+    write(spark.read.parquet(live.toString)).parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
     // a stale .old from a previous crashed swap would block the rename
     if (fs.exists(old)) fs.delete(old, true)
@@ -94,5 +103,18 @@ private[graft] object IndexFiles {
     import spark.implicits._
     Seq((rows, filesBefore, filesAfter))
       .toDF("rows", "files_before", "files_after")
+  }
+
+  /** Recursive parquet byte size of a directory (file-listing only). */
+  def parquetBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) n += st.getLen
+    }
+    n
   }
 }

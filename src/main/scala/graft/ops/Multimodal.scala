@@ -135,6 +135,78 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Header-only metadata sniff — the catalog pass that runs BEFORE
+    * [[decodeAndFeaturize]]: O(header bytes) per row, no codec, stays in
+    * whole-stage codegen ([[graft.functions.MediaExprs.SniffMedia]]).
+    * Returns `struct<format, width, height, duration_ms, channels,
+    * sample_rate>`, NULL for unrecognized/corrupt bytes. */
+  def sniffMedia(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MediaExprs.SniffMedia(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** Mixed synthetic media for the sniff pipeline: id%3 == 0 → PNG tile,
+    * 1 → JPEG tile (both real `ImageIO` encodes of the [[syntheticPng]]
+    * geometry), 2 → WAV (hand-built RIFF header + zeroed PCM payload).
+    * Every sniffable property is analytic in the id, so the sniffed
+    * metadata has a pure-SQL oracle:
+    *
+    *   images: width = 8 + id%16, height = 8 + (id/16)%16
+    *   wav:    channels = 1 + id%2, sample_rate = 8000,
+    *           data bytes = ((id%200)+1)·16,
+    *           duration_ms = dataBytes·1000 / (8000·channels·2)  (floor)
+    */
+  def syntheticMixedMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    val projected = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = (id % 3) match {
+          case 0 => encodeTile(id, "png")
+          case 1 => encodeTile(id, "jpg")
+          case _ => encodeWav(id)
+        }
+        Row(id, bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def encodeTile(id: Long, format: String): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + ((id / 16) % 16).toInt
+    val gray = (id % 256).toInt
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { im.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, format, bos)
+    bos.toByteArray
+  }
+
+  /** Canonical 44-byte PCM WAV header + zeroed payload. */
+  private def encodeWav(id: Long): Array[Byte] = {
+    val channels = 1 + (id % 2).toInt
+    val sampleRate = 8000
+    val byteRate = sampleRate * channels * 2
+    val dataBytes = (((id % 200) + 1) * 16).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    buf.array()
+  }
+
   /** Resize plan: records the target geometry per row; the pixel transform
     * is part of the stubbed codec stage. Kept as a column op so Catalyst
     * can pipeline it with filters/pruning. */

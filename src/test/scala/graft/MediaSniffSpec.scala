@@ -1,0 +1,157 @@
+package graft
+
+import graft.functions.MediaExprs
+import graft.ops.Multimodal
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{GraftSqlBridge, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Header-only media sniffing ([[MediaExprs.SniffMedia]]): exact metadata
+  * from real container bytes (ImageIO encodes + hand-built RIFF), marker
+  * scans across multi-segment JPEGs, bounds-checked rejection of
+  * truncated/corrupt input, interpreted/codegen parity, and the
+  * whole-stage-codegen claim. */
+class MediaSniffSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def encode(w: Int, h: Int, format: String): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, format, bos)
+    bos.toByteArray
+  }
+
+  private def evalSniff(bytes: Array[Byte]) =
+    Option(MediaExprs.SniffMedia(Literal.create(bytes, BinaryType)).eval(null))
+      .map(_.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+
+  test("png/jpeg/gif/bmp ImageIO encodes sniff to their exact geometry") {
+    for (fmt <- Seq("png", "jpg", "gif", "bmp")) {
+      val r = evalSniff(encode(37, 21, fmt)).getOrElse(
+        fail(s"$fmt not recognized"))
+      val name = if (fmt == "jpg") "jpeg" else fmt
+      assert(r.getUTF8String(0).toString === name)
+      assert(r.getInt(1) === 37, fmt)
+      assert(r.getInt(2) === 21, fmt)
+      assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5), fmt)
+    }
+  }
+
+  test("jpeg marker scan skips leading APP/comment segments to the SOF") {
+    // FF D8, APP1 of 10 payload bytes, COM of 3, then SOF0 with geometry
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => bos.write(x & 0xff))
+    b(0xff, 0xd8)
+    b(0xff, 0xe1, 0x00, 0x0c); (0 until 10).foreach(_ => b(0x55))
+    b(0xff, 0xfe, 0x00, 0x05); (0 until 3).foreach(_ => b(0x2a))
+    b(0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0x00, 0x02, 0x80) // h=256 w=640
+    val r = evalSniff(bos.toByteArray).getOrElse(fail("jpeg not recognized"))
+    assert(r.getUTF8String(0).toString === "jpeg")
+    assert(r.getInt(1) === 640)
+    assert(r.getInt(2) === 256)
+  }
+
+  test("wav fmt/data chunk walk yields channels, rate, floor duration") {
+    // via the battery generator so the spec gates the same byte layout
+    val df = Multimodal.syntheticMixedMedia(
+      spark.range(2, 600, 3).select(col("id").as("doc_id")), "doc_id")
+    val out = df.select(col("media_id"),
+        Multimodal.sniffMedia(col("content")).as("m"))
+      .select(col("media_id"), col("m.format"), col("m.duration_ms"),
+        col("m.channels"), col("m.sample_rate"), col("m.width"))
+      .collect()
+    assert(out.length === 200)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === "wav")
+      val channels = 1 + (id % 2).toInt
+      val dataBytes = ((id % 200) + 1) * 16
+      assert(r.getLong(2) === dataBytes * 1000L / (16000L * channels), s"id=$id")
+      assert(r.getInt(3) === channels)
+      assert(r.getInt(4) === 8000)
+      assert(r.isNullAt(5))
+    }
+  }
+
+  test("truncated, corrupt, and unrecognized bytes sniff to NULL, never throw") {
+    val png = encode(16, 16, "png")
+    val wavDf = Multimodal.syntheticMixedMedia(
+      spark.range(2, 3).select(col("id").as("doc_id")), "doc_id")
+    val wav = wavDf.collect()(0).getAs[Array[Byte]]("content")
+    val bad: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      Array[Byte](1, 2, 3),
+      png.take(10),              // png cut inside the IHDR
+      wav.take(20),              // RIFF cut inside the fmt chunk
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xda.toByte), // SOS first
+      "GIF88a~~~~~~".getBytes("US-ASCII"), // bad version byte
+      ("RIFF" + "\u0000" * 8).getBytes("US-ASCII"),
+      Array.fill[Byte](64)(0x42.toByte)) // 'B' lead-in but no BMP header
+    bad.foreach(bytes => assert(evalSniff(bytes).isEmpty,
+      s"len=${bytes.length} should not sniff"))
+    assert(MediaExprs.SniffMedia(Literal.create(null, BinaryType))
+      .eval(null) == null)
+  }
+
+  test("interpreted eval matches the codegen'd projection") {
+    val samples = Seq(encode(9, 33, "png"), encode(12, 7, "jpg"),
+      encode(5, 5, "gif"), Array[Byte](1, 2, 3, 4))
+    val df = samples.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "content")
+    val fromDf = df.select(col("id"),
+        Multimodal.sniffMedia(col("content")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .orderBy("id").collect()
+    samples.zip(fromDf).foreach { case (bytes, row) =>
+      evalSniff(bytes) match {
+        case None =>
+          assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3))
+        case Some(r) =>
+          assert(row.getString(1) === r.getUTF8String(0).toString)
+          assert(row.getInt(2) === r.getInt(1))
+          assert(row.getInt(3) === r.getInt(2))
+      }
+    }
+  }
+
+  test("the sniff projection stays inside whole-stage codegen and compiles") {
+    // id-dependent bytes — constant bytes would be ConstantFolding'd away
+    // before codegen (same Range-source discipline as VectorExprsSpec):
+    // GIF89a + width (16+id, little-endian) + height 32
+    val df = spark.range(8)
+      .select(col("id"), unhex(concat(lit("474946383961"),
+        lpad(hex(col("id") + 16), 2, "0"), lit("0020000000"))).as("content"))
+      .select(col("id"), Multimodal.sniffMedia(col("content")).as("m"))
+    val rows = df.select(col("id"), col("m.width"), col("m.height")).collect()
+    rows.foreach(r => assert(r.getInt(1) === 16 + r.getLong(0).toInt &&
+      r.getInt(2) === 32))
+    val plan = GraftSqlBridge.explainString(df, "simple")
+    val projLine = plan.linesIterator.find(_.contains("graft_sniff_media")).get
+    assert(projLine.trim.startsWith("*"), s"not codegen'd:\n$plan")
+    // janino must accept the generated code (a compile failure would
+    // silently fall back to interpreted eval)
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(Seq(MediaExprs.SniffMedia(
+        Literal.create(encode(3, 4, "png"), BinaryType))))
+    val out = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val struct = out.getStruct(0, 6)
+    assert(struct.getInt(1) === 3 && struct.getInt(2) === 4)
+  }
+
+  test("graft_sniff_media is reachable from SQL") {
+    graft.functions.GraftFunctions.install(spark)
+    val df = Multimodal.syntheticMixedMedia(
+      spark.range(0, 9).select(col("id").as("doc_id")), "doc_id")
+    df.createOrReplaceTempView("media_sniff_sql")
+    val out = spark.sql(
+      """SELECT media_id, graft_sniff_media(content).format AS f
+        |FROM media_sniff_sql ORDER BY media_id""".stripMargin).collect()
+    assert(out.map(_.getString(1)).toSeq ===
+      Seq("png", "jpeg", "wav", "png", "jpeg", "wav", "png", "jpeg", "wav"))
+  }
+}
