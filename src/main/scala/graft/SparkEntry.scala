@@ -2593,6 +2593,29 @@ object SparkEntry {
           (col("files_after") < col("files_before")).as("files_reduced"))
     }),
 
+    // partition-scoped compaction (the 100 TB form: rewrite only the
+    // ingest-fragmented partitions, never the settled ones). Hive layout
+    // bucketed by doc_id%4; buckets 0/1 get three one-file appends each
+    // (slices doc_id%100 = b+4k, congruent with the bucket since
+    // 4 | 100), so exactly those two partitions exceed maxFiles and the
+    // receipt (rows, 4 files -> 1) is fully derivable.
+    "q_corpus_compact_parts" -> ((s, d) => {
+      val path = s"/tmp/graft_corpus_parts_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val dir = s"$path/docs"
+      val base = docs(s, d).withColumn("bucket", pmod(col("doc_id"), lit(4)))
+      base.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(dir)
+      for (b <- 0 to 1; k <- 0 to 2)
+        base.filter(pmod(col("doc_id"), lit(100)) === (b + 4 * k))
+          .repartition(1).write.mode("append").partitionBy("bucket")
+          .parquet(dir)
+      ops.CorpusFiles.compactPartitionsBySize(s, dir, 64L << 20)
+        .orderBy("partition")
+    }),
+
     // pre-flight self-join sizing on the customer key: exact output
     // cardinality and hot-key concentration from the histograms alone
     "q_join_card" -> ((s, d) => {
@@ -3063,6 +3086,18 @@ object SparkEntry {
         |    (SELECT count(*) FROM documents WHERE doc_id % 100 < 6) AS rows,
         |  CAST(18 AS BIGINT) AS files_before,
         |  true AS files_reduced""".stripMargin,
+
+    // two receipt rows, one per fragmented partition: base bucket rows +
+    // the three appended congruent slices; 4 files compact to 1
+    "q_corpus_compact_parts" ->
+      """SELECT 'bucket=' || CAST(t.b AS VARCHAR) AS "partition",
+        |  (SELECT count(*) FROM documents WHERE doc_id % 4 = t.b) +
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 100 IN (t.b, t.b + 4, t.b + 8)) AS rows,
+        |  CAST(4 AS BIGINT) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after
+        |FROM (VALUES (0), (1)) AS t(b)
+        |ORDER BY 1""".stripMargin,
 
     // sniffed metadata is analytic in the id (see syntheticMixedMedia):
     // images carry the tile geometry, wav rows the RIFF fmt/data math

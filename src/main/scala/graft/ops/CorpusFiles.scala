@@ -59,4 +59,70 @@ object CorpusFiles {
     val p = new org.apache.hadoop.fs.Path(dir)
     IndexFiles.recover(spark, p.getParent.toString, p.getName)
   }
+
+  /** Partition-scoped compaction — the form that actually runs at
+    * 100 TB. [[compactBySize]] rewrites the whole directory, which is the
+    * right tool for a corpus-sized working set but a non-starter for a
+    * petabyte table: the scheduled job compacts ONLY the partitions the
+    * recent ingest fragmented (yesterday's date partition, the hot
+    * source buckets) and never touches the settled ones.
+    *
+    * Scans the first level of hive-style `<col>=<value>` partition
+    * directories, selects those holding more than `maxFiles` parquet
+    * files, and rewrites each selected partition with its own
+    * crash-safe rename-aside swap ([[IndexFiles.compactWith]] at the
+    * partition directory — so a crash mid-job leaves every partition
+    * either fully old or fully new, and [[recoverPartitions]] heals the
+    * one swap that was in flight). Untouched partitions are never read.
+    * The rewrite is driver-sequential per partition (a maintenance job's
+    * natural shape — each rewrite is itself a distributed write; bound
+    * the blast radius with `maxPartitions`).
+    *
+    * Returns one receipt row per compacted partition:
+    * (partition, rows, files_before, files_after). */
+  def compactPartitionsBySize(spark: SparkSession, dir: String,
+      targetBytes: Long, maxFiles: Int = 1,
+      maxPartitions: Int = Int.MaxValue): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("=")).map(_.getPath)
+      .sortBy(_.getName)
+    val hot = parts.iterator.map { part =>
+      val files = fs.listStatus(part)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      (part, files.length, files.map(_.getLen).sum)
+    }.filter(_._2 > maxFiles).take(maxPartitions).toSeq
+    import spark.implicits._
+    val receipts = hot.map { case (part, _, bytes) =>
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      IndexFiles.compactWith(spark, dir, part.getName)(df =>
+        df.repartition(n).write.mode("overwrite"))
+        .withColumn("partition",
+          org.apache.spark.sql.functions.lit(part.getName))
+    }
+    receipts.reduceOption(_ union _)
+      .getOrElse(Seq.empty[(String, Long, Long, Long)]
+        .toDF("partition", "rows", "files_before", "files_after"))
+      .select(col("partition"), col("rows"),
+        col("files_before"), col("files_after"))
+  }
+
+  /** Heal any partition whose swap was interrupted: scans for
+    * `<part>.old` / `<part>.compact` leftovers and recovers each
+    * (idempotent, rename-only). Returns (partition, state) rows. */
+  def recoverPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p).map(_.getPath.getName)
+    val touched = names.collect {
+      case n if n.endsWith(".old") => n.dropRight(4)
+      case n if n.endsWith(".compact") => n.dropRight(8)
+    }.distinct.sorted
+    import spark.implicits._
+    touched.map(n => (n, IndexFiles.recover(spark, dir, n))).toSeq
+      .toDF("partition", "state")
+  }
 }

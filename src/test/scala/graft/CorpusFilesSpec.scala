@@ -84,6 +84,83 @@ class CorpusFilesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === before)
   }
 
+  private def freshBucketed(): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cparts").toString
+    val dir = s"$tmp/docs"
+    val base = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select("doc_id", "text")
+      .withColumn("bucket", pmod(col("doc_id"), lit(4)))
+    base.repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(dir)
+    // fragment buckets 0 and 1 only (slices congruent with the bucket)
+    for (b <- 0 to 1; k <- 0 to 2)
+      base.filter(pmod(col("doc_id"), lit(100)) === (b + 4 * k))
+        .repartition(1).write.mode("append").partitionBy("bucket").parquet(dir)
+    dir
+  }
+
+  private def filesIn(dir: String): Map[String, Set[String]] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isDirectory).map { st =>
+      st.getPath.getName -> fs.listStatus(st.getPath)
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    }.toMap
+  }
+
+  test("partition-scoped compaction rewrites only the fragmented partitions") {
+    val dir = freshBucketed()
+    val before = filesIn(dir)
+    assert(before("bucket=0").size === 4 && before("bucket=1").size === 4)
+    assert(before("bucket=2").size === 1 && before("bucket=3").size === 1)
+    val rowsBefore = spark.read.parquet(dir).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val receipts = CorpusFiles
+      .compactPartitionsBySize(spark, dir, 64L << 20).orderBy("partition")
+      .collect()
+    assert(receipts.map(_.getString(0)).toSeq === Seq("bucket=0", "bucket=1"))
+    receipts.foreach { r =>
+      assert(r.getAs[Long]("files_before") === 4)
+      assert(r.getAs[Long]("files_after") === 1)
+    }
+    val after = filesIn(dir)
+    // cold partitions keep their exact file sets — never read, never written
+    assert(after("bucket=2") === before("bucket=2"))
+    assert(after("bucket=3") === before("bucket=3"))
+    assert(after("bucket=0").size === 1 && after("bucket=1").size === 1)
+    spark.catalog.refreshByPath(dir)
+    val rowsAfter = spark.read.parquet(dir).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(rowsAfter === rowsBefore, "partition compaction changed content")
+  }
+
+  test("maxPartitions bounds the blast radius; healthy recover is a no-op") {
+    val dir = freshBucketed()
+    val receipts = CorpusFiles
+      .compactPartitionsBySize(spark, dir, 64L << 20, maxPartitions = 1)
+      .collect()
+    assert(receipts.map(_.getString(0)).toSeq === Seq("bucket=0"))
+    assert(filesIn(dir)("bucket=1").size === 4, "bucket=1 must be untouched")
+    assert(CorpusFiles.recoverPartitions(spark, dir).collect().isEmpty)
+  }
+
+  test("recoverPartitions heals an interrupted partition swap") {
+    val dir = freshBucketed()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/bucket=1")
+    val fs = live.getFileSystem(conf)
+    val rowsBefore = spark.read.parquet(dir).count()
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs,
+      new org.apache.hadoop.fs.Path(s"$dir/bucket=1.compact"), false, conf)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$dir/bucket=1.old")))
+    val healed = CorpusFiles.recoverPartitions(spark, dir).collect()
+    assert(healed.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("bucket=1", "recovered_compact")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bucket=1.old")))
+    spark.catalog.refreshByPath(dir)
+    assert(spark.read.parquet(dir).count() === rowsBefore)
+  }
+
   test("invalid targets and roots are rejected loudly") {
     intercept[IllegalArgumentException](
       CorpusFiles.compactBySize(spark, "/tmp/whatever", 0))
