@@ -2616,6 +2616,28 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    // listing-only layout profile (partitionProfile): the scheduler's
+    // decision input for partition-scoped compaction — no data read, so
+    // byte columns are dropped from the gate (not SQL-derivable) and the
+    // derivable (files, fragmented) receipt is oracle-checked.
+    "q_corpus_layout" -> ((s, d) => {
+      val path = s"/tmp/graft_corpus_layout_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val dir = s"$path/docs"
+      val base = docs(s, d).withColumn("bucket", pmod(col("doc_id"), lit(4)))
+      base.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(dir)
+      for (b <- 0 to 1; k <- 0 to 2)
+        base.filter(pmod(col("doc_id"), lit(100)) === (b + 4 * k))
+          .repartition(1).write.mode("append").partitionBy("bucket")
+          .parquet(dir)
+      ops.CorpusFiles.partitionProfile(s, dir)
+        .select(col("partition"), col("files"), col("fragmented"))
+        .orderBy("partition")
+    }),
+
     // pre-flight self-join sizing on the customer key: exact output
     // cardinality and hot-key concentration from the histograms alone
     "q_join_card" -> ((s, d) => {
@@ -2761,6 +2783,53 @@ object SparkEntry {
         .orderBy("query_id"), "query_id")
     }),
 
+    // product quantization end-to-end (codebooks → m-byte codes → ADC
+    // scan → exact re-rank): planted near-twins must come back at rank 1
+    // through the compressed path. Codebook training is hash-seeded and
+    // decimal-summed, so twin_found booleans are deterministic and the
+    // oracle pins them literally — a codebook/ADC regression flips the
+    // booleans and fails the hash (same contract as q_ann_ivf)
+    "q_ann_pq" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val twins = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      val queries = emb.filter(col("vec_id") < 5)
+      val pq = ops.Pq.pqTopK(aug, queries, "vec_id", "embedding",
+        "vec_id", k = 5, dim = 64, m = 8, kCodes = 16, shortlist = 20,
+        iters = 2)
+      asLong(queries.select(col("vec_id").as("query_id"))
+        .join(pq.filter(col("neighbor_id") === col("query_id") + 100000
+            && col("rank") === 1)
+          .select(col("query_id"), lit(true).as("twin_first")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("twin_first"), lit(false)).as("twin_first"))
+        .orderBy("query_id"), "query_id")
+    }),
+
+    // PQ codebook fitness receipt: 32x-compression reconstruction error
+    // vs signal energy, plus per-subspace codeword usage — the dial a
+    // 100 TB embedding store reads before committing to a codebook.
+    // Deterministic training → golden-pinned literals
+    "q_pq_recon" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val books = ops.Pq.trainCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, kCodes = 16, iters = 2)
+      val usage = ops.Pq.encode(emb, "vec_id", "embedding", books)
+        .select(posexplode(col("__codes")).as(Seq("s", "c")))
+        .agg(countDistinct(col("s"), col("c")).as("used_codewords"))
+      ops.Pq.reconstructionError(emb, "vec_id", "embedding", books)
+        .crossJoin(usage)
+        .select(col("rows"), round(col("mean_sq_err"), 6).as("mean_sq_err"),
+          round(col("max_sq_err"), 6).as("max_sq_err"),
+          round(col("mean_norm_sq"), 6).as("mean_norm_sq"),
+          col("used_codewords"))
+    }),
+
     "q_embedding_neardup" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       // the synthetic embeddings are near-uniform (max pairwise cosine
@@ -2904,6 +2973,19 @@ object SparkEntry {
           col("m.channels").as("channels"),
           col("m.sample_rate").as("sample_rate"))
         .orderBy("media_id")
+    }),
+
+    // corpus-scale media profile: the sniff output aggregated per format
+    // (count, total pixels = decode-cost plan, total audio duration) —
+    // what a 100 TB media catalog pass produces before scheduling decode
+    "q_media_profile" -> ((s, d) => {
+      val media = Multimodal.syntheticMixedMedia(docs(s, d), "doc_id")
+      media.select(Multimodal.sniffMedia(col("content")).as("m"))
+        .groupBy(col("m.format").as("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("m.width").cast("long") * col("m.height")).as("total_pixels"),
+          sum(col("m.duration_ms")).as("total_ms"))
+        .orderBy("format")
     }),
 
     // ---- pipeline ops: sessionization ----
@@ -3098,6 +3180,32 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS files_after
         |FROM (VALUES (0), (1)) AS t(b)
         |ORDER BY 1""".stripMargin,
+
+    // four layout rows: buckets 0/1 fragmented (4 files), 2/3 settled
+    "q_corpus_layout" ->
+      """SELECT 'bucket=' || CAST(t.b AS VARCHAR) AS "partition",
+        |  CAST(CASE WHEN t.b < 2 THEN 4 ELSE 1 END AS BIGINT) AS files,
+        |  t.b < 2 AS fragmented
+        |FROM (VALUES (0), (1), (2), (3)) AS t(b)
+        |ORDER BY 1""".stripMargin,
+
+    // per-format rollup of the analytic sniff formulas; sums go HUGEINT
+    // in DuckDB, cast back to BIGINT
+    "q_media_profile" ->
+      """WITH m AS (
+        |  SELECT
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav'
+        |      END AS format,
+        |    CASE WHEN doc_id % 3 < 2 THEN
+        |        (8 + (doc_id % 16)) * (8 + ((doc_id // 16) % 16)) END AS px,
+        |    CASE WHEN doc_id % 3 = 2 THEN
+        |        ((((doc_id % 200) + 1) * 16) * 1000)
+        |          // (16000 * (1 + doc_id % 2)) END AS ms
+        |  FROM documents)
+        |SELECT format, count(*) AS n,
+        |  CAST(sum(px) AS BIGINT) AS total_pixels,
+        |  CAST(sum(ms) AS BIGINT) AS total_ms
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
 
     // sniffed metadata is analytic in the id (see syntheticMixedMedia):
     // images carry the tile geometry, wav rows the RIFF fmt/data math
@@ -4912,6 +5020,24 @@ object SparkEntry {
       """SELECT CAST(query_id AS BIGINT) AS query_id, twin_found
         |FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
         |  AS t(query_id, twin_found)
+        |ORDER BY query_id""".stripMargin,
+
+    // codebook training is hash-seeded + decimal-summed → bit-stable
+    // recon report; golden-pinned (8x16 books on sf0.01: 57% of signal
+    // energy quantized away — the documented worst case for uniform
+    // random vectors; all 128 codewords in use)
+    "q_pq_recon" ->
+      """SELECT CAST(500 AS BIGINT) AS rows,
+        |  0.573641 AS mean_sq_err, 0.730931 AS max_sq_err,
+        |  1.0 AS mean_norm_sq, CAST(128 AS BIGINT) AS used_codewords"""
+        .stripMargin,
+
+    // the compressed (8-byte-code) path must put each planted twin at
+    // rank 1 — deterministic booleans, pinned literally
+    "q_ann_pq" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id, twin_first
+        |FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+        |  AS t(query_id, twin_first)
         |ORDER BY query_id""".stripMargin,
 
     // sessionization: re-derive session_window's merge rule via lag +

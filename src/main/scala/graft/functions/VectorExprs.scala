@@ -422,6 +422,262 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Shared driver-side prep for the PQ kernels: flatten `m` codebooks
+    * of `k` codewords × `dsub` dims into one double[], plus per-codeword
+    * |c|² computed with the same ascending Scala fold the Column-chain
+    * shape used (`c.map(x*x).sum`) so argmin discriminants are
+    * bit-identical to the `least(struct(...))` expansion they replace. */
+  private[functions] final class PqBooks(val books: Seq[Seq[Seq[Double]]])
+      extends Serializable {
+    require(books.nonEmpty && books.head.nonEmpty,
+      "codebooks must be non-empty")
+    val m: Int = books.size
+    val k: Int = books.head.size
+    val dsub: Int = books.head.head.size
+    require(books.forall(b => b.size == k && b.forall(_.size == dsub)),
+      "every subspace codebook must share one (kCodes, dsub) geometry")
+    val flat: Array[Double] = books.flatten.flatten.toArray
+    val normsSq: Array[Double] =
+      books.flatten.map(c => c.map(x => x * x).sum).toArray
+  }
+
+  /** Product-quantization encode: the full vector in, the `m` nearest
+    * per-subspace codeword indices out — ONE expression for the whole
+    * encode. The Column-chain shape (`m` chained selects of
+    * `least(struct(...))` over `kCodes` structs each) generated
+    * O(m·kCodes) expression nodes: at 8×16 the whole-stage method blew
+    * janino's 64 KB limit (stage fell back to interpreted eval), and
+    * constraint inference re-expanded the chain into a scan-side Filter
+    * that re-ran the entire encode per row. One opaque loop kernel fixes
+    * both: constant-size generated code at any (m, kCodes, dim), and
+    * nothing for the optimizer to clone.
+    *
+    * Discriminant is |c|² − 2·v_s·c (the row's |v_s|² is constant per
+    * subspace and drops out of the argmin); ties break toward the lower
+    * code via strict `<`, matching the struct-least total order. NULL on
+    * null array, null element, or `length != m·dsub`. */
+  case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    @transient private lazy val pb = new PqBooks(books)
+    private val m = books.size
+    private val k = books.head.size
+    private val dsub = books.head.head.size
+    private val dim = m * dsub
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_encode"
+    override def checkInputDataTypes(): TypeCheckResult =
+      arrayCheck(prettyName, child.dataType)
+
+    @transient private lazy val elem =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != dim) return null
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        i += 1
+      }
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0.0
+        var bestJ = -1
+        var j = 0
+        while (j < k) {
+          val off = (s * k + j) * dsub
+          var dot = 0.0
+          var d = 0
+          while (d < dsub) {
+            dot += getElem(a, elem, s * dsub + d) * pb.flat(off + d)
+            d += 1
+          }
+          val dist = pb.normsSq(s * k + j) - 2.0 * dot
+          if (bestJ < 0 || dist < best) { best = dist; bestJ = j }
+          j += 1
+        }
+        codes(s) = bestJ
+        s += 1
+      }
+      new GenericArrayData(codes)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val flatRef = ctx.addReferenceObj("graftPqFlat", pb.flat, "double[]")
+      val normRef = ctx.addReferenceObj("graftPqNorms", pb.normsSq, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val codes = ctx.freshName("codes")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val d = ctx.freshName("d")
+        val off = ctx.freshName("off")
+        val dot = ctx.freshName("dot")
+        val dist = ctx.freshName("dist")
+        val best = ctx.freshName("best")
+        val bestJ = ctx.freshName("bestJ")
+        val bad = ctx.freshName("bad")
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $bad = false;
+           |  for (int $d = 0; $d < $dim; $d++) {
+           |    if ($a.isNullAt($d)) { $bad = true; break; }
+           |  }
+           |  if ($bad) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    final int[] $codes = new int[$m];
+           |    for (int $s = 0; $s < $m; $s++) {
+           |      double $best = 0.0;
+           |      int $bestJ = -1;
+           |      for (int $j = 0; $j < $k; $j++) {
+           |        final int $off = ($s * $k + $j) * $dsub;
+           |        double $dot = 0.0;
+           |        for (int $d = 0; $d < $dsub; $d++) {
+           |          $dot += ${getter(elem, a, s"($s * $dsub + $d)")} * $flatRef[$off + $d];
+           |        }
+           |        final double $dist = $normRef[$s * $k + $j] - 2.0 * $dot;
+           |        if ($bestJ < 0 || $dist < $best) { $best = $dist; $bestJ = $j; }
+           |      }
+           |      $codes[$s] = $bestJ;
+           |    }
+           |    ${ev.value} =
+           |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+           |  }
+           |}""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  /** Total squared PQ reconstruction error of a vector: per subspace,
+    * pick the codeword by the SAME |c|²−2·v·c argmin as [[PqEncode]]
+    * (so the measured error is the error of the codes actually stored),
+    * then accumulate the true Σ(v_d − c_d)² in ascending dim order,
+    * subspaces left-to-right — bit-identical to the zip_with/aggregate
+    * Column shape it replaces, which literal-embedded the whole codebook
+    * per use. NULL semantics as [[PqEncode]]. */
+  case class PqReconSq(child: Expression, books: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    @transient private lazy val pb = new PqBooks(books)
+    private val m = books.size
+    private val k = books.head.size
+    private val dsub = books.head.head.size
+    private val dim = m * dsub
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_pq_recon_sq"
+    override def checkInputDataTypes(): TypeCheckResult =
+      arrayCheck(prettyName, child.dataType)
+
+    @transient private lazy val elem =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != dim) return null
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        i += 1
+      }
+      var err = 0.0
+      var s = 0
+      while (s < m) {
+        var best = 0.0
+        var bestJ = -1
+        var j = 0
+        while (j < k) {
+          val off = (s * k + j) * dsub
+          var dot = 0.0
+          var d = 0
+          while (d < dsub) {
+            dot += getElem(a, elem, s * dsub + d) * pb.flat(off + d)
+            d += 1
+          }
+          val dist = pb.normsSq(s * k + j) - 2.0 * dot
+          if (bestJ < 0 || dist < best) { best = dist; bestJ = j }
+          j += 1
+        }
+        val off = (s * k + bestJ) * dsub
+        var sub = 0.0
+        var d = 0
+        while (d < dsub) {
+          val diff = getElem(a, elem, s * dsub + d) - pb.flat(off + d)
+          sub += diff * diff
+          d += 1
+        }
+        err += sub
+        s += 1
+      }
+      err
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val flatRef = ctx.addReferenceObj("graftPqFlat", pb.flat, "double[]")
+      val normRef = ctx.addReferenceObj("graftPqNorms", pb.normsSq, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val d = ctx.freshName("d")
+        val off = ctx.freshName("off")
+        val dot = ctx.freshName("dot")
+        val dist = ctx.freshName("dist")
+        val best = ctx.freshName("best")
+        val bestJ = ctx.freshName("bestJ")
+        val err = ctx.freshName("err")
+        val sub = ctx.freshName("sub")
+        val diff = ctx.freshName("diff")
+        val bad = ctx.freshName("bad")
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $bad = false;
+           |  for (int $d = 0; $d < $dim; $d++) {
+           |    if ($a.isNullAt($d)) { $bad = true; break; }
+           |  }
+           |  if ($bad) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    double $err = 0.0;
+           |    for (int $s = 0; $s < $m; $s++) {
+           |      double $best = 0.0;
+           |      int $bestJ = -1;
+           |      for (int $j = 0; $j < $k; $j++) {
+           |        final int $off = ($s * $k + $j) * $dsub;
+           |        double $dot = 0.0;
+           |        for (int $d = 0; $d < $dsub; $d++) {
+           |          $dot += ${getter(elem, a, s"($s * $dsub + $d)")} * $flatRef[$off + $d];
+           |        }
+           |        final double $dist = $normRef[$s * $k + $j] - 2.0 * $dot;
+           |        if ($bestJ < 0 || $dist < $best) { $best = $dist; $bestJ = $j; }
+           |      }
+           |      final int $off = ($s * $k + $bestJ) * $dsub;
+           |      double $sub = 0.0;
+           |      for (int $d = 0; $d < $dsub; $d++) {
+           |        final double $diff = ${getter(elem, a, s"($s * $dsub + $d)")} - $flatRef[$off + $d];
+           |        $sub += $diff * $diff;
+           |      }
+           |      $err += $sub;
+           |    }
+           |    ${ev.value} = $err;
+           |  }
+           |}""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqReconSq =
+      copy(child = newChild)
+  }
+
   // ---- Column API ----
 
   def dot(a: Column, b: Column): Column =
@@ -442,6 +698,12 @@ object VectorExprs {
     GraftSqlBridge.column(BitAgreement(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
       bitsPerElement))
+
+  def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(vec), books))
+
+  def pqReconSq(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    GraftSqlBridge.column(PqReconSq(GraftSqlBridge.expression(vec), books))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 }

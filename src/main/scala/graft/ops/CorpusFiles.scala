@@ -110,6 +110,35 @@ object CorpusFiles {
         col("files_before"), col("files_after"))
   }
 
+  /** Layout profile of a hive-partitioned corpus from the file listing
+    * ALONE — no data is read, so the profile costs one LIST per
+    * partition at any table size. This is the scheduler's decision
+    * input for [[compactPartitionsBySize]]: run the profile, compact
+    * where `fragmented`, and the maintenance loop's read cost tracks
+    * directory metadata, not the petabytes inside.
+    *
+    * One row per partition: (partition, files, bytes, min_file_bytes,
+    * max_file_bytes, fragmented) — `fragmented` = more than `maxFiles`
+    * parquet files. */
+  def partitionProfile(spark: SparkSession, dir: String,
+      maxFiles: Int = 1): DataFrame = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    fs.listStatus(p).filter(st =>
+      st.isDirectory && st.getPath.getName.contains("=")).map { st =>
+      val sizes = fs.listStatus(st.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+      (st.getPath.getName, sizes.length.toLong, sizes.sum,
+        if (sizes.isEmpty) 0L else sizes.min,
+        if (sizes.isEmpty) 0L else sizes.max,
+        sizes.length > maxFiles)
+    }.sortBy(_._1).toSeq
+      .toDF("partition", "files", "bytes", "min_file_bytes",
+        "max_file_bytes", "fragmented")
+  }
+
   /** Heal any partition whose swap was interrupted: scans for
     * `<part>.old` / `<part>.compact` leftovers and recovers each
     * (idempotent, rename-only). Returns (partition, state) rows. */

@@ -144,6 +144,22 @@ class CorpusFilesSpec extends AnyFunSuite {
     assert(CorpusFiles.recoverPartitions(spark, dir).collect().isEmpty)
   }
 
+  test("partitionProfile reads only the listing and flags fragmentation") {
+    val dir = freshBucketed()
+    val rows = CorpusFiles.partitionProfile(spark, dir).orderBy("partition")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    rows.foreach { r =>
+      val hot = r.getString(0) < "bucket=2"
+      assert(r.getAs[Long]("files") === (if (hot) 4L else 1L))
+      assert(r.getAs[Boolean]("fragmented") === hot)
+      assert(r.getAs[Long]("bytes") > 0)
+      assert(r.getAs[Long]("min_file_bytes") <= r.getAs[Long]("max_file_bytes"))
+      assert(r.getAs[Long]("bytes") >= r.getAs[Long]("max_file_bytes"))
+    }
+  }
+
   test("recoverPartitions heals an interrupted partition swap") {
     val dir = freshBucketed()
     val conf = spark.sparkContext.hadoopConfiguration
