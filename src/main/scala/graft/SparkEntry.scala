@@ -2783,6 +2783,36 @@ object SparkEntry {
         .orderBy("query_id"), "query_id")
     }),
 
+    // persisted IVFADC index (IVF partition pruning × PQ scan
+    // compression): planted twins must come back at rank 1 through the
+    // cell-pruned, codes-only candidate scan + id-IN vector fetch. The
+    // index is read-only after build (topK never mutates), so the
+    // memoized build needs no working copy
+    "q_ann_ivfpq" -> ((s, d) => {
+      val path = s"/tmp/graft_ivfpq_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val twins = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
+      buildOnce(path) {
+        ops.PqIndex.build(aug, "vec_id", "embedding", path, dim = 64,
+          nCells = 16, m = 16, kCodes = 32, iters = 2) }
+      val queries = emb.filter(col("vec_id") < 5)
+      val res = ops.PqIndex.topK(s, path, queries, "vec_id", "embedding",
+        "vec_id", k = 1, nprobe = 4, shortlist = 20)
+      asLong(queries.select(col("vec_id").as("query_id"))
+        .join(res.filter(col("neighbor_id") === col("query_id") + 100000
+            && col("rank") === 1)
+          .select(col("query_id"), lit(true).as("twin_first")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("twin_first"), lit(false)).as("twin_first"))
+        .orderBy("query_id"), "query_id")
+    }),
+
     // product quantization end-to-end (codebooks → m-byte codes → ADC
     // scan → exact re-rank): planted near-twins must come back at rank 1
     // through the compressed path. Codebook training is hash-seeded and
@@ -5031,6 +5061,14 @@ object SparkEntry {
         |  0.573641 AS mean_sq_err, 0.730931 AS max_sq_err,
         |  1.0 AS mean_norm_sq, CAST(128 AS BIGINT) AS used_codewords"""
         .stripMargin,
+
+    // IVFADC gate: twins retrieved at rank 1 through the persisted
+    // cell-pruned compressed path — deterministic booleans, pinned
+    "q_ann_ivfpq" ->
+      """SELECT CAST(query_id AS BIGINT) AS query_id, twin_first
+        |FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+        |  AS t(query_id, twin_first)
+        |ORDER BY query_id""".stripMargin,
 
     // the compressed (8-byte-code) path must put each planted twin at
     // rank 1 — deterministic booleans, pinned literally

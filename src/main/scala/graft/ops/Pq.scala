@@ -82,7 +82,7 @@ object Pq {
     * `__tables(s)(j)` = |c_sj|² − 2·q_s·c_sj (the query's |q_s|² terms
     * are constant per query and drop out of the per-query ranking).
     * m × kCodes doubles per query — rides the broadcast. */
-  private def adcTables(queries: DataFrame, queryIdCol: String,
+  private[ops] def adcTables(queries: DataFrame, queryIdCol: String,
       vecCol: String, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebooks.size
     val dsub = codebooks.head.head.size

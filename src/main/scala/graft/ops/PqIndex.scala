@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.functions.VectorExprs
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted IVFADC index: [[IvfIndex]]'s cell-partitioned layout with
+  * [[Pq]] codes stored NEXT TO the vectors — the composition production
+  * ANN services run (Jégou et al. 2011 §IV), because the two halves
+  * prune different axes:
+  *
+  *   - IVF prunes WHICH rows are read: the probe side broadcasts and
+  *     dynamic partition pruning restricts the scan to the probed
+  *     `__cell=` directories.
+  *   - PQ shrinks WHAT a scanned row costs: the ADC candidate scan
+  *     selects only (id, `__codes`) — parquet column pruning means the
+  *     float vectors in the SAME files are never decoded, so the probed
+  *     cells stream m ints/row instead of dim floats (32× at 8/64).
+  *
+  * The final ranking is exact: the per-query ADC shortlist is re-ranked
+  * with true cosine, fetching vectors for just the shortlisted rows.
+  * That fetch collects the shortlist to the driver first — bounded by
+  * queries × shortlist BY CONSTRUCTION (independent of corpus size; the
+  * same bounded-collect contract as [[TextIndex]]'s query-term lists) —
+  * so the vector fetch is a static `__cell`-pruned, id-IN-pushed scan:
+  * [[build]] sorts each cell file by id, so the IN filter's min/max
+  * skips whole row groups and the floats read are ∝ shortlist, not
+  * ∝ probed cells.
+  *
+  * Layout under `path`:
+  *   - `cells/__cell=<i>/…` — (id, `__codes`, vector), id-sorted files
+  *   - `centroids.txt` — IVF centroids ([[IvfIndex]] format)
+  *   - `codebooks.txt` — one line per codeword: `<subspace>:<c1,c2,…>`
+  * All training is hash-seeded + decimal-meaned, so the index bytes and
+  * every query result are reproducible across runs and layouts. */
+object PqIndex {
+
+  /** Train IVF centroids and PQ codebooks, assign + encode every row in
+    * one pass, write partitioned by cell with id-sorted files. Encode is
+    * one [[VectorExprs.PqEncode]] projection; the only exchange is the
+    * cell repartition the layout requires. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+      dim: Int, nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 3, trainSampleMod: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Similarity.trainCentroids(corpus, idCol, vecCol, nCells,
+      iters, trainSampleMod)
+    val books = Pq.trainCodebooks(corpus, idCol, vecCol, dim, m, kCodes,
+      iters, trainSampleMod)
+    val assigned = Similarity.assignCells(
+      corpus.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v")),
+      "__id", cents)
+    corpus.select(col(idCol),
+        VectorExprs.pqEncode(col(vecCol).cast("array<double>"), books)
+          .as("__codes"),
+        col(vecCol))
+      .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
+      .repartition(col("__cell"))
+      .sortWithinPartitions(col(idCol))
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/cells")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val co = fs.create(new Path(s"$path/centroids.txt"), true)
+    try co.write(cents.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    finally co.close()
+    val bo = fs.create(new Path(s"$path/codebooks.txt"), true)
+    try bo.write(books.zipWithIndex.flatMap { case (b, s) =>
+      b.map(c => s"$s:${c.mkString(",")}")
+    }.mkString("\n").getBytes("UTF-8"))
+    finally bo.close()
+  }
+
+  /** Append a slice without retraining: assign to existing centroids,
+    * encode with existing codebooks, append into the cell layout — same
+    * contract (and the same centroid-drift caveat) as
+    * [[IvfIndex.append]]. Appended files are id-sorted per slice; the
+    * fetch path's row-group skipping degrades gracefully as slices pile
+    * up until [[build]] re-sorts. Slice ids must be fresh. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = IvfIndex.loadCentroids(spark, path)
+    val books = loadCodebooks(spark, path)
+    val assigned = Similarity.assignCells(
+      batch.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v")),
+      "__id", cents)
+    batch.select(col(idCol),
+        VectorExprs.pqEncode(col(vecCol).cast("array<double>"), books)
+          .as("__codes"),
+        col(vecCol))
+      .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
+      .sortWithinPartitions(col(idCol))
+      .write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/cells")
+  }
+
+  def loadCodebooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$path/codebooks.txt"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").toSeq.map { line =>
+      val Array(s, cs) = line.split(":", 2)
+      (s.toInt, cs.split(",").toSeq.map(_.toDouble))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+  }
+
+  /** Query the persisted index. Three scans, each pruned on its own
+    * axis:
+    *   1. ADC candidate scan — probed cells only (dynamic partition
+    *      pruning), (id, `__codes`) columns only (column pruning): the
+    *      corpus floats stay on disk.
+    *   2. Shortlist collect — queries × shortlist (cell, id) rows to the
+    *      driver (bounded by construction).
+    *   3. Vector fetch — static `__cell` IN + id IN filters: partition
+    *      pruning plus row-group stat skipping over the id-sorted files;
+    *      floats read ∝ shortlist.
+    * Output (query_id, neighbor_id, cosine, rank) — exact cosine over
+    * the shortlist, same contract as [[IvfIndex.topK]]. */
+  /** The ADC candidate frame of [[topK]]'s step 1, exposed so its plan
+    * contracts (DPP to probed cells, codes-only ReadSchema) are
+    * assertable in isolation: (query_id, __cell, idCol, __adc). */
+  private[graft] def adcCandidates(spark: SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      queryIdCol: String, nprobe: Int): DataFrame = {
+    val cents = IvfIndex.loadCentroids(spark, path)
+    val books = loadCodebooks(spark, path)
+    val cells = spark.read.parquet(s"$path/cells")
+    val probes = broadcast(
+      Similarity.probeCells(queries, queryIdCol, vecCol, cents, nprobe))
+    val qt = broadcast(Pq.adcTables(queries, queryIdCol, vecCol, books)
+      .select(col("query_id"), col("__tables")))
+    cells.select(col("__cell"), col(idCol), col("__codes"))
+      .join(probes, Seq("__cell"))
+      .join(qt, Seq("query_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__adc", aggregate(
+        zip_with(col("__codes"), col("__tables"),
+          (c, t) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col("query_id"), col("__cell"), col(idCol), col("__adc"))
+  }
+
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String, k: Int,
+      nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cells = spark.read.parquet(s"$path/cells")
+    val adc = adcCandidates(spark, path, queries, idCol, vecCol,
+      queryIdCol, nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col(idCol).asc)
+    val short = adc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= shortlist)
+      .select(col("query_id"), col("__cell"), col(idCol).as("neighbor_id"))
+      .collect()
+    val cellIds = short.map(_.getAs[Any]("__cell")).distinct.toSeq
+    val rowIds = short.map(_.getAs[Any]("neighbor_id")).distinct.toSeq
+    import scala.jdk.CollectionConverters._
+    val shortDf = spark.createDataFrame(
+      short.map(r => org.apache.spark.sql.Row(
+        r.getAs[Any]("query_id"), r.getAs[Any]("neighbor_id"))).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          queries.schema(queryIdCol).dataType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          cells.schema(idCol).dataType))))
+    val fetch = cells
+      .filter(col("__cell").isin(cellIds: _*) && col(idCol).isin(rowIds: _*))
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", VectorExprs.l2norm(col("__cv")))
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", VectorExprs.l2norm(col("__qv"))))
+    Similarity.rerankCarried(broadcast(shortDf).join(fetch, Seq("neighbor_id")), q, k)
+  }
+
+  /** Layout-only maintenance for the append tail: one id-sorted file per
+    * cell (restores the fetch path's row-group skipping that unsorted
+    * append slices erode). Write-then-rename-aside swap via
+    * [[IndexFiles.compactWith]]; heal an interrupted swap with
+    * [[recover]]. Returns (rows, files_before, files_after). */
+  def compact(spark: SparkSession, path: String): DataFrame =
+    IndexFiles.compactWith(spark, path, "cells") { df =>
+      df.repartition(col("__cell"))
+        .sortWithinPartitions(col(df.columns.head))
+        .write.mode("overwrite").partitionBy("__cell")
+    }
+
+  /** Heal a [[compact]] swap interrupted mid-crash-window; no-op on a
+    * healthy index. */
+  def recover(spark: SparkSession, path: String): String =
+    IndexFiles.recover(spark, path, "cells")
+}
