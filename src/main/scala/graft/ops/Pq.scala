@@ -37,26 +37,62 @@ object Pq {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Train the `m` per-subspace codebooks. One [[Similarity
-    * .trainCentroids]] run per subspace over the (hash-sampled) sliced
-    * corpus: m×(1+iters) driver-coordinated aggregate jobs whose
-    * per-job cost is independent of corpus size once `trainSampleMod`
-    * caps the training slice (same deliberate trade documented on the
-    * IVF trainer). Returns codebooks(s)(j) = centroid j of subspace s.
+  /** Train the `m` per-subspace codebooks JOINTLY: one seed job plus one
+    * job per Lloyd round covering all subspaces at once — `1 + iters`
+    * driver-coordinated jobs total, against the `m×(1+iters)` a
+    * per-subspace [[Similarity.trainCentroids]] loop costs (at m=8,
+    * iters=2 that was 24 scheduling floors for 3 jobs' worth of work;
+    * at 100 TB the floors are fixed but still ×8 wasted wall-clock).
+    * Each round encodes the (hash-sampled) slice with the current books
+    * ([[VectorExprs.PqEncode]], one projection), explodes to
+    * (subspace, code, dim, x) and takes decimal means per cell.
     *
-    * `dim` must be divisible by `m` (contiguous equal-width slices —
-    * the classic layout; a learned rotation is out of scope). */
+    * Bit-identical to the per-subspace loop it replaces: the seed order
+    * (`xxhash64(id), id`) is id-only, so every subspace drew its seeds
+    * from the SAME k rows (jointly sliced here); the per-round argmin is
+    * [[VectorExprs.PqEncode]]'s |c|²−2·v·c with the identical fold
+    * order; and decimal sums are association-free, so the means match
+    * to the last bit and all pinned goldens hold. Empty cells keep the
+    * previous codeword (same Lloyd fix as the IVF trainer).
+    *
+    * Returns codebooks(s)(j) = centroid j of subspace s. `dim` must be
+    * divisible by `m` (contiguous equal-width slices — the classic
+    * layout; a learned rotation is out of scope). */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 8, kCodes: Int = 16, iters: Int = 3,
       trainSampleMod: Int = 1): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
     val dsub = dim / m
-    (0 until m).map { s =>
-      val sub = corpus.select(col(idCol).as("__id"),
-        slice(asDouble(col(vecCol)), s * dsub + 1, dsub).as("__sub"))
-      Similarity.trainCentroids(sub, "__id", "__sub", kCodes, iters,
-        trainSampleMod)
+    val base = corpus.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"))
+    val v = if (trainSampleMod <= 1) base
+      else base.filter(pmod(xxhash64(col("__id")), lit(trainSampleMod)) === 0)
+    val seeds = v.orderBy(xxhash64(col("__id")), col("__id")).limit(kCodes)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var books: Seq[Seq[Seq[Double]]] = (0 until m).map(s =>
+      seeds.map(row => row.slice(s * dsub, (s + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      val sCol = (col("__pos") / dsub).cast("int")
+      val means = v
+        .select(VectorExprs.pqEncode(col("__v"), books).as("__codes"),
+          posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .filter(col("__codes").isNotNull)
+        .select(sCol.as("__s"), element_at(col("__codes"), sCol + 1).as("__c"),
+          pmod(col("__pos"), lit(dsub)).cast("int").as("__p"), col("__x"))
+        .groupBy(col("__s"), col("__c"), col("__p"))
+        .agg((sum(col("__x").cast("decimal(30,12)")) / count(lit(1)))
+          .cast("double").as("__m"))
+        .groupBy(col("__s"), col("__c"))
+        .agg(sort_array(collect_list(struct(col("__p"), col("__m"))))
+          .as("__pm"))
+        .select(col("__s"), col("__c"), col("__pm.__m").as("__mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toSeq)
+        .toMap
+      books = books.indices.map(s => books(s).indices.map(j =>
+        means.getOrElse((s, j), books(s)(j))))
     }
+    books
   }
 
   /** Encode every row to its `m` nearest-codeword indices — a pure
