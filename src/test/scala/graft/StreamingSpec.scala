@@ -247,6 +247,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == Set(1L, 3L, 4L))
   }
 
+  test("streaming pq ingest: twins retrievable through the compressed path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spq").toString
+    graft.ops.PqIndex.build(emb, "vec_id", "embedding", tmp, dim = 64,
+      nCells = 16, m = 16, kCodes = 32, iters = 2)
+    val booksBefore = graft.ops.PqIndex.loadCodebooks(spark, tmp)
+    val twinRows = emb.filter(col("vec_id") < 4).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("zip_with(embedding, concat(slice(embedding, 2, 63), " +
+          "slice(embedding, 1, 1)), (a, b) -> a + cast(0.25 as float) * b)")
+          .as("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingPqIngest.maintain(
+      in.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      tmp, s"$tmp/_checkpoint")
+    try {
+      in.addData(twinRows.take(2))
+      q.processAllAvailable()
+      in.addData(twinRows.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the stream only appended — codebooks frozen, and every streamed
+    // twin is retrievable through the pruned ADC scan immediately
+    assert(graft.ops.PqIndex.loadCodebooks(spark, tmp) == booksBefore)
+    val top = graft.ops.PqIndex.topK(spark, tmp,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding", "vec_id",
+        k = 1, nprobe = 4, shortlist = 20)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    (0L until 4L).foreach(i =>
+      assert(top(i) == 100000L + i, s"query $i got ${top.get(i)}"))
+  }
+
   test("streaming ivf ingest: streamed twins are retrievable per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
