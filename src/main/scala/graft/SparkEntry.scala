@@ -1762,6 +1762,31 @@ object SparkEntry {
       orderBy = Seq("orderstatus")))),
 
     // ---- pipeline ops: dedup ----
+    // Bloom pre-gate: corpus members must probe maybe_dup (no false
+    // negatives by construction); fresh probes route past the exact
+    // path. The md5-derived hashes replay bit-for-bit in DuckDB, so the
+    // oracle rebuilds the ENTIRE word table and re-derives every verdict
+    "q_bloom_gate" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 400)
+      val bloom = ops.BloomGate.build(corpus, "text",
+        mBitsPerBucket = 1 << 12, kHashes = 3, nBuckets = 8)
+      val batch = docs(s, d).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs(s, d).filter(col("doc_id") < 10)
+          .select((col("doc_id") + 9000).as("doc_id"),
+            concat(col("text"), lit(" fresh tail")).as("text")))
+      ops.BloomGate.probe(bloom, batch, "doc_id", "text",
+          mBitsPerBucket = 1 << 12, kHashes = 3, nBuckets = 8)
+        .orderBy("doc_id")
+    }),
+
+    // the filter's occupancy dial (FP ≈ fill^k), replayed exactly
+    "q_bloom_occupancy" -> ((s, d) => {
+      val bloom = ops.BloomGate.build(docs(s, d).filter(col("doc_id") < 400),
+        "text", mBitsPerBucket = 1 << 12, kHashes = 3, nBuckets = 8)
+      ops.BloomGate.occupancy(bloom, 1 << 12, 8)
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d), "doc_id", "text")
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -4180,6 +4205,52 @@ object SparkEntry {
         |  count(*) AS order_count
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full Bloom replay: rebuild the word table from md5 hashes, rejoin
+    // the probes, re-derive every verdict — nothing is pinned
+    "q_bloom_gate" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 9000, text || ' fresh tail'
+        |  FROM documents WHERE doc_id < 10),
+        |cbits AS (
+        |  SELECT ('0x'||substr(md5('b:'||text),1,8))::BIGINT % 8 AS bucket,
+        |    ('0x'||substr(md5(i||':'||text),1,8))::BIGINT % 4096 AS pos
+        |  FROM corpus, unnest([0,1,2]) AS u(i)),
+        |bloom AS (
+        |  SELECT bucket, pos // 63 AS word,
+        |    bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+        |  FROM cbits GROUP BY 1, 2),
+        |pbits AS (
+        |  SELECT doc_id,
+        |    ('0x'||substr(md5('b:'||text),1,8))::BIGINT % 8 AS bucket,
+        |    ('0x'||substr(md5(i||':'||text),1,8))::BIGINT % 4096 AS pos
+        |  FROM batch, unnest([0,1,2]) AS u(i))
+        |SELECT p.doc_id, bool_and(
+        |    (coalesce(b.bits, 0) & (1::BIGINT << (p.pos % 63)::INT)) <> 0)
+        |  AS maybe_dup
+        |FROM pbits p LEFT JOIN bloom b
+        |  ON b.bucket = p.bucket AND b.word = p.pos // 63
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // occupancy re-derived from the same replayed word table
+    "q_bloom_occupancy" ->
+      """WITH cbits AS (
+        |  SELECT ('0x'||substr(md5('b:'||text),1,8))::BIGINT % 8 AS bucket,
+        |    ('0x'||substr(md5(i||':'||text),1,8))::BIGINT % 4096 AS pos
+        |  FROM (SELECT text FROM documents WHERE doc_id < 400),
+        |    unnest([0,1,2]) AS u(i)),
+        |bloom AS (
+        |  SELECT bucket, pos // 63 AS word,
+        |    bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+        |  FROM cbits GROUP BY 1, 2)
+        |SELECT CAST(count(DISTINCT bucket) AS BIGINT) AS buckets,
+        |  CAST(count(*) AS BIGINT) AS words,
+        |  CAST(sum(bit_count(bits)) AS BIGINT) AS set_bits,
+        |  round(sum(bit_count(bits)) / (4096.0 * 8), 6) AS fill_ratio
+        |FROM bloom""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.BloomGate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom pre-gate: no false negatives ever, measured false-positive
+  * rate within the standard envelope, incremental build composition,
+  * layout invariance, and the occupancy dial. */
+class BloomGateSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("every corpus key probes maybe_dup (no false negatives)") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val bloom = BloomGate.build(corpus, "text")
+    val res = BloomGate.probe(bloom, corpus.select("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+    assert(res.length === 400)
+    assert(res.forall(_.getAs[Boolean]("maybe_dup")),
+      "a corpus member probed definitely-new — bloom false negative")
+  }
+
+  test("fresh keys probe definitely-new within the FP envelope") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val bloom = BloomGate.build(corpus, "text",
+      mBitsPerBucket = 1 << 14, kHashes = 5, nBuckets = 32)
+    val fresh = (0 until 500)
+      .map(i => (10000L + i, s"entirely fresh probe document $i"))
+      .toDF("doc_id", "text")
+    val res = BloomGate.probe(bloom, fresh, "doc_id", "text",
+      mBitsPerBucket = 1 << 14, kHashes = 5, nBuckets = 32).collect()
+    val fp = res.count(_.getAs[Boolean]("maybe_dup"))
+    // 400 keys x 5 hashes over 2^19 total bits -> fill ~0.4%, FP ~1e-12;
+    // any hit here means broken hashing, not bloom probability
+    assert(fp === 0, s"$fp of 500 fresh keys false-positived")
+  }
+
+  test("incremental build composes: union-then-merge == build-of-union") {
+    val a = docs.filter(col("doc_id") < 200)
+    val b = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val merged = BloomGate.build(a, "text")
+      .unionByName(BloomGate.build(b, "text"))
+      .groupBy("__bucket", "__word")
+      .agg(expr("bit_or(__bits)").as("__bits"))
+    val whole = BloomGate.build(docs.filter(col("doc_id") < 400), "text")
+    val m = merged.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val w = whole.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m === w)
+  }
+
+  test("word table is layout-invariant") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val one = BloomGate.build(corpus.repartition(1), "text")
+      .collect().map(_.toSeq).toSet
+    val many = BloomGate.build(corpus.repartition(17), "text")
+      .collect().map(_.toSeq).toSet
+    assert(one === many)
+  }
+
+  test("occupancy reports the fill the FP math needs") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val bloom = BloomGate.build(corpus, "text",
+      mBitsPerBucket = 1 << 10, kHashes = 5, nBuckets = 8)
+    val r = BloomGate.occupancy(bloom, 1 << 10, 8).collect().head
+    assert(r.getAs[Long]("buckets") === 8L)
+    val fill = r.getAs[Double]("fill_ratio")
+    // ~2000 distinct bits over 8192: fill in a sane band, and set_bits
+    // <= corpus x k (collisions only reduce it)
+    assert(fill > 0.1 && fill < 0.3, s"fill $fill outside expected band")
+    assert(r.getAs[Long]("set_bits") <= 400L * 5)
+  }
+
+  test("guards: bad geometry rejected loudly") {
+    intercept[IllegalArgumentException] {
+      BloomGate.build(docs, "text", mBitsPerBucket = 10)
+    }
+    intercept[IllegalArgumentException] {
+      BloomGate.build(docs, "text", kHashes = 0)
+    }
+  }
+}
