@@ -556,6 +556,103 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** `vec − matrix[idx]` as one loop kernel: the residual step of
+    * residual-quantized IVFADC (vector minus its cell's centroid, cell
+    * chosen per row). The Column-expression alternative —
+    * `zip_with(v, element_at(<literal array of arrays>, idx+1), -)` —
+    * embeds rows×dim literal nodes per use (1 024 at 16×64, 12 288 at
+    * 16×768: the janino ceiling again); here the matrix ships once per
+    * executor via `addReferenceObj`. NULL on null/short vector or an
+    * out-of-range index. */
+  case class VecSubRow(left: Expression, right: Expression,
+      matrix: Seq[Seq[Double]]) extends BinaryExpression {
+    require(matrix.nonEmpty, "matrix must have at least one row")
+    require(matrix.forall(_.length == matrix.head.length),
+      "matrix rows must share one dimension")
+    private val rows = matrix.length
+    private val dim = matrix.head.length
+    @transient private lazy val flat: Array[Double] = matrix.flatten.toArray
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_vec_sub_row"
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val vecOk = left.dataType match {
+        case ArrayType(e, _) => elemOk(e)
+        case _ => false
+      }
+      if (!vecOk)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: first argument must be array<float|double>")
+      else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(right.dataType))
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: second argument must be integral")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+    @transient private lazy val elem =
+      left.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any, ix: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val idx = ix match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }
+      if (idx < 0 || idx >= rows || a.numElements() != dim) return null
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        i += 1
+      }
+      val off = idx.toInt * dim
+      val out = new Array[Double](dim)
+      var d = 0
+      while (d < dim) {
+        out(d) = getElem(a, elem, d) - flat(off + d)
+        d += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("graftSubMatrix", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, ix) => {
+        val out = ctx.freshName("out")
+        val d = ctx.freshName("d")
+        val off = ctx.freshName("off")
+        val bad = ctx.freshName("bad")
+        s"""
+           |if ((long)$ix < 0L || (long)$ix >= ${rows}L || $a.numElements() != $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $bad = false;
+           |  for (int $d = 0; $d < $dim; $d++) {
+           |    if ($a.isNullAt($d)) { $bad = true; break; }
+           |  }
+           |  if ($bad) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    final int $off = (int)$ix * $dim;
+           |    final double[] $out = new double[$dim];
+           |    for (int $d = 0; $d < $dim; $d++) {
+           |      $out[$d] = ${getter(elem, a, d)} - $matRef[$off + $d];
+           |    }
+           |    ${ev.value} =
+           |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |  }
+           |}""".stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VecSubRow =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Total squared PQ reconstruction error of a vector: per subspace,
     * pick the codeword by the SAME |c|²−2·v·c argmin as [[PqEncode]]
     * (so the measured error is the error of the codes actually stored),
@@ -698,6 +795,10 @@ object VectorExprs {
     GraftSqlBridge.column(BitAgreement(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
       bitsPerElement))
+
+  def vecSubRow(vec: Column, idx: Column, matrix: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(VecSubRow(GraftSqlBridge.expression(vec),
+      GraftSqlBridge.expression(idx), matrix))
 
   def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(vec), books))

@@ -114,32 +114,43 @@ object Pq {
       .select(col(idCol),
         VectorExprs.pqEncode(asDouble(col(vecCol)), codebooks).as("__codes"))
 
-  /** Per-query ADC tables as one projection over the query frame:
-    * `__tables(s)(j)` = |c_sj|² − 2·q_s·c_sj (the query's |q_s|² terms
-    * are constant per query and drop out of the per-query ranking).
-    * m × kCodes doubles per query — rides the broadcast. */
-  private[ops] def adcTables(queries: DataFrame, queryIdCol: String,
+  /** Per-query ADC tables as one projection over the query frame.
+    * `__tables(s)(j)` is the FULL per-subspace squared distance
+    * |v_s|² − 2·v_s·c_sj + |c_sj|²: the |v_s|² term is constant within
+    * one ranking group when the frame is keyed by query alone, but when
+    * the key is (query, cell) — residual IVFADC, where v is the
+    * per-cell query residual — the term differs across a query's probed
+    * cells, and dropping it would skew the cross-cell shortlist.
+    * Keeping it makes the table the true quantized distance in both
+    * uses. m × kCodes doubles per key row — rides the broadcast. */
+  private[ops] def adcTablesKeyed(frame: DataFrame, keyCols: Seq[String],
       vecCol: String, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebooks.size
     val dsub = codebooks.head.head.size
-    val base = queries.filter(col(vecCol).isNotNull)
-      .select(col(queryIdCol).as("query_id"),
-        asDouble(col(vecCol)).as("__qv"))
+    val base = frame.filter(col(vecCol).isNotNull)
+      .select(keyCols.map(col) :+ asDouble(col(vecCol)).as("__qv"): _*)
     val withDots = (0 until m).foldLeft(base) { (acc, s) =>
       val prev = acc.columns.map(col)
-      acc.select(prev :+ VectorExprs.matVecDots(
-        slice(col("__qv"), s * dsub + 1, dsub), codebooks(s))
-        .as(s"__qdots_$s"): _*)
+      val sub = slice(col("__qv"), s * dsub + 1, dsub)
+      acc.select(prev ++ Seq(
+        VectorExprs.matVecDots(sub, codebooks(s)).as(s"__qdots_$s"),
+        VectorExprs.dot(sub, sub).as(s"__qn2_$s")): _*)
     }
     val tables = (0 until m).map { s =>
       array(codebooks(s).zipWithIndex.map { case (c, j) =>
-        lit(c.map(x => x * x).sum) -
-          lit(2.0) * element_at(col(s"__qdots_$s"), j + 1)
+        col(s"__qn2_$s") -
+          lit(2.0) * element_at(col(s"__qdots_$s"), j + 1) +
+          lit(c.map(x => x * x).sum)
       }: _*)
     }
-    withDots.select(col("query_id"), col("__qv"),
-      array(tables: _*).as("__tables"))
+    withDots.select(keyCols.map(col) :+ array(tables: _*).as("__tables"): _*)
   }
+
+  private[ops] def adcTables(queries: DataFrame, queryIdCol: String,
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    adcTablesKeyed(
+      queries.select(col(queryIdCol).as("query_id"), col(vecCol)),
+      Seq("query_id"), vecCol, codebooks)
 
   /** End-to-end PQ search: train codebooks, encode the corpus, scan the
     * codes with ADC against the broadcast query tables, take the

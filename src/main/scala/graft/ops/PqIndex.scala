@@ -8,8 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Persisted IVFADC index: [[IvfIndex]]'s cell-partitioned layout with
   * [[Pq]] codes stored NEXT TO the vectors — the composition production
-  * ANN services run (Jégou et al. 2011 §IV), because the two halves
-  * prune different axes:
+  * ANN services run (Jégou et al. 2011 §IV). Codes quantize the
+  * RESIDUAL `v − centroid(cell)` (§IV.B): residuals concentrate near
+  * the origin whatever the cells' positions, so the same bit budget
+  * spends itself on local structure instead of re-encoding which cell
+  * a vector sits in. The two halves prune different axes:
   *
   *   - IVF prunes WHICH rows are read: the probe side broadcasts and
   *     dynamic partition pruning restricts the scan to the probed
@@ -37,27 +40,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every query result are reproducible across runs and layouts. */
 object PqIndex {
 
-  /** Train IVF centroids and PQ codebooks, assign + encode every row in
-    * one pass, write partitioned by cell with id-sorted files. Encode is
-    * one [[VectorExprs.PqEncode]] projection; the only exchange is the
-    * cell repartition the layout requires. */
+  /** Train IVF centroids, then PQ codebooks on the RESIDUALS
+    * `v − centroid(cell(v))` — the classic IVFADC arrangement (Jégou et
+    * al. §IV.B): residuals concentrate near the origin regardless of
+    * where cells sit, so a fixed bit budget quantizes them with less
+    * error than raw vectors whenever the corpus has cluster structure.
+    * Assign + residual ([[VectorExprs.VecSubRow]]) + encode
+    * ([[VectorExprs.PqEncode]]) is a pure projection per row; the only
+    * exchange is the cell repartition the layout requires. Files are
+    * id-sorted for the fetch path's row-group skipping. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       dim: Int, nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
       iters: Int = 3, trainSampleMod: Int = 1): Unit = {
     val spark = corpus.sparkSession
     val cents = Similarity.trainCentroids(corpus, idCol, vecCol, nCells,
       iters, trainSampleMod)
-    val books = Pq.trainCodebooks(corpus, idCol, vecCol, dim, m, kCodes,
-      iters, trainSampleMod)
     val assigned = Similarity.assignCells(
       corpus.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v")),
       "__id", cents)
-    corpus.select(col(idCol),
-        VectorExprs.pqEncode(col(vecCol).cast("array<double>"), books)
-          .as("__codes"),
-        col(vecCol))
+    val withCell = corpus.select(col(idCol), col(vecCol))
       .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
+    val resid = withCell.select(col(idCol),
+      VectorExprs.vecSubRow(col(vecCol).cast("array<double>"),
+        col("__cell"), cents).as("__resid"))
+    val books = Pq.trainCodebooks(resid, idCol, "__resid", dim, m, kCodes,
+      iters, trainSampleMod)
+    withCell.select(col(idCol),
+        VectorExprs.pqEncode(
+          VectorExprs.vecSubRow(col(vecCol).cast("array<double>"),
+            col("__cell"), cents), books).as("__codes"),
+        col(vecCol), col("__cell"))
       .repartition(col("__cell"))
       .sortWithinPartitions(col(idCol))
       .write.mode("overwrite").partitionBy("__cell")
@@ -88,11 +101,13 @@ object PqIndex {
       batch.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v")),
       "__id", cents)
-    batch.select(col(idCol),
-        VectorExprs.pqEncode(col(vecCol).cast("array<double>"), books)
-          .as("__codes"),
-        col(vecCol))
+    batch.select(col(idCol), col(vecCol))
       .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
+      .select(col(idCol),
+        VectorExprs.pqEncode(
+          VectorExprs.vecSubRow(col(vecCol).cast("array<double>"),
+            col("__cell"), cents), books).as("__codes"),
+        col(vecCol), col("__cell"))
       .sortWithinPartitions(col(idCol))
       .write.mode("append").partitionBy("__cell")
       .parquet(s"$path/cells")
@@ -123,20 +138,34 @@ object PqIndex {
     * the shortlist, same contract as [[IvfIndex.topK]]. */
   /** The ADC candidate frame of [[topK]]'s step 1, exposed so its plan
     * contracts (DPP to probed cells, codes-only ReadSchema) are
-    * assertable in isolation: (query_id, __cell, idCol, __adc). */
+    * assertable in isolation: (query_id, __cell, idCol, __adc).
+    *
+    * Tables are per (query, probed cell) over the query RESIDUAL
+    * q − centroid(cell) — matching the residual-encoded codes — and
+    * carry the full |r_s − c|² per subspace, so `__adc` is the true
+    * quantized distance and shortlists compare fairly ACROSS a query's
+    * probed cells (Q × nprobe × m × kCodes doubles, still broadcast).
+    * The probe set and the tables ride one broadcast frame, which is
+    * also the dynamic-partition-pruning subquery for the cells scan. */
   private[graft] def adcCandidates(spark: SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       queryIdCol: String, nprobe: Int): DataFrame = {
     val cents = IvfIndex.loadCentroids(spark, path)
     val books = loadCodebooks(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
-    val probes = broadcast(
-      Similarity.probeCells(queries, queryIdCol, vecCol, cents, nprobe))
-    val qt = broadcast(Pq.adcTables(queries, queryIdCol, vecCol, books)
-      .select(col("query_id"), col("__tables")))
+    val probes = Similarity.probeCells(queries, queryIdCol, vecCol,
+      cents, nprobe)
+    val qvecs = queries.filter(col(vecCol).isNotNull)
+      .select(col(queryIdCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__qv"))
+    val qresid = probes.join(qvecs, Seq("query_id"))
+      .select(col("query_id"), col("__cell"),
+        VectorExprs.vecSubRow(col("__qv"), col("__cell"), cents)
+          .as("__rv"))
+    val qt = broadcast(Pq.adcTablesKeyed(qresid,
+      Seq("query_id", "__cell"), "__rv", books))
     cells.select(col("__cell"), col(idCol), col("__codes"))
-      .join(probes, Seq("__cell"))
-      .join(qt, Seq("query_id"))
+      .join(qt, Seq("__cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("__adc", aggregate(
         zip_with(col("__codes"), col("__tables"),

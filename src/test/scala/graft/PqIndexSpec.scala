@@ -30,7 +30,20 @@ class PqIndexSpec extends AnyFunSuite {
     PqIndex.build(emb, "vec_id", "embedding", tmp, dim = 64, nCells = 8,
       m = 8, kCodes = 16, iters = 2)
     val loaded = PqIndex.loadCodebooks(spark, tmp)
-    val trained = graft.ops.Pq.trainCodebooks(emb, "vec_id", "embedding",
+    // re-derive the RESIDUAL training frame the build used (v minus its
+    // cell's centroid) and retrain — deterministic, so the text artifact
+    // must reproduce it to the last bit
+    val cents = graft.ops.IvfIndex.loadCentroids(spark, tmp)
+    val assigned = Similarity.assignCells(
+      emb.select(col("vec_id").as("__id"),
+        col("embedding").cast("array<double>").as("__v")),
+      "__id", cents)
+    val resid = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned.select(col("__id").as("vec_id"), col("__cell")), "vec_id")
+      .select(col("vec_id"), graft.functions.VectorExprs.vecSubRow(
+        col("embedding").cast("array<double>"), col("__cell"), cents)
+        .as("__resid"))
+    val trained = graft.ops.Pq.trainCodebooks(resid, "vec_id", "__resid",
       dim = 64, m = 8, kCodes = 16, iters = 2)
     assert(loaded == trained)
   }
