@@ -76,6 +76,27 @@ class BloomGateSpec extends AnyFunSuite {
     assert(r.getAs[Long]("set_bits") <= 400L * 5)
   }
 
+  test("plan: build is projection + one bit_or exchange; probe adds <= 2") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val bloom = BloomGate.build(corpus, "text")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[
+          org.apache.spark.sql.Row]]
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    }
+    // hash/explode/mask are all per-row; the only exchange the build may
+    // pay is the word aggregation's (partial bit_or combines map-side)
+    assert(shuffles(bloom) === 1, "bloom build must shuffle exactly once")
+    val fresh = (0 until 50).map(i => (9000L + i, s"probe doc $i"))
+    import spark.implicits._
+    val probe = BloomGate.probe(bloom, fresh.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // word join + per-id verdict aggregate (AQE may broadcast the join)
+    assert(shuffles(probe) <= 3, "bloom probe shuffled more than join+agg")
+  }
+
   test("guards: bad geometry rejected loudly") {
     intercept[IllegalArgumentException] {
       BloomGate.build(docs, "text", mBitsPerBucket = 10)
