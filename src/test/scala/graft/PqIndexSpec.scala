@@ -161,6 +161,47 @@ class PqIndexSpec extends AnyFunSuite {
     assert(PqIndex.recover(spark, tmp) == "ok")
   }
 
+  test("residual codebooks quantize clustered data far better than raw") {
+    // the testdata embeddings are near-uniform, where residual vs raw is
+    // a wash — build a CLUSTERED corpus (the regime residual encoding
+    // exists for): 8 well-separated centers, rows = center + small noise.
+    // Raw PQ must spend its bits re-encoding which center a row sits at;
+    // residual PQ only encodes the noise. Deterministic seed.
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextDouble() * 4 - 2))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding")
+    val rawBooks = graft.ops.Pq.trainCodebooks(df, "vec_id", "embedding",
+      dim = 64, m = 8, kCodes = 16, iters = 2)
+    val rawErr = graft.ops.Pq.reconstructionError(df, "vec_id", "embedding",
+      rawBooks).collect().head.getAs[Double]("mean_sq_err")
+    val tmp = fresh()
+    PqIndex.build(df, "vec_id", "embedding", tmp, dim = 64, nCells = 8,
+      m = 8, kCodes = 16, iters = 2)
+    val cents = graft.ops.IvfIndex.loadCentroids(spark, tmp)
+    val residBooks = PqIndex.loadCodebooks(spark, tmp)
+    val assigned = Similarity.assignCells(
+      df.select(col("vec_id").as("__id"),
+        col("embedding").cast("array<double>").as("__v")),
+      "__id", cents)
+    val resid = df
+      .join(assigned.select(col("__id").as("vec_id"), col("__cell")), "vec_id")
+      .select(col("vec_id"), graft.functions.VectorExprs.vecSubRow(
+        col("embedding").cast("array<double>"), col("__cell"), cents)
+        .as("__resid"))
+    val residErr = graft.ops.Pq.reconstructionError(resid, "vec_id",
+      "__resid", residBooks).collect().head.getAs[Double]("mean_sq_err")
+    info(s"raw mean_sq_err=$rawErr residual mean_sq_err=$residErr " +
+      s"(${residErr / rawErr} of raw)")
+    assert(residErr < rawErr * 0.5,
+      s"residual books should at least halve the error on clustered data: " +
+        s"raw $rawErr vs residual $residErr")
+  }
+
   test("guards: shortlist >= k enforced") {
     intercept[IllegalArgumentException] {
       PqIndex.topK(spark, "/tmp/nonexistent", emb.limit(1), "vec_id",
