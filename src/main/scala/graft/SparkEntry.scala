@@ -1643,6 +1643,38 @@ object SparkEntry {
         orderBy = Seq("orderstatus"))), "bal_per_customer")
     }),
 
+    // Agg auto-extraction parity (core/metric.py:68-226): `expr:` is an
+    // accepted alias of `sql:`, and a FILTER (WHERE …) clause on the
+    // aggregate extracts to a metric-level filter — both plan exactly
+    // like the hand-split (agg, sql, filters) form
+    "q_agg_extract" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             |  cast(o_totalprice as decimal(18,2)) AS amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val pkg = graft.load.YamlLoader.loadPackageString(
+        """version: 1
+          |models:
+          |  - name: ylx_orders
+          |    table: orders
+          |    primary_key: o_orderkey
+          |    dimensions:
+          |      - name: orderstatus
+          |        sql: o_orderstatus
+          |    metrics:
+          |      - name: revenue
+          |        expr: SUM(amount)
+          |      - name: urgent_count
+          |        sql: COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+          |""".stripMargin, resolve)
+      val cat = graft.model.Catalog().add(pkg.models: _*)
+      new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("ylx_orders.revenue", "ylx_orders.urgent_count"),
+        dimensions = Seq("ylx_orders.orderstatus"),
+        orderBy = Seq("orderstatus")))
+    }),
+
     // §2 row 55: streaming pre-agg maintenance — the AvailableNow backlog
     // run over a staged copy of the source must converge to the batch
     // aggregate (idempotent per-batch deltas, re-aggregated on read)
@@ -2787,7 +2819,12 @@ object SparkEntry {
     // retrieved through centroid-cell probing. twin_found is fully
     // deterministic (hash-seeded centroids, decimal-summed means), so
     // the oracle pins it literally — a centroid/probe regression flips
-    // booleans and fails the hash
+    // booleans and fails the hash. This verify twin retrains IN-MEMORY
+    // every pass by design (the persisted production path is
+    // q_ann_ivfpq); trainSampleMod=4 applies the trainer's own
+    // documented cap so the per-pass Lloyd rounds aggregate a 1/4
+    // hash-sample instead of the full corpus — the 100 TB arrangement
+    // (train on a slice, assign everything once)
     "q_ann_ivf" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       val twins = emb.filter(col("vec_id") < 5).select(
@@ -2798,7 +2835,7 @@ object SparkEntry {
       val aug = emb.select(col("vec_id"), col("embedding")).unionByName(twins)
       val queries = emb.filter(col("vec_id") < 5)
       val ivf = Similarity.ivfTopK(aug, queries, "vec_id", "embedding",
-        "vec_id", k = 5, nCells = 16, nprobe = 4)
+        "vec_id", k = 5, nCells = 16, nprobe = 4, trainSampleMod = 4)
       asLong(queries.select(col("vec_id").as("query_id"))
         .join(ivf.filter(col("neighbor_id") === col("query_id") + 100000)
           .select(col("query_id"), lit(true).as("twin_found")),
@@ -3020,6 +3057,21 @@ object SparkEntry {
     // so the sniffed struct has a pure-SQL oracle.
     "q_media_sniff" -> ((s, d) => {
       val media = Multimodal.syntheticMixedMedia(docs(s, d), "doc_id")
+      media.select(col("media_id"),
+          Multimodal.sniffMedia(col("content")).as("m"))
+        .select(col("media_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"))
+        .orderBy("media_id")
+    }),
+
+    // round-12 container additions (WebP/MP4/M4A/OGG/FLAC): every field
+    // is id-math the oracle replays — a parser regression in any of the
+    // new byte walks flips a value and fails the hash
+    "q_media_sniff_ext" -> ((s, d) => {
+      val media = Multimodal.syntheticMixedMediaExt(docs(s, d), "doc_id")
       media.select(col("media_id"),
           Multimodal.sniffMedia(col("content")).as("m"))
         .select(col("media_id"), col("m.format").as("format"),
@@ -3278,6 +3330,24 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN cast(1 + doc_id % 2 as int)
         |    END AS channels,
         |  CASE WHEN doc_id % 3 = 2 THEN 8000 END AS sample_rate
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_media_sniff_ext" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'webp'
+        |    WHEN 1 THEN CASE (doc_id // 4) % 2 WHEN 1 THEN 'm4a' ELSE 'mp4' END
+        |    WHEN 2 THEN 'ogg' ELSE 'flac' END AS format,
+        |  CASE WHEN doc_id % 4 = 0 THEN cast(8 + (doc_id % 16) as int)
+        |    END AS width,
+        |  CASE WHEN doc_id % 4 = 0 THEN cast(8 + ((doc_id // 16) % 16) as int)
+        |    END AS height,
+        |  CASE WHEN doc_id % 4 = 1 THEN ((doc_id % 300) + 1) * 100
+        |       WHEN doc_id % 4 = 3 THEN ((doc_id % 100) + 1) * 100
+        |    END AS duration_ms,
+        |  CASE WHEN doc_id % 4 = 2 THEN cast(1 + doc_id % 2 as int)
+        |       WHEN doc_id % 4 = 3 THEN 2 END AS channels,
+        |  CASE WHEN doc_id % 4 IN (2, 3) THEN 44100 END AS sample_rate
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_simple_agg" ->
@@ -4152,6 +4222,13 @@ object SparkEntry {
         |        c.c_custkey AS ck, cast(c.c_acctbal as decimal(18,2)) AS acct
         |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_extract" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+        |    AS urgent_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_streaming_rollup" ->
       """SELECT o_orderstatus AS orderstatus,

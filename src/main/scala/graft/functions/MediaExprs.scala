@@ -31,12 +31,28 @@ import org.apache.spark.unsafe.types.UTF8String
   *            header sniff must not require the payload to be present
   *            (an object-store range-GET of the first KB sees exactly
   *            these bytes).
+  *   - WebP — RIFF/WEBP first chunk: lossy `VP8 ` frame tag (14-bit
+  *            w/h), lossless `VP8L` 14-bit packed dims, extended `VP8X`
+  *            24-bit canvas dims
+  *   - MP4/M4A — ISO-BMFF box walk: `ftyp` major brand picks the
+  *            format name, then top-level boxes to `moov`/`mvhd` for
+  *            timescale + duration. Faststart files carry `moov` up
+  *            front and get duration_ms; tail-moov files (the
+  *            streaming-hostile layout) are still recognized by brand
+  *            with a null duration — a header sniff never demands the
+  *            whole object.
+  *   - OGG  — first page's id packet: `\x01vorbis` or `OpusHead`
+  *            (channels, sample rate; duration lives in the LAST page's
+  *            granule, out of header reach → null)
+  *   - FLAC — `fLaC` + mandatory first STREAMINFO block: 20-bit sample
+  *            rate, 3-bit channels, 36-bit total samples → duration_ms
   *
   * Result: `struct<format string, width int, height int, duration_ms
   * bigint, channels int, sample_rate int>`; NULL for bytes no parser
   * recognizes (including truncated or corrupt headers — every read is
   * bounds-checked, never an exception). Image rows carry null audio
-  * fields and vice versa.
+  * fields and vice versa; fields a recognized container keeps out of
+  * header reach are null, not an excuse to return no row.
   */
 object MediaExprs {
 
@@ -143,6 +159,125 @@ object MediaExprs {
       dataBytes * 1000L / byteRate, channels, sampleRate.toInt))
   }
 
+  /** RIFF dispatch: the container four-cc at 8 separates WAVE from WEBP. */
+  private def riff(b: Array[Byte]): InternalRow = {
+    if (b.length < 12 || !tag(b, 0, "RIFF")) return null
+    if (tag(b, 8, "WAVE")) wav(b)
+    else if (tag(b, 8, "WEBP")) webp(b)
+    else null
+  }
+
+  private def le24(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+
+  private def webp(b: Array[Byte]): InternalRow = {
+    if (b.length < 30) return null
+    if (tag(b, 12, "VP8 ")) {
+      // lossy: 3-byte frame tag, then start code 9D 01 2A, then 14-bit dims
+      if (u8(b, 23) != 0x9d || u8(b, 24) != 0x01 || u8(b, 25) != 0x2a) null
+      else image("webp", (le16(b, 26) & 0x3fff).toLong,
+        (le16(b, 28) & 0x3fff).toLong)
+    } else if (tag(b, 12, "VP8L")) {
+      // lossless: 0x2F signature, then width-1 / height-1 in 14-bit fields
+      if (u8(b, 20) != 0x2f) null
+      else {
+        val bits = le32(b, 21)
+        image("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1)
+      }
+    } else if (tag(b, 12, "VP8X")) {
+      // extended: 24-bit little-endian canvas width-1 / height-1
+      image("webp", le24(b, 24).toLong + 1, le24(b, 27).toLong + 1)
+    } else null
+  }
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** ISO-BMFF box walk (MP4/M4A/MOV family). Boxes are
+    * [size be32][type 4cc]; size 1 = 64-bit extended size follows,
+    * size 0 = "to end of file" (ends the walk — unbounded). `moov` is a
+    * pure container, so its children are walked in place. A box that
+    * runs past the provided bytes ends the walk: whatever was parsed by
+    * then stands (brand-only rows for tail-moov files). */
+  private def mp4(b: Array[Byte]): InternalRow = {
+    if (b.length < 12 || !tag(b, 4, "ftyp")) return null
+    val fmt = if (tag(b, 8, "M4A ")) "m4a" else "mp4"
+    var durationMs: Any = null
+    var i = 0
+    var guard = 0
+    while (i + 8 <= b.length && guard < 64) {
+      guard += 1
+      var size = be32(b, i)
+      var hdr = 8
+      if (size == 1) {
+        if (i + 16 > b.length) return row(fmt, durationMs)
+        size = be64(b, i + 8); hdr = 16
+      }
+      if (size == 0 || size < hdr || i + size > Int.MaxValue)
+        return row(fmt, durationMs)
+      if (tag(b, i + 4, "moov")) i += hdr // container: descend in place
+      else if (tag(b, i + 4, "mvhd")) {
+        val v = if (i + hdr < b.length) u8(b, i + hdr) else return row(fmt, durationMs)
+        if (v == 0 && i + hdr + 20 <= b.length) {
+          val ts = be32(b, i + hdr + 12)
+          val dur = be32(b, i + hdr + 16)
+          if (ts > 0) durationMs = dur * 1000L / ts
+        } else if (v == 1 && i + hdr + 32 <= b.length) {
+          val ts = be32(b, i + hdr + 20)
+          val dur = be64(b, i + hdr + 24)
+          if (ts > 0 && dur >= 0) durationMs = dur * 1000L / ts
+        }
+        return row(fmt, durationMs)
+      } else i += size.toInt
+    }
+    row(fmt, durationMs)
+  }
+
+  private def row(fmt: String, durationMs: Any): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(fmt), null, null, durationMs, null, null))
+
+  /** First OGG page: 27-byte header + segment table, then the codec id
+    * packet. Vorbis/Opus id headers carry channels + sample rate; total
+    * duration lives in the stream's LAST granule position — not header
+    * territory, so it stays null. */
+  private def ogg(b: Array[Byte]): InternalRow = {
+    if (b.length < 28 || !tag(b, 0, "OggS") || u8(b, 4) != 0) return null
+    val nsegs = u8(b, 26)
+    val p = 27 + nsegs // first packet start
+    if (p + 19 > b.length) return null
+    if (u8(b, p) == 0x01 && tag(b, p + 1, "vorbis")) {
+      // id header: version le32 @+7, channels u8 @+11, rate le32 @+12
+      val ch = u8(b, p + 11); val sr = le32(b, p + 12)
+      if (ch <= 0 || sr <= 0 || sr > Int.MaxValue) return null
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString("ogg"), null, null, null, ch, sr.toInt))
+    } else if (tag(b, p, "OpusHead")) {
+      // channels u8 @+9, input sample rate le32 @+12
+      val ch = u8(b, p + 9); val sr = le32(b, p + 12)
+      if (ch <= 0 || sr <= 0 || sr > Int.MaxValue) return null
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString("ogg"), null, null, null, ch, sr.toInt))
+    } else null
+  }
+
+  /** `fLaC` + the mandatory first STREAMINFO block: sample rate (20
+    * bits), channels-1 (3 bits), total samples (36 bits) packed at
+    * byte 18 of the stream. */
+  private def flac(b: Array[Byte]): InternalRow = {
+    if (b.length < 26 || !tag(b, 0, "fLaC")) return null
+    if ((u8(b, 4) & 0x7f) != 0) return null // first block must be STREAMINFO
+    val sr = (u8(b, 18) << 12) | (u8(b, 19) << 4) | (u8(b, 20) >> 4)
+    val ch = ((u8(b, 20) >> 1) & 0x7) + 1
+    // 36-bit total: low nibble of byte 21 (after 5 bps bits) + be32(22)
+    val totalSamples = ((u8(b, 21) & 0x0f).toLong << 32) | be32(b, 22)
+    if (sr <= 0) return null
+    val durationMs: Any =
+      if (totalSamples > 0) totalSamples * 1000L / sr else null
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString("flac"), null, null, durationMs, ch, sr))
+  }
+
   /** Static entry the generated code calls: first matching container wins
     * (signatures are disjoint). Null bytes / no match → null row. */
   def sniff(bytes: Array[Byte]): InternalRow = {
@@ -150,9 +285,12 @@ object MediaExprs {
     u8(bytes, 0) match {
       case 0x89 => png(bytes)
       case 0xff => jpeg(bytes)
-      case 0x47 => gif(bytes) // 'G'
-      case 0x42 => bmp(bytes) // 'B'
-      case 0x52 => wav(bytes) // 'R'
+      case 0x47 => gif(bytes)  // 'G'
+      case 0x42 => bmp(bytes)  // 'B'
+      case 0x52 => riff(bytes) // 'R' — WAVE or WEBP
+      case 0x4f => ogg(bytes)  // 'O'
+      case 0x66 => flac(bytes) // 'f'
+      case 0x00 => mp4(bytes)  // ftyp box size high byte
       case _    => null
     }
   }

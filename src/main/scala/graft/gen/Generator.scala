@@ -458,17 +458,27 @@ final class Generator(spark: SparkSession, cat: Catalog,
     }
   }
 
-  /** True when any field the query asks for lives on a model with a
-    * declared security policy — the preagg-bypass predicate. Segments
-    * carry a model prefix too; raw filter strings are NOT parsed here
-    * because a rollup can only serve fields of its own (checked) model,
-    * so a filter-only reference can never route a secured model's rows
-    * through a rollup. */
-  private def referencesSecuredModel(q: SemanticQuery): Boolean =
-    (q.metrics ++ q.dimensions ++ q.segments).iterator
+  /** True when any model the query touches declares a security policy —
+    * the preagg-bypass predicate. Segments carry a model prefix too.
+    * Filters are parsed as well (same `Exprs.refs` split
+    * `PreAggStore.prepare` uses): prepare() accepts foreign-model filter
+    * conjuncts and joins that model WITHOUT [[securedScan]], so a
+    * filter-only reference to a secured model would otherwise route its
+    * rows around the access gate, the deny-by-default no-user check, and
+    * the row filters the base path enforces. Filter parsing only runs
+    * when some model actually declares security, keeping the common
+    * (unsecured) compile path parse-free. */
+  private def referencesSecuredModel(q: SemanticQuery): Boolean = {
+    def secured(m: String) = cat.models.get(m).exists(_.security.isDefined)
+    if (!cat.models.values.exists(_.security.isDefined)) return false
+    val fieldModels = (q.metrics ++ q.dimensions ++ q.segments).iterator
       .filter(_.contains('.')) // unprefixed graph metrics never route
       .map(r => FieldRef.parse(r).model) // through a (model-scoped) rollup
-      .exists(m => cat.models.get(m).exists(_.security.isDefined))
+    val filterModels = q.filters.iterator.flatMap(f =>
+      Exprs.refs(spark, Exprs.interpolate(f, q.parameters))
+        .collect { case Seq(m, _) => m })
+    (fieldModels ++ filterModels).exists(secured)
+  }
 
   private def compute(q: SemanticQuery): DataFrame = withTimezone(q.timezone) {
     // pre-aggregation routing first (reference route order,

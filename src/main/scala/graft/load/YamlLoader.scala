@@ -263,6 +263,20 @@ object YamlLoader {
     * and silently double-count the one-side). */
   private def expandMetric(m: Map[String, Any]): Seq[Metric] = {
     val parsed = parseMetric(m)
+    // `type: cumulative, sql: SUM(amount)` — the reference's extraction
+    // fires for cumulative too (core/metric.py:115 allows it, "to
+    // support AVG/COUNT windows"); here the inline aggregate decomposes
+    // into a hidden simple base metric so the window planner keeps its
+    // named-base contract (and the base goes through fan-out safety)
+    if (parsed.metricType.contains("cumulative") &&
+        !skipExtraction(m) && parsed.baseMetric.exists(b =>
+          AggExtract.parse(b).isDefined)) {
+      val x = AggExtract.parse(parsed.baseMetric.get).get
+      val base = Metric(name = s"${parsed.name}__base", agg = Some(x.agg),
+        sql = x.inner, filters = x.filter.toSeq, public = false)
+      return Seq(base,
+        parsed.copy(baseMetric = Some(base.name)))
+    }
     val isPlain = parsed.agg.isEmpty && parsed.metricType.isEmpty &&
       parsed.numerator.isEmpty && parsed.steps.isEmpty
     parsed.sql match {
@@ -283,6 +297,14 @@ object YamlLoader {
     }
   }
 
+  /** Extraction opt-outs (core/metric.py:104-117): `sql_is_complete`
+    * marks the sql an opaque, complete aggregate expression (imported
+    * Cube/Tesseract measures) that must be preserved verbatim with
+    * agg=None; DAX expressions are a different grammar entirely. */
+  private def skipExtraction(m: Map[String, Any]): Boolean =
+    m.get("sql_is_complete").exists(_.toString.toBoolean) ||
+      m.get("expression_language").exists(_.toString == "dax")
+
   private def parseMetric(m: Map[String, Any]): Metric = {
     val parsed = parseMetric0(m)
     // Agg auto-extraction (reference: core/metric.py:68-226): a metric
@@ -290,7 +312,8 @@ object YamlLoader {
     // (agg, inner expr, FILTER clause) via Catalyst so it plans
     // identically to `agg: sum, sql: amount`. Composite expressions
     // (`SUM(a) / SUM(b)`) stay derived.
-    if (parsed.agg.isEmpty && parsed.metricType.isEmpty)
+    if (parsed.agg.isEmpty && parsed.metricType.isEmpty &&
+        !skipExtraction(m))
       parsed.sql.flatMap(AggExtract.parse) match {
         case Some(x) => parsed.copy(agg = Some(x.agg), sql = x.inner,
           filters = parsed.filters ++ x.filter)
@@ -302,7 +325,15 @@ object YamlLoader {
   private def parseMetric0(m: Map[String, Any]): Metric = {
     val mtype = m.get("type").map(_.toString)
     // `expr` (measures-style aliases) and `measure` (derived formula in the
-    // native_aliases fixture) are accepted spellings of `sql`
+    // native_aliases fixture) are accepted spellings of `sql`; both
+    // spellings at once must agree (core/metric.py:89-91 raises)
+    (m.get("sql"), m.get("expr")) match {
+      case (Some(s), Some(e)) if s.toString != e.toString =>
+        throw new IllegalArgumentException(
+          s"metric '${m("name")}': cannot specify both sql='$s' and " +
+            s"expr='$e' with different values")
+      case _ => ()
+    }
     val sql = m.get("sql").orElse(m.get("expr")).orElse(m.get("measure"))
       .map(_.toString)
     // `type: cumulative` uses `sql:` for its base metric reference in the

@@ -72,9 +72,12 @@ object BloomGate {
   /** Gate a batch against a word table built with the SAME
     * (mBitsPerBucket, kHashes, nBuckets): one row per batch row,
     * (idCol, maybe_dup). A key is `maybe_dup` only if ALL k of its bits
-    * are set; any missing word row is an unset bit. The join is k rows
-    * per key against the word table — partition-prunable by bucket and
-    * broadcastable when the filter is small. */
+    * are set; any missing word row is an unset bit. Null-keyed rows are
+    * `maybe_dup = false`: [[build]] never inserts null keys, so a null
+    * key is definitively absent — callers routing false→ingest /
+    * true→exact path see every batch row on exactly one side. The join
+    * is k rows per key against the word table — partition-prunable by
+    * bucket and broadcastable when the filter is small. */
   def probe(bloom: DataFrame, batch: DataFrame, idCol: String,
       keyCol: String, mBitsPerBucket: Int = 1 << 14, kHashes: Int = 5,
       nBuckets: Int = 32): DataFrame = {
@@ -96,6 +99,8 @@ object BloomGate {
       .groupBy(col(idCol))
       .agg((count(lit(1)) === sum(when(col("__hit"), 1).otherwise(0)))
         .as("maybe_dup"))
+      .unionByName(batch.filter(key.isNull)
+        .select(col(idCol), lit(false).as("maybe_dup")))
   }
 
   /** Occupancy report of a word table: (buckets, words, set_bits,

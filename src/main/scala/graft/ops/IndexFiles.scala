@@ -21,10 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * A crash between 2 and 3 is the only window with no `<live>`
   * directory, and BOTH `<live>.old` (old layout, complete) and
-  * `<live>.compact` (new layout, complete) exist there — recovery is
-  * renaming either into place (re-running compact also heals: step 1's
-  * overwrite rewrites the copy). Contrast delete-then-rename, whose
-  * crash window destroys the old copy before the new one is live.
+  * `<live>.compact` (new layout, complete) exist there — [[recover]]
+  * heals it by renaming one into place, and [[compactWith]] invokes it
+  * first, so re-running compact heals too. Contrast delete-then-rename,
+  * whose crash window destroys the old copy before the new one is live.
   * Single-writer contract as with the ingest paths: don't compact
   * concurrently with an append/ingest.
   */
@@ -84,6 +84,7 @@ private[graft] object IndexFiles {
   def compactWith(spark: SparkSession, path: String, sub: String)(
       write: DataFrame => org.apache.spark.sql.DataFrameWriter[
         org.apache.spark.sql.Row]): DataFrame = {
+    recover(spark, path, sub) // heal a prior crashed swap before reading
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val live = new Path(s"$path/$sub")

@@ -176,6 +176,106 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Deterministic synthetic corpus over the round-11 format additions
+    * (WebP / MP4 / M4A / OGG / FLAC), cycling by `id % 4` — the same
+    * id-math contract as [[syntheticMixedMedia]], so a DuckDB oracle
+    * replays every sniffed field from the id alone. All containers are
+    * hand-built byte buffers (no codec dependencies): the headers are
+    * real, the payloads zeroed. */
+  def syntheticMixedMediaExt(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    val projected = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = (id % 4) match {
+          case 0 => encodeWebpLossless(id)
+          case 1 => encodeMp4(id)
+          case 2 => encodeOggVorbis(id)
+          case _ => encodeFlac(id)
+        }
+        Row(id, bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Lossless WebP (VP8L): 14-bit packed width-1 / height-1. */
+  private def encodeWebpLossless(id: Long): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + ((id / 16) % 16).toInt
+    val buf = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(22)
+      .put("WEBP".getBytes("US-ASCII"))
+    buf.put("VP8L".getBytes("US-ASCII")).putInt(10)
+    buf.put(0x2f.toByte)
+    buf.putInt((w - 1) | ((h - 1) << 14)) // + version 0 in the top bits
+    buf.array()
+  }
+
+  /** ISO-BMFF ftyp + faststart moov/mvhd (v0). Odd `id/4` slices carry
+    * the `M4A ` major brand. duration_ms = (id%300+1)*100 exactly (the
+    * mvhd timescale is 1000). */
+  private def encodeMp4(id: Long): Array[Byte] = {
+    val m4a = (id / 4) % 2 == 1
+    val durMs = ((id % 300) + 1) * 100
+    val buf = java.nio.ByteBuffer.allocate(16 + 8 + 108) // big-endian default
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put((if (m4a) "M4A " else "isom").getBytes("US-ASCII")).putInt(0)
+    buf.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(1000) // timescale
+      .putInt(durMs.toInt) // duration in timescale units
+    // rest of the mvhd body (rate, volume, matrix, next track) stays zero
+    buf.array()
+  }
+
+  /** First OGG page holding a Vorbis identification header. */
+  private def encodeOggVorbis(id: Long): Array[Byte] = {
+    val channels = 1 + (id % 2).toInt
+    val packet = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    packet.put(0x01.toByte).put("vorbis".getBytes("US-ASCII"))
+      .putInt(0) // vorbis version
+      .put(channels.toByte).putInt(44100)
+      .putInt(0).putInt(0).putInt(0) // bitrate max/nominal/min
+      .put(0xb8.toByte).put(0x01.toByte) // blocksizes + framing
+    val page = java.nio.ByteBuffer.allocate(27 + 1 + 30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    page.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+      .put(0x02.toByte) // header type: beginning of stream
+      .putLong(0L).putInt(7777).putInt(0).putInt(0) // granule serial seq crc
+      .put(1.toByte).put(30.toByte) // one segment of 30 bytes
+      .put(packet.array())
+    page.array()
+  }
+
+  /** `fLaC` + STREAMINFO: 44.1 kHz stereo, 16-bit, total samples =
+    * (id%100+1)*4410 → duration_ms = (id%100+1)*100 exactly. */
+  private def encodeFlac(id: Long): Array[Byte] = {
+    val totalSamples = ((id % 100) + 1) * 4410L
+    val buf = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+    buf.put("fLaC".getBytes("US-ASCII"))
+    buf.put(0x80.toByte) // last-block flag + STREAMINFO type 0
+    buf.put(0.toByte).put(0.toByte).put(34.toByte) // block length be24
+    buf.putShort(4096).putShort(4096) // min/max blocksize
+    buf.put(0.toByte).put(0.toByte).put(0.toByte) // min framesize
+    buf.put(0.toByte).put(0.toByte).put(0.toByte) // max framesize
+    // packed: sr 44100 (20b) | ch-1 = 1 (3b) | bps-1 = 15 (5b) | total (36b)
+    buf.put(0x0a.toByte).put(0xc4.toByte) // sr high bits
+    buf.put((0x40 | (1 << 1) | 0).toByte) // sr low nibble, ch-1, bps bit4
+    buf.put((0xf0 | ((totalSamples >> 32) & 0xf)).toByte)
+    buf.putInt(totalSamples.toInt)
+    // 16 MD5 bytes stay zero
+    buf.array()
+  }
+
   private def encodeTile(id: Long, format: String): Array[Byte] = {
     val w = 8 + (id % 16).toInt
     val h = 8 + ((id / 16) % 16).toInt

@@ -24,13 +24,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The final ranking is exact: the per-query ADC shortlist is re-ranked
   * with true cosine, fetching vectors for just the shortlisted rows.
-  * That fetch collects the shortlist to the driver first — bounded by
-  * queries × shortlist BY CONSTRUCTION (independent of corpus size; the
-  * same bounded-collect contract as [[TextIndex]]'s query-term lists) —
-  * so the vector fetch is a static `__cell`-pruned, id-IN-pushed scan:
-  * [[build]] sorts each cell file by id, so the IN filter's min/max
-  * skips whole row groups and the floats read are ∝ shortlist, not
-  * ∝ probed cells.
+  * The shortlist stays a DataFrame end-to-end — bounded by queries ×
+  * shortlist BY CONSTRUCTION (independent of corpus size), so it
+  * broadcasts, and the fetch is a broadcast join on (`__cell`, id) over
+  * a scan statically pruned to the probed cells (a ≤ nCells literal —
+  * index-metadata scale, like the centroids). No shortlist row ever
+  * round-trips the driver, which is what lets an offline million-query
+  * probe batch (hard-negative mining over a whole training set) run as
+  * one job.
   *
   * Layout under `path`:
   *   - `cells/__cell=<i>/…` — (id, `__codes`, vector), id-sorted files
@@ -124,16 +125,14 @@ object PqIndex {
     }.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
   }
 
-  /** Query the persisted index. Three scans, each pruned on its own
-    * axis:
+  /** Query the persisted index. Two scans, each pruned on its own axis:
     *   1. ADC candidate scan — probed cells only (dynamic partition
     *      pruning), (id, `__codes`) columns only (column pruning): the
     *      corpus floats stay on disk.
-    *   2. Shortlist collect — queries × shortlist (cell, id) rows to the
-    *      driver (bounded by construction).
-    *   3. Vector fetch — static `__cell` IN + id IN filters: partition
-    *      pruning plus row-group stat skipping over the id-sorted files;
-    *      floats read ∝ shortlist.
+    *   2. Vector fetch — a broadcast join of the shortlist (bounded by
+    *      queries × shortlist) against the cells on (`__cell`, id):
+    *      partition pruning to shortlisted cells, floats decoded only
+    *      for rows that survive the join. No driver round trip.
     * Output (query_id, neighbor_id, cosine, rank) — exact cosine over
     * the shortlist, same contract as [[IvfIndex.topK]]. */
   /** The ADC candidate frame of [[topK]]'s step 1, exposed so its plan
@@ -174,9 +173,25 @@ object PqIndex {
       .select(col("query_id"), col("__cell"), col(idCol), col("__adc"))
   }
 
+  /** `fetchViaInList = false` (default): the shortlist stays a DataFrame
+    * end-to-end — bounded by queries × shortlist BY CONSTRUCTION, so it
+    * broadcasts, and the vector fetch is a broadcast join on
+    * (`__cell`, id): dynamic partition pruning restricts the float scan
+    * to shortlisted cells and no row ever visits the driver. This is the
+    * offline/fleet shape — a million-query hard-negative-mining batch
+    * would put ~50M rows on the driver under a collect+IN plan.
+    *
+    * `fetchViaInList = true`: small-batch fast path — collect the
+    * shortlist (still bounded) and fetch with static `__cell` IN +
+    * id IN predicates, which parquet pushes to row-group min/max stats
+    * over [[build]]'s id-sorted files: floats read ∝ shortlist instead
+    * of ∝ shortlisted cells. Right for interactive handfuls of queries;
+    * wrong for batches big enough that the IN lists themselves bloat
+    * the plan. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String, k: Int,
-      nprobe: Int = 4, shortlist: Int = 50): DataFrame = {
+      nprobe: Int = 4, shortlist: Int = 50,
+      fetchViaInList: Boolean = false): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val cells = spark.read.parquet(s"$path/cells")
     val adc = adcCandidates(spark, path, queries, idCol, vecCol,
@@ -186,27 +201,50 @@ object PqIndex {
     val short = adc.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= shortlist)
       .select(col("query_id"), col("__cell"), col(idCol).as("neighbor_id"))
-      .collect()
-    val cellIds = short.map(_.getAs[Any]("__cell")).distinct.toSeq
-    val rowIds = short.map(_.getAs[Any]("neighbor_id")).distinct.toSeq
-    import scala.jdk.CollectionConverters._
-    val shortDf = spark.createDataFrame(
-      short.map(r => org.apache.spark.sql.Row(
-        r.getAs[Any]("query_id"), r.getAs[Any]("neighbor_id"))).toSeq.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          queries.schema(queryIdCol).dataType),
-        org.apache.spark.sql.types.StructField("neighbor_id",
-          cells.schema(idCol).dataType))))
-    val fetch = cells
-      .filter(col("__cell").isin(cellIds: _*) && col(idCol).isin(rowIds: _*))
-      .select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__cn", VectorExprs.l2norm(col("__cv")))
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", VectorExprs.l2norm(col("__qv"))))
-    Similarity.rerankCarried(broadcast(shortDf).join(fetch, Seq("neighbor_id")), q, k)
+    val fetch = if (!fetchViaInList) {
+      // static partition pruning for the float scan: the distinct probed
+      // cells are ≤ nCells BY GEOMETRY (index metadata scale, the same
+      // bounded-collect class as the centroids themselves) and computing
+      // them touches only the query frame — never the corpus. DPP can't
+      // be relied on here (the shortlist build side is a window subtree,
+      // and Spark degenerates the pruning expression to `true`), so the
+      // cell list is pinned into the scan as a literal IN.
+      val cents = IvfIndex.loadCentroids(spark, path)
+      val probedCells = Similarity.probeCells(queries, queryIdCol, vecCol,
+          cents, nprobe)
+        .select(col("__cell")).distinct().collect().map(_.get(0)).toSeq
+      cells
+        .filter(col("__cell").isin(probedCells: _*))
+        .select(col("__cell"), col(idCol).as("neighbor_id"),
+          col(vecCol).cast("array<double>").as("__cv"))
+        .join(broadcast(short), Seq("__cell", "neighbor_id"))
+    } else {
+      val rows = short.collect() // bounded: queries × shortlist
+      val cellIds = rows.map(_.getAs[Any]("__cell")).distinct.toSeq
+      val rowIds = rows.map(_.getAs[Any]("neighbor_id")).distinct.toSeq
+      import scala.jdk.CollectionConverters._
+      val shortDf = spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row(
+          r.getAs[Any]("query_id"), r.getAs[Any]("neighbor_id"))).toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            queries.schema(queryIdCol).dataType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            cells.schema(idCol).dataType))))
+      broadcast(shortDf).join(
+        cells.filter(col("__cell").isin(cellIds: _*) &&
+            col(idCol).isin(rowIds: _*))
+          .select(col(idCol).as("neighbor_id"),
+            col(vecCol).cast("array<double>").as("__cv")),
+        Seq("neighbor_id"))
+    }
+    Similarity.rerankCarried(
+      fetch.withColumn("__cn", VectorExprs.l2norm(col("__cv")))
+        .select(col("query_id"), col("neighbor_id"), col("__cv"),
+          col("__cn")), q, k)
   }
 
   /** Layout-only maintenance for the append tail: one id-sorted file per

@@ -43,27 +43,51 @@ object TransportSecurity {
     hasDeclaredSecurity(cat) || hasEnforcedColumnRestrictions(cat)
 
   /** Source tables that are neither semantic models, the `metrics`
-    * virtual table, nor CTEs defined in the query itself
-    * (transport_security.py:41-66). Multipart names (db.table,
+    * virtual table, nor CTEs *in scope at the point of reference*
+    * (transport_security.py:41-66; the reference resolves sources per
+    * scope via sqlglot's traverse_scope). Multipart names (db.table,
     * format.`path`) are always unrecognized — they are physical reads
-    * by construction. */
+    * by construction.
+    *
+    * Scope rules are SQL's own: a CTE definition sees only the CTEs
+    * declared *before* it in the same WITH (plus outer scopes) — never
+    * itself and never later siblings. A name that merely collides with
+    * a CTE but is read where that CTE is not in scope (e.g.
+    * `t AS (SELECT * FROM t)`) is a physical/temp-view read and must
+    * be reported, not whitelisted: [[graft.sqlfront.SqlFront]] compiles
+    * such a definition via plain Spark SQL, so a global-name whitelist
+    * would let raw table contents through the fail-closed gate.
+    * Model names compare case-insensitively, matching Spark's
+    * identifier resolution and the reference's lowercase handling. */
   def unrecognizedSources(plan: LogicalPlan, cat: Catalog): Seq[String] = {
-    val ctes = scala.collection.mutable.Set.empty[String]
-    plan.foreach {
-      case w: UnresolvedWith =>
-        w.cteRelations.foreach { case (name, _, _) => ctes += name.toLowerCase }
-      case _ => ()
-    }
-    plan.collectWithSubqueries { case ur: UnresolvedRelation => ur }
-      .flatMap { ur =>
-        val parts = ur.multipartIdentifier
-        val ok = parts.size == 1 && {
-          val n = parts.head.toLowerCase
-          cat.models.contains(parts.head) || n == "metrics" || ctes(n)
-        }
-        if (ok) None else Some(parts.mkString("."))
+    val modelNames = cat.models.keysIterator.map(_.toLowerCase).toSet
+    val bad = scala.collection.mutable.Set.empty[String]
+    def walk(p: LogicalPlan, scope: Set[String]): Unit = {
+      p match {
+        case w: UnresolvedWith =>
+          var s = scope
+          w.cteRelations.foreach { case (name, defn, _) =>
+            walk(defn, s) // earlier siblings + outer scope only
+            s += name.toLowerCase
+          }
+          walk(w.child, s)
+        case ur: UnresolvedRelation =>
+          val parts = ur.multipartIdentifier
+          val ok = parts.size == 1 && {
+            val n = parts.head.toLowerCase
+            modelNames(n) || n == "metrics" || scope(n)
+          }
+          if (!ok) bad += parts.mkString(".")
+        case other =>
+          other.children.foreach(walk(_, scope))
       }
-      .distinct.sorted
+      p.expressions.foreach(_.foreach {
+        case sq: SubqueryExpression => walk(sq.plan, scope)
+        case _ => ()
+      })
+    }
+    walk(plan, Set.empty)
+    bad.toSeq.sorted
   }
 
   /** A SELECT in expression position — predicate/projection subqueries

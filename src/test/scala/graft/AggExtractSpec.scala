@@ -62,6 +62,133 @@ class AggExtractSpec extends AnyFunSuite {
       dc.filters.exists(_.toLowerCase.contains("status")))
   }
 
+  test("sql_is_complete and DAX expressions are preserved verbatim " +
+      "(no extraction — core/metric.py:104-117)") {
+    val ms = YamlLoader.loadString(
+      """version: 1
+        |models:
+        |  - name: t4
+        |    table: orders
+        |    primary_key: id
+        |    metrics:
+        |      - name: imported
+        |        sql: SUM(amount)
+        |        sql_is_complete: true
+        |      - name: daxish
+        |        sql: SUM(amount)
+        |        expression_language: dax
+        |""".stripMargin)
+    val imp = ms.head.metric("imported").get
+    assert(imp.agg.isEmpty && imp.sql == Some("SUM(amount)"))
+    val dax = ms.head.metric("daxish").get
+    assert(dax.agg.isEmpty && dax.sql == Some("SUM(amount)"))
+  }
+
+  test("expr is an accepted alias of sql; both with different values raise") {
+    val ms = YamlLoader.loadString(
+      """version: 1
+        |models:
+        |  - name: t5
+        |    table: orders
+        |    primary_key: id
+        |    metrics:
+        |      - name: revenue
+        |        expr: SUM(amount)
+        |""".stripMargin)
+    val m = ms.head.metric("revenue").get
+    assert(m.agg == Some("sum") && m.sql == Some("amount"))
+    intercept[IllegalArgumentException](YamlLoader.loadString(
+      """version: 1
+        |models:
+        |  - name: t6
+        |    table: orders
+        |    primary_key: id
+        |    metrics:
+        |      - name: bad
+        |        sql: SUM(a)
+        |        expr: SUM(b)
+        |""".stripMargin))
+  }
+
+  test("cumulative with an inline aggregate decomposes to a hidden base " +
+      "(reference allows extraction for cumulative, core/metric.py:115)") {
+    val ms = YamlLoader.loadString(
+      """version: 1
+        |models:
+        |  - name: t7
+        |    table: orders
+        |    primary_key: id
+        |    dimensions:
+        |      - name: order_date
+        |        type: time
+        |        granularity: day
+        |    metrics:
+        |      - name: running_revenue
+        |        type: cumulative
+        |        sql: SUM(amount)
+        |""".stripMargin)
+    val base = ms.head.metric("running_revenue__base").get
+    assert(base.agg == Some("sum") && base.sql == Some("amount") && !base.public)
+    val cum = ms.head.metric("running_revenue").get
+    assert(cum.metricType == Some("cumulative") &&
+      cum.baseMetric == Some("running_revenue__base"))
+    // and the decomposed pair plans end-to-end: the running total's last
+    // bucket equals the plain sum of the whole table
+    val spark = TestSpark.spark
+    val resolve: YamlLoader.TableResolver = _ =>
+      graft.model.ModelSource.SqlView(
+        s"""SELECT o_orderkey, cast(o_totalprice as decimal(18,2)) AS amount,
+           |  o_orderdate
+           |FROM parquet.`${TestSpark.sfDir}/orders.parquet`""".stripMargin)
+    val pkg = YamlLoader.loadPackageString(
+      """version: 1
+        |models:
+        |  - name: cx_orders
+        |    table: orders
+        |    primary_key: o_orderkey
+        |    dimensions:
+        |      - name: order_date
+        |        type: time
+        |        sql: o_orderdate
+        |        granularity: day
+        |    metrics:
+        |      - name: running_revenue
+        |        type: cumulative
+        |        sql: SUM(amount)
+        |""".stripMargin, resolve)
+    val cat = graft.model.Catalog().add(pkg.models: _*)
+    val df = new graft.gen.Generator(spark, cat).plan(
+      graft.plan.SemanticQuery(
+        metrics = Seq("cx_orders.running_revenue"),
+        dimensions = Seq("cx_orders.order_date__month"),
+        orderBy = Seq("order_date__month")))
+    val last = df.collect().last.getAs[java.math.BigDecimal]("running_revenue")
+    val total = spark.read
+      .parquet(s"${TestSpark.sfDir}/orders.parquet")
+      .selectExpr("sum(cast(o_totalprice as decimal(18,2))) AS t")
+      .collect()(0).getAs[java.math.BigDecimal]("t")
+    assert(last.compareTo(total) == 0,
+      s"running total $last != table sum $total")
+
+    // a NAMED base reference stays untouched (no false decomposition)
+    val named = YamlLoader.loadString(
+      """version: 1
+        |models:
+        |  - name: t8
+        |    table: orders
+        |    primary_key: id
+        |    metrics:
+        |      - name: revenue
+        |        agg: sum
+        |        sql: amount
+        |      - name: running
+        |        type: cumulative
+        |        sql: revenue
+        |""".stripMargin)
+    assert(named.head.metric("running").get.baseMetric == Some("revenue"))
+    assert(named.head.metric("running__base").isEmpty)
+  }
+
   test("derived formulas over other metrics are not captured") {
     val ms = YamlLoader.loadString(
       """version: 1

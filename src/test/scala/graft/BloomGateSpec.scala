@@ -41,6 +41,18 @@ class BloomGateSpec extends AnyFunSuite {
     assert(fp === 0, s"$fp of 500 fresh keys false-positived")
   }
 
+  test("null-keyed batch rows surface as maybe_dup=false (one row per " +
+      "batch row — build never inserts nulls, so absence is definitive)") {
+    val corpus = docs.filter(col("doc_id") < 400)
+    val bloom = BloomGate.build(corpus, "text")
+    val batch = Seq((1L, Option("entirely fresh null-test probe")),
+      (2L, None), (3L, None)).toDF("doc_id", "text")
+    val res = BloomGate.probe(bloom, batch, "doc_id", "text").collect()
+    assert(res.length === 3, "null-keyed rows must not vanish from the gate")
+    assert(res.filter(r => r.getLong(0) >= 2L)
+      .forall(!_.getAs[Boolean]("maybe_dup")))
+  }
+
   test("incremental build composes: union-then-merge == build-of-union") {
     val a = docs.filter(col("doc_id") < 200)
     val b = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)

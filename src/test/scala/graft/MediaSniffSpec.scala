@@ -78,6 +78,91 @@ class MediaSniffSpec extends AnyFunSuite {
     }
   }
 
+  test("webp/mp4/m4a/ogg/flac sniff id-exact fields from the synthetic " +
+      "extended corpus") {
+    val df = Multimodal.syntheticMixedMediaExt(
+      spark.range(0, 160).select(col("id").as("doc_id")), "doc_id")
+    val out = df.select(col("media_id"),
+        Multimodal.sniffMedia(col("content")).as("m"))
+      .select(col("media_id"), col("m.format"), col("m.width"),
+        col("m.height"), col("m.duration_ms"), col("m.channels"),
+        col("m.sample_rate"))
+      .collect()
+    assert(out.length === 160)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      (id % 4) match {
+        case 0 =>
+          assert(r.getString(1) === "webp", s"id=$id")
+          assert(r.getInt(2) === 8 + (id % 16).toInt, s"id=$id")
+          assert(r.getInt(3) === 8 + ((id / 16) % 16).toInt, s"id=$id")
+          assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+        case 1 =>
+          val fmt = if ((id / 4) % 2 == 1) "m4a" else "mp4"
+          assert(r.getString(1) === fmt, s"id=$id")
+          assert(r.getLong(4) === ((id % 300) + 1) * 100, s"id=$id")
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(5) && r.isNullAt(6))
+        case 2 =>
+          assert(r.getString(1) === "ogg", s"id=$id")
+          assert(r.getInt(5) === 1 + (id % 2).toInt, s"id=$id")
+          assert(r.getInt(6) === 44100, s"id=$id")
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+        case _ =>
+          assert(r.getString(1) === "flac", s"id=$id")
+          assert(r.getLong(4) === ((id % 100) + 1) * 100, s"id=$id")
+          assert(r.getInt(5) === 2 && r.getInt(6) === 44100, s"id=$id")
+          assert(r.isNullAt(2) && r.isNullAt(3))
+      }
+    }
+  }
+
+  test("tail-moov mp4 sniffs to brand-only (format, null duration) — a " +
+      "header sniff never demands the whole object") {
+    // ftyp then an mdat box whose declared size reaches past the bytes
+    val buf = java.nio.ByteBuffer.allocate(24)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    buf.putInt(1 << 28).put("mdat".getBytes("US-ASCII"))
+    val r = evalSniff(buf.array()).getOrElse(fail("mp4 brand not recognized"))
+    assert(r.getUTF8String(0).toString === "mp4")
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) &&
+      r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("opus id header sniffs channels and input rate") {
+    val packet = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    packet.put("OpusHead".getBytes("US-ASCII")).put(1.toByte) // version
+      .put(2.toByte).putShort(312.toShort).putInt(48000).putShort(0.toShort)
+      .put(0.toByte)
+    val page = java.nio.ByteBuffer.allocate(27 + 1 + 19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    page.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0x02.toByte)
+      .putLong(0L).putInt(1).putInt(0).putInt(0)
+      .put(1.toByte).put(19.toByte).put(packet.array())
+    val r = evalSniff(page.array()).getOrElse(fail("opus not recognized"))
+    assert(r.getUTF8String(0).toString === "ogg")
+    assert(r.getInt(4) === 2 && r.getInt(5) === 48000)
+    assert(r.isNullAt(3)) // duration lives in the last page's granule
+  }
+
+  test("truncated new-format headers sniff to NULL, never throw") {
+    val webp = Multimodal.syntheticMixedMediaExt(
+      spark.range(0, 1).select(col("id").as("doc_id")), "doc_id")
+      .collect()(0).getAs[Array[Byte]]("content")
+    val flac = Multimodal.syntheticMixedMediaExt(
+      spark.range(3, 4).select(col("id").as("doc_id")), "doc_id")
+      .collect()(0).getAs[Array[Byte]]("content")
+    val bad: Seq[Array[Byte]] = Seq(
+      webp.take(20),                         // RIFF/WEBP cut before VP8L sig
+      flac.take(17),                         // fLaC cut inside STREAMINFO
+      "OggS~~~~~~~~".getBytes("US-ASCII"),   // bad version byte
+      "fLaC".getBytes("US-ASCII"),     // non-STREAMINFO first block
+      java.util.Arrays.copyOf("RIFF0000WEBPVP8L".getBytes("US-ASCII"), 30))
+    bad.foreach(bytes => assert(evalSniff(bytes).isEmpty,
+      s"len=${bytes.length} should not sniff"))
+  }
+
   test("truncated, corrupt, and unrecognized bytes sniff to NULL, never throw") {
     val png = encode(16, 16, "png")
     val wavDf = Multimodal.syntheticMixedMedia(

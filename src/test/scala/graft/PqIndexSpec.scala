@@ -100,7 +100,45 @@ class PqIndexSpec extends AnyFunSuite {
       s"ADC scan decodes the float column: ${scan.schema.fieldNames.mkString(",")}")
   }
 
-  test("vector fetch: static cell pruning + pushed id IN filter") {
+  test("default fetch is driver-free: broadcast shortlist join, no " +
+      "local-table scan, and bit-identical to the IN-list fast path") {
+    val tmp = fresh()
+    PqIndex.build(emb, "vec_id", "embedding", tmp, dim = 64, nCells = 16,
+      m = 8, kCodes = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < 3)
+    val joined = PqIndex.topK(spark, tmp, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nprobe = 2, shortlist = 20)
+    val viaIn = PqIndex.topK(spark, tmp, queries, "vec_id", "embedding",
+      "vec_id", k = 5, nprobe = 2, shortlist = 20, fetchViaInList = true)
+    val a = joined.collect().map(_.toSeq).sortBy(_.mkString("§")).toSeq
+    val b = viaIn.collect().map(_.toSeq).sortBy(_.mkString("§")).toSeq
+    assert(a == b, "fetch modes disagree")
+    val plan = joined.queryExecution.executedPlan
+    val s = plan.toString
+    // a collected shortlist resurfaces as a LocalTableScan — the default
+    // plan must not have one (every input is a file scan or broadcast)
+    assert(!s.contains("LocalTableScan"),
+      s"driver-fed shortlist in the default plan:\n${s.take(3000)}")
+    assert(s.contains("BroadcastHashJoin"), "fetch join is not broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "fetch must not shuffle-join the corpus")
+    // the float-fetch scan stays partition-pruned to the probed cells
+    // (3 queries x nprobe 2 <= 6 of 16 cells; static IN, not DPP)
+    val fetchScan = scans(plan).filter(f =>
+      f.schema.fieldNames.contains("embedding"))
+    assert(fetchScan.nonEmpty, "no float fetch scan")
+    assert(fetchScan.forall(_.selectedPartitions.partitionCount <= 6),
+      s"fetch scan not cell-pruned: " +
+        s"${fetchScan.map(_.selectedPartitions.partitionCount)}")
+    // exchanges stay bounded: the ADC/probe subtree's aggregations plus
+    // the two query_id windows (shortlist rank + final re-rank) — the
+    // fetch join itself must not add a hash-partition exchange
+    val hashEx = s.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 5, s"unexpected exchanges ($hashEx):\n${s.take(3000)}")
+  }
+
+  test("IN-list fast path: static cell pruning + pushed id IN filter") {
     val tmp = fresh()
     PqIndex.build(emb, "vec_id", "embedding", tmp, dim = 64, nCells = 16,
       m = 8, kCodes = 16, iters = 2)

@@ -72,6 +72,67 @@ class TransportSecuritySpec extends AnyFunSuite {
     assert(msg.contains("left untouched"))
   }
 
+  test("CTE visibility is per-scope: a name shadowed by a CTE but read " +
+      "where that CTE is not in scope is refused (self/forward reference)") {
+    // inner `FROM t` sits inside t's own definition — there it is a
+    // physical/temp-view read, and SqlFront would compile it via plain
+    // Spark SQL; a global CTE-name whitelist would leak raw rows
+    val self = refused(front.transportSql(
+      "WITH m AS (SELECT orders.revenue FROM orders), " +
+        "t AS (SELECT * FROM t) SELECT * FROM t"))
+    assert(self.contains("non-semantic source(s) t"))
+    // a CTE sees only EARLIER siblings: forward references are physical
+    val fwd = refused(front.transportSql(
+      "WITH a AS (SELECT * FROM b), b AS (SELECT 1 AS n) SELECT * FROM a"))
+    assert(fwd.contains("non-semantic source(s) b"))
+    // earlier-sibling chains stay recognized (refused later only as a
+    // non-semantic passthrough, NOT as an unrecognized source)
+    val chain = refused(front.transportSql(
+      "WITH a AS (SELECT 1 AS n), b AS (SELECT n FROM a) SELECT n FROM b"))
+    assert(chain.contains("left untouched"))
+  }
+
+  test("model-name recognition is case-insensitive (Spark identifiers are)") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val plan = GraftSqlBridge.parser(spark)
+      .parsePlan("SELECT Orders.revenue FROM Orders")
+    assert(TransportSecurity.unrecognizedSources(plan, cat).isEmpty)
+  }
+
+  test("filter-only reference to a secured model bypasses preagg routing") {
+    // a rollup join-routes foreign-model filters WITHOUT securedScan, so
+    // a secured model referenced only in a filter must force the base path
+    import graft.plan.SemanticQuery
+    import graft.preagg.PreAggStore
+    val securedCustomer = cat.copy(models = cat.models.map {
+      case (n, m) if n == "customer" =>
+        n -> m.copy(security = Some(graft.model.SecurityPolicy(
+          access = Some("user.role IN ('analyst', 'admin')"))))
+      case kv => kv
+    })
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_preagg_sec").toString
+    val q = SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      filters = Seq("customer.mktsegment = 'AUTOMOBILE'"),
+      user = Some(Map("role" -> "analyst")))
+    // positive control: with customer UNsecured the query join-routes
+    val openStore = new PreAggStore(spark, cat, base)
+    openStore.materialize("orders",
+      cat.model("orders").preAggregations.find(_.name == "daily_by_customer").get)
+    val gOpen = new Generator(spark, cat, Some(openStore))
+    gOpen.plan(q).collect()
+    assert(gOpen.lastRoute == "preagg", "control: query must be routable")
+    // secured customer: same store, same query — base path, not rollup
+    val gSec = new Generator(spark, securedCustomer,
+      Some(new PreAggStore(spark, securedCustomer, base)))
+    gSec.plan(q).collect()
+    assert(gSec.lastRoute != "preagg")
+    // and the base path enforces deny-by-default without a user
+    intercept[SecurityException](
+      gSec.plan(q.copy(user = None)).collect())
+  }
+
   test("denyRawSql names every active control class") {
     val msg = intercept[SecurityException](
       TransportSecurity.denyRawSql(cat, "raw_db_endpoint")).getMessage
