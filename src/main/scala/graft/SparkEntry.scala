@@ -2193,6 +2193,21 @@ object SparkEntry {
         .orderBy("probe_id", "corpus_id"), "corpus_id", "probe_id")
     }),
 
+    // Bloom-gated decontamination: identical verdicts to q_decontaminate
+    // (the gate has no false negatives — a shared shingle always hits),
+    // with the shingle/minhash machinery running only over the suspects.
+    // The oracle pins the SAME rows as q_decontaminate: a gate that
+    // drops a true pair fails the hash
+    "q_decontaminate_gated" -> ((s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 800)
+      val probe = docs(s, d).filter(col("doc_id") < 20)
+        .withColumn("text",
+          concat(col("text"), lit(" benchmark answer key token")))
+      asLong(Dedup.decontaminateGated(corpus, probe, "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("probe_id", "corpus_id"), "corpus_id", "probe_id")
+    }),
+
     // leakage-safe split: exact-dup groups co-assigned to one split
     // (per-doc hashing would strand copies across train/test); the
     // spanning-group count is computed from the assignment itself and
@@ -2673,6 +2688,25 @@ object SparkEntry {
         .orderBy("partition")
     }),
 
+    // one-call maintenance policy (heal → profile → compact fragmented
+    // only → re-profile): the receipt pins that ONLY the fragmented
+    // buckets were rewritten and that they came out whole
+    "q_corpus_maintain" -> ((s, d) => {
+      val path = s"/tmp/graft_corpus_maint_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val dir = s"$path/docs"
+      val base = docs(s, d).withColumn("bucket", pmod(col("doc_id"), lit(4)))
+      base.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(dir)
+      for (b <- 0 to 1; k <- 0 to 2)
+        base.filter(pmod(col("doc_id"), lit(100)) === (b + 4 * k))
+          .repartition(1).write.mode("append").partitionBy("bucket")
+          .parquet(dir)
+      ops.CorpusFiles.maintain(s, dir, 64L << 20)
+    }),
+
     // listing-only layout profile (partitionProfile): the scheduler's
     // decision input for partition-scoped compaction — no data read, so
     // byte columns are dropped from the gate (not SQL-derivable) and the
@@ -3084,9 +3118,14 @@ object SparkEntry {
 
     // corpus-scale media profile: the sniff output aggregated per format
     // (count, total pixels = decode-cost plan, total audio duration) —
-    // what a 100 TB media catalog pass produces before scheduling decode
+    // what a 100 TB media catalog pass produces before scheduling decode.
+    // The id repartition pins the layout: the per-row encode+sniff work
+    // is the cost here, and inheriting the source's partitioning lets a
+    // skewed input turn the pass into a straggler lottery (3-6 s swings
+    // in the skew battery) — hashing the unique ids balances it
     "q_media_profile" -> ((s, d) => {
-      val media = Multimodal.syntheticMixedMedia(docs(s, d), "doc_id")
+      val media = Multimodal.syntheticMixedMedia(
+        docs(s, d).repartition(col("doc_id")), "doc_id")
       media.select(Multimodal.sniffMedia(col("content")).as("m"))
         .groupBy(col("m.format").as("format"))
         .agg(count(lit(1)).as("n"),
@@ -3286,6 +3325,17 @@ object SparkEntry {
         |  CAST(4 AS BIGINT) AS files_before,
         |  CAST(1 AS BIGINT) AS files_after
         |FROM (VALUES (0), (1)) AS t(b)
+        |ORDER BY 1""".stripMargin,
+
+    "q_corpus_maintain" ->
+      """SELECT 'bucket=' || CAST(t.b AS VARCHAR) AS "partition",
+        |  CAST(CASE WHEN t.b < 2 THEN 4 ELSE 1 END AS BIGINT)
+        |    AS files_before,
+        |  t.b < 2 AS was_fragmented,
+        |  t.b < 2 AS compacted,
+        |  CAST(1 AS BIGINT) AS files_after,
+        |  false AS still_fragmented
+        |FROM (VALUES (0), (1), (2), (3)) AS t(b)
         |ORDER BY 1""".stripMargin,
 
     // four layout rows: buckets 0/1 fragmented (4 files), 2/3 settled
@@ -4737,6 +4787,20 @@ object SparkEntry {
     // golden pin: 20 planted one-token-suffix re-entries (probe 0..19 →
     // corpus twin) plus the one organic corpus near-dup (8, 245)
     "q_decontaminate" ->
+      """SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
+        |  CAST(probe_id AS BIGINT) AS probe_id,
+        |  CAST(jaccard AS DOUBLE) AS jaccard FROM (VALUES
+        |(0, 0, 0.882353), (1, 1, 0.945946), (2, 2, 0.914894),
+        |(3, 3, 0.862069), (4, 4, 0.914894), (5, 5, 0.931034),
+        |(6, 6, 0.764706), (7, 7, 0.945946), (8, 8, 0.953488),
+        |(245, 8, 0.94186), (9, 9, 0.947368), (10, 10, 0.902439),
+        |(11, 11, 0.933333), (12, 12, 0.940299), (13, 13, 0.935484),
+        |(14, 14, 0.955056), (15, 15, 0.906977), (16, 16, 0.777778),
+        |(17, 17, 0.949367), (18, 18, 0.948052), (19, 19, 0.692308)
+        |) AS t(corpus_id, probe_id, jaccard)
+        |ORDER BY probe_id, corpus_id""".stripMargin,
+
+    "q_decontaminate_gated" ->
       """SELECT CAST(corpus_id AS BIGINT) AS corpus_id,
         |  CAST(probe_id AS BIGINT) AS probe_id,
         |  CAST(jaccard AS DOUBLE) AS jaccard FROM (VALUES

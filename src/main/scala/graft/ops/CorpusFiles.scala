@@ -139,6 +139,39 @@ object CorpusFiles {
         "max_file_bytes", "fragmented")
   }
 
+  /** The one-call maintenance policy a scheduler actually runs:
+    * heal any interrupted swap ([[recoverPartitions]]), profile the
+    * layout ([[partitionProfile]], listing-only), compact ONLY the
+    * fragmented partitions ([[compactPartitionsBySize]]), and re-profile
+    * — returning a receipt that PROVES the policy held: per partition,
+    * the before/after file counts, whether it was fragmented, and
+    * whether it was rewritten. Settled partitions are never read, so a
+    * quiet table costs one LIST per partition and zero data I/O.
+    *
+    * Receipt row: (partition, files_before, was_fragmented, compacted,
+    * files_after, still_fragmented). `compacted` ⇔ `was_fragmented`
+    * (up to `maxPartitions`), and `still_fragmented` is false for every
+    * compacted partition unless its bytes genuinely need more than
+    * `maxFiles` files at `targetBytes` each. */
+  def maintain(spark: SparkSession, dir: String, targetBytes: Long,
+      maxFiles: Int = 1, maxPartitions: Int = Int.MaxValue): DataFrame = {
+    recoverPartitions(spark, dir) // eager: heals during the listing map
+    val before = partitionProfile(spark, dir, maxFiles)
+      .select(col("partition"), col("files").as("files_before"),
+        col("fragmented").as("was_fragmented"))
+    val receipts = compactPartitionsBySize(spark, dir, targetBytes,
+      maxFiles, maxPartitions)
+      .select(col("partition"),
+        org.apache.spark.sql.functions.lit(true).as("compacted"))
+    val after = partitionProfile(spark, dir, maxFiles)
+      .select(col("partition"), col("files").as("files_after"),
+        col("fragmented").as("still_fragmented"))
+    before.join(receipts, Seq("partition"), "left")
+      .join(after, Seq("partition"), "left")
+      .na.fill(false, Seq("compacted"))
+      .orderBy("partition")
+  }
+
   /** Heal any partition whose swap was interrupted: scans for
     * `<part>.old` / `<part>.compact` leftovers and recovers each
     * (idempotent, rename-only). Returns (partition, state) rows. */

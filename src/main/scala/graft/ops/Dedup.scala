@@ -515,6 +515,64 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Corpus docs that MIGHT share a word shingle with the probe corpus,
+    * per a [[BloomGate]] built over the probe's shingles — the cheap
+    * membership pass of [[decontaminateGated]]. The shingling is
+    * [[minHashLSH]]'s own (lowercased whitespace tokens, `shingleSize`
+    * words), so any pair crossCorpusNearDups could emit (jaccard > 0 ⇒
+    * ≥ 1 shared shingle) has its corpus doc flagged here: the gate has
+    * NO false negatives by construction. Output: one id per suspect
+    * corpus doc. */
+  def bloomSuspects(corpus: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3,
+      mBitsPerBucket: Int = 1 << 17, kHashes: Int = 5,
+      nBuckets: Int = 32): DataFrame = {
+    def keys(df: DataFrame) = df
+      .select(col(idCol).as("__doc"),
+        split(lower(col(textCol)), "\\s+").as("__t"))
+      .filter(size(col("__t")) >= shingleSize)
+      .select(col("__doc"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("__t")) - shingleSize),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(shingleSize))))))
+        .as("__key"))
+    val gate = BloomGate.build(keys(probe), "__key", mBitsPerBucket,
+      kHashes, nBuckets)
+    BloomGate.probe(gate,
+        keys(corpus).select(
+          struct(col("__doc"), col("__key")).as("__rk"), col("__key")),
+        "__rk", "__key", mBitsPerBucket, kHashes, nBuckets)
+      .groupBy(col("__rk.__doc").as(idCol))
+      .agg(max(col("maybe_dup")).as("__s"))
+      .filter(col("__s"))
+      .select(col(idCol))
+  }
+
+  /** [[crossCorpusNearDups]] behind a [[BloomGate]] pre-filter — the
+    * classic production arrangement for benchmark-overlap scans at
+    * corpus scale: build the gate over the BENCHMARK's n-gram keys
+    * (small), probe every corpus doc's shingles against it (a
+    * projection + one broadcastable join — no pair forming), and run
+    * the shingle/minhash/band machinery only over the suspects. On a
+    * mostly-clean corpus the expensive side shrinks from |corpus| to
+    * ~|contaminated| + the Bloom false-positive tail, while the result
+    * is IDENTICAL to the ungated op (the gate never drops a doc that
+    * shares a shingle — see [[bloomSuspects]]).
+    *
+    * The default `mBitsPerBucket` is 8× [[BloomGate.build]]'s: the key
+    * universe here is benchmark shingles (∝ benchmark tokens), not
+    * benchmark docs. */
+  def decontaminateGated(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000, mBitsPerBucket: Int = 1 << 17,
+      kHashes: Int = 5, nBuckets: Int = 32): DataFrame = {
+    val suspects = bloomSuspects(corpus, probe, idCol, textCol,
+      shingleSize, mBitsPerBucket, kHashes, nBuckets)
+    val gated = corpus.join(suspects, Seq(idCol), "left_semi")
+    crossCorpusNearDups(gated, probe, idCol, textCol, shingleSize,
+      numHashes, bands, threshold, maxBucketSize)
+  }
+
   /** Corpus-wide boilerplate line removal (the line-level dedup step of
     * web-corpus pipelines: nav menus, cookie banners, footers repeated
     * across thousands of pages poison next-token prediction even when

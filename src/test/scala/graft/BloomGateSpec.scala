@@ -66,6 +66,38 @@ class BloomGateSpec extends AnyFunSuite {
     assert(m === w)
   }
 
+  test("gated decontamination: identical verdicts to the ungated op, " +
+      "fresh docs pruned before the pair machinery (no false negatives)") {
+    import graft.ops.Dedup
+    val corpus = docs.filter(col("doc_id") < 300)
+    val probe = docs.filter(col("doc_id") < 10)
+      .withColumn("text", concat(col("text"), lit(" bench token")))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .collect().map(_.toSeq).sortBy(_.mkString("§")).toSeq
+    val raw = canon(Dedup.crossCorpusNearDups(corpus, probe, "doc_id", "text"))
+    val gated = Dedup.decontaminateGated(corpus, probe, "doc_id", "text")
+    assert(canon(gated) == raw, "gate changed the contamination verdicts")
+    assert(raw.nonEmpty, "planted contamination must surface")
+    // an entirely-fresh corpus (disjoint vocabulary) has zero suspects —
+    // the expensive side of the scan is empty, which is the whole point
+    val fresh = (0 until 200).map(i =>
+        (5000L + i, s"zq$i xv$i wq$i pk$i mn$i bb$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.bloomSuspects(fresh, probe, "doc_id", "text").count() === 0)
+    // and every true-pair corpus doc is in the suspect set (no false negs)
+    val suspects = Dedup.bloomSuspects(corpus, probe, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val pairCorpusIds = raw.map(_.head.asInstanceOf[Long]).toSet
+    assert(pairCorpusIds.subsetOf(suspects),
+      s"gate dropped true pairs: ${pairCorpusIds -- suspects}")
+    // plan pin: the gate prunes BEFORE the pair machinery — the gated
+    // corpus side enters the LSH front through a left-semi join
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"no semi-join gate in the plan:\n${plan.take(2000)}")
+  }
+
   test("word table is layout-invariant") {
     val corpus = docs.filter(col("doc_id") < 400)
     val one = BloomGate.build(corpus.repartition(1), "text")

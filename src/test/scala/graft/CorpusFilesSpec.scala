@@ -177,6 +177,33 @@ class CorpusFilesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === rowsBefore)
   }
 
+  test("maintain: heal -> profile -> compact fragmented only -> receipt, " +
+      "idempotent on a settled table") {
+    val dir = freshBucketed()
+    // plant an interrupted swap so the healing pass has work
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/bucket=0")
+    val fs = live.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, live, fs,
+      new org.apache.hadoop.fs.Path(s"$dir/bucket=0.compact"), false, conf)
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$dir/bucket=0.old")))
+    val rows = CorpusFiles.maintain(spark, dir, 64L << 20).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    rows.foreach { r =>
+      val frag = r.getAs[Boolean]("was_fragmented")
+      assert(r.getAs[Boolean]("compacted") === frag, r.toString)
+      assert(r.getAs[Long]("files_after") === 1L, r.toString)
+      assert(!r.getAs[Boolean]("still_fragmented"), r.toString)
+      if (!frag) assert(r.getAs[Long]("files_before") === 1L, r.toString)
+    }
+    // second run: nothing fragmented, nothing rewritten
+    val files1 = filesIn(dir)
+    val again = CorpusFiles.maintain(spark, dir, 64L << 20).collect()
+    assert(again.forall(r => !r.getAs[Boolean]("compacted")))
+    assert(filesIn(dir) === files1, "a settled table was rewritten")
+  }
+
   test("invalid targets and roots are rejected loudly") {
     intercept[IllegalArgumentException](
       CorpusFiles.compactBySize(spark, "/tmp/whatever", 0))
