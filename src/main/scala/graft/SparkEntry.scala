@@ -2956,6 +2956,27 @@ object SparkEntry {
           col("used_codewords"))
     }),
 
+    // OPQ-lite receipt: on banded-energy vectors the variance-balancing
+    // permutation must quantize strictly better than the contiguous
+    // split — the golden pin locks the deterministic MSEs of both
+    "q_pq_opq" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val scaled = emb.select(col("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "cast(x * (1.0 + 3.0 * cast(i div 8 as double)) as double))")
+          .as("v"))
+      val perm = ops.Pq.trainPermutation(scaled, "vec_id", "v", 64, 8)
+      val permuted = scaled.select(col("vec_id"),
+        ops.Pq.permute(col("v"), perm).as("v"))
+      def err(df: org.apache.spark.sql.DataFrame, name: String) =
+        ops.Pq.reconstructionError(df, "vec_id", "v",
+            ops.Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2))
+          .select(round(col("mean_sq_err"), 6).as(name))
+      err(scaled, "mse_contiguous").crossJoin(err(permuted, "mse_permuted"))
+        .select(col("mse_contiguous"), col("mse_permuted"),
+          (col("mse_permuted") < col("mse_contiguous")).as("improved"))
+    }),
+
     "q_embedding_neardup" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       // the synthetic embeddings are near-uniform (max pairwise cosine
@@ -5273,6 +5294,10 @@ object SparkEntry {
         |  0.573641 AS mean_sq_err, 0.730931 AS max_sq_err,
         |  1.0 AS mean_norm_sq, CAST(128 AS BIGINT) AS used_codewords"""
         .stripMargin,
+
+    "q_pq_opq" ->
+      """SELECT 101.718978 AS mse_contiguous, 69.818774 AS mse_permuted,
+        |  true AS improved""".stripMargin,
 
     // IVFADC gate: twins retrieved at rank 1 through the persisted
     // cell-pruned compressed path — deterministic booleans, pinned

@@ -57,7 +57,8 @@ object Pq {
     *
     * Returns codebooks(s)(j) = centroid j of subspace s. `dim` must be
     * divisible by `m` (contiguous equal-width slices — the classic
-    * layout; a learned rotation is out of scope). */
+    * layout; for correlated coordinates compose with
+    * [[trainPermutation]]/[[permute]], the OPQ-lite rebalancing pass). */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 8, kCodes: Int = 16, iters: Int = 3,
       trainSampleMod: Int = 1): Seq[Seq[Seq[Double]]] = {
@@ -94,6 +95,62 @@ object Pq {
     }
     books
   }
+
+  /** Variance-balancing coordinate permutation — the OPQ idea (Ge et
+    * al., "Optimized Product Quantization", CVPR 2013) restricted to
+    * permutation matrices: OPQ learns a rotation R so the m subspaces
+    * carry balanced energy; a permutation is the rotation's cheapest
+    * useful special case (free to apply — element shuffles, no
+    * matrix multiply per row — and exactly inverts). Real embedding
+    * blocks are correlated (adjacent coordinates co-vary, energy
+    * concentrates in coordinate bands), so the contiguous split hands
+    * some subspaces most of the variance and their kCodes codewords
+    * saturate while low-energy subspaces waste theirs.
+    *
+    * Policy: per-dimension variance in one aggregate job (decimal sums
+    * — deterministic), dims sorted by descending variance (index
+    * tie-break), then snake-dealt across the m subspaces so each gets
+    * an even mix of hot and cold dims. Only `dim` (mean, mean-square)
+    * pairs ever reach the driver.
+    *
+    * Returns `perm` with `perm(outPos) = inPos`; feed [[permute]]d
+    * vectors (corpus AND queries — a shared permutation preserves
+    * dot products and norms, so cosine and every ranking are
+    * unchanged in exact space) into the rest of the PQ family. */
+  def trainPermutation(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, trainSampleMod: Int = 1): Seq[Int] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    val base = corpus.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"))
+    val v = if (trainSampleMod <= 1) base
+      else base.filter(pmod(xxhash64(col("__id")), lit(trainSampleMod)) === 0)
+    val variances = v
+      .select(posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col("__p"))
+      .agg(
+        (sum(col("__x").cast("decimal(30,12)")) / count(lit(1)))
+          .cast("double").as("__mu"),
+        (sum((col("__x") * col("__x")).cast("decimal(30,12)"))
+          / count(lit(1))).cast("double").as("__m2"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2) - r.getDouble(1) * r.getDouble(1)))
+      .toMap
+    require(variances.size == dim,
+      s"expected $dim per-dim stats, got ${variances.size} — vector " +
+        s"lengths inconsistent with dim $dim")
+    val order = (0 until dim).sortBy(p => (-variances(p), p))
+    val groups = Array.fill(m)(List.newBuilder[Int])
+    order.zipWithIndex.foreach { case (p, i) =>
+      val s = if ((i / m) % 2 == 0) i % m else m - 1 - (i % m) // snake deal
+      groups(s) += p
+    }
+    groups.flatMap(_.result()).toSeq
+  }
+
+  /** Apply a coordinate permutation as a pure projection:
+    * out(i) = in(perm(i)). Constant-size expression (dim literals). */
+  def permute(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(p => element_at(asDouble(vec), p + 1)): _*)
 
   /** Encode every row to its `m` nearest-codeword indices — a pure
     * projection through ONE [[VectorExprs.PqEncode]] kernel call, so

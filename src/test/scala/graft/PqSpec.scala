@@ -85,6 +85,51 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9")
   }
 
+  test("OPQ-lite permutation: balanced subspaces beat the contiguous " +
+      "split on correlated (banded-energy) data — MSE and recall") {
+    // banded energy: coordinate band i/8 scaled by 1+3*(i/8), so the
+    // contiguous split hands subspace 7 ~22x subspace 0's variance
+    val scaled = emb.select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> " +
+        "cast(x * (1.0 + 3.0 * cast(i div 8 as double)) as double))").as("v"))
+    val perm = Pq.trainPermutation(scaled, "vec_id", "v", 64, 8)
+    assert(perm.sorted == (0 until 64), "not a permutation")
+    assert(perm != (0 until 64), "permutation is the identity — vacuous")
+    val permuted = scaled.select(col("vec_id"),
+      Pq.permute(col("v"), perm).as("v"))
+    def mse(df: org.apache.spark.sql.DataFrame) = {
+      val books = Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2)
+      Pq.reconstructionError(df, "vec_id", "v", books)
+        .collect()(0).getAs[Double]("mean_sq_err")
+    }
+    val rawErr = mse(scaled)
+    val permErr = mse(permuted)
+    info(s"contiguous mse=$rawErr permuted mse=$permErr " +
+      s"(${permErr / rawErr} of contiguous)")
+    assert(permErr < rawErr,
+      s"permutation did not reduce quantization error: $permErr >= $rawErr")
+    // recall under a tight shortlist (ADC quality is the only lever —
+    // the permutation preserves norms and dot products, so brute-force
+    // truth is the same in either space)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val queries = df.filter(col("vec_id") < 20)
+      val truth = Similarity.bruteForceTopK(df, queries, "vec_id", "v",
+          "vec_id", 5)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Pq.pqTopK(df, queries, "vec_id", "v", "vec_id",
+          k = 5, dim = 64, m = 8, kCodes = 16, shortlist = 10, iters = 2)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val rawRecall = recallOf(scaled)
+    val permRecall = recallOf(permuted)
+    info(s"recall@5, shortlist 10: contiguous=$rawRecall permuted=$permRecall")
+    assert(permRecall >= rawRecall,
+      s"permutation hurt recall: $permRecall < $rawRecall")
+  }
+
   test("planted near-twin is retrieved at rank 1 through the PQ path") {
     val twins = emb.filter(col("vec_id") < 5).select(
       (col("vec_id") + 100000).as("vec_id"),
