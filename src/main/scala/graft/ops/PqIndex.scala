@@ -50,9 +50,18 @@ object PqIndex {
     * ([[VectorExprs.PqEncode]]) is a pure projection per row; the only
     * exchange is the cell repartition the layout requires. Files are
     * id-sorted for the fetch path's row-group skipping. */
+  /** `opq = true` additionally learns [[Pq.trainPermutation]]'s
+    * variance-balancing coordinate permutation over the RESIDUALS (the
+    * vectors actually quantized), applies it before codebook training
+    * and every encode, and persists it as `permutation.txt` — so the
+    * stored codes live in balanced subspaces while the raw vectors,
+    * the cell layout, and the exact re-rank are untouched (a
+    * permutation preserves L2, so ADC distances in permuted space ARE
+    * the residual distances). Indexes built without it carry no
+    * permutation file and load as identity. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       dim: Int, nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
-      iters: Int = 3, trainSampleMod: Int = 1): Unit = {
+      iters: Int = 3, trainSampleMod: Int = 1, opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val cents = Similarity.trainCentroids(corpus, idCol, vecCol, nCells,
       iters, trainSampleMod)
@@ -62,15 +71,23 @@ object PqIndex {
       "__id", cents)
     val withCell = corpus.select(col(idCol), col(vecCol))
       .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
-    val resid = withCell.select(col(idCol),
-      VectorExprs.vecSubRow(col(vecCol).cast("array<double>"),
-        col("__cell"), cents).as("__resid"))
-    val books = Pq.trainCodebooks(resid, idCol, "__resid", dim, m, kCodes,
-      iters, trainSampleMod)
+    val rawResid = VectorExprs.vecSubRow(
+      col(vecCol).cast("array<double>"), col("__cell"), cents)
+    val resid = withCell.select(col(idCol), rawResid.as("__resid"))
+    val perm: Option[Seq[Int]] =
+      if (opq) Some(Pq.trainPermutation(resid, idCol, "__resid", dim, m,
+        trainSampleMod))
+      else None
+    val encIn = perm.map(p => Pq.permute(rawResid, p)).getOrElse(rawResid)
+    val residTrain = perm match {
+      case Some(p) => resid.select(col(idCol),
+        Pq.permute(col("__resid"), p).as("__resid"))
+      case None => resid
+    }
+    val books = Pq.trainCodebooks(residTrain, idCol, "__resid", dim, m,
+      kCodes, iters, trainSampleMod)
     withCell.select(col(idCol),
-        VectorExprs.pqEncode(
-          VectorExprs.vecSubRow(col(vecCol).cast("array<double>"),
-            col("__cell"), cents), books).as("__codes"),
+        VectorExprs.pqEncode(encIn, books).as("__codes"),
         col(vecCol), col("__cell"))
       .repartition(col("__cell"))
       .sortWithinPartitions(col(idCol))
@@ -85,6 +102,11 @@ object PqIndex {
       b.map(c => s"$s:${c.mkString(",")}")
     }.mkString("\n").getBytes("UTF-8"))
     finally bo.close()
+    perm.foreach { p =>
+      val po = fs.create(new Path(s"$path/permutation.txt"), true)
+      try po.write(p.mkString(",").getBytes("UTF-8"))
+      finally po.close()
+    }
   }
 
   /** Append a slice without retraining: assign to existing centroids,
@@ -98,20 +120,36 @@ object PqIndex {
     val spark = batch.sparkSession
     val cents = IvfIndex.loadCentroids(spark, path)
     val books = loadCodebooks(spark, path)
+    val perm = loadPermutation(spark, path)
     val assigned = Similarity.assignCells(
       batch.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v")),
       "__id", cents)
+    val rawResid = VectorExprs.vecSubRow(
+      col(vecCol).cast("array<double>"), col("__cell"), cents)
+    val encIn = perm.map(p => Pq.permute(rawResid, p)).getOrElse(rawResid)
     batch.select(col(idCol), col(vecCol))
       .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
       .select(col(idCol),
-        VectorExprs.pqEncode(
-          VectorExprs.vecSubRow(col(vecCol).cast("array<double>"),
-            col("__cell"), cents), books).as("__codes"),
+        VectorExprs.pqEncode(encIn, books).as("__codes"),
         col(vecCol), col("__cell"))
       .sortWithinPartitions(col(idCol))
       .write.mode("append").partitionBy("__cell")
       .parquet(s"$path/cells")
+  }
+
+  /** The persisted OPQ permutation, or None for an identity-layout
+    * index (pre-OPQ builds, `opq = false`). */
+  def loadPermutation(spark: SparkSession, path: String): Option[Seq[Int]] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$path/permutation.txt")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.trim.split(",").toSeq.map(_.toInt))
+    }
   }
 
   def loadCodebooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] = {
@@ -151,16 +189,18 @@ object PqIndex {
       queryIdCol: String, nprobe: Int): DataFrame = {
     val cents = IvfIndex.loadCentroids(spark, path)
     val books = loadCodebooks(spark, path)
+    val perm = loadPermutation(spark, path)
     val cells = spark.read.parquet(s"$path/cells")
     val probes = Similarity.probeCells(queries, queryIdCol, vecCol,
       cents, nprobe)
     val qvecs = queries.filter(col(vecCol).isNotNull)
       .select(col(queryIdCol).as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"))
+    val rawQresid = VectorExprs.vecSubRow(col("__qv"), col("__cell"), cents)
+    val qresidCol = perm.map(p => Pq.permute(rawQresid, p))
+      .getOrElse(rawQresid) // query residuals live in the codes' space
     val qresid = probes.join(qvecs, Seq("query_id"))
-      .select(col("query_id"), col("__cell"),
-        VectorExprs.vecSubRow(col("__qv"), col("__cell"), cents)
-          .as("__rv"))
+      .select(col("query_id"), col("__cell"), qresidCol.as("__rv"))
     val qt = broadcast(Pq.adcTablesKeyed(qresid,
       Seq("query_id", "__cell"), "__rv", books))
     cells.select(col("__cell"), col(idCol), col("__codes"))

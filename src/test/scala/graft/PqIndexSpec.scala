@@ -78,6 +78,51 @@ class PqIndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 vs same-nprobe exact IVF")
   }
 
+  test("persisted OPQ: permutation round-trips, probe and append encode " +
+      "in the permuted space, recall no worse than the contiguous index " +
+      "on banded-energy data") {
+    import graft.ops.Pq
+    val scaled = emb.select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> " +
+        "cast(x * (1.0 + 3.0 * cast(i div 8 as double)) as float))").as("v"))
+    val queries = scaled.filter(col("vec_id") < 20)
+    val truth = Similarity.ivfTopK(scaled, queries, "vec_id", "v",
+        "vec_id", k = 5, nCells = 16, nprobe = 8, iters = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(path: String, opq: Boolean): Double = {
+      PqIndex.build(scaled, "vec_id", "v", path, dim = 64, nCells = 16,
+        m = 8, kCodes = 16, iters = 2, opq = opq)
+      assert(PqIndex.loadPermutation(spark, path).isDefined === opq)
+      val got = PqIndex.topK(spark, path, queries, "vec_id", "v",
+          "vec_id", k = 5, nprobe = 8, shortlist = 10)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val plain = recallOf(fresh(), opq = false)
+    val opqPath = fresh()
+    val opq = recallOf(opqPath, opq = true)
+    info(s"recall@5 vs same-nprobe exact IVF, shortlist 10: " +
+      s"contiguous=$plain opq=$opq")
+    assert(opq >= plain, s"OPQ hurt recall: $opq < $plain")
+    val perm = PqIndex.loadPermutation(spark, opqPath).get
+    assert(perm.sorted == (0 until 64) && perm != (0 until 64))
+    // append goes through the SAME permuted encode: a planted twin is
+    // retrievable at rank 1 from the appended slice
+    val twins = scaled.filter(col("vec_id") < 3).select(
+      (col("vec_id") + 200000).as("vec_id"),
+      expr("transform(v, x -> cast(x * 1.01 as float))").as("v"))
+    PqIndex.append(twins, "vec_id", "v", opqPath)
+    val res = PqIndex.topK(spark, opqPath,
+        scaled.filter(col("vec_id") < 3), "vec_id", "v", "vec_id",
+        k = 1, nprobe = 4, shortlist = 20)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach(q => assert(res(q.toLong) === q + 200000L,
+      s"appended twin of $q not at rank 1: ${res.get(q.toLong)}"))
+  }
+
   test("ADC scan: DPP on probed cells, codes-only ReadSchema (no floats)") {
     val tmp = fresh()
     PqIndex.build(emb, "vec_id", "embedding", tmp, dim = 64, nCells = 16,
