@@ -141,18 +141,38 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
     * may reference earlier CTEs) through Spark — and registers as a temp
     * view under its own name; the main body then compiles in the same way.
     * Engaged only when something in the query is semantic, so pure-SQL WITH
-    * queries pass through Spark untouched with no view side effects. */
+    * queries pass through Spark untouched with no view side effects.
+    *
+    * The temp registrations are SCOPED, not a session side effect: any
+    * pre-existing temp view a CTE name collides with is saved first and
+    * restored after, and names this query introduced are dropped — a
+    * query's `WITH orders_view AS …` must not shadow the user's session
+    * state for every later query. Restoring after the final DataFrame is
+    * built is sound because every compile path analyzes eagerly (the
+    * views are inlined into the analyzed plan before the finally runs). */
   private def withCtes(w: UnresolvedWith): Option[DataFrame] = {
     val defs = w.cteRelations.map(_._2)
     val semantic = (w.child +: defs.map(_.child))
       .exists(p => referencesSemanticModel(p) || referencesMetricsTable(p))
     if (!semantic) return None
-    w.cteRelations.foreach { case (name, sa, _) =>
-      val df = rewrite(sa.child)
-        .getOrElse(GraftSqlBridge.dataFrame(spark, sa.child))
-      df.createOrReplaceTempView(name)
+    val catalog = spark.sessionState.catalog
+    val saved = w.cteRelations.map { case (name, _, _) =>
+      name -> catalog.getRawTempView(name)
     }
-    Some(rewrite(w.child).getOrElse(GraftSqlBridge.dataFrame(spark, w.child)))
+    try {
+      w.cteRelations.foreach { case (name, sa, _) =>
+        val df = rewrite(sa.child)
+          .getOrElse(GraftSqlBridge.dataFrame(spark, sa.child))
+        df.createOrReplaceTempView(name)
+      }
+      Some(rewrite(w.child).getOrElse(GraftSqlBridge.dataFrame(spark, w.child)))
+    } finally {
+      saved.foreach {
+        case (name, Some(prior)) =>
+          catalog.createTempView(name, prior, overrideIfExists = true)
+        case (name, None) => spark.catalog.dropTempView(name)
+      }
+    }
   }
 
   /** Subquery-in-FROM recursion: replace each aliased semantic sub-scope
@@ -160,16 +180,21 @@ final class SqlFront(spark: SparkSession, cat: Catalog, gen: Generator) {
     * (plain-SQL) outer shell through Spark. */
   private val subCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   private def hybridSubqueries(plan: LogicalPlan): Option[DataFrame] = {
-    var found = false
+    var views = List.empty[String]
     val replaced = plan.transformUp {
       case sa @ SubqueryAlias(ident, child) if single(child).isDefined =>
         val df = single(child).get
-        found = true
         val view = s"__graft_sub_${subCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)
+        views ::= view
         SubqueryAlias(ident, UnresolvedRelation(Seq(view)))
     }
-    if (found) Some(GraftSqlBridge.dataFrame(spark, replaced)) else None
+    if (views.isEmpty) None
+    else
+      // eager analysis inlines the scratch views; drop them so the
+      // session catalog doesn't accumulate one per compiled subquery
+      try Some(GraftSqlBridge.dataFrame(spark, replaced))
+      finally views.foreach(spark.catalog.dropTempView)
   }
 
   private def referencesMetricsTable(plan: LogicalPlan): Boolean =

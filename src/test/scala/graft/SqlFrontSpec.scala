@@ -30,6 +30,22 @@ class SqlFrontSpec extends AnyFunSuite {
     assert(rows(viaSql) == rows(viaApi))
   }
 
+  test("WITH: CTE registrations are scoped — a colliding user temp view " +
+      "is restored and fresh CTE names don't outlive the query") {
+    val s = spark; import s.implicits._
+    Seq(41).toDF("n").createOrReplaceTempView("cte_scope_probe")
+    val got = front.sql(
+      """WITH cte_scope_probe AS (SELECT 1 AS n),
+        |     seg AS (SELECT orders.revenue FROM orders)
+        |SELECT n FROM cte_scope_probe""".stripMargin).collect()
+    assert(got(0).getInt(0) == 1, "query must see its own CTE")
+    // the user's view is back, not the CTE's shadow
+    assert(spark.table("cte_scope_probe").collect()(0).getInt(0) == 41)
+    // and a name the query introduced is gone afterwards
+    assert(!spark.catalog.tableExists("seg"))
+    spark.catalog.dropTempView("cte_scope_probe")
+  }
+
   test("WITH: plain CTE feeding a second plain CTE, no semantic refs — passthrough") {
     val s = spark; import s.implicits._
     Seq((1, "a"), (2, "b")).toDF("n", "s").createOrReplaceTempView("plain_rows")
