@@ -3410,8 +3410,10 @@ object SparkEntry {
         |    WHEN 1 THEN CASE (doc_id // 4) % 2 WHEN 1 THEN 'm4a' ELSE 'mp4' END
         |    WHEN 2 THEN 'ogg' ELSE 'flac' END AS format,
         |  CASE WHEN doc_id % 4 = 0 THEN cast(8 + (doc_id % 16) as int)
+        |       WHEN doc_id % 4 = 1 THEN cast(320 + (doc_id % 8) * 16 as int)
         |    END AS width,
         |  CASE WHEN doc_id % 4 = 0 THEN cast(8 + ((doc_id // 16) % 16) as int)
+        |       WHEN doc_id % 4 = 1 THEN 240
         |    END AS height,
         |  CASE WHEN doc_id % 4 = 1 THEN ((doc_id % 300) + 1) * 100
         |       WHEN doc_id % 4 = 3 THEN ((doc_id % 100) + 1) * 100

@@ -35,12 +35,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *            w/h), lossless `VP8L` 14-bit packed dims, extended `VP8X`
   *            24-bit canvas dims
   *   - MP4/M4A — ISO-BMFF box walk: `ftyp` major brand picks the
-  *            format name, then top-level boxes to `moov`/`mvhd` for
-  *            timescale + duration. Faststart files carry `moov` up
-  *            front and get duration_ms; tail-moov files (the
-  *            streaming-hostile layout) are still recognized by brand
-  *            with a null duration — a header sniff never demands the
-  *            whole object.
+  *            format name, then `moov`/`mvhd` for timescale + duration
+  *            and the first `trak`/`tkhd` with nonzero geometry for
+  *            width/height (16.16 fixed; audio tracks store zeros).
+  *            Faststart files carry `moov` up front and get the
+  *            metadata; tail-moov files (the streaming-hostile layout)
+  *            are still recognized by brand with null fields — a
+  *            header sniff never demands the whole object.
   *   - OGG  — first page's id packet: `\x01vorbis` or `OpusHead`
   *            (channels, sample rate; duration lives in the LAST page's
   *            granule, out of header reach → null)
@@ -195,29 +196,38 @@ object MediaExprs {
 
   /** ISO-BMFF box walk (MP4/M4A/MOV family). Boxes are
     * [size be32][type 4cc]; size 1 = 64-bit extended size follows,
-    * size 0 = "to end of file" (ends the walk — unbounded). `moov` is a
-    * pure container, so its children are walked in place. A box that
-    * runs past the provided bytes ends the walk: whatever was parsed by
-    * then stands (brand-only rows for tail-moov files). */
+    * size 0 = "to end of file" (ends the walk — unbounded). `moov` and
+    * `trak` are pure containers, so their children are walked in place:
+    * `mvhd` yields timescale + duration, the first `tkhd` with nonzero
+    * geometry yields width/height (16.16 fixed point — audio tracks
+    * store zeros and are skipped). A box that runs past the provided
+    * bytes ends the walk: whatever was parsed by then stands
+    * (brand-only rows for tail-moov files). */
   private def mp4(b: Array[Byte]): InternalRow = {
     if (b.length < 12 || !tag(b, 4, "ftyp")) return null
     val fmt = if (tag(b, 8, "M4A ")) "m4a" else "mp4"
     var durationMs: Any = null
+    var w: Any = null
+    var h: Any = null
+    def result = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(fmt), w, h, durationMs, null, null))
     var i = 0
     var guard = 0
-    while (i + 8 <= b.length && guard < 64) {
+    while (i + 8 <= b.length && guard < 128 && !(durationMs != null && w != null)) {
       guard += 1
       var size = be32(b, i)
       var hdr = 8
       if (size == 1) {
-        if (i + 16 > b.length) return row(fmt, durationMs)
+        if (i + 16 > b.length) return result
         size = be64(b, i + 8); hdr = 16
       }
       if (size == 0 || size < hdr || i + size > Int.MaxValue)
-        return row(fmt, durationMs)
-      if (tag(b, i + 4, "moov")) i += hdr // container: descend in place
+        return result
+      if (tag(b, i + 4, "moov") || tag(b, i + 4, "trak"))
+        i += hdr // container: descend in place
       else if (tag(b, i + 4, "mvhd")) {
-        val v = if (i + hdr < b.length) u8(b, i + hdr) else return row(fmt, durationMs)
+        if (i + hdr >= b.length) return result
+        val v = u8(b, i + hdr)
         if (v == 0 && i + hdr + 20 <= b.length) {
           val ts = be32(b, i + hdr + 12)
           val dur = be32(b, i + hdr + 16)
@@ -227,15 +237,21 @@ object MediaExprs {
           val dur = be64(b, i + hdr + 24)
           if (ts > 0 && dur >= 0) durationMs = dur * 1000L / ts
         }
-        return row(fmt, durationMs)
+        i += size.toInt
+      } else if (tag(b, i + 4, "tkhd")) {
+        if (i + hdr >= b.length) return result
+        val v = u8(b, i + hdr)
+        val off = if (v == 1) 88 else 76 // width's offset in the tkhd body
+        if (i + hdr + off + 8 <= b.length) {
+          val ww = (be32(b, i + hdr + off) >> 16).toInt
+          val hh = (be32(b, i + hdr + off + 4) >> 16).toInt
+          if (w == null && ww > 0 && hh > 0) { w = ww; h = hh }
+        }
+        i += size.toInt
       } else i += size.toInt
     }
-    row(fmt, durationMs)
+    result
   }
-
-  private def row(fmt: String, durationMs: Any): InternalRow =
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(fmt), null, null, durationMs, null, null))
 
   /** First OGG page: 27-byte header + segment table, then the codec id
     * packet. Vorbis/Opus id headers carry channels + sample rate; total

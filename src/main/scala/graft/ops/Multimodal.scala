@@ -217,22 +217,30 @@ object Multimodal {
     buf.array()
   }
 
-  /** ISO-BMFF ftyp + faststart moov/mvhd (v0). Odd `id/4` slices carry
-    * the `M4A ` major brand. duration_ms = (id%300+1)*100 exactly (the
-    * mvhd timescale is 1000). */
+  /** ISO-BMFF ftyp + faststart moov/mvhd/trak/tkhd (v0). Odd `id/4`
+    * slices carry the `M4A ` major brand. duration_ms = (id%300+1)*100
+    * exactly (the mvhd timescale is 1000); the video track's geometry
+    * is (320 + (id%8)*16) × 240 in tkhd 16.16 fixed point. */
   private def encodeMp4(id: Long): Array[Byte] = {
     val m4a = (id / 4) % 2 == 1
     val durMs = ((id % 300) + 1) * 100
-    val buf = java.nio.ByteBuffer.allocate(16 + 8 + 108) // big-endian default
+    val w = 320 + (id % 8).toInt * 16
+    // moov = mvhd(8+100) + trak(8 + tkhd(8+84)) = 208 bytes of children
+    val buf = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 100) // BE default
     buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
       .put((if (m4a) "M4A " else "isom").getBytes("US-ASCII")).putInt(0)
-    buf.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+    buf.putInt(8 + 108 + 100).put("moov".getBytes("US-ASCII"))
     buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
       .putInt(0) // version 0 + flags
       .putInt(0).putInt(0) // creation, modification
       .putInt(1000) // timescale
       .putInt(durMs.toInt) // duration in timescale units
-    // rest of the mvhd body (rate, volume, matrix, next track) stays zero
+    buf.position(buf.position() + 108 - 8 - 20) // rest of mvhd stays zero
+    buf.putInt(100).put("trak".getBytes("US-ASCII"))
+    buf.putInt(92).put("tkhd".getBytes("US-ASCII"))
+    val tkhdBody = buf.position()
+    buf.position(tkhdBody + 76) // v0: width sits 76 bytes into the body
+    buf.putInt(w << 16).putInt(240 << 16) // 16.16 fixed point
     buf.array()
   }
 

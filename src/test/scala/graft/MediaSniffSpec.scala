@@ -101,7 +101,9 @@ class MediaSniffSpec extends AnyFunSuite {
           val fmt = if ((id / 4) % 2 == 1) "m4a" else "mp4"
           assert(r.getString(1) === fmt, s"id=$id")
           assert(r.getLong(4) === ((id % 300) + 1) * 100, s"id=$id")
-          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(5) && r.isNullAt(6))
+          assert(r.getInt(2) === 320 + (id % 8).toInt * 16, s"id=$id")
+          assert(r.getInt(3) === 240, s"id=$id")
+          assert(r.isNullAt(5) && r.isNullAt(6))
         case 2 =>
           assert(r.getString(1) === "ogg", s"id=$id")
           assert(r.getInt(5) === 1 + (id % 2).toInt, s"id=$id")
