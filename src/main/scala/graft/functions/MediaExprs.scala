@@ -228,14 +228,17 @@ object MediaExprs {
       else if (tag(b, i + 4, "mvhd")) {
         if (i + hdr >= b.length) return result
         val v = u8(b, i + hdr)
+        // all-ones duration is the spec's "unknown" sentinel (common in
+        // live-recorded/fragmented files) — report null, not 49,710 days
         if (v == 0 && i + hdr + 20 <= b.length) {
           val ts = be32(b, i + hdr + 12)
           val dur = be32(b, i + hdr + 16)
-          if (ts > 0) durationMs = dur * 1000L / ts
+          if (ts > 0 && dur != 0xffffffffL) durationMs = dur * 1000L / ts
         } else if (v == 1 && i + hdr + 32 <= b.length) {
           val ts = be32(b, i + hdr + 20)
           val dur = be64(b, i + hdr + 24)
-          if (ts > 0 && dur >= 0) durationMs = dur * 1000L / ts
+          if (ts > 0 && dur >= 0 && dur <= Long.MaxValue / 1000L)
+            durationMs = dur * 1000L / ts
         }
         i += size.toInt
       } else if (tag(b, i + 4, "tkhd")) {

@@ -475,7 +475,7 @@ final class Generator(spark: SparkSession, cat: Catalog,
       .filter(_.contains('.')) // unprefixed graph metrics never route
       .map(r => FieldRef.parse(r).model) // through a (model-scoped) rollup
     val filterModels = q.filters.iterator.flatMap(f =>
-      Exprs.refs(spark, Exprs.interpolate(f, q.parameters))
+      Exprs.refs(spark, Exprs.interpolate(f, mergedParams(q)))
         .collect { case Seq(m, _) => m })
     (fieldModels ++ filterModels).exists(secured)
   }

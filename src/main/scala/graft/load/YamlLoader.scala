@@ -267,7 +267,11 @@ object YamlLoader {
     // fires for cumulative too (core/metric.py:115 allows it, "to
     // support AVG/COUNT windows"); here the inline aggregate decomposes
     // into a hidden simple base metric so the window planner keeps its
-    // named-base contract (and the base goes through fan-out safety)
+    // named-base contract (and the base goes through fan-out safety).
+    // Deliberately cumulative-ONLY, mirroring the reference's guard
+    // (`not type_val or type_val == "cumulative"`): a time_comparison
+    // with an inline aggregate is an error there and here — its sql is
+    // a base-metric NAME by contract
     if (parsed.metricType.contains("cumulative") &&
         !skipExtraction(m) && parsed.baseMetric.exists(b =>
           AggExtract.parse(b).isDefined)) {
@@ -280,7 +284,10 @@ object YamlLoader {
     val isPlain = parsed.agg.isEmpty && parsed.metricType.isEmpty &&
       parsed.numerator.isEmpty && parsed.steps.isEmpty
     parsed.sql match {
-      case Some(sqlText) if isPlain &&
+      // the extraction opt-outs cover composite decomposition too:
+      // sql_is_complete means "preserve verbatim", and DAX is not this
+      // grammar — neither may be split into hidden metrics
+      case Some(sqlText) if isPlain && !skipExtraction(m) &&
           graft.adapters.RillAdapter.aggCallCount(sqlText) >= 1 =>
         // AggExtract already failed in parseMetric (agg is still empty),
         // so this is composite: >=1 aggregate call inside a larger formula

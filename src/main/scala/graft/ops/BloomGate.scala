@@ -92,15 +92,20 @@ object BloomGate {
         (col("__pos") / 63).cast("int").as("__word"),
         expr("shiftleft(cast(1 as bigint), cast(__pos % 63 as int))")
           .as("__mask"))
-    probes.join(bloom, Seq("__bucket", "__word"), "left")
+    val gated = probes.join(bloom, Seq("__bucket", "__word"), "left")
       .select(col(idCol),
         (coalesce(col("__bits"), lit(0L)).bitwiseAND(col("__mask"))
           =!= lit(0L)).as("__hit"))
       .groupBy(col(idCol))
       .agg((count(lit(1)) === sum(when(col("__hit"), 1).otherwise(0)))
         .as("maybe_dup"))
-      .unionByName(batch.filter(key.isNull)
-        .select(col(idCol), lit(false).as("maybe_dup")))
+    // one row per batch row: null keys are definitively absent (build
+    // never inserts them). The union branch is a second batch scan, so
+    // it is skipped when the schema proves no nulls can exist.
+    val keyNullable = batch.schema.find(_.name == keyCol).forall(_.nullable)
+    if (!keyNullable) gated
+    else gated.unionByName(batch.filter(key.isNull)
+      .select(col(idCol), lit(false).as("maybe_dup")))
   }
 
   /** Occupancy report of a word table: (buckets, words, set_bits,

@@ -530,10 +530,15 @@ object Dedup {
     def keys(df: DataFrame) = df
       .select(col(idCol).as("__doc"),
         split(lower(col(textCol)), "\\s+").as("__t"))
-      .filter(size(col("__t")) >= shingleSize)
+      // docs shorter than a shingle still hash ONE truncated position-0
+      // shingle in the minhash kernel (DedupExprs.shingleHashes), so two
+      // short docs CAN pair — the gate must key them the same way or it
+      // would drop exactly those pairs (a false negative)
       .select(col("__doc"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("__t")) - shingleSize),
-          i => concat_ws(" ", slice(col("__t"), i + 1, lit(shingleSize))))))
+        when(size(col("__t")) >= shingleSize,
+          transform(sequence(lit(0), size(col("__t")) - shingleSize),
+            i => concat_ws(" ", slice(col("__t"), i + 1, lit(shingleSize)))))
+          .otherwise(array(concat_ws(" ", col("__t"))))))
         .as("__key"))
     val gate = BloomGate.build(keys(probe), "__key", mBitsPerBucket,
       kHashes, nBuckets)

@@ -186,10 +186,17 @@ object PqIndex {
     * also the dynamic-partition-pruning subquery for the cells scan. */
   private[graft] def adcCandidates(spark: SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      queryIdCol: String, nprobe: Int): DataFrame = {
-    val cents = IvfIndex.loadCentroids(spark, path)
-    val books = loadCodebooks(spark, path)
-    val perm = loadPermutation(spark, path)
+      queryIdCol: String, nprobe: Int): DataFrame =
+    adcCandidatesWith(spark, path, queries, idCol, vecCol, queryIdCol,
+      nprobe, IvfIndex.loadCentroids(spark, path),
+      loadCodebooks(spark, path), loadPermutation(spark, path))
+
+  /** [[adcCandidates]] with the index artifacts preloaded — [[topK]]
+    * loads them once and shares them with its fetch-side pruning. */
+  private def adcCandidatesWith(spark: SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      queryIdCol: String, nprobe: Int, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], perm: Option[Seq[Int]]): DataFrame = {
     val cells = spark.read.parquet(s"$path/cells")
     val probes = Similarity.probeCells(queries, queryIdCol, vecCol,
       cents, nprobe)
@@ -234,8 +241,10 @@ object PqIndex {
       fetchViaInList: Boolean = false): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val cells = spark.read.parquet(s"$path/cells")
-    val adc = adcCandidates(spark, path, queries, idCol, vecCol,
-      queryIdCol, nprobe)
+    val cents = IvfIndex.loadCentroids(spark, path)
+    val adc = adcCandidatesWith(spark, path, queries, idCol, vecCol,
+      queryIdCol, nprobe, cents, loadCodebooks(spark, path),
+      loadPermutation(spark, path))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col(idCol).asc)
     val short = adc.withColumn("__rn", row_number().over(w))
@@ -252,7 +261,6 @@ object PqIndex {
       // be relied on here (the shortlist build side is a window subtree,
       // and Spark degenerates the pruning expression to `true`), so the
       // cell list is pinned into the scan as a literal IN.
-      val cents = IvfIndex.loadCentroids(spark, path)
       val probedCells = Similarity.probeCells(queries, queryIdCol, vecCol,
           cents, nprobe)
         .select(col("__cell")).distinct().collect().map(_.get(0)).toSeq

@@ -57,10 +57,18 @@ object TransportSecurity {
     * be reported, not whitelisted: [[graft.sqlfront.SqlFront]] compiles
     * such a definition via plain Spark SQL, so a global-name whitelist
     * would let raw table contents through the fail-closed gate.
-    * Model names compare case-insensitively, matching Spark's
-    * identifier resolution and the reference's lowercase handling. */
+    *
+    * Model names deliberately compare CASE-SENSITIVELY: the gate may
+    * recognize no more than the rewriter actually claims, and the
+    * rewriter resolves model names exactly. Were the gate alone
+    * case-insensitive, `WITH x AS (<semantic>) SELECT * FROM Orders`
+    * against model `orders` would pass the gate, fail the rewrite, and
+    * fall to plain Spark SQL — which resolves identifiers
+    * case-insensitively and would return the raw relation with no
+    * access gate or row filters. A case-mismatched reference is
+    * therefore refused (fail-closed; the reference lowercases both
+    * sides only because sqlglot normalizes both sides). */
   def unrecognizedSources(plan: LogicalPlan, cat: Catalog): Seq[String] = {
-    val modelNames = cat.models.keysIterator.map(_.toLowerCase).toSet
     val bad = scala.collection.mutable.Set.empty[String]
     def walk(p: LogicalPlan, scope: Set[String]): Unit = {
       p match {
@@ -75,7 +83,7 @@ object TransportSecurity {
           val parts = ur.multipartIdentifier
           val ok = parts.size == 1 && {
             val n = parts.head.toLowerCase
-            modelNames(n) || n == "metrics" || scope(n)
+            cat.models.contains(parts.head) || n == "metrics" || scope(n)
           }
           if (!ok) bad += parts.mkString(".")
         case other =>

@@ -96,6 +96,17 @@ class BloomGateSpec extends AnyFunSuite {
     val plan = gated.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"),
       s"no semi-join gate in the plan:\n${plan.take(2000)}")
+    // docs shorter than a shingle still pair in the minhash kernel via
+    // the truncated position-0 shingle — the gate must not drop them
+    val shortCorpus = Seq((1L, "answer key"), (2L, "unrelated thing"))
+      .toDF("doc_id", "text")
+    val shortProbe = Seq((9L, "answer key")).toDF("doc_id", "text")
+    val shortRaw = canon(Dedup.crossCorpusNearDups(
+      shortCorpus, shortProbe, "doc_id", "text"))
+    assert(shortRaw.nonEmpty, "short identical docs must pair in the raw op")
+    assert(canon(Dedup.decontaminateGated(
+      shortCorpus, shortProbe, "doc_id", "text")) == shortRaw,
+      "gate dropped a short-doc contamination pair")
   }
 
   test("word table is layout-invariant") {

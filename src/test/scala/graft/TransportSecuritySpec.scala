@@ -92,11 +92,24 @@ class TransportSecuritySpec extends AnyFunSuite {
     assert(chain.contains("left untouched"))
   }
 
-  test("model-name recognition is case-insensitive (Spark identifiers are)") {
+  test("case-mismatched model names are refused: the gate recognizes no " +
+      "more than the rewriter claims (a case-insensitive gate over a " +
+      "case-sensitive rewriter would leak raw reads via the WITH fallback)") {
     import org.apache.spark.sql.GraftSqlBridge
     val plan = GraftSqlBridge.parser(spark)
       .parsePlan("SELECT Orders.revenue FROM Orders")
-    assert(TransportSecurity.unrecognizedSources(plan, cat).isEmpty)
+    assert(TransportSecurity.unrecognizedSources(plan, cat) == Seq("Orders"))
+    // the end-to-end exploit shape: a semantic CTE engages the WITH
+    // compiler, whose main-body fallback is plain Spark SQL (case-
+    // insensitive resolution) — the gate must refuse it up front
+    val s = spark; import s.implicits._
+    Seq((1, "x")).toDF("o_orderkey", "o_orderstatus")
+      .createOrReplaceTempView("ts_shadow_probe")
+    val msg = refused(front.transportSql(
+      "WITH seg AS (SELECT orders.revenue FROM orders) " +
+        "SELECT * FROM TS_SHADOW_PROBE"))
+    assert(msg.contains("non-semantic source(s) TS_SHADOW_PROBE"))
+    spark.catalog.dropTempView("ts_shadow_probe")
   }
 
   test("filter-only reference to a secured model bypasses preagg routing") {
@@ -131,6 +144,19 @@ class TransportSecuritySpec extends AnyFunSuite {
     // and the base path enforces deny-by-default without a user
     intercept[SecurityException](
       gSec.plan(q.copy(user = None)).collect())
+    // the bypass predicate renders filters with PACKAGE defaults merged
+    // in — a default-valued {{ param }} in a filter must not crash the
+    // routing decision when the query passes no parameters
+    val withDefault = securedCustomer.withParamDefaults(
+      Map("seg" -> "'AUTOMOBILE'"))
+    val gDef = new Generator(spark, withDefault,
+      Some(new PreAggStore(spark, withDefault, base)))
+    val qDef = SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      filters = Seq("customer.mktsegment = {{ seg }}"),
+      user = Some(Map("role" -> "analyst")))
+    gDef.plan(qDef).collect()
+    assert(gDef.lastRoute != "preagg")
   }
 
   test("denyRawSql names every active control class") {
