@@ -3140,14 +3140,20 @@ object SparkEntry {
     // corpus-scale media profile: the sniff output aggregated per format
     // (count, total pixels = decode-cost plan, total audio duration) —
     // what a 100 TB media catalog pass produces before scheduling decode.
-    // The id repartition pins the layout: the per-row encode+sniff work
-    // is the cost here, and inheriting the source's partitioning lets a
-    // skewed input turn the pass into a straggler lottery (3-6 s swings
-    // in the skew battery) — hashing the unique ids balances it
+    // The synthetic bytes are PERSISTED once per JVM (buildOnce): a real
+    // catalog pass scans stored objects, so the timed passes measure
+    // scan + codegen'd header parse + aggregate — ImageIO encoding is
+    // fixture cost, and timing it made this row a straggler lottery
+    // (3-6 s pass swings from the encoder's JVM-global contention)
     "q_media_profile" -> ((s, d) => {
-      val media = Multimodal.syntheticMixedMedia(
-        docs(s, d).repartition(col("doc_id")), "doc_id")
-      media.select(Multimodal.sniffMedia(col("content")).as("m"))
+      val path = s"/tmp/graft_media_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      buildOnce(path) {
+        Multimodal.syntheticMixedMedia(
+            docs(s, d).repartition(col("doc_id")), "doc_id")
+          .write.mode("overwrite").parquet(path)
+      }
+      s.read.parquet(path)
+        .select(Multimodal.sniffMedia(col("content")).as("m"))
         .groupBy(col("m.format").as("format"))
         .agg(count(lit(1)).as("n"),
           sum(col("m.width").cast("long") * col("m.height")).as("total_pixels"),
