@@ -118,6 +118,36 @@ class MediaSniffSpec extends AnyFunSuite {
     }
   }
 
+  test("webp lossy (VP8) and extended (VP8X) headers sniff their dims") {
+    // VP8 lossy: 3-byte frame tag, 9D 01 2A start code, 14-bit le dims
+    val lossy = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    lossy.put("RIFF".getBytes("US-ASCII")).putInt(22)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8 ".getBytes("US-ASCII")).putInt(10)
+      .put(Array[Byte](0, 0, 0)) // frame tag
+      .put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte)
+      .putShort(641.toShort).putShort(353.toShort)
+    val r1 = evalSniff(lossy.array()).getOrElse(fail("VP8 not recognized"))
+    assert(r1.getUTF8String(0).toString === "webp")
+    assert(r1.getInt(1) === 641 && r1.getInt(2) === 353)
+    // VP8X extended: flags(4) then 24-bit canvas width-1 / height-1
+    val ext = java.nio.ByteBuffer.allocate(30)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ext.put("RIFF".getBytes("US-ASCII")).putInt(22)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8X".getBytes("US-ASCII")).putInt(10)
+      .putInt(0) // feature flags + reserved
+    ext.put(0xff.toByte).put(0x01.toByte).put(0.toByte) // w-1 = 511
+    ext.put(0x2b.toByte).put(0x01.toByte).put(0.toByte) // h-1 = 299
+    val r2 = evalSniff(ext.array()).getOrElse(fail("VP8X not recognized"))
+    assert(r2.getUTF8String(0).toString === "webp")
+    assert(r2.getInt(1) === 512 && r2.getInt(2) === 300)
+    // corrupt VP8 start code is refused, not misread
+    val bad = lossy.array().clone(); bad(23) = 0x00
+    assert(evalSniff(bad).isEmpty)
+  }
+
   test("tail-moov mp4 sniffs to brand-only (format, null duration) — a " +
       "header sniff never demands the whole object") {
     // ftyp then an mdat box whose declared size reaches past the bytes

@@ -159,6 +159,24 @@ class TransportSecuritySpec extends AnyFunSuite {
     assert(gDef.lastRoute != "preagg")
   }
 
+  test("CTE scope nests: an inner WITH's names are invisible outside it, " +
+      "and outer names are visible inside") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val parser = GraftSqlBridge.parser(spark)
+    // inner-only name `i` leaks nowhere: the outer body's `FROM i` is
+    // a physical read and must be reported
+    val leak = parser.parsePlan(
+      "WITH a AS (WITH i AS (SELECT 1 AS n) SELECT n FROM i) " +
+        "SELECT * FROM i")
+    assert(TransportSecurity.unrecognizedSources(leak, cat) == Seq("i"))
+    // outer name visible inside a nested definition: nothing unrecognized
+    val ok = parser.parsePlan(
+      "WITH o AS (SELECT 1 AS n), " +
+        "b AS (WITH i AS (SELECT n FROM o) SELECT n FROM i) " +
+        "SELECT * FROM b")
+    assert(TransportSecurity.unrecognizedSources(ok, cat).isEmpty)
+  }
+
   test("denyRawSql names every active control class") {
     val msg = intercept[SecurityException](
       TransportSecurity.denyRawSql(cat, "raw_db_endpoint")).getMessage
