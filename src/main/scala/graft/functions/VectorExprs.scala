@@ -556,6 +556,129 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Per-query ADC lookup tables as ONE loop kernel: `out(s)(j)` is the
+    * full per-subspace squared distance |v_s|² − 2·v_s·c_sj + |c_sj|²
+    * for subvector s against codeword j. The Column shape it replaces —
+    * `array(array(qn2_s − 2·element_at(qdots_s, j+1) + lit) ×kCodes) ×m`
+    * — emits m·kCodes CreateArray slots (512 at 16×32) whose nested
+    * array writers janino cannot split below the 64 KB method limit
+    * (the ADC stage fell back to interpreted eval). Arithmetic is
+    * bit-identical to that shape: ascending-index dot and norm folds
+    * (the [[DotProduct]]/[[MatVecDots]] order), codeword |c|² as the
+    * left-to-right Scala sum ([[PqBooks.normsSq]]), combined as
+    * `(qn2 − 2.0·dot) + |c|²`. NULL on null/wrong-length vector or any
+    * null element. */
+  case class AdcTables(child: Expression, books: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression {
+    @transient private lazy val pb = new PqBooks(books)
+    private val m = books.size
+    private val k = books.head.size
+    private val dsub = books.head.head.size
+    private val dim = m * dsub
+
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_adc_tables"
+    override def checkInputDataTypes(): TypeCheckResult =
+      arrayCheck(prettyName, child.dataType)
+
+    @transient private lazy val elem =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != dim) return null
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        i += 1
+      }
+      val outer = new Array[AnyRef](m)
+      var s = 0
+      while (s < m) {
+        var qn2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = getElem(a, elem, s * dsub + d)
+          qn2 += x * x
+          d += 1
+        }
+        val inner = new Array[Double](k)
+        var j = 0
+        while (j < k) {
+          val off = (s * k + j) * dsub
+          var dot = 0.0
+          d = 0
+          while (d < dsub) {
+            dot += getElem(a, elem, s * dsub + d) * pb.flat(off + d)
+            d += 1
+          }
+          inner(j) = (qn2 - 2.0 * dot) + pb.normsSq(s * k + j)
+          j += 1
+        }
+        outer(s) = new GenericArrayData(inner)
+        s += 1
+      }
+      new GenericArrayData(outer)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val flatRef = ctx.addReferenceObj("graftAdcFlat", pb.flat, "double[]")
+      val normRef = ctx.addReferenceObj("graftAdcNorms", pb.normsSq, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val outer = ctx.freshName("outer")
+        val inner = ctx.freshName("inner")
+        val s = ctx.freshName("s")
+        val j = ctx.freshName("j")
+        val d = ctx.freshName("d")
+        val off = ctx.freshName("off")
+        val dot = ctx.freshName("dot")
+        val qn2 = ctx.freshName("qn2")
+        val x = ctx.freshName("x")
+        val bad = ctx.freshName("bad")
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $bad = false;
+           |  for (int $d = 0; $d < $dim; $d++) {
+           |    if ($a.isNullAt($d)) { $bad = true; break; }
+           |  }
+           |  if ($bad) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    final Object[] $outer = new Object[$m];
+           |    for (int $s = 0; $s < $m; $s++) {
+           |      double $qn2 = 0.0;
+           |      for (int $d = 0; $d < $dsub; $d++) {
+           |        final double $x = ${getter(elem, a, s"($s * $dsub + $d)")};
+           |        $qn2 += $x * $x;
+           |      }
+           |      final double[] $inner = new double[$k];
+           |      for (int $j = 0; $j < $k; $j++) {
+           |        final int $off = ($s * $k + $j) * $dsub;
+           |        double $dot = 0.0;
+           |        for (int $d = 0; $d < $dsub; $d++) {
+           |          $dot += ${getter(elem, a, s"($s * $dsub + $d)")} * $flatRef[$off + $d];
+           |        }
+           |        $inner[$j] = ($qn2 - 2.0 * $dot) + $normRef[$s * $k + $j];
+           |      }
+           |      $outer[$s] =
+           |        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($inner);
+           |    }
+           |    ${ev.value} =
+           |      new org.apache.spark.sql.catalyst.util.GenericArrayData($outer);
+           |  }
+           |}""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): AdcTables =
+      copy(child = newChild)
+  }
+
   /** `vec − matrix[idx]` as one loop kernel: the residual step of
     * residual-quantized IVFADC (vector minus its cell's centroid, cell
     * chosen per row). The Column-expression alternative —
@@ -651,6 +774,81 @@ object VectorExprs {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): VecSubRow =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Coordinate permutation `out(i) = in(perm(i))` as one loop kernel.
+    * The Column-expression alternative — `array(element_at(v, p+1) ×dim)`
+    * — clones the `v` subtree `dim` times; with the OPQ residual subtree
+    * as `v` (VecSubRow under a join) the 64 copies crossed janino's
+    * 64 KB whole-stage limit and the stage fell back to interpreted
+    * eval. Here `v` is evaluated once and `perm` ships per executor via
+    * `addReferenceObj`, so generated code is constant-size in dim.
+    * NULL on null/wrong-length vector or any null element (the chained
+    * form produced an array WITH nulls there, which the downstream PQ
+    * kernels mapped to NULL anyway — net behavior unchanged). */
+  case class Permute(child: Expression, perm: Seq[Int])
+      extends UnaryExpression {
+    require(perm.nonEmpty && perm.sorted == perm.indices,
+      "perm must be a permutation of 0 until dim")
+    private val dim = perm.length
+    @transient private lazy val p: Array[Int] = perm.toArray
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_permute"
+    override def checkInputDataTypes(): TypeCheckResult =
+      arrayCheck(prettyName, child.dataType)
+
+    @transient private lazy val elem =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != dim) return null
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        i += 1
+      }
+      val out = new Array[Double](dim)
+      i = 0
+      while (i < dim) {
+        out(i) = getElem(a, elem, p(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val permRef = ctx.addReferenceObj("graftPerm", p, "int[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val bad = ctx.freshName("bad")
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $bad = false;
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    if ($a.isNullAt($i)) { $bad = true; break; }
+           |  }
+           |  if ($bad) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    final double[] $out = new double[$dim];
+           |    for (int $i = 0; $i < $dim; $i++) {
+           |      $out[$i] = ${getter(elem, a, s"$permRef[$i]")};
+           |    }
+           |    ${ev.value} =
+           |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |  }
+           |}""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Permute =
+      copy(child = newChild)
   }
 
   /** Total squared PQ reconstruction error of a vector: per subspace,
@@ -802,6 +1000,12 @@ object VectorExprs {
 
   def pqEncode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     GraftSqlBridge.column(PqEncode(GraftSqlBridge.expression(vec), books))
+
+  def permute(vec: Column, perm: Seq[Int]): Column =
+    GraftSqlBridge.column(Permute(GraftSqlBridge.expression(vec), perm))
+
+  def adcTables(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    GraftSqlBridge.column(AdcTables(GraftSqlBridge.expression(vec), books))
 
   def pqReconSq(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     GraftSqlBridge.column(PqReconSq(GraftSqlBridge.expression(vec), books))

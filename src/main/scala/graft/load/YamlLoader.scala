@@ -123,8 +123,12 @@ object YamlLoader {
       primaryKey = strOrList(m.get("primary_key").orElse(m.get("primary_key_columns"))),
       dimensions = seqOfMaps(m.get("dimensions")).map(parseDimension) ++
         embedded.flatMap(_.dimensions),
-      metrics = (seqOfMaps(m.get("metrics")) ++ seqOfMaps(m.get("measures")))
-        .flatMap(expandMetric) ++ embedded.flatMap(_.metrics),
+      metrics = {
+        val declared = seqOfMaps(m.get("metrics")) ++ seqOfMaps(m.get("measures"))
+        val names = declared.map(_("name").toString).toSet
+        declared.flatMap(mm => expandMetric(mm, names)) ++
+          embedded.flatMap(_.metrics)
+      },
       relationships = seqOfMaps(m.get("relationships")).map(parseRelationship),
       segments = seqOfMaps(m.get("segments")).map(s =>
         Segment(s("name").toString, s("sql").toString,
@@ -261,7 +265,8 @@ object YamlLoader {
     * component goes through the engine's fan-out-safety classification —
     * an opaque composite would aggregate naively over a fanned-out join
     * and silently double-count the one-side). */
-  private def expandMetric(m: Map[String, Any]): Seq[Metric] = {
+  private def expandMetric(m: Map[String, Any],
+      declaredNames: Set[String] = Set.empty): Seq[Metric] = {
     val parsed = parseMetric(m)
     // `type: cumulative, sql: SUM(amount)` — the reference's extraction
     // fires for cumulative too (core/metric.py:115 allows it, "to
@@ -276,7 +281,15 @@ object YamlLoader {
         !skipExtraction(m) && parsed.baseMetric.exists(b =>
           AggExtract.parse(b).isDefined)) {
       val x = AggExtract.parse(parsed.baseMetric.get).get
-      val base = Metric(name = s"${parsed.name}__base", agg = Some(x.agg),
+      val baseName = s"${parsed.name}__base"
+      // fail loudly rather than silently shadow/duplicate a user metric
+      // that happens to carry the reserved hidden-base name
+      if (declaredNames.contains(baseName))
+        throw new IllegalArgumentException(
+          s"metric '$baseName' collides with the hidden base metric " +
+            s"synthesized for cumulative metric '${parsed.name}' — the " +
+            "'__base' suffix is reserved; rename the declared metric")
+      val base = Metric(name = baseName, agg = Some(x.agg),
         sql = x.inner, filters = x.filter.toSeq, public = false)
       return Seq(base,
         parsed.copy(baseMetric = Some(base.name)))
@@ -307,10 +320,25 @@ object YamlLoader {
   /** Extraction opt-outs (core/metric.py:104-117): `sql_is_complete`
     * marks the sql an opaque, complete aggregate expression (imported
     * Cube/Tesseract measures) that must be preserved verbatim with
-    * agg=None; DAX expressions are a different grammar entirely. */
+    * agg=None; DAX expressions are a different grammar entirely.
+    * `sql_is_complete` accepts YAML booleans AND the tolerant truthy
+    * spellings (yes/no, on/off, 1/0) — the reference reads the field
+    * as plain truthiness, so `sql_is_complete: yes` must opt out, not
+    * throw. Unrecognized spellings raise with the accepted list. */
   private def skipExtraction(m: Map[String, Any]): Boolean =
-    m.get("sql_is_complete").exists(_.toString.toBoolean) ||
+    m.get("sql_is_complete").exists(truthy(_, "sql_is_complete")) ||
       m.get("expression_language").exists(_.toString == "dax")
+
+  private def truthy(v: Any, field: String): Boolean = v match {
+    case b: java.lang.Boolean => b.booleanValue()
+    case other => other.toString.trim.toLowerCase match {
+      case "true" | "yes" | "on" | "1"        => true
+      case "false" | "no" | "off" | "0" | ""  => false
+      case bad => throw new IllegalArgumentException(
+        s"$field: expected a boolean (accepted spellings: true/false, " +
+          s"yes/no, on/off, 1/0), got '$bad'")
+    }
+  }
 
   private def parseMetric(m: Map[String, Any]): Metric = {
     val parsed = parseMetric0(m)

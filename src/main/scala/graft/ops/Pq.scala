@@ -148,9 +148,14 @@ object Pq {
   }
 
   /** Apply a coordinate permutation as a pure projection:
-    * out(i) = in(perm(i)). Constant-size expression (dim literals). */
+    * out(i) = in(perm(i)) through ONE [[VectorExprs.Permute]] loop
+    * kernel, so `vec` — often the full VecSubRow residual subtree on
+    * the IVFADC path — is evaluated once. The first cut chained `dim`
+    * `element_at(vec, p+1)` slots, cloning that subtree dim times and
+    * blowing janino's 64 KB whole-stage limit at dim 64 (interpreted
+    * fallback — the exact failure class [[encode]]'s kernel fixed). */
   def permute(vec: Column, perm: Seq[Int]): Column =
-    array(perm.map(p => element_at(asDouble(vec), p + 1)): _*)
+    VectorExprs.permute(asDouble(vec), perm)
 
   /** Encode every row to its `m` nearest-codeword indices — a pure
     * projection through ONE [[VectorExprs.PqEncode]] kernel call, so
@@ -181,27 +186,17 @@ object Pq {
     * Keeping it makes the table the true quantized distance in both
     * uses. m × kCodes doubles per key row — rides the broadcast. */
   private[ops] def adcTablesKeyed(frame: DataFrame, keyCols: Seq[String],
-      vecCol: String, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val m = codebooks.size
-    val dsub = codebooks.head.head.size
-    val base = frame.filter(col(vecCol).isNotNull)
-      .select(keyCols.map(col) :+ asDouble(col(vecCol)).as("__qv"): _*)
-    val withDots = (0 until m).foldLeft(base) { (acc, s) =>
-      val prev = acc.columns.map(col)
-      val sub = slice(col("__qv"), s * dsub + 1, dsub)
-      acc.select(prev ++ Seq(
-        VectorExprs.matVecDots(sub, codebooks(s)).as(s"__qdots_$s"),
-        VectorExprs.dot(sub, sub).as(s"__qn2_$s")): _*)
-    }
-    val tables = (0 until m).map { s =>
-      array(codebooks(s).zipWithIndex.map { case (c, j) =>
-        col(s"__qn2_$s") -
-          lit(2.0) * element_at(col(s"__qdots_$s"), j + 1) +
-          lit(c.map(x => x * x).sum)
-      }: _*)
-    }
-    withDots.select(keyCols.map(col) :+ array(tables: _*).as("__tables"): _*)
-  }
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    // one [[VectorExprs.AdcTables]] kernel call: the earlier
+    // slice/matVecDots foldLeft + m×kCodes CreateArray slots blew
+    // janino's 64 KB limit at 16×32 (interpreted fallback); the kernel
+    // is bit-identical (same fold orders, same (qn2 − 2·dot) + |c|²
+    // combine) and evaluates the — possibly deep residual — vec
+    // subtree exactly once
+    frame.filter(col(vecCol).isNotNull)
+      .select(keyCols.map(col) :+
+        VectorExprs.adcTables(asDouble(col(vecCol)), codebooks)
+          .as("__tables"): _*)
 
   private[ops] def adcTables(queries: DataFrame, queryIdCol: String,
       vecCol: String, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =

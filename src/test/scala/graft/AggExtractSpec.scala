@@ -84,6 +84,55 @@ class AggExtractSpec extends AnyFunSuite {
     assert(dax.agg.isEmpty && dax.sql == Some("SUM(amount)"))
   }
 
+  test("sql_is_complete accepts YAML truthy spellings (yes/on/1) and " +
+      "rejects unrecognized values loudly") {
+    def load(v: String) = YamlLoader.loadString(
+      s"""version: 1
+         |models:
+         |  - name: t4b
+         |    table: orders
+         |    primary_key: id
+         |    metrics:
+         |      - name: imported
+         |        sql: SUM(amount)
+         |        sql_is_complete: $v
+         |""".stripMargin)
+    // truthy spellings opt OUT of extraction (reference reads plain
+    // truthiness); falsy spellings extract normally
+    for (v <- Seq("yes", "on", "'1'", "TRUE"))
+      assert(load(v).head.metric("imported").get.agg.isEmpty,
+        s"sql_is_complete: $v must preserve verbatim")
+    for (v <- Seq("no", "off", "'0'", "FALSE"))
+      assert(load(v).head.metric("imported").get.agg == Some("sum"),
+        s"sql_is_complete: $v must extract")
+    val e = intercept[IllegalArgumentException](load("maybe"))
+    assert(e.getMessage.contains("accepted spellings"))
+  }
+
+  test("user metric colliding with the reserved '<name>__base' hidden " +
+      "name raises instead of silently shadowing") {
+    val e = intercept[IllegalArgumentException](YamlLoader.loadString(
+      """version: 1
+        |models:
+        |  - name: t4c
+        |    table: orders
+        |    primary_key: id
+        |    dimensions:
+        |      - name: order_date
+        |        type: time
+        |        granularity: day
+        |    metrics:
+        |      - name: running__base
+        |        agg: sum
+        |        sql: other_amount
+        |      - name: running
+        |        type: cumulative
+        |        sql: SUM(amount)
+        |""".stripMargin))
+    assert(e.getMessage.contains("reserved") &&
+      e.getMessage.contains("running__base"))
+  }
+
   test("expr is an accepted alias of sql; both with different values raise") {
     val ms = YamlLoader.loadString(
       """version: 1

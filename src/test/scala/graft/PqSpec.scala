@@ -186,6 +186,65 @@ class PqSpec extends AnyFunSuite {
     assert(row.getDouble(1) === interpErr)
   }
 
+  test("permute kernel: compiles at full OPQ composition depth and " +
+      "matches interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    import graft.functions.VectorExprs
+    val dim = 64
+    // 37 is coprime to 64, so p -> 37p mod 64 is a permutation
+    val perm = (0 until dim).map(p => (p * 37) % dim)
+    assert(perm.sorted == (0 until dim), "test perm must be a permutation")
+    val vec = (0 until dim).map(i => i.toDouble * 0.5 - 3.0)
+    val v = Literal.create(vec, ArrayType(DoubleType))
+    val pExpr = VectorExprs.Permute(v, perm)
+    val interp = pExpr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray.toSeq
+    assert(interp === perm.map(vec), "permute semantics: out(i)=in(perm(i))")
+    // the composed OPQ residual-encode shape that blew janino's 64 KB
+    // limit when permute was 64 chained element_at slots (each cloning
+    // the VecSubRow subtree): Permute over VecSubRow, PqEncode on top,
+    // at real geometry (dim 64, 4 centroids, 8x16x8 books). generate()
+    // throws on janino failure — a silent interpreted fallback otherwise.
+    val centroids = (0 until 4).map(c =>
+      (0 until dim).map(d => (c * dim + d).toDouble * 0.01))
+    val fullBooks = (0 until 8).map(s => (0 until 16).map(j =>
+      (0 until 8).map(d => (s * 128 + j * 8 + d).toDouble * 0.003 - 1.5)))
+    val resid = VectorExprs.VecSubRow(v,
+      Literal.create(2, IntegerType), centroids)
+    val composed = VectorExprs.PqEncode(
+      VectorExprs.Permute(resid, perm), fullBooks)
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(Seq(composed))
+    val row = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val compiled = row.getArray(0).toIntArray.toSeq
+    val interpComposed = composed.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray.toSeq
+    assert(compiled === interpComposed,
+      "compiled and interpreted OPQ encode disagree")
+  }
+
+  test("permuted residual encode stays inside whole-stage codegen (starred)") {
+    import graft.functions.VectorExprs
+    val dim = 64
+    val perm = Pq.trainPermutation(emb, "vec_id", "embedding", dim, 8)
+    val centroids = (0 until 4).map(c =>
+      (0 until dim).map(d => (c + d).toDouble * 0.01))
+    val staged = emb.select(col("vec_id"),
+      VectorExprs.pqEncode(
+        Pq.permute(
+          VectorExprs.vecSubRow(col("embedding").cast("array<double>"),
+            pmod(col("vec_id"), lit(4)).cast("int"), centroids),
+          perm),
+        books).as("__codes"))
+    staged.collect()
+    val plan = org.apache.spark.sql.GraftSqlBridge.explainString(staged, "simple")
+    val projLine = plan.linesIterator.find(_.contains("graft_permute")).get
+    assert(projLine.trim.startsWith("*"), s"not codegen'd:\n$plan")
+  }
+
   test("encode projection stays inside whole-stage codegen (starred)") {
     val codes = Pq.encode(emb, "vec_id", "embedding", books)
     codes.collect()

@@ -169,6 +169,60 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(projLine.trim.startsWith("*"), s"not codegen'd:\n$plan")
   }
 
+  test("adcTables is bit-identical to the qn2−2·dot+|c|² column expansion " +
+      "and compiles at 16×32 geometry") {
+    // 2 subspaces × 3 codewords × dsub 2: expected computed with the
+    // EXACT float-op order the old Column shape used — ascending dot
+    // and norm folds, (qn2 − 2.0·dot) + Σc² left-to-right
+    val books = Seq(
+      Seq(Seq(0.1, -0.2), Seq(1.0, 1.0), Seq(-3.0, 0.5)),
+      Seq(Seq(2.0, 0.0), Seq(0.25, -1.5), Seq(0.0, 0.0)))
+    val vec = Seq(1.2, -0.8, 0.5, 2.0)
+    val expected = (0 until 2).map { s =>
+      val sub = vec.slice(s * 2, s * 2 + 2)
+      val qn2 = sub.foldLeft(0.0)((acc, x) => acc + x * x)
+      books(s).map { c =>
+        val dot = sub.zip(c).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+        (qn2 - 2.0 * dot) + c.map(x => x * x).sum
+      }
+    }
+    val e = VectorExprs.AdcTables(
+      Literal.create(vec, ArrayType(DoubleType)), books)
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val got = (0 until 2).map(s => interp.getArray(s).toDoubleArray.toSeq)
+    assert(got === expected)
+    // null semantics: wrong length and null element → null
+    assert(VectorExprs.AdcTables(
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)), books)
+      .eval(null) == null)
+    assert(VectorExprs.AdcTables(
+      Literal.create(Seq(1.0, null, 0.5, 2.0), ArrayType(DoubleType)), books)
+      .eval(null) == null)
+    // compiled path agrees, at BOTH the small geometry and the 16×32
+    // geometry that used to blow janino's 64 KB limit
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(Seq(e))
+    val row = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val compiled = (0 until 2).map(s =>
+      row.getArray(0).getArray(s).toDoubleArray.toSeq)
+    assert(compiled === expected)
+    val bigBooks = (0 until 16).map(s => (0 until 32).map(j =>
+      (0 until 4).map(d => (s * 128 + j * 4 + d).toDouble * 0.001 - 0.5)))
+    val bigVec = (0 until 64).map(i => math.sin(i.toDouble))
+    val bigExpr = VectorExprs.AdcTables(
+      Literal.create(bigVec, ArrayType(DoubleType)), bigBooks)
+    val bigProj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(Seq(bigExpr)) // throws on janino error
+    val bigRow = bigProj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val bigInterp = bigExpr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until 16).foreach { s =>
+      assert(bigRow.getArray(0).getArray(s).toDoubleArray.toSeq ===
+        bigInterp.getArray(s).toDoubleArray.toSeq)
+    }
+  }
+
   test("no codegen fallback: generated projection code compiles (no janino error)") {
     // a compile failure silently falls back to interpreted eval — catch it
     // by generating + compiling the projection code directly
