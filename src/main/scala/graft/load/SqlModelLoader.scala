@@ -121,7 +121,13 @@ object SqlModelLoader {
             if (models.nonEmpty) attach(m => m.copy(metrics = m.metrics :+ met))
             else loose = loose.copy(metrics = loose.metrics :+ met)
           case "SEGMENT" =>
-            val s = Segment(props("name"), props("sql"))
+            // `expression` is the spelling the reference's own SQL DDL
+            // fixture uses (tests/fixtures/sql/orders.sql:79)
+            val s = Segment(props("name"),
+              props.get("sql").orElse(props.get("expr"))
+                .orElse(props.get("expression")).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"SEGMENT '${props("name")}' needs sql/expr/expression")))
             if (models.nonEmpty) attach(m => m.copy(segments = m.segments :+ s))
             else loose = loose.copy(segments = loose.segments :+ s)
           case "RELATIONSHIP" =>
@@ -168,15 +174,24 @@ object SqlModelLoader {
   private def splitStatements(s: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
     var depth = 0; var inQ = false; val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inQ = !inQ; cur += '\''
-      case '(' if !inQ => depth += 1; cur += '('
-      case ')' if !inQ => depth -= 1; cur += ')'
-      case ';' if !inQ && depth == 0 => out += cur.toString; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      c match {
+        case '\'' => inQ = !inQ; cur += '\''; i += 1
+        // `-- comment` to end of line (quote-aware): real .sql model
+        // files open with comment banners
+        case '-' if !inQ && i + 1 < s.length && s(i + 1) == '-' =>
+          while (i < s.length && s(i) != '\n') i += 1
+        case '(' if !inQ => depth += 1; cur += '('; i += 1
+        case ')' if !inQ => depth -= 1; cur += ')'; i += 1
+        case ';' if !inQ && depth == 0 =>
+          out += cur.toString; cur.clear(); i += 1
+        case _ => cur += c; i += 1
+      }
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString
-    out.toList
+    out.map(_.trim).filter(_.nonEmpty).toList
   }
 
   /** `key value, key value` with paren/quote-aware comma splitting; the
