@@ -47,9 +47,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *            granule, out of header reach → null)
   *   - FLAC — `fLaC` + mandatory first STREAMINFO block: 20-bit sample
   *            rate, 3-bit channels, 36-bit total samples → duration_ms
+  *   - TIFF — `II*\0` / `MM\0*` + first-IFD walk, both byte orders:
+  *            ImageWidth/ImageLength, BitsPerSample, SamplesPerPixel
+  *            (→ channels); scanned-document corpora ship as TIFF
   *
   * Result: `struct<format string, width int, height int, duration_ms
-  * bigint, channels int, sample_rate int>`; NULL for bytes no parser
+  * bigint, channels int, sample_rate int, bits_per_sample int>`
+  * (bits_per_sample is TIFF-only for now); NULL for bytes no parser
   * recognizes (including truncated or corrupt headers — every read is
   * bounds-checked, never an exception). Image rows carry null audio
   * fields and vice versa; fields a recognized container keeps out of
@@ -63,7 +67,8 @@ object MediaExprs {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType),
     StructField("channels", IntegerType),
-    StructField("sample_rate", IntegerType)))
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType)))
 
   // ---------------------------------------------------------------- parsers
 
@@ -84,7 +89,7 @@ object MediaExprs {
   private def image(fmt: String, w: Long, h: Long): InternalRow =
     if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) null
     else new GenericInternalRow(Array[Any](
-      UTF8String.fromString(fmt), w.toInt, h.toInt, null, null, null))
+      UTF8String.fromString(fmt), w.toInt, h.toInt, null, null, null, null))
 
   private def png(b: Array[Byte]): InternalRow = {
     if (b.length < 24) return null
@@ -157,7 +162,7 @@ object MediaExprs {
       sampleRate > Int.MaxValue) return null
     new GenericInternalRow(Array[Any](
       UTF8String.fromString("wav"), null, null,
-      dataBytes * 1000L / byteRate, channels, sampleRate.toInt))
+      dataBytes * 1000L / byteRate, channels, sampleRate.toInt, null))
   }
 
   /** RIFF dispatch: the container four-cc at 8 separates WAVE from WEBP. */
@@ -210,7 +215,7 @@ object MediaExprs {
     var w: Any = null
     var h: Any = null
     def result = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(fmt), w, h, durationMs, null, null))
+      UTF8String.fromString(fmt), w, h, durationMs, null, null, null))
     var i = 0
     var guard = 0
     while (i + 8 <= b.length && guard < 128 && !(durationMs != null && w != null)) {
@@ -270,13 +275,13 @@ object MediaExprs {
       val ch = u8(b, p + 11); val sr = le32(b, p + 12)
       if (ch <= 0 || sr <= 0 || sr > Int.MaxValue) return null
       new GenericInternalRow(Array[Any](
-        UTF8String.fromString("ogg"), null, null, null, ch, sr.toInt))
+        UTF8String.fromString("ogg"), null, null, null, ch, sr.toInt, null))
     } else if (tag(b, p, "OpusHead")) {
       // channels u8 @+9, input sample rate le32 @+12
       val ch = u8(b, p + 9); val sr = le32(b, p + 12)
       if (ch <= 0 || sr <= 0 || sr > Int.MaxValue) return null
       new GenericInternalRow(Array[Any](
-        UTF8String.fromString("ogg"), null, null, null, ch, sr.toInt))
+        UTF8String.fromString("ogg"), null, null, null, ch, sr.toInt, null))
     } else null
   }
 
@@ -294,7 +299,69 @@ object MediaExprs {
     val durationMs: Any =
       if (totalSamples > 0) totalSamples * 1000L / sr else null
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString("flac"), null, null, durationMs, ch, sr))
+      UTF8String.fromString("flac"), null, null, durationMs, ch, sr, null))
+  }
+
+  /** TIFF: `II*\0` (little-endian) or `MM\0*` (big-endian) + the first
+    * IFD's entry walk. Tags read: 256 ImageWidth, 257 ImageLength, 258
+    * BitsPerSample, 277 SamplesPerPixel (→ channels). Values decode
+    * inline for count 1 (SHORT sits in the value field's first two
+    * bytes, endian-aware); a multi-count BitsPerSample (one per
+    * channel) follows its offset when the bytes are in header reach,
+    * else stays null — a sniff never demands bytes past the range-GET.
+    * Scanned-document corpora ship as TIFF, hence the parser. */
+  private def tiff(b: Array[Byte]): InternalRow = {
+    if (b.length < 8) return null
+    val le =
+      if (u8(b, 0) == 'I' && u8(b, 1) == 'I' && u8(b, 2) == 0x2a &&
+        u8(b, 3) == 0) true
+      else if (u8(b, 0) == 'M' && u8(b, 1) == 'M' && u8(b, 2) == 0 &&
+        u8(b, 3) == 0x2a) false
+      else return null
+    def r16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+    def r32(i: Int): Long = if (le) le32(b, i) else be32(b, i)
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = r16(ifd.toInt)
+    var w = -1L; var h = -1L; var bits: Any = null; var samples: Any = null
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + 12 * i
+      if (e + 12 > b.length) {
+        // IFD truncated mid-walk: keep what parsed so far (header reach)
+        i = n
+      } else {
+        val t = r16(e)
+        val typ = r16(e + 2)
+        val count = r32(e + 4)
+        // SHORT (3) inline in the first 2 value bytes; LONG (4) in all 4
+        def inlineVal: Long =
+          if (typ == 3) r16(e + 8).toLong
+          else if (typ == 4) r32(e + 8)
+          else -1L
+        t match {
+          case 256 if count == 1 => w = inlineVal
+          case 257 if count == 1 => h = inlineVal
+          case 258 =>
+            if (count == 1) { val v = inlineVal; if (v > 0) bits = v.toInt }
+            else if (typ == 3 && count >= 2) {
+              val off = r32(e + 8)
+              if (off >= 0 && off + 2 <= b.length) {
+                val v = r16(off.toInt)
+                if (v > 0) bits = v
+              }
+            }
+          case 277 if count == 1 =>
+            val v = inlineVal; if (v > 0 && v <= Int.MaxValue) samples = v.toInt
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString("tiff"), w.toInt, h.toInt, null, samples, null,
+      bits))
   }
 
   /** Static entry the generated code calls: first matching container wins
@@ -309,6 +376,8 @@ object MediaExprs {
       case 0x52 => riff(bytes) // 'R' — WAVE or WEBP
       case 0x4f => ogg(bytes)  // 'O'
       case 0x66 => flac(bytes) // 'f'
+      case 0x49 => tiff(bytes) // 'I' — little-endian TIFF
+      case 0x4d => tiff(bytes) // 'M' — big-endian TIFF
       case 0x00 => mp4(bytes)  // ftyp box size high byte
       case _    => null
     }

@@ -284,6 +284,50 @@ object Multimodal {
     buf.array()
   }
 
+  /** Synthetic TIFF corpus: alternating byte orders (even id = II
+    * little-endian, odd = MM big-endian), width/height on the same id
+    * math as the other tiles, SamplesPerPixel 1 + id%3, and BOTH
+    * BitsPerSample storage forms — count-1 inline (8 or 16 by id
+    * parity) when single-sample, count-N at an offset (8 per channel)
+    * otherwise. All fields are pure id math for the DuckDB oracle. */
+  def syntheticTiffMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    val projected = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r => val id = r.getLong(0); Row(id, encodeTiff(id)) }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def encodeTiff(id: Long): Array[Byte] = {
+    val le = id % 2 == 0
+    val w = 8 + (id % 16).toInt
+    val h = 8 + ((id / 16) % 16).toInt
+    val samples = 1 + (id % 3).toInt
+    val inlineBits = 8 * (1 + (id % 2).toInt) // used when samples == 1
+    val buf = java.nio.ByteBuffer.allocate(62 + samples * 2).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+      .putShort(42).putInt(8)
+    buf.putShort(4) // entry count; tags ascending per spec
+    def entryShortInline(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(3).putInt(1)
+        .putShort(v.toShort).putShort(0); ()
+    }
+    entryShortInline(256, w)
+    entryShortInline(257, h)
+    if (samples == 1) entryShortInline(258, inlineBits)
+    else buf.putShort(258).putShort(3).putInt(samples).putInt(62)
+    entryShortInline(277, samples)
+    buf.putInt(0) // no next IFD
+    (0 until samples).foreach(_ => buf.putShort(8))
+    buf.array()
+  }
+
   private def encodeTile(id: Long, format: String): Array[Byte] = {
     val w = 8 + (id % 16).toInt
     val h = 8 + ((id / 16) % 16).toInt

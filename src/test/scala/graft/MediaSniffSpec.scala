@@ -256,8 +256,64 @@ class MediaSniffSpec extends AnyFunSuite {
       .GenerateUnsafeProjection.generate(Seq(MediaExprs.SniffMedia(
         Literal.create(encode(3, 4, "png"), BinaryType))))
     val out = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
-    val struct = out.getStruct(0, 6)
+    val struct = out.getStruct(0, 7)
     assert(struct.getInt(1) === 3 && struct.getInt(2) === 4)
+  }
+
+  test("tiff: both byte orders, both BitsPerSample storage forms") {
+    def tiff(le: Boolean, w: Int, h: Int, samples: Int,
+        inlineBits: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(62 + samples * 2).order(
+        if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      buf.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+        .putShort(42).putInt(8)
+      buf.putShort(4)
+      def e(tag: Int, v: Int): Unit = {
+        buf.putShort(tag.toShort).putShort(3).putInt(1)
+          .putShort(v.toShort).putShort(0); ()
+      }
+      e(256, w); e(257, h)
+      if (samples == 1) e(258, inlineBits)
+      else buf.putShort(258).putShort(3).putInt(samples).putInt(62)
+      e(277, samples)
+      buf.putInt(0)
+      (0 until samples).foreach(_ => buf.putShort(12))
+      buf.array()
+    }
+    for (le <- Seq(true, false)) {
+      // inline single-sample form
+      val r1 = evalSniff(tiff(le, 640, 480, 1, 16)).getOrElse(
+        fail(s"tiff le=$le not recognized"))
+      assert(r1.getUTF8String(0).toString === "tiff")
+      assert(r1.getInt(1) === 640 && r1.getInt(2) === 480)
+      assert(r1.getInt(4) === 1)      // channels = SamplesPerPixel
+      assert(r1.isNullAt(3) && r1.isNullAt(5))
+      assert(r1.getInt(6) === 16)     // inline BitsPerSample
+      // offset-stored multi-sample form (3 channels × 12 bits)
+      val r3 = evalSniff(tiff(le, 37, 21, 3, 0)).getOrElse(
+        fail(s"tiff le=$le multi not recognized"))
+      assert(r3.getInt(1) === 37 && r3.getInt(2) === 21)
+      assert(r3.getInt(4) === 3 && r3.getInt(6) === 12)
+    }
+    // truncated: IFD offset past the bytes → null row
+    assert(evalSniff(tiff(le = true, 9, 9, 1, 8).take(8)).isEmpty)
+    // truncated mid-IFD: whatever entries are in reach survive; the
+    // offset-stored bits table is out of reach → bits null, w/h kept
+    val cut = tiff(le = true, 37, 21, 3, 0).take(62)
+    val rc = evalSniff(cut).getOrElse(fail("truncated tiff dropped w/h"))
+    assert(rc.getInt(1) === 37 && rc.getInt(2) === 21 && rc.isNullAt(6))
+    // corrupt magic → not tiff
+    val bad = tiff(le = true, 9, 9, 1, 8); bad(2) = 0x2b
+    assert(evalSniff(bad).isEmpty)
+    // interpreted == codegen at the new branch
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(Seq(MediaExprs.SniffMedia(
+        Literal.create(tiff(le = false, 55, 44, 2, 0), BinaryType))))
+    val s = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .getStruct(0, 7)
+    assert(s.getInt(1) === 55 && s.getInt(2) === 44 &&
+      s.getInt(4) === 2 && s.getInt(6) === 12)
   }
 
   test("graft_sniff_media is reachable from SQL") {
