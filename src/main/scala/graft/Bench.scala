@@ -48,6 +48,35 @@ object Bench {
       nameFilter.forall(_.split(',').exists(k.contains)) &&
         (exact || !exactOnly(k) ||
           nameFilter.exists(_.split(',').exists(k.contains))) }
+
+    // `--serve`: stdin-driven single-query execution for the
+    // interleaved DuckDB anchor (scripts/anchor_interleaved.py). The
+    // harness alternates one Spark run and one DuckDB run of the SAME
+    // query, so both engines ride the same host-noise window — the
+    // committed anchor ratio stops depending on which afternoon the
+    // battery ran in. Protocol: "READY" after warmup, then per input
+    // line `<query>` → `TIME <query> <seconds>`; "EXIT" quits.
+    if (args.contains("--serve")) {
+      picked.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      println("READY"); Console.flush()
+      scala.io.Source.stdin.getLines().takeWhile(_.trim != "EXIT")
+        .foreach { line =>
+          val name = line.trim
+          picked.get(name) match {
+            case Some(fn) =>
+              val t = System.nanoTime()
+              try fn(spark, sfDir).count() catch { case _: Throwable => () }
+              println(f"TIME $name ${(System.nanoTime() - t) / 1e9}%.6f")
+            case None => println(s"ERR unknown $name")
+          }
+          Console.flush()
+        }
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     picked.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }

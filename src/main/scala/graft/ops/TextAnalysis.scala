@@ -244,6 +244,62 @@ object TextAnalysis {
         col("bm25"))
   }
 
+  /** Batched exact BM25: top-`k` per query over ONE tokenization +
+    * stats pass instead of one corpus scan pair per query — n queries
+    * cost two corpus scans total, not 2n. Scores are bit-identical to
+    * [[bm25TopK]]: the tf columns cover the union of all query terms,
+    * the stats row carries every term's document frequency, and each
+    * query's score folds ITS terms in their declared order with the
+    * same idf form and (bm25 desc, doc asc) tie-break. The per-query
+    * top-k is a rank window over `score > 0` matches — docs containing
+    * at least one of the query's terms — so the sort is over keyword
+    * candidates, not the corpus. Output adds `query_id` to
+    * [[bm25TopK]]'s (id, doc_len, bm25) contract. */
+  def bm25TopKBatch(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25TopKBatch needs at least one query, each with terms")
+    require(k > 0, s"k must be positive, got $k")
+    val allTerms = queries.flatMap(_._2).distinct
+    val idx = allTerms.zipWithIndex.toMap
+    val base = df.select(col(idCol).as("__doc"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
+      .withColumn("__len", size(col("__t")))
+    val withTf = allTerms.indices.foldLeft(base) { case (acc, i) =>
+      acc.withColumn(s"__tf$i",
+        size(filter(col("__t"), t => t === lit(allTerms(i)))))
+    }.drop("__t")
+    val dfCols = allTerms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(count(lit(1)).as("__n"),
+      avg(col("__len")).as("__avglen") +: dfCols: _*)
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avglen"))
+    val perQuery = queries.map { case (qid, terms) =>
+      val score = terms.map { t =>
+        val i = idx(t)
+        val tf = col(s"__tf$i").cast("double")
+        val idf = log(lit(1.0) +
+          (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
+        idf * tf * (k1 + 1) / (tf + norm)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), score.as("bm25"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col("__doc"))
+    withTf.crossJoin(broadcast(stats))
+      .select(col("__doc"), col("__len"),
+        explode(array(perQuery: _*)).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col("__doc"),
+        col("__len"), col("__q.bm25").as("bm25"))
+      .filter(col("bm25") > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("__doc").as(idCol),
+        col("__len").as("doc_len"), col("bm25"))
+  }
+
   // ---- URL / domain analysis (web-corpus provenance) ----
 
   private val UrlRe = "https?://[^\\s]+"

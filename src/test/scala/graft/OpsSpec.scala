@@ -740,6 +740,26 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(both(2L) - a(2L)) < 1e-9) // doc 2 has no beta
   }
 
+  test("bm25TopKBatch is bit-identical to per-query bm25TopK passes") {
+    // the batch form shares ONE tokenization/stats pass across queries;
+    // identical scores, ranking, and k-cut are the contract q_rrf's
+    // exact twin relies on
+    val df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sets = Seq(1L -> Seq("spark", "vector"),
+      2L -> Seq("customer", "order", "data"),
+      3L -> Seq("window", "agg", "join"))
+    val batch = TextAnalysis.bm25TopKBatch(df, "doc_id", "text", sets, 20)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("doc_len"), r.getAs[Double]("bm25"))).toSet
+    val single = sets.flatMap { case (qid, terms) =>
+      TextAnalysis.bm25TopK(df, "doc_id", "text", terms, 20).collect()
+        .map(r => (qid, r.getAs[Long]("doc_id"),
+          r.getAs[Int]("doc_len"), r.getAs[Double]("bm25")))
+    }.toSet
+    assert(batch === single)
+  }
+
   test("weighted sample: without replacement, weight-monotone, layout-stable") {
     val df = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 10L))
       .toDF("doc_id", "w")
