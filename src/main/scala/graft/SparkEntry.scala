@@ -1604,6 +1604,145 @@ object SparkEntry {
         orderBy = Seq("orderstatus")))
     }),
 
+    // Project-directory import with per-file format auto-detection
+    // (reference loaders.py:169 load_from_directory): one call walks a
+    // mixed tree — 9 formats incl. a nested LookML dir and an OSI/
+    // JSON — sniffs each file, routes it to the right adapter, and
+    // merges one catalog; a target/ generated-artifact decoy and
+    // non-semantic files are skipped. Output: the per-file attribution
+    // table the loader reports.
+    "q_load_project" -> ((s, d) => {
+      import s.implicits._
+      val root =
+        s"${System.getProperty("java.io.tmpdir")}/graft_project_fixture"
+      buildOnce(root) {
+        val rootF = new java.io.File(root)
+        def wipe(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+          f.delete(); ()
+        }
+        wipe(rootF)
+        def put(rel: String, c: String): Unit = {
+          val f = new java.io.File(rootF, rel)
+          f.getParentFile.mkdirs()
+          java.nio.file.Files.write(f.toPath, c.getBytes("UTF-8")); ()
+        }
+        put("native_orders.yml",
+          """version: 1
+            |models:
+            |  - name: lp_native
+            |    table: orders
+            |    primary_key: o_orderkey
+            |    dimensions:
+            |      - name: status
+            |    metrics:
+            |      - name: revenue
+            |        agg: sum
+            |        sql: amount
+            |""".stripMargin)
+        put("detail.sql",
+          """-- native SQL DDL, comment-prefixed like real files
+            |MODEL (
+            |    name lp_sql,
+            |    table orders,
+            |    primary_key o_orderkey
+            |);
+            |DIMENSION (
+            |    name status,
+            |    type categorical,
+            |    sql status
+            |);
+            |METRIC (
+            |    name order_count,
+            |    agg count
+            |);
+            |SEGMENT (
+            |    name done,
+            |    expression status = 'F'
+            |);
+            |""".stripMargin)
+        put("measures.sql",
+          """CREATE VIEW lp_measures AS
+            |SELECT status,
+            |  SUM(amount) AS MEASURE total_revenue,
+            |  COUNT(*) AS MEASURE order_count
+            |FROM orders
+            |""".stripMargin)
+        put("cube_sales.yml",
+          """cubes:
+            |  - name: lp_cube
+            |    sql_table: orders
+            |    measures:
+            |      - name: count
+            |        type: count
+            |    dimensions:
+            |      - name: status
+            |        sql: status
+            |        type: string
+            |""".stripMargin)
+        put("mf_models.yml",
+          """semantic_models:
+            |  - name: lp_mf
+            |    model: ref('orders')
+            |    measures:
+            |      - name: order_count
+            |        expr: 1
+            |        agg: count
+            |    dimensions:
+            |      - name: status
+            |        type: categorical
+            |""".stripMargin)
+        put("hex_model.yml",
+          """id: lp_hex
+            |base_sql_table: orders
+            |dimensions:
+            |  - id: status
+            |    type: string
+            |measures:
+            |  - id: n
+            |    func: count
+            |""".stripMargin)
+        put("rill_view.yaml",
+          """type: metrics_view
+            |table: orders
+            |dimensions:
+            |  - name: status
+            |    column: status
+            |measures:
+            |  - name: total
+            |    expression: count(*)
+            |""".stripMargin)
+        put("views/lp.lkml",
+          """view: lp_look {
+            |  sql_table_name: orders ;;
+            |  dimension: status { sql: ${TABLE}.status ;; }
+            |  measure: n { type: count }
+            |}
+            |""".stripMargin)
+        val osi =
+          """{"semantic_model": [{"name": "lp_osi_root", "datasets": [
+            |  {"name": "lp_osi", "source": "orders",
+            |   "primary_key": ["o_orderkey"],
+            |   "dimensions": [{"name": "status"}],
+            |   "metrics": [{"name": "n", "function": "count"}]}]}]}
+            |""".stripMargin
+        put("OSI/lp.json", osi)
+        put("target/osi_document.json", osi) // dbt compile decoy
+        put("README.md", "# not a semantic file\n")
+      }
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey, o_orderstatus AS status,
+             |  cast(o_totalprice as decimal(18,2)) AS amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val p = graft.load.Loaders.loadProject(root, resolve)
+      val rows = (p.attributions.map(a =>
+          (a.path, a.format, a.models.size.toLong)) ++
+        p.skipped.map(sk => (sk.path, "skipped", 0L)))
+        .sortBy(_._1)
+      rows.toDF("path", "format", "n_models")
+    }),
+
     // Composite agg auto-extraction: `sql: SUM(acct) / COUNT(*)` splits
     // into hidden single-aggregate metrics + a derived formula at load,
     // so BOTH components take the fan-out-safe (symmetric) route over the
@@ -2052,17 +2191,20 @@ object SparkEntry {
     "q_jsonl_ingest" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${math.abs(d.hashCode)}"
-      // bounded 50-row driver collect to author the fixture file — the
-      // same bootstrap-pattern exemption as q_bootstrap, not a data path
-      val lines = docs(s, d).filter(col("doc_id") < 50).orderBy("doc_id")
-        .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
-          col("n_chars"))).as("j"))
-        .collect().map(_.getString(0))
-      val all = lines.zipWithIndex.flatMap { case (l, i) =>
-        if (i % 6 == 5) Seq(l, s"{corrupt json line $i") else Seq(l) }
-      new java.io.File(tmp).mkdirs()
-      val pw = new java.io.PrintWriter(s"$tmp/docs.jsonl", "UTF-8")
-      try all.foreach(pw.println) finally pw.close()
+      // fixture authoring (bounded 50-row collect + file write) runs
+      // ONCE per JVM under buildOnce, so timed Bench passes contain no
+      // collect at all — they measure the jsonl read + quarantine path
+      buildOnce(tmp) {
+        val lines = docs(s, d).filter(col("doc_id") < 50).orderBy("doc_id")
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("n_chars"))).as("j"))
+          .collect().map(_.getString(0))
+        val all = lines.zipWithIndex.flatMap { case (l, i) =>
+          if (i % 6 == 5) Seq(l, s"{corrupt json line $i") else Seq(l) }
+        new java.io.File(tmp).mkdirs()
+        val pw = new java.io.PrintWriter(s"$tmp/docs.jsonl", "UTF-8")
+        try all.foreach(pw.println) finally pw.close()
+      }
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("n_chars", LongType)))
@@ -2521,10 +2663,12 @@ object SparkEntry {
       val termSets = Seq(1L -> Seq("spark", "vector"),
         2L -> Seq("customer", "order", "data"),
         3L -> Seq("window", "agg", "join"))
-      val lexical = termSets.map { case (qid, terms) =>
-        TextAnalysis.bm25TopK(docs(s, d), "doc_id", "text", terms, k = 20)
-          .select(lit(qid).as("query_id"), col("doc_id"), col("bm25"))
-      }.reduce(_ unionByName _)
+      // one tokenization + stats pass for all three queries (was one
+      // corpus scan pair PER query — the exact battery's 13× ceiling
+      // over its index twin); scores bit-identical to the per-query form
+      val lexical = TextAnalysis.bm25TopKBatch(docs(s, d), "doc_id",
+          "text", termSets, k = 20)
+        .select(col("query_id"), col("doc_id"), col("bm25"))
       val lexRanked = lexical.withColumn("rank",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
@@ -2977,6 +3121,35 @@ object SparkEntry {
           (col("mse_permuted") < col("mse_contiguous")).as("improved"))
     }),
 
+    // full parametric OPQ rotation (PCA + eigenvalue allocation) on
+    // CROSS-SUBSPACE correlated pairs (dim i mixed with dim i+32) —
+    // the case both the permutation (equal per-coordinate variance)
+    // and within-subspace k-means are blind to: golden MSE receipt
+    // for contiguous vs permuted vs rotated
+    "q_pq_rotate" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val mixed = emb.select(col("vec_id"), expr(
+        "transform(embedding, (x, i) -> CASE WHEN i < 32 " +
+          "THEN cast(5.5d * x + 4.5d * element_at(embedding, cast(i + 33 as int)) as double) " +
+          "ELSE cast(4.5d * element_at(embedding, cast(i - 31 as int)) + 5.5d * x as double) END)")
+        .as("v"))
+      val perm = ops.Pq.trainPermutation(mixed, "vec_id", "v", 64, 8)
+      val rot = ops.Pq.trainRotation(mixed, "vec_id", "v", 64, 8)
+      def err(df: org.apache.spark.sql.DataFrame, name: String) =
+        ops.Pq.reconstructionError(df, "vec_id", "v",
+            ops.Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2))
+          .select(round(col("mean_sq_err"), 6).as(name))
+      err(mixed, "mse_contiguous")
+        .crossJoin(err(mixed.select(col("vec_id"),
+          ops.Pq.permute(col("v"), perm).as("v")), "mse_permuted"))
+        .crossJoin(err(mixed.select(col("vec_id"),
+          ops.Pq.rotate(col("v"), rot).as("v")), "mse_rotated"))
+        .select(col("mse_contiguous"), col("mse_permuted"),
+          col("mse_rotated"),
+          (col("mse_rotated") < col("mse_contiguous") &&
+            col("mse_rotated") < col("mse_permuted")).as("rotation_wins"))
+    }),
+
     "q_embedding_neardup" -> ((s, d) => {
       val emb = s.read.parquet(s"$d/embeddings.parquet")
       // the synthetic embeddings are near-uniform (max pairwise cosine
@@ -3134,6 +3307,20 @@ object SparkEntry {
           col("m.duration_ms").as("duration_ms"),
           col("m.channels").as("channels"),
           col("m.sample_rate").as("sample_rate"))
+        .orderBy("media_id")
+    }),
+
+    // TIFF sniff (scanned-document corpora): both byte orders, both
+    // BitsPerSample storage forms (count-1 inline / count-N at offset),
+    // SamplesPerPixel → channels — every field id-replayable math
+    "q_media_sniff_tiff" -> ((s, d) => {
+      val media = Multimodal.syntheticTiffMedia(docs(s, d), "doc_id")
+      media.select(col("media_id"),
+          Multimodal.sniffMedia(col("content")).as("m"))
+        .select(col("media_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.channels").as("channels"),
+          col("m.bits_per_sample").as("bits_per_sample"))
         .orderBy("media_id")
     }),
 
@@ -3427,6 +3614,15 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 = 2 THEN cast(1 + doc_id % 2 as int)
         |       WHEN doc_id % 4 = 3 THEN 2 END AS channels,
         |  CASE WHEN doc_id % 4 IN (2, 3) THEN 44100 END AS sample_rate
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_media_sniff_tiff" ->
+      """SELECT doc_id AS media_id, 'tiff' AS format,
+        |  cast(8 + (doc_id % 16) as int) AS width,
+        |  cast(8 + ((doc_id // 16) % 16) as int) AS height,
+        |  cast(1 + doc_id % 3 as int) AS channels,
+        |  cast(CASE WHEN doc_id % 3 = 0 THEN 8 * (1 + doc_id % 2)
+        |       ELSE 8 END as int) AS bits_per_sample
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_simple_agg" ->
@@ -4292,6 +4488,23 @@ object SparkEntry {
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue,
         |  count(*) AS order_count
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // static golden: the fixture tree is authored by the query itself,
+    // so the attribution table is a deterministic constant
+    "q_load_project" ->
+      """SELECT * FROM (VALUES
+        |  ('OSI/lp.json', 'osi', CAST(1 AS BIGINT)),
+        |  ('README.md', 'skipped', 0),
+        |  ('cube_sales.yml', 'cube', 1),
+        |  ('detail.sql', 'native-sql', 1),
+        |  ('hex_model.yml', 'hex', 1),
+        |  ('measures.sql', 'yardstick', 1),
+        |  ('mf_models.yml', 'metricflow', 1),
+        |  ('native_orders.yml', 'native', 1),
+        |  ('rill_view.yaml', 'rill', 1),
+        |  ('target/osi_document.json', 'skipped', 0),
+        |  ('views/lp.lkml', 'lookml', 1)
+        |) AS t(path, format, n_models) ORDER BY path""".stripMargin,
 
     "q_composite_agg" ->
       """SELECT orderstatus,
@@ -5306,6 +5519,12 @@ object SparkEntry {
     "q_pq_opq" ->
       """SELECT 101.718978 AS mse_contiguous, 69.818774 AS mse_permuted,
         |  true AS improved""".stripMargin,
+
+    // golden (hash-seeded training + exact decimal moments + fixed
+    // Jacobi sweeps → bit-stable across runs and layouts)
+    "q_pq_rotate" ->
+      """SELECT 28.885636 AS mse_contiguous, 27.417629 AS mse_permuted,
+        |  16.576049 AS mse_rotated, true AS rotation_wins""".stripMargin,
 
     // IVFADC gate: twins retrieved at rank 1 through the persisted
     // cell-pruned compressed path — deterministic booleans, pinned

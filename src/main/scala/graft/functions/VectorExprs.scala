@@ -851,6 +851,87 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Upper-triangular outer product `out(p) = v(i)·v(j)` for i ≤ j,
+    * row-major pair order `p = i·d − i(i−1)/2 + (j−i)` — the per-row
+    * contribution to a covariance second-moment matrix, emitted as ONE
+    * loop kernel so the rotation trainer's moment pass (posexplode →
+    * per-pair decimal sums, the [[graft.ops.Pq.trainPermutation]]
+    * aggregation pattern at d(d+1)/2 groups) stays inside whole-stage
+    * codegen. NULL on null/wrong-length vector or any null element. */
+  case class OuterUpper(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim >= 1, "dim must be positive")
+    private val nPairs = dim * (dim + 1) / 2
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_outer_upper"
+    override def checkInputDataTypes(): TypeCheckResult =
+      arrayCheck(prettyName, child.dataType)
+
+    @transient private lazy val elem =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() != dim) return null
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        i += 1
+      }
+      val out = new Array[Double](nPairs)
+      var p = 0
+      i = 0
+      while (i < dim) {
+        val xi = getElem(a, elem, i)
+        var j = i
+        while (j < dim) {
+          out(p) = xi * getElem(a, elem, j)
+          p += 1; j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val out = ctx.freshName("out")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val p = ctx.freshName("p")
+        val xi = ctx.freshName("xi")
+        val bad = ctx.freshName("bad")
+        s"""
+           |if ($a.numElements() != $dim) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $bad = false;
+           |  for (int $i = 0; $i < $dim; $i++) {
+           |    if ($a.isNullAt($i)) { $bad = true; break; }
+           |  }
+           |  if ($bad) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    final double[] $out = new double[$nPairs];
+           |    int $p = 0;
+           |    for (int $i = 0; $i < $dim; $i++) {
+           |      final double $xi = ${getter(elem, a, i)};
+           |      for (int $j = $i; $j < $dim; $j++) {
+           |        $out[$p++] = $xi * ${getter(elem, a, j)};
+           |      }
+           |    }
+           |    ${ev.value} =
+           |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+           |  }
+           |}""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): OuterUpper =
+      copy(child = newChild)
+  }
+
   /** Total squared PQ reconstruction error of a vector: per subspace,
     * pick the codeword by the SAME |c|²−2·v·c argmin as [[PqEncode]]
     * (so the measured error is the error of the codes actually stored),
@@ -1006,6 +1087,9 @@ object VectorExprs {
 
   def adcTables(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     GraftSqlBridge.column(AdcTables(GraftSqlBridge.expression(vec), books))
+
+  def outerUpper(vec: Column, dim: Int): Column =
+    GraftSqlBridge.column(OuterUpper(GraftSqlBridge.expression(vec), dim))
 
   def pqReconSq(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     GraftSqlBridge.column(PqReconSq(GraftSqlBridge.expression(vec), books))

@@ -147,6 +147,133 @@ object Pq {
     groups.flatMap(_.result()).toSeq
   }
 
+  /** Parametric OPQ rotation (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — the OPQ-P solution): under a Gaussian
+    * assumption the distortion-minimizing rotation is the PCA basis
+    * with eigenvectors ALLOCATED to the m subspaces so each subspace's
+    * eigenvalue PRODUCT is balanced ("eigenvalue allocation"). Strictly
+    * more powerful than [[trainPermutation]]: a permutation can only
+    * re-deal existing coordinates, a rotation also DECORRELATES them —
+    * correlated coordinate pairs (the norm in learned embeddings) carry
+    * redundant energy into every subspace that a permutation cannot
+    * remove.
+    *
+    * Distributed work is ONE moment pass: per-row upper-triangular
+    * outer products through the [[VectorExprs.OuterUpper]] loop kernel,
+    * posexplode'd and summed per pair as decimals (exact, so the sums —
+    * and therefore the learned rotation and every golden downstream —
+    * are invariant to partitioning/layout; the [[trainPermutation]]
+    * discipline at d(d+1)/2 groups). Only d(d+1)/2 + d + 1 numbers
+    * reach the driver; the d×d eigendecomposition (cyclic Jacobi,
+    * fixed sweep order — deterministic) is driver-side math on that
+    * one small matrix.
+    *
+    * Returns the rotation as d rows; `rotated = R·v` via [[rotate]].
+    * Rows are orthonormal, so L2 and dot products are preserved and
+    * ADC distances in rotated space are true distances. */
+  def trainRotation(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, trainSampleMod: Int = 1): Seq[Seq[Double]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    val base = corpus.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"))
+    val v = (if (trainSampleMod <= 1) base
+      else base.filter(pmod(xxhash64(col("__id")), lit(trainSampleMod)) === 0))
+      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+    val nPairs = dim * (dim + 1) / 2
+    val moments = v
+      .select(posexplode(VectorExprs.outerUpper(col("__v"), dim))
+        .as(Seq("__p", "__x")))
+      .groupBy(col("__p"))
+      .agg((sum(col("__x").cast("decimal(30,12)")))
+        .cast("double").as("__s"),
+        count(lit(1)).as("__n"))
+      .collect()
+    require(moments.length == nPairs,
+      s"expected $nPairs pair sums, got ${moments.length}")
+    val n = moments.head.getLong(2).toDouble
+    val s = new Array[Double](nPairs)
+    moments.foreach(r => s(r.getInt(0)) = r.getDouble(1))
+    val means = v
+      .select(posexplode(col("__v")).as(Seq("__p", "__x")))
+      .groupBy(col("__p"))
+      .agg((sum(col("__x").cast("decimal(30,12)")) / count(lit(1)))
+        .cast("double").as("__mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val cov = Array.ofDim[Double](dim, dim)
+    var p = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = s(p) / n - means(i) * means(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      p += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // eigenvalue allocation: eigenpairs by descending variance, each
+    // assigned to the non-full subspace with the smallest log-product
+    val order = eigVals.indices.sortBy(i => (-eigVals(i), i))
+    val logs = Array.fill(m)(0.0)
+    val used = Array.fill(m)(0)
+    val dsub = dim / m
+    val buckets = Array.fill(m)(List.newBuilder[Int])
+    order.foreach { e =>
+      val sIdx = (0 until m).filter(used(_) < dsub)
+        .minBy(b => (logs(b), b))
+      buckets(sIdx) += e
+      used(sIdx) += 1
+      logs(sIdx) += math.log(math.max(eigVals(e), 1e-12))
+    }
+    buckets.flatMap(_.result()).toSeq.map(e => eigVecs(e).toSeq)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed (i,j) sweep order, fixed convergence
+    * threshold). Returns (eigenvalues, eigenvectors as ROWS aligned
+    * with the eigenvalues). Driver-side only, on the d×d covariance. */
+  private[ops] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val vT = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-22) {
+      off = 0.0
+      for (i <- 0 until d; j <- (i + 1) until d) {
+        off += a(i)(j) * a(i)(j)
+        if (math.abs(a(i)(j)) > 1e-14) {
+          val theta = (a(j)(j) - a(i)(i)) / (2.0 * a(i)(j))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val sn = t * c
+          for (k <- 0 until d) {
+            val aik = a(i)(k); val ajk = a(j)(k)
+            a(i)(k) = c * aik - sn * ajk
+            a(j)(k) = sn * aik + c * ajk
+          }
+          for (k <- 0 until d) {
+            val aki = a(k)(i); val akj = a(k)(j)
+            a(k)(i) = c * aki - sn * akj
+            a(k)(j) = sn * aki + c * akj
+          }
+          for (k <- 0 until d) {
+            val vik = vT(i)(k); val vjk = vT(j)(k)
+            vT(i)(k) = c * vik - sn * vjk
+            vT(j)(k) = sn * vik + c * vjk
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), vT)
+  }
+
+  /** Apply the OPQ rotation as a pure projection: `out = R·v` through
+    * ONE [[VectorExprs.MatVecDots]] kernel call (d dot products,
+    * constant-size generated code — born codegen-safe, unlike the
+    * permutation's first cut). */
+  def rotate(vec: Column, r: Seq[Seq[Double]]): Column =
+    VectorExprs.matVecDots(asDouble(vec), r)
+
   /** Apply a coordinate permutation as a pure projection:
     * out(i) = in(perm(i)) through ONE [[VectorExprs.Permute]] loop
     * kernel, so `vec` — often the full VecSubRow residual subtree on

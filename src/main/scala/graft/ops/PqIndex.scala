@@ -58,10 +58,18 @@ object PqIndex {
     * the cell layout, and the exact re-rank are untouched (a
     * permutation preserves L2, so ADC distances in permuted space ARE
     * the residual distances). Indexes built without it carry no
-    * permutation file and load as identity. */
+    * permutation file and load as identity.
+    *
+    * `opqRotate = true` upgrades to the FULL parametric OPQ rotation
+    * ([[Pq.trainRotation]] — PCA basis + eigenvalue allocation, Ge et
+    * al. CVPR 2013): strictly more powerful (decorrelates coordinates,
+    * not just re-deals them), persisted as `rotation.txt`, same
+    * L2-preservation argument (orthonormal rows). Wins over `opq` when
+    * both are set. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
       dim: Int, nCells: Int = 16, m: Int = 8, kCodes: Int = 16,
-      iters: Int = 3, trainSampleMod: Int = 1, opq: Boolean = false): Unit = {
+      iters: Int = 3, trainSampleMod: Int = 1, opq: Boolean = false,
+      opqRotate: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val cents = Similarity.trainCentroids(corpus, idCol, vecCol, nCells,
       iters, trainSampleMod)
@@ -74,15 +82,16 @@ object PqIndex {
     val rawResid = VectorExprs.vecSubRow(
       col(vecCol).cast("array<double>"), col("__cell"), cents)
     val resid = withCell.select(col(idCol), rawResid.as("__resid"))
-    val perm: Option[Seq[Int]] =
-      if (opq) Some(Pq.trainPermutation(resid, idCol, "__resid", dim, m,
-        trainSampleMod))
-      else None
-    val encIn = perm.map(p => Pq.permute(rawResid, p)).getOrElse(rawResid)
-    val residTrain = perm match {
-      case Some(p) => resid.select(col(idCol),
-        Pq.permute(col("__resid"), p).as("__resid"))
-      case None => resid
+    val xf: OpqTransform =
+      if (opqRotate) OpqTransform.Rotation(Pq.trainRotation(resid, idCol,
+        "__resid", dim, m, trainSampleMod))
+      else if (opq) OpqTransform.Permutation(Pq.trainPermutation(resid,
+        idCol, "__resid", dim, m, trainSampleMod))
+      else OpqTransform.Identity
+    val encIn = xf(rawResid)
+    val residTrain = xf match {
+      case OpqTransform.Identity => resid
+      case t => resid.select(col(idCol), t(col("__resid")).as("__resid"))
     }
     val books = Pq.trainCodebooks(residTrain, idCol, "__resid", dim, m,
       kCodes, iters, trainSampleMod)
@@ -102,10 +111,16 @@ object PqIndex {
       b.map(c => s"$s:${c.mkString(",")}")
     }.mkString("\n").getBytes("UTF-8"))
     finally bo.close()
-    perm.foreach { p =>
-      val po = fs.create(new Path(s"$path/permutation.txt"), true)
-      try po.write(p.mkString(",").getBytes("UTF-8"))
-      finally po.close()
+    xf match {
+      case OpqTransform.Permutation(p) =>
+        val po = fs.create(new Path(s"$path/permutation.txt"), true)
+        try po.write(p.mkString(",").getBytes("UTF-8"))
+        finally po.close()
+      case OpqTransform.Rotation(r) =>
+        val ro = fs.create(new Path(s"$path/rotation.txt"), true)
+        try ro.write(r.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+        finally ro.close()
+      case OpqTransform.Identity => ()
     }
   }
 
@@ -120,14 +135,14 @@ object PqIndex {
     val spark = batch.sparkSession
     val cents = IvfIndex.loadCentroids(spark, path)
     val books = loadCodebooks(spark, path)
-    val perm = loadPermutation(spark, path)
+    val xf = loadTransform(spark, path)
     val assigned = Similarity.assignCells(
       batch.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v")),
       "__id", cents)
     val rawResid = VectorExprs.vecSubRow(
       col(vecCol).cast("array<double>"), col("__cell"), cents)
-    val encIn = perm.map(p => Pq.permute(rawResid, p)).getOrElse(rawResid)
+    val encIn = xf(rawResid)
     batch.select(col(idCol), col(vecCol))
       .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
       .select(col(idCol),
@@ -136,6 +151,43 @@ object PqIndex {
       .sortWithinPartitions(col(idCol))
       .write.mode("append").partitionBy("__cell")
       .parquet(s"$path/cells")
+  }
+
+  /** The space an index's codes live in: identity, a coordinate
+    * permutation (`opq = true`), or a full orthogonal rotation
+    * (`opqRotate = true`). Every encode — build, append, streaming
+    * ingest, query residual — routes through [[OpqTransform.apply]] so
+    * the four paths cannot drift. */
+  sealed trait OpqTransform { def apply(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column }
+  object OpqTransform {
+    case object Identity extends OpqTransform {
+      def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c
+    }
+    final case class Permutation(p: Seq[Int]) extends OpqTransform {
+      def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        Pq.permute(c, p)
+    }
+    final case class Rotation(r: Seq[Seq[Double]]) extends OpqTransform {
+      def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        Pq.rotate(c, r)
+    }
+  }
+
+  /** The persisted transform: `rotation.txt` wins, then
+    * `permutation.txt`, else identity (pre-OPQ builds). */
+  def loadTransform(spark: SparkSession, path: String): OpqTransform = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rp = new Path(s"$path/rotation.txt")
+    if (fs.exists(rp)) {
+      val in = fs.open(rp)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      OpqTransform.Rotation(text.trim.split("\n").toSeq
+        .map(_.split(",").toSeq.map(_.toDouble)))
+    } else loadPermutation(spark, path)
+      .map(OpqTransform.Permutation(_): OpqTransform)
+      .getOrElse(OpqTransform.Identity)
   }
 
   /** The persisted OPQ permutation, or None for an identity-layout
@@ -189,14 +241,14 @@ object PqIndex {
       queryIdCol: String, nprobe: Int): DataFrame =
     adcCandidatesWith(spark, path, queries, idCol, vecCol, queryIdCol,
       nprobe, IvfIndex.loadCentroids(spark, path),
-      loadCodebooks(spark, path), loadPermutation(spark, path))
+      loadCodebooks(spark, path), loadTransform(spark, path))
 
   /** [[adcCandidates]] with the index artifacts preloaded — [[topK]]
     * loads them once and shares them with its fetch-side pruning. */
   private def adcCandidatesWith(spark: SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       queryIdCol: String, nprobe: Int, cents: Seq[Seq[Double]],
-      books: Seq[Seq[Seq[Double]]], perm: Option[Seq[Int]]): DataFrame = {
+      books: Seq[Seq[Seq[Double]]], xf: OpqTransform): DataFrame = {
     val cells = spark.read.parquet(s"$path/cells")
     val probes = Similarity.probeCells(queries, queryIdCol, vecCol,
       cents, nprobe)
@@ -204,8 +256,7 @@ object PqIndex {
       .select(col(queryIdCol).as("query_id"),
         col(vecCol).cast("array<double>").as("__qv"))
     val rawQresid = VectorExprs.vecSubRow(col("__qv"), col("__cell"), cents)
-    val qresidCol = perm.map(p => Pq.permute(rawQresid, p))
-      .getOrElse(rawQresid) // query residuals live in the codes' space
+    val qresidCol = xf(rawQresid) // query residuals live in the codes' space
     val qresid = probes.join(qvecs, Seq("query_id"))
       .select(col("query_id"), col("__cell"), qresidCol.as("__rv"))
     val qt = broadcast(Pq.adcTablesKeyed(qresid,
@@ -244,7 +295,7 @@ object PqIndex {
     val cents = IvfIndex.loadCentroids(spark, path)
     val adc = adcCandidatesWith(spark, path, queries, idCol, vecCol,
       queryIdCol, nprobe, cents, loadCodebooks(spark, path),
-      loadPermutation(spark, path))
+      loadTransform(spark, path))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").asc, col(idCol).asc)
     val short = adc.withColumn("__rn", row_number().over(w))

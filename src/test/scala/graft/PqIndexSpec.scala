@@ -123,6 +123,61 @@ class PqIndexSpec extends AnyFunSuite {
       s"appended twin of $q not at rank 1: ${res.get(q.toLong)}"))
   }
 
+  test("persisted OPQ rotation: rotation.txt round-trips, probe and " +
+      "append encode in the rotated space, recall no worse than the " +
+      "contiguous index on correlated data") {
+    import graft.ops.Pq
+    // cross-subspace correlated pairs (dim i mixed with dim i+32, four
+    // subspaces apart — the case neither a permutation nor
+    // within-subspace k-means can fix)
+    val mixed = emb.select(col("vec_id"), expr(
+      "transform(embedding, (x, i) -> CASE WHEN i < 32 " +
+        "THEN cast(5.5d * x + 4.5d * element_at(embedding, cast(i + 33 as int)) as double) " +
+        "ELSE cast(4.5d * element_at(embedding, cast(i - 31 as int)) + 5.5d * x as double) END)")
+      .as("v"))
+    val queries = mixed.filter(col("vec_id") < 20)
+    val truth = Similarity.ivfTopK(mixed, queries, "vec_id", "v",
+        "vec_id", k = 5, nCells = 16, nprobe = 8, iters = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(path: String, rotate: Boolean): Double = {
+      PqIndex.build(mixed, "vec_id", "v", path, dim = 64, nCells = 16,
+        m = 8, kCodes = 16, iters = 2, opqRotate = rotate)
+      val got = PqIndex.topK(spark, path, queries, "vec_id", "v",
+          "vec_id", k = 5, nprobe = 8, shortlist = 10)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val plain = recallOf(fresh(), rotate = false)
+    val rotPath = fresh()
+    val rotated = recallOf(rotPath, rotate = true)
+    info(s"recall@5 vs same-nprobe exact IVF, shortlist 10: " +
+      s"contiguous=$plain rotated=$rotated")
+    assert(rotated >= plain, s"rotation hurt recall: $rotated < $plain")
+    // the persisted artifact round-trips and loads as a Rotation
+    PqIndex.loadTransform(spark, rotPath) match {
+      case PqIndex.OpqTransform.Rotation(r) =>
+        assert(r.length === 64 && r.forall(_.length === 64))
+        val n0 = r.head.map(x => x * x).sum
+        assert(math.abs(n0 - 1.0) < 1e-8, "persisted rows not unit-norm")
+      case other => fail(s"expected Rotation, loaded $other")
+    }
+    // append goes through the SAME rotated encode: a planted twin is
+    // retrievable at rank 1 from the appended slice
+    val twins = mixed.filter(col("vec_id") < 3).select(
+      (col("vec_id") + 300000).as("vec_id"),
+      expr("transform(v, x -> x * 1.01d)").as("v"))
+    PqIndex.append(twins, "vec_id", "v", rotPath)
+    val res = PqIndex.topK(spark, rotPath,
+        mixed.filter(col("vec_id") < 3), "vec_id", "v", "vec_id",
+        k = 1, nprobe = 4, shortlist = 20)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 3).foreach(q => assert(res(q.toLong) === q + 300000L,
+      s"appended twin of $q not at rank 1: ${res.get(q.toLong)}"))
+  }
+
   test("ADC scan: DPP on probed cells, codes-only ReadSchema (no floats)") {
     val tmp = fresh()
     PqIndex.build(emb, "vec_id", "embedding", tmp, dim = 64, nCells = 16,

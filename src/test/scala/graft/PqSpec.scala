@@ -130,6 +130,51 @@ class PqSpec extends AnyFunSuite {
       s"permutation hurt recall: $permRecall < $rawRecall")
   }
 
+  test("full OPQ rotation: decorrelates coordinate pairs a permutation " +
+      "cannot — lower MSE than both contiguous and permuted") {
+    // mix dim i with dim i+32 (FOUR subspaces apart) at a 10:1 energy
+    // ratio: every coordinate carries equal variance (5.5² + 4.5²), so
+    // the variance-balancing permutation is blind, and the correlation
+    // spans DIFFERENT subspaces, so within-subspace k-means can't
+    // absorb it either — only a rotation (PCA + eigenvalue allocation
+    // recovering the (e_i ± e_{i+32})/√2 axes) removes the cross-
+    // subspace redundancy
+    val mixed = emb.select(col("vec_id"), expr(
+      "transform(embedding, (x, i) -> CASE WHEN i < 32 " +
+        "THEN cast(5.5d * x + 4.5d * element_at(embedding, cast(i + 33 as int)) as double) " +
+        "ELSE cast(4.5d * element_at(embedding, cast(i - 31 as int)) + 5.5d * x as double) END)")
+      .as("v"))
+    val rot = Pq.trainRotation(mixed, "vec_id", "v", 64, 8)
+    // rows orthonormal: R·Rᵀ = I (so L2/dot products are preserved)
+    def dotd(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    (0 until 64).foreach(i =>
+      assert(math.abs(dotd(rot(i), rot(i)) - 1.0) < 1e-8, s"row $i norm"))
+    Seq((0, 1), (7, 40), (31, 63)).foreach { case (i, j) =>
+      assert(math.abs(dotd(rot(i), rot(j))) < 1e-8, s"rows $i,$j") }
+    // training is deterministic: retrain bit-equals (exact decimal
+    // moments + fixed Jacobi sweep order)
+    assert(Pq.trainRotation(mixed, "vec_id", "v", 64, 8) === rot)
+    def mse(df: org.apache.spark.sql.DataFrame) = {
+      val books = Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2)
+      Pq.reconstructionError(df, "vec_id", "v", books)
+        .collect()(0).getAs[Double]("mean_sq_err")
+    }
+    val rawErr = mse(mixed)
+    val perm = Pq.trainPermutation(mixed, "vec_id", "v", 64, 8)
+    val permErr = mse(mixed.select(col("vec_id"),
+      Pq.permute(col("v"), perm).as("v")))
+    val rotErr = mse(mixed.select(col("vec_id"),
+      Pq.rotate(col("v"), rot).as("v")))
+    info(s"mse contiguous=$rawErr permuted=$permErr rotated=$rotErr " +
+      f"(rotated = ${rotErr / rawErr}%.3f of contiguous)")
+    assert(rotErr < rawErr,
+      s"rotation did not reduce quantization error: $rotErr >= $rawErr")
+    assert(rotErr < permErr,
+      s"rotation should beat the permutation on correlated pairs: " +
+        s"$rotErr >= $permErr")
+  }
+
   test("planted near-twin is retrieved at rank 1 through the PQ path") {
     val twins = emb.filter(col("vec_id") < 5).select(
       (col("vec_id") + 100000).as("vec_id"),

@@ -223,6 +223,29 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("outerUpper emits v(i)·v(j) for i<=j in row-major pair order, " +
+      "compiled == interpreted") {
+    val vec = Seq(1.5, -2.0, 0.5)
+    val expected = Seq(1.5 * 1.5, 1.5 * -2.0, 1.5 * 0.5,
+      -2.0 * -2.0, -2.0 * 0.5, 0.5 * 0.5)
+    val e = VectorExprs.OuterUpper(
+      Literal.create(vec, ArrayType(DoubleType)), 3)
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray.toSeq
+    assert(interp === expected)
+    // wrong length / null element → null
+    assert(VectorExprs.OuterUpper(
+      Literal.create(Seq(1.0), ArrayType(DoubleType)), 3).eval(null) == null)
+    assert(VectorExprs.OuterUpper(
+      Literal.create(Seq(1.0, null, 2.0), ArrayType(DoubleType)), 3)
+      .eval(null) == null)
+    val proj = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeProjection.generate(Seq(e)) // throws on janino error
+    val row = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(row.getArray(0).toDoubleArray.toSeq === expected)
+  }
+
   test("no codegen fallback: generated projection code compiles (no janino error)") {
     // a compile failure silently falls back to interpreted eval — catch it
     // by generating + compiling the projection code directly
