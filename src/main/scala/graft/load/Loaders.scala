@@ -62,7 +62,11 @@ object Loaders {
   // ------------------------------------------------------------------
 
   private def walk(root: java.io.File): Seq[java.io.File] = {
+    // canonical-path guard: a cyclic directory symlink must terminate
+    // the walk, not recurse forever (os.walk's default behavior)
+    val seen = scala.collection.mutable.HashSet[String]()
     def go(d: java.io.File): Seq[java.io.File] = {
+      if (!seen.add(d.getCanonicalPath)) return Nil
       val entries = Option(d.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
       val (dirs, files) = entries.partition(_.isDirectory)
       files.toSeq ++ dirs.filterNot(x => prunedDirNames(x.getName)).flatMap(go)
