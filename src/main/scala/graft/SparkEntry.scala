@@ -3109,12 +3109,18 @@ object SparkEntry {
         expr("transform(embedding, (x, i) -> " +
           "cast(x * (1.0 + 3.0 * cast(i div 8 as double)) as double))")
           .as("v"))
-      val perm = ops.Pq.trainPermutation(scaled, "vec_id", "v", 64, 8)
+      // training on the 1/4 hash-slice (the q_ann_ivf-documented 100 TB
+      // arrangement — train on a sample, evaluate EVERYTHING): the twin
+      // trains two codebook sets + the permutation, so the cap is what
+      // keeps this verify row from dominating the sf1 battery
+      val perm = ops.Pq.trainPermutation(scaled, "vec_id", "v", 64, 8,
+        trainSampleMod = 4)
       val permuted = scaled.select(col("vec_id"),
         ops.Pq.permute(col("v"), perm).as("v"))
       def err(df: org.apache.spark.sql.DataFrame, name: String) =
         ops.Pq.reconstructionError(df, "vec_id", "v",
-            ops.Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2))
+            ops.Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2,
+              trainSampleMod = 4))
           .select(round(col("mean_sq_err"), 6).as(name))
       err(scaled, "mse_contiguous").crossJoin(err(permuted, "mse_permuted"))
         .select(col("mse_contiguous"), col("mse_permuted"),
@@ -3133,11 +3139,19 @@ object SparkEntry {
           "THEN cast(5.5d * x + 4.5d * element_at(embedding, cast(i + 33 as int)) as double) " +
           "ELSE cast(4.5d * element_at(embedding, cast(i - 31 as int)) + 5.5d * x as double) END)")
         .as("v"))
-      val perm = ops.Pq.trainPermutation(mixed, "vec_id", "v", 64, 8)
-      val rot = ops.Pq.trainRotation(mixed, "vec_id", "v", 64, 8)
+      // all training on the 1/4 hash-slice (train-on-sample, evaluate
+      // everything): this twin trains THREE codebook sets plus the
+      // rotation's covariance moment pass, so the cap is what keeps it
+      // from dominating the sf1 battery; reconstruction error is still
+      // measured over the FULL corpus
+      val perm = ops.Pq.trainPermutation(mixed, "vec_id", "v", 64, 8,
+        trainSampleMod = 4)
+      val rot = ops.Pq.trainRotation(mixed, "vec_id", "v", 64, 8,
+        trainSampleMod = 4)
       def err(df: org.apache.spark.sql.DataFrame, name: String) =
         ops.Pq.reconstructionError(df, "vec_id", "v",
-            ops.Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2))
+            ops.Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2,
+              trainSampleMod = 4))
           .select(round(col("mean_sq_err"), 6).as(name))
       err(mixed, "mse_contiguous")
         .crossJoin(err(mixed.select(col("vec_id"),
@@ -5517,14 +5531,14 @@ object SparkEntry {
         .stripMargin,
 
     "q_pq_opq" ->
-      """SELECT 101.718978 AS mse_contiguous, 69.818774 AS mse_permuted,
+      """SELECT 110.261844 AS mse_contiguous, 75.934478 AS mse_permuted,
         |  true AS improved""".stripMargin,
 
     // golden (hash-seeded training + exact decimal moments + fixed
     // Jacobi sweeps → bit-stable across runs and layouts)
     "q_pq_rotate" ->
-      """SELECT 28.885636 AS mse_contiguous, 27.417629 AS mse_permuted,
-        |  16.576049 AS mse_rotated, true AS rotation_wins""".stripMargin,
+      """SELECT 30.701739 AS mse_contiguous, 29.090978 AS mse_permuted,
+        |  20.145815 AS mse_rotated, true AS rotation_wins""".stripMargin,
 
     // IVFADC gate: twins retrieved at rank 1 through the persisted
     // cell-pruned compressed path — deterministic booleans, pinned
