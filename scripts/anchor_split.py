@@ -38,3 +38,23 @@ worst = sorted(pure, key=lambda k: sq[k] / dq[k], reverse=True)[:5]
 print("worst pure ratios:")
 for k in worst:
     print(f"  {k}: {sq[k]:.2f} vs {dq[k]:.2f} s ({sq[k]/dq[k]:.0f}x)")
+
+# Write-side operations: the Spark side PERFORMS the stateful operation
+# (streaming micro-batch maintenance, incremental pre-agg
+# materialization, file compaction, shard export) and then reads back a
+# receipt; the DuckDB "oracle" replays only the receipt SQL. The < 5 ms
+# latency rule catches most such readbacks, but these five receipts
+# aggregate real state and cross it, so the latency rule misfiles them
+# as engine-vs-engine comparisons — an operation vs a readback is not
+# one. Declared by name (not tuned by latency) so the exclusion is
+# auditable; both splits are printed.
+WRITE_OPS = {"q_streaming_rollup", "q_incremental_refresh",
+             "q_incremental_new", "q_corpus_compact_parts",
+             "q_export_shards"}
+pure_w = [k for k in pure if k not in WRITE_OPS]
+sw = sum(sq[k] for k in pure_w)
+dw = sum(dq[k] for k in pure_w)
+sw_adj = sum(max(sq[k] - floor, 0.0) for k in pure_w)
+print(f"write-aware pure ({len(pure_w)} queries; {len(pure) - len(pure_w)} "
+      f"write-side ops reclassified): spark {sw:.1f}s vs duckdb {dw:.1f}s = "
+      f"{sw/dw:.2f}x raw, {sw_adj/dw:.2f}x floor-adjusted")

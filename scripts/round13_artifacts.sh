@@ -63,7 +63,11 @@ python3 scripts/duckdb_anchor.py /root/testdata/sf0.1 \
   /tmp/graft_anchor_out/oracle_sql.json DUCKDB_ANCHOR.json
 
 echo "== [9/9] interleaved anchor @ sf0.1 (noise-robust, 3 rounds)"
+# wipe BEFORE re-dumping the oracle map: graft_anchor_out itself
+# matches the graft_* wipe pattern
 wipe_index_dirs
+rm -rf /tmp/graft_anchor_out
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/graft_anchor_out q_table_scan" >/dev/null 2>&1
 python3 scripts/anchor_interleaved.py /root/testdata/sf0.1 \
   /tmp/graft_anchor_out/oracle_sql.json ANCHOR_INTERLEAVED.json 3
 

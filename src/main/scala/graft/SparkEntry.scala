@@ -3298,7 +3298,17 @@ object SparkEntry {
     // (ImageIO png/jpeg, hand-built RIFF wav) with id-analytic geometry,
     // so the sniffed struct has a pure-SQL oracle.
     "q_media_sniff" -> ((s, d) => {
-      val media = Multimodal.syntheticMixedMedia(docs(s, d), "doc_id")
+      // corpus PERSISTED once per JVM (the q_media_profile lesson from
+      // round 12): a real catalog pass scans stored objects, so timed
+      // passes measure scan + codegen'd sniff — ImageIO encoding is
+      // fixture cost, and timing it made this row an encoder lottery
+      val path = s"/tmp/graft_media_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      buildOnce(path) {
+        Multimodal.syntheticMixedMedia(
+            docs(s, d).repartition(col("doc_id")), "doc_id")
+          .write.mode("overwrite").parquet(path)
+      }
+      val media = s.read.parquet(path)
       media.select(col("media_id"),
           Multimodal.sniffMedia(col("content")).as("m"))
         .select(col("media_id"), col("m.format").as("format"),
