@@ -23,6 +23,25 @@ object Bench {
     * gate (Verify) always runs them regardless. */
   private val exactOnly = Set("q_hard_negatives", "q_rrf")
 
+  /** One `--serve` protocol line → the response line. Factored out of
+    * the stdin loop so the ERR-on-crash contract is unit-testable: a
+    * crashed run must answer `ERR failed <q>` (which the anchor harness
+    * drops), never a near-zero `TIME` line that would silently deflate
+    * the committed anchor ratio. */
+  private[graft] def serveOne(
+      picked: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame],
+      spark: SparkSession, sfDir: String, name: String): String =
+    picked.get(name) match {
+      case Some(fn) =>
+        val t = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          f"TIME $name ${(System.nanoTime() - t) / 1e9}%.6f"
+        } catch { case _: Throwable => s"ERR failed $name" }
+      case None => s"ERR unknown $name"
+    }
+
   def main(args: Array[String]): Unit = {
     // optional substring filter: `Bench q_cumulative` times only matching
     // queries (isolation runs while chasing a regression); `--exact`
@@ -63,14 +82,7 @@ object Bench {
       println("READY"); Console.flush()
       scala.io.Source.stdin.getLines().takeWhile(_.trim != "EXIT")
         .foreach { line =>
-          val name = line.trim
-          picked.get(name) match {
-            case Some(fn) =>
-              val t = System.nanoTime()
-              try fn(spark, sfDir).count() catch { case _: Throwable => () }
-              println(f"TIME $name ${(System.nanoTime() - t) / 1e9}%.6f")
-            case None => println(s"ERR unknown $name")
-          }
+          println(serveOne(picked, spark, sfDir, line.trim))
           Console.flush()
         }
       spark.stop()

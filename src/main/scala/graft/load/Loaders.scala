@@ -417,14 +417,22 @@ object Loaders {
     // every member file (cross-file refinements make per-file model
     // ownership genuinely ambiguous — the group IS the unit)
     val attributions = scala.collection.mutable.ListBuffer[Attribution]()
-    val payloads = scala.collection.mutable.ListBuffer[Contribution]()
+    // payloads keyed by the walk index of the contribution's first
+    // member file: group formats (SML/TMDL/LookML/…) PARSE before the
+    // per-file loop below, but duplicate-model resolution must follow
+    // scan order like the reference's in-order merge (loaders.py
+    // processes files strictly in walk order) — not loader-category
+    // order
+    val walkIdx = routed.iterator.map(_._1).zipWithIndex.toMap
+    val payloads =
+      scala.collection.mutable.ListBuffer[(Int, Contribution)]()
     def contribute(paths: Seq[java.io.File], fmt: String,
         load: () => Contribution): Unit =
       try {
         val c = load()
         paths.foreach(p =>
           attributions += Attribution(rel(root, p), fmt, c.models.map(_.name)))
-        payloads += c
+        payloads += ((paths.map(walkIdx).min, c))
       } catch {
         case e: Exception if !strict =>
           warnings += s"$fmt (${paths.map(rel(root, _)).mkString(", ")}): " +
@@ -479,9 +487,11 @@ object Loaders {
     }
 
     // merge: later file wins on a duplicate model name, with a warning
-    // (loaders.py:1082 _merge_models + _record_duplicate_model)
+    // (loaders.py:1082 _merge_models + _record_duplicate_model) —
+    // "later" in WALK order, via the per-contribution walk keys above
+    val orderedPayloads = payloads.sortBy(_._1).map(_._2)
     val mergedModels = scala.collection.mutable.LinkedHashMap[String, Model]()
-    payloads.foreach { c =>
+    orderedPayloads.foreach { c =>
       c.models.foreach { m =>
         if (mergedModels.contains(m.name))
           warnings += s"model '${m.name}' defined more than once; " +
@@ -502,7 +512,7 @@ object Loaders {
         case e: Exception => throw e
       }
     }
-    payloads.foreach { c =>
+    orderedPayloads.foreach { c =>
       catalog = catalog.addGraphMetric(c.graphMetrics: _*)
       c.explores.foreach { e =>
         try catalog = catalog.addExplore(e)

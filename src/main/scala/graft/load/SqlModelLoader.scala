@@ -173,19 +173,23 @@ object SqlModelLoader {
 
   private def splitStatements(s: String): Seq[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
-    var depth = 0; var inQ = false; val cur = new StringBuilder
+    // quote state tracks WHICH quote opened: a `--` inside a
+    // double-quoted identifier or backtick-quoted name (e.g.
+    // CREATE VIEW "a--b") is part of the name, not a comment
+    var depth = 0; var q: Char = 0; val cur = new StringBuilder
     var i = 0
     while (i < s.length) {
       val c = s(i)
       c match {
-        case '\'' => inQ = !inQ; cur += '\''; i += 1
+        case '\'' | '"' | '`' if q == 0 => q = c; cur += c; i += 1
+        case _ if q != 0 => if (c == q) q = 0; cur += c; i += 1
         // `-- comment` to end of line (quote-aware): real .sql model
         // files open with comment banners
-        case '-' if !inQ && i + 1 < s.length && s(i + 1) == '-' =>
+        case '-' if i + 1 < s.length && s(i + 1) == '-' =>
           while (i < s.length && s(i) != '\n') i += 1
-        case '(' if !inQ => depth += 1; cur += '('; i += 1
-        case ')' if !inQ => depth -= 1; cur += ')'; i += 1
-        case ';' if !inQ && depth == 0 =>
+        case '(' => depth += 1; cur += '('; i += 1
+        case ')' => depth -= 1; cur += ')'; i += 1
+        case ';' if depth == 0 =>
           out += cur.toString; cur.clear(); i += 1
         case _ => cur += c; i += 1
       }

@@ -122,8 +122,12 @@ object Pq {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
     val base = corpus.select(col(idCol).as("__id"),
       asDouble(col(vecCol)).as("__v"))
-    val v = if (trainSampleMod <= 1) base
-      else base.filter(pmod(xxhash64(col("__id")), lit(trainSampleMod)) === 0)
+    // Same row-population discipline as trainRotation: drop vectors with
+    // null elements up front so sum (null-skipping) and count (null-
+    // counting) agree on the denominator of every per-dim moment.
+    val v = (if (trainSampleMod <= 1) base
+      else base.filter(pmod(xxhash64(col("__id")), lit(trainSampleMod)) === 0))
+      .filter(col("__v").isNotNull && forall(col("__v"), x => x.isNotNull))
     val variances = v
       .select(posexplode(col("__v")).as(Seq("__p", "__x")))
       .groupBy(col("__p"))
@@ -176,9 +180,15 @@ object Pq {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
     val base = corpus.select(col(idCol).as("__id"),
       asDouble(col(vecCol)).as("__v"))
+    // One shared filter for BOTH passes below: a vector carrying a null
+    // element would vanish from the moment pass (OuterUpper nulls the
+    // whole row, posexplode emits nothing) while still feeding the means
+    // pass — biasing mu and s(p)/n - mu_i*mu_j against each other. Both
+    // passes must see the identical row set.
     val v = (if (trainSampleMod <= 1) base
       else base.filter(pmod(xxhash64(col("__id")), lit(trainSampleMod)) === 0))
-      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+      .filter(col("__v").isNotNull && size(col("__v")) === dim &&
+        forall(col("__v"), x => x.isNotNull))
     val nPairs = dim * (dim + 1) / 2
     val moments = v
       .select(posexplode(VectorExprs.outerUpper(col("__v"), dim))

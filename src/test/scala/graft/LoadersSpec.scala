@@ -132,6 +132,68 @@ class LoadersSpec extends AnyFunSuite {
       s"warnings=${loaded.warnings}")
   }
 
+  test("duplicate-model resolution follows walk order, not " +
+      "loader-category order") {
+    // group formats (MetricFlow, SML, …) PARSE before the per-file
+    // loop, but 'later file wins' must mean later in the directory
+    // WALK, matching the reference's strictly in-order merge
+    // (loaders.py processes files in scan order)
+    val mfYaml =
+      """semantic_models:
+        |  - name: dup_walk
+        |    model: ref('orders')
+        |    entities:
+        |      - name: dup_walk
+        |        type: primary
+        |        expr: o_orderkey
+        |    dimensions:
+        |      - name: status
+        |        type: categorical
+        |    measures:
+        |      - name: mf_only
+        |        agg: sum
+        |        expr: amount
+        |""".stripMargin
+    val nativeYaml =
+      """version: 1
+        |models:
+        |  - name: dup_walk
+        |    table: orders
+        |    primary_key: o_orderkey
+        |    dimensions:
+        |      - name: status
+        |    metrics:
+        |      - name: native_only
+        |        agg: sum
+        |        sql: amount
+        |""".stripMargin
+    def build(mfName: String, nativeName: String): graft.model.Model = {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_walk_").toFile
+      def put(relPath: String, content: String): Unit = {
+        val f = new java.io.File(root, relPath)
+        java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+        ()
+      }
+      put(mfName, mfYaml)
+      put(nativeName, nativeYaml)
+      val p = Loaders.loadProject(root.getPath)
+      assert(p.warnings.exists(_.contains("more than once")),
+        s"expected a duplicate warning, got ${p.warnings}")
+      p.catalog.model("dup_walk")
+    }
+    // metricflow file walks LAST → its definition wins
+    val mfWins = build("z_mf.yml", "a_native.yml")
+    assert(mfWins.metrics.exists(_.name == "mf_only") &&
+      !mfWins.metrics.exists(_.name == "native_only"),
+      s"metricflow should win: ${mfWins.metrics.map(_.name)}")
+    // native file walks LAST → reversed outcome
+    val nativeWins = build("a_mf.yml", "z_native.yml")
+    assert(nativeWins.metrics.exists(_.name == "native_only") &&
+      !nativeWins.metrics.exists(_.name == "mf_only"),
+      s"native should win: ${nativeWins.metrics.map(_.name)}")
+  }
+
   test("a project-loaded model plans and executes end-to-end") {
     // rebind every table reference to the real sf0.01 orders table and
     // run a semantic query through the Yardstick-imported view

@@ -130,6 +130,31 @@ class PqSpec extends AnyFunSuite {
       s"permutation hurt recall: $permRecall < $rawRecall")
   }
 
+  test("vectors with null elements are excluded from BOTH training " +
+      "passes — moments and means see the identical row set") {
+    // a null element nulls the whole row out of the OuterUpper moment
+    // pass (posexplode emits nothing) but, unfiltered, would still feed
+    // the means pass — biasing mu against s(p)/n. The shared filter
+    // must make training over a dirty corpus bit-equal training over
+    // the corpus with the dirty rows removed.
+    import spark.implicits._
+    val clean = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq[java.lang.Double](2.0, 1.0, 5.0, 2.0)),
+      (3L, Seq[java.lang.Double](0.5, 3.0, 1.0, 6.0)),
+      (4L, Seq[java.lang.Double](4.0, 0.0, 2.0, 1.0)),
+      (5L, Seq[java.lang.Double](1.5, 2.5, 0.5, 3.5)))
+    val dirty = clean ++ Seq(
+      (6L, Seq[java.lang.Double](9.0, null, 9.0, 9.0)),
+      (7L, null.asInstanceOf[Seq[java.lang.Double]]))
+    val cleanDf = clean.toDF("vec_id", "v")
+    val dirtyDf = dirty.toDF("vec_id", "v")
+    assert(Pq.trainRotation(dirtyDf, "vec_id", "v", 4, 2) ===
+      Pq.trainRotation(cleanDf, "vec_id", "v", 4, 2))
+    assert(Pq.trainPermutation(dirtyDf, "vec_id", "v", 4, 2) ===
+      Pq.trainPermutation(cleanDf, "vec_id", "v", 4, 2))
+  }
+
   test("full OPQ rotation: decorrelates coordinate pairs a permutation " +
       "cannot — lower MSE than both contiguous and permuted") {
     // mix dim i with dim i+32 (FOUR subspaces apart) at a 10:1 energy
