@@ -59,6 +59,20 @@ object Bench {
       // function codegen splitting or they overflow janino's 64 KB limit
       .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions to the advisory target size
+      // instead of preserving parallelism: Spark's own docs recommend
+      // false; at small-SF it stops paying 32-task stage launches for
+      // kilobyte shuffles, at cluster scale partitions hit the target
+      // size anyway
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      // a partitioned rollup store holds ~80 month dirs; above this
+      // threshold Spark launches a DISTRIBUTED listing job (one task
+      // per dir) whose launch cost dwarfs a driver-side listing until
+      // the dir count is in the hundreds — every preagg-routed query
+      // was paying an 80-task job just to plan
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "256")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -143,11 +143,94 @@ object DedupExprs {
       copy(child = newChild)
   }
 
+  /** Distinct `n`-token windows of a token array as TEXT, first-
+    * occurrence order — the loop-kernel form of
+    * `array_distinct(transform(sequence(0, size-n), i ->
+    * concat_ws(' ', slice(t, i+1, n))))`, which Spark evaluates as an
+    * interpreted lambda per position with a fresh slice allocation
+    * each time (higher-order functions are CodegenFallback).
+    *
+    * `truncated = true` adds [[ShingleHashes]]'s short-document rule:
+    * an array shorter than `n` contributes ONE whole-array window
+    * (the Bloom-gate keying contract — short docs can still pair);
+    * `truncated = false` returns an empty array for short inputs
+    * (callers pre-filter on size >= n, explode then emits nothing). */
+  case class DistinctTokenWindows(child: Expression, n: Int,
+      truncated: Boolean) extends UnaryExpression {
+    require(n > 0, "window size must be positive")
+
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_token_windows"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${t.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      DedupKernels.tokenWindows(v.asInstanceOf[ArrayData], n, truncated)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = graft.functions.DedupKernels.tokenWindows($a, $n, $truncated);"
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): DistinctTokenWindows = copy(child = newChild)
+  }
+
+  /** Content-defined chunk boundary candidates: the 1-based positions
+    * `p` in `[window, len]` where the engine-portable boundary hash
+    * `conv(substring(md5(concat_ws(' ', slice(t, p-window+1, window))),
+    * 1, 8), 16, 10) % divisor = 0` — bit-identical to the SQL form
+    * (the first 8 hex chars of the md5 ARE the first 4 digest bytes),
+    * computed as one compiled md5-per-position loop instead of an
+    * interpreted lambda that re-slices, re-joins, hex-encodes and
+    * re-parses at every position. Arrays shorter than `window` return
+    * an empty array (the whole document becomes one chunk). */
+  case class CdcBoundaries(child: Expression, window: Int, divisor: Int)
+      extends UnaryExpression {
+    require(window > 0, "window must be positive")
+    require(divisor > 1, "divisor must exceed 1")
+
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_cdc_boundaries"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${t.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      DedupKernels.cdcBoundaries(v.asInstanceOf[ArrayData], window, divisor)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = graft.functions.DedupKernels.cdcBoundaries($a, $window, $divisor);"
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): CdcBoundaries = copy(child = newChild)
+  }
+
   // ---- Column API ----
 
   def shingleHashes(tokens: Column, shingleSize: Int): Column =
     GraftSqlBridge.column(ShingleHashes(
       GraftSqlBridge.expression(tokens), shingleSize))
+
+  def distinctTokenWindows(tokens: Column, n: Int,
+      truncated: Boolean = false): Column =
+    GraftSqlBridge.column(DistinctTokenWindows(
+      GraftSqlBridge.expression(tokens), n, truncated))
+
+  def cdcBoundaries(tokens: Column, window: Int, divisor: Int): Column =
+    GraftSqlBridge.column(CdcBoundaries(
+      GraftSqlBridge.expression(tokens), window, divisor))
 
   def minHashSigs(hashes: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSigs(
@@ -198,6 +281,84 @@ object DedupKernels {
     val it = seen.iterator()
     while (it.hasNext) { hashes(j) = it.next().longValue(); j += 1 }
     new GenericArrayData(hashes)
+  }
+
+  /** See [[DedupExprs.DistinctTokenWindows]]. */
+  def tokenWindows(tokens: ArrayData, n: Int,
+      truncated: Boolean): ArrayData = {
+    val len = tokens.numElements()
+    val parts = new Array[UTF8String](n)
+    def window(start: Int, end: Int): UTF8String = {
+      var i = start
+      var m = 0
+      while (i < end) {
+        if (!tokens.isNullAt(i)) { parts(m) = tokens.getUTF8String(i); m += 1 }
+        i += 1
+      }
+      if (m == n) UTF8String.concatWs(Space, parts: _*)
+      else UTF8String.concatWs(Space, java.util.Arrays.copyOf(parts, m): _*)
+    }
+    if (len < n) {
+      if (!truncated) return new GenericArrayData(new Array[AnyRef](0))
+      // one whole-array window (concat_ws over everything, "" when empty)
+      return new GenericArrayData(Array[AnyRef](window(0, len)))
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var p = 0
+    while (p + n <= len) {
+      seen.add(window(p, p + n))
+      p += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val SpaceByte = ' '.toByte
+
+  /** See [[DedupExprs.CdcBoundaries]]. */
+  def cdcBoundaries(tokens: ArrayData, window: Int,
+      divisor: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < window) return new GenericArrayData(new Array[Int](0))
+    // token bytes extracted once; each position digests its window span
+    val bytes = new Array[Array[Byte]](len)
+    var i = 0
+    while (i < len) {
+      bytes(i) =
+        if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[Integer]
+    var p = window // 1-based candidate position
+    while (p <= len) {
+      md.reset()
+      var first = true
+      var q = p - window
+      while (q < p) {
+        val b = bytes(q)
+        if (b != null) { // concat_ws skips nulls without doubling the sep
+          if (!first) md.update(SpaceByte)
+          md.update(b)
+          first = false
+        }
+        q += 1
+      }
+      val dg = md.digest()
+      // first 8 hex chars of md5 = first 4 digest bytes, read unsigned
+      val v = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+      if (v % divisor == 0) out.add(p)
+      p += 1
+    }
+    val arr = new Array[Int](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).intValue(); j += 1 }
+    new GenericArrayData(arr)
   }
 
   /** See [[DedupExprs.MinHashSigs]]. */

@@ -316,9 +316,11 @@ object Dedup {
     require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
     df.select(col(idCol).as("__doc"), wsTokens(textCol).as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("__doc"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("__t")) - n),
-          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))).as("window"))
+      // loop-kernel window front (array lambdas are CodegenFallback —
+      // interpreted per position with a fresh slice each time)
+      .select(col("__doc"), explode(
+        graft.functions.DedupExprs.distinctTokenWindows(col("__t"), n))
+        .as("window"))
       .groupBy(col("window"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -346,11 +348,13 @@ object Dedup {
       textCol: String, n: Int = 8): DataFrame = {
     require(n > 0, s"window size must be positive, got $n")
     def windows(df: DataFrame): DataFrame = {
+      // distinct xxhash64(seed 42) of every full n-token window — for a
+      // size >= n array this is EXACTLY the shingle-hash kernel's output
+      // (its truncated position-0 rule only fires on shorter docs)
       df.select(col(idCol).as("__doc"), wsTokens(textCol).as("__t"))
         .filter(size(col("__t")) >= n)
-        .select(col("__doc"), explode(array_distinct(
-          transform(sequence(lit(0), size(col("__t")) - n),
-            i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))))
+        .select(col("__doc"), explode(
+          graft.functions.DedupExprs.shingleHashes(col("__t"), n))
           .as("__wh"))
     }
     val ref = windows(reference).select(col("__wh")).distinct()
@@ -533,12 +537,12 @@ object Dedup {
       // docs shorter than a shingle still hash ONE truncated position-0
       // shingle in the minhash kernel (DedupExprs.shingleHashes), so two
       // short docs CAN pair — the gate must key them the same way or it
-      // would drop exactly those pairs (a false negative)
-      .select(col("__doc"), explode(array_distinct(
-        when(size(col("__t")) >= shingleSize,
-          transform(sequence(lit(0), size(col("__t")) - shingleSize),
-            i => concat_ws(" ", slice(col("__t"), i + 1, lit(shingleSize)))))
-          .otherwise(array(concat_ws(" ", col("__t"))))))
+      // would drop exactly those pairs (a false negative). truncated=true
+      // is that rule; coalesce keeps a null-text doc keyed as "" (the
+      // concat_ws(null-array) value the when/otherwise form produced)
+      .select(col("__doc"), explode(
+        graft.functions.DedupExprs.distinctTokenWindows(
+          coalesce(col("__t"), array()), shingleSize, truncated = true))
         .as("__key"))
     val gate = BloomGate.build(keys(probe), "__key", mBitsPerBucket,
       kHashes, nBuckets)
@@ -711,16 +715,13 @@ object Dedup {
     df.select(col(idCol).as("id"), wsTokens(textCol).as("__t"))
       .withColumn("__n", size(col("__t")))
       .filter(col("__n") > 0)
-      // 1-based boundary positions; the sequence guard matters —
-      // sequence(window, n) with n < window would count DESCENDING
-      .withColumn("__cand", expr(
-        s"""CASE WHEN __n >= $window THEN
-           |  filter(transform(sequence($window, __n), p ->
-           |    IF(pmod(cast(conv(substring(md5(concat_ws(' ',
-           |         slice(__t, p - ${window - 1}, $window))), 1, 8),
-           |       16, 10) as bigint), $divisor) = 0, p, -1)),
-           |    x -> x >= 0)
-           |ELSE array() END""".stripMargin))
+      // 1-based boundary positions via the md5-rolling loop kernel —
+      // bit-identical to the SQL form `pmod(cast(conv(substring(
+      // md5(concat_ws(' ', slice(__t, p-7, w))), 1, 8), 16, 10) as
+      // bigint), divisor) = 0` the oracle replays, without the
+      // interpreted per-position lambda (slice + join + hex + parse)
+      .withColumn("__cand",
+        graft.functions.DedupExprs.cdcBoundaries(col("__t"), window, divisor))
       .withColumn("__b", expr(
         "array_sort(array_distinct(concat(__cand, array(__n))))"))
       .select(col("id"), col("__t"),
@@ -792,9 +793,9 @@ object Dedup {
     collapseExact(df, idCol, textCol)
       .select(col("family_size"), wsTokens(textCol).as("__t"))
       .filter(size(col("__t")) >= n)
-      .select(col("family_size"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("__t")) - n),
-          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))).as("window"))
+      .select(col("family_size"), explode(
+        graft.functions.DedupExprs.distinctTokenWindows(col("__t"), n))
+        .as("window"))
       .groupBy(col("window"))
       .agg(sum(col("family_size")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

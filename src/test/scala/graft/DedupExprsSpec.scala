@@ -120,6 +120,70 @@ class DedupExprsSpec extends AnyFunSuite {
     assert(!sh(0).isNullAt(0) && sh(1).isNullAt(0))
   }
 
+  test("token-window kernel equals the array_distinct(transform(slice)) " +
+      "lambda shape, both truncation modes") {
+    val corpus = docs.filter(col("doc_id") < 150)
+      .unionByName(edgeDocs.toDF("doc_id", "text"))
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("__t"))
+    // full-window mode (the duplicateWindows front): size >= n only
+    val n = 5
+    val lambda = corpus.filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("__t")) - n),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))).as("w"))
+    val kernel = corpus.filter(size(col("__t")) >= n)
+      .select(col("doc_id"), explode(
+        DedupExprs.distinctTokenWindows(col("__t"), n)).as("w"))
+    assert(kernel.exceptAll(lambda).count() === 0)
+    assert(lambda.exceptAll(kernel).count() === 0)
+    // truncated mode (the Bloom-gate keying contract): short docs emit
+    // ONE whole-array window
+    val lambdaT = corpus.select(col("doc_id"), explode(array_distinct(
+      when(size(col("__t")) >= n,
+        transform(sequence(lit(0), size(col("__t")) - n),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", col("__t")))))).as("w"))
+    val kernelT = corpus.select(col("doc_id"), explode(
+      DedupExprs.distinctTokenWindows(col("__t"), n, truncated = true))
+      .as("w"))
+    assert(kernelT.exceptAll(lambdaT).count() === 0)
+    assert(lambdaT.exceptAll(kernelT).count() === 0)
+  }
+
+  test("cdc-boundary kernel equals the md5/conv/pmod SQL form") {
+    val corpus = docs.filter(col("doc_id") < 150)
+      .unionByName(edgeDocs.toDF("doc_id", "text"))
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("__t"))
+      .withColumn("__n", size(col("__t")))
+    val (window, divisor) = (8, 16)
+    val sqlForm = corpus.withColumn("cand", expr(
+      s"""CASE WHEN __n >= $window THEN
+         |  filter(transform(sequence($window, __n), p ->
+         |    IF(pmod(cast(conv(substring(md5(concat_ws(' ',
+         |         slice(__t, p - ${window - 1}, $window))), 1, 8),
+         |       16, 10) as bigint), $divisor) = 0, p, -1)),
+         |    x -> x >= 0)
+         |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), col("cand"))
+    val kernel = corpus.select(col("doc_id"),
+      DedupExprs.cdcBoundaries(col("__t"), window, divisor).as("cand"))
+    val joined = kernel.withColumnRenamed("cand", "k").join(sqlForm, "doc_id")
+    assert(joined.count() === kernel.count())
+    assert(joined.filter(col("k") =!= col("cand")).count() === 0)
+    // and at a divisor where boundaries are dense, too
+    val dense = corpus.select(col("doc_id"),
+      DedupExprs.cdcBoundaries(col("__t"), 3, 2).as("k"))
+      .join(corpus.withColumn("cand", expr(
+        """CASE WHEN __n >= 3 THEN
+          |  filter(transform(sequence(3, __n), p ->
+          |    IF(pmod(cast(conv(substring(md5(concat_ws(' ',
+          |         slice(__t, p - 2, 3))), 1, 8), 16, 10) as bigint),
+          |       2) = 0, p, -1)), x -> x >= 0)
+          |ELSE array() END""".stripMargin))
+        .select(col("doc_id"), col("cand")), "doc_id")
+    assert(dense.filter(col("k") =!= col("cand")).count() === 0)
+  }
+
   test("no codegen fallback: generated code compiles and evaluates") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
@@ -128,7 +192,10 @@ class DedupExprsSpec extends AnyFunSuite {
     val exprs = Seq(
       DedupExprs.ShingleHashes(toks, 3),
       DedupExprs.MinHashSigs(DedupExprs.ShingleHashes(toks, 3), 4),
-      DedupExprs.SimHash64(toks))
+      DedupExprs.SimHash64(toks),
+      DedupExprs.DistinctTokenWindows(toks, 3, truncated = false),
+      DedupExprs.DistinctTokenWindows(toks, 8, truncated = true),
+      DedupExprs.CdcBoundaries(toks, 3, 2))
     val proj = org.apache.spark.sql.catalyst.expressions.codegen
       .GenerateUnsafeProjection.generate(exprs) // throws on janino error
     val row = proj.apply(org.apache.spark.sql.catalyst.InternalRow.empty)
@@ -137,6 +204,9 @@ class DedupExprsSpec extends AnyFunSuite {
     assert(row.getArray(0).numElements() === 3)
     assert(row.getArray(1).numElements() === 4)
     assert(row.getLong(2) !== 0L)
+    assert(row.getArray(3).numElements() === 3) // same 3 distinct windows
+    assert(row.getArray(4).numElements() === 1) // truncated whole-array
+    assert(row.getArray(4).getUTF8String(0).toString === "a b c a b c")
   }
 
   test("the minhash front plan has zero exchanges") {
