@@ -112,14 +112,25 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     frames.groupBy(keyCols.map(col).toSeq: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Hash the rollup across the cluster on its partition bucket before a
+    * partitionBy write: each task then owns whole `__part` dirs — one
+    * file per dir, parquet-writer inits in parallel. Without it the
+    * post-agg coalesce leaves ONE task serially opening/closing a writer
+    * per directory (~80 month dirs ≈ seconds of pure writer churn), and
+    * at scale an unpartitioned write emits tasks×dirs files instead. The
+    * explicit partition count keeps AQE from re-coalescing to one task.  */
+  private def byPart(rollup: DataFrame): DataFrame =
+    rollup.repartition(
+      math.max(spark.sparkContext.defaultParallelism, 1), col("__part"))
+
   /** Full rebuild: one aggregated write, partitioned on the time bucket. */
   def materialize(modelName: String, pa: PreAggregation): String = {
     val m = cat.model(modelName)
     val rollup = rollupOf(m, pa, cat.scan(spark, m))
     val path = rollupPath(modelName, pa)
-    val writer = rollup.write.mode("overwrite")
-    (if (pa.partitionGranularity.isDefined) writer.partitionBy("__part")
-     else writer).parquet(path)
+    if (pa.partitionGranularity.isDefined)
+      byPart(rollup).write.mode("overwrite").partitionBy("__part").parquet(path)
+    else rollup.write.mode("overwrite").parquet(path)
     path
   }
 
@@ -146,7 +157,7 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     val rollup = rollupOf(m, pa, cat.scan(spark, m).filter(base >= cutoff))
     val path = rollupPath(modelName, pa)
     // dynamic partition overwrite replaces only the recomputed buckets
-    rollup.write.mode("overwrite")
+    byPart(rollup).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__part").parquet(path)
     path

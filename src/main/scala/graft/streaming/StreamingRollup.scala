@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.model.{Catalog, PreAggregation}
 import graft.preagg.PreAggStore
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -42,7 +43,11 @@ final class StreamingRollup(spark: SparkSession, cat: Catalog,
 
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val batchRollup = store.rollupOf(m, pa, batch)
+        // hash on __part so tasks own whole partition dirs (parallel
+        // writer inits, one file per dir) — a coalesced single task
+        // would serially open/close one parquet writer per month dir
+        val batchRollup = store.rollupOf(m, pa, batch).repartition(
+          math.max(spark.sparkContext.defaultParallelism, 1), col("__part"))
         // overwrite-into-place: replaying batch N rewrites __batch=N with
         // identical content — exactly-once effect without shared state
         batchRollup.write.mode("overwrite")
@@ -64,6 +69,8 @@ final class StreamingRollup(spark: SparkSession, cat: Catalog,
     if (!store.rollupExists(path)) return
     val compacted = store.mergeComponents(pa, m,
       spark.read.parquet(path).drop("__batch"))
+      .repartition(
+        math.max(spark.sparkContext.defaultParallelism, 1), col("__part"))
     val tmp = s"${path}__compacting"
     compacted.write.mode("overwrite").partitionBy("__part").parquet(s"$tmp/__batch=0")
     val fs = new org.apache.hadoop.fs.Path(path)
