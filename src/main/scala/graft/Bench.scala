@@ -73,6 +73,13 @@ object Bench {
       // was paying an 80-task job just to plan
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         "256")
+      // janino's generated-class cache holds 100 entries by default; a
+      // battery that interleaves 200+ distinct queries (the serve-mode
+      // anchor, every round-robin pass) evicts everything between two
+      // runs of the same query and re-COMPILES every stage each time —
+      // measured 2x on a 46-query round-robin. Static conf, so it must
+      // be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -217,13 +217,13 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     require(k > 0, s"k must be positive, got $k")
-    val base = df.select(col(idCol).as("__doc"),
-        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
-      .withColumn("__len", size(col("__t")))
-    val withTf = terms.indices.foldLeft(base) { case (acc, i) =>
-      acc.withColumn(s"__tf$i",
-        size(filter(col("__t"), t => t === lit(terms(i)))))
-    }.drop("__t")
+    // one compiled pass per doc for length + every term's tf (the
+    // lambda filters were CodegenFallback — interpreted per token)
+    val withTf = df.select(col(idCol).as("__doc"),
+        graft.functions.TextExprs.termTfs(tokens(col(textCol)), terms)
+          .as("__c"))
+      .select(col("__doc") +: col("__c").getItem(0).as("__len") +:
+        terms.indices.map(i => col("__c").getItem(i + 1).as(s"__tf$i")): _*)
     val dfCols = terms.indices.map(i =>
       sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = withTf.agg(count(lit(1)).as("__n"),
@@ -263,13 +263,13 @@ object TextAnalysis {
     require(k > 0, s"k must be positive, got $k")
     val allTerms = queries.flatMap(_._2).distinct
     val idx = allTerms.zipWithIndex.toMap
-    val base = df.select(col(idCol).as("__doc"),
-        filter(tokens(col(textCol)), t => length(t) > 0).as("__t"))
-      .withColumn("__len", size(col("__t")))
-    val withTf = allTerms.indices.foldLeft(base) { case (acc, i) =>
-      acc.withColumn(s"__tf$i",
-        size(filter(col("__t"), t => t === lit(allTerms(i)))))
-    }.drop("__t")
+    // same compiled term-count pass as bm25TopK, over the term union
+    val withTf = df.select(col(idCol).as("__doc"),
+        graft.functions.TextExprs.termTfs(tokens(col(textCol)), allTerms)
+          .as("__c"))
+      .select(col("__doc") +: col("__c").getItem(0).as("__len") +:
+        allTerms.indices.map(i =>
+          col("__c").getItem(i + 1).as(s"__tf$i")): _*)
     val dfCols = allTerms.indices.map(i =>
       sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = withTf.agg(count(lit(1)).as("__n"),
