@@ -13,15 +13,26 @@ import org.apache.spark.sql.types._
   */
 object Bootstrap {
 
-  /** One model per parquet file in `dir`, named after the file. */
+  /** One model per parquet file in `dir`, named after the file. Schema
+    * introspection fans out across files (each `spark.read...schema` is
+    * an independent driver-side listing + footer read costing tens of
+    * ms — a 10-table directory serialized them into the bootstrap's
+    * dominant cost); models still register in name order, so the
+    * catalog is deterministic. */
   def fromParquetDir(spark: SparkSession, dir: String): Catalog = {
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    files.foldLeft(Catalog(dataDir = dir)) { (cat, f) =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val schemas = Await.result(
+      Future.sequence(files.toSeq.map(f =>
+        Future((f, spark.read.parquet(f.getPath).schema)))),
+      Duration.Inf)
+    schemas.foldLeft(Catalog(dataDir = dir)) { case (cat, (f, schema)) =>
       val name = f.getName.stripSuffix(".parquet")
       cat.add(fromSchema(name,
-        ModelSource.Parquet(s"{dir}/${f.getName}"),
-        spark.read.parquet(f.getPath).schema))
+        ModelSource.Parquet(s"{dir}/${f.getName}"), schema))
     }
   }
 

@@ -225,7 +225,10 @@ object Sampling {
     val withShard = df.withColumn("__shard",
       pmod(key, lit(nShards.toLong)).cast("int"))
     withShard
-      .repartition(col("__shard"))
+      // explicit count: tasks own whole shard dirs (parallel writers,
+      // one file per shard) and AQE can't re-coalesce the tiny shuffle
+      // into one task that serializes the per-dir writer churn
+      .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col(idCol))
       .write.mode("overwrite").partitionBy("__shard")
       .parquet(s"$path/data")
@@ -235,8 +238,12 @@ object Sampling {
       .groupBy(col("__shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"), sum(idsum).as("id_checksum"))
     manifest.write.mode("overwrite").parquet(s"$path/manifest")
-    manifest
+    // hand back the PERSISTED manifest — the receipt a loader will
+    // actually read — rather than a plan that re-scans the corpus
+    spark(df).read.parquet(s"$path/manifest")
   }
+
+  private def spark(df: DataFrame) = df.sparkSession
 
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
     * each row draws a uniform u and keeps key = u^(1/w); the n largest
