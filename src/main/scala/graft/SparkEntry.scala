@@ -3463,6 +3463,26 @@ object SparkEntry {
     // normalization exercised on synthetically marked-up text (tags +
     // ragged whitespace wrapped around the real docs) so the gate is
     // non-vacuous; the oracle applies the identical regex chain
+    // HTML → text extraction (WET-style): script/style/comment bodies
+    // dropped, tags collapsed, the six common entities decoded
+    // (&amp; last — single-decode), whitespace collapsed. The raw page
+    // is built in-query around the real doc text so the oracle can
+    // assemble the identical input and replay the identical regex chain.
+    "q_html_extract" -> ((s, d) =>
+      asLong(docs(s, d).filter(col("doc_id") < 200)
+        .withColumn("raw", concat(
+          lit("<html><head><title>T</title><style type=\"text/css\">" +
+            "p { color: red }\n.x{margin:0}</style>"),
+          lit("<script>var x = 1 < 2 && \"</p>\"; // <div>\n" +
+            "alert('hi');</script></head>\n<body><!-- hidden\nnote -->"),
+          lit("<p class=\"main\">"), col("text"),
+          lit("</p>\n<div>footer &amp;amp; &lt;tag&gt; &quot;q&quot; " +
+            "&#39;s&#39;&nbsp;end</div></body></html>")))
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(col("raw")).as("clean"),
+          length(TextAnalysis.htmlToText(col("raw"))).as("n_clean"))
+        .orderBy("doc_id"), "n_clean")),
+
     "q_normalize" -> ((s, d) =>
       asLong(docs(s, d).filter(col("doc_id") < 20)
         .withColumn("raw", concat(lit("<p> "), col("text"),
@@ -5655,6 +5675,36 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_html_extract" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style type="text/css">p { color: red }'
+        |    || chr(10) || '.x{margin:0}</style>'
+        |    || '<script>var x = 1 < 2 && "</p>"; // <div>' || chr(10)
+        |    || 'alert(''hi'');</script></head>' || chr(10)
+        |    || '<body><!-- hidden' || chr(10) || 'note -->'
+        |    || '<p class="main">' || text || '</p>' || chr(10)
+        |    || '<div>footer &amp;amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'
+        |    AS r
+        |  FROM documents WHERE doc_id < 200),
+        |c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(r, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM raw)
+        |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_normalize" ->
       """WITH raw AS (

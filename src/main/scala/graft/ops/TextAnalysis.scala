@@ -92,6 +92,37 @@ object TextAnalysis {
   def normalize(textCol: Column): Column =
     trim(regexp_replace(regexp_replace(textCol, "<[^>]*>", " "), "\\s+", " "))
 
+  /** HTML/markup → text extraction — the first operator of every
+    * web-corpus pipeline (CommonCrawl-style WET generation). Richer than
+    * [[normalize]]: script/style/comment CONTENTS are dropped (a naive
+    * tag strip leaks JavaScript and CSS bodies straight into training
+    * text), the remaining tags collapse to spaces, the six ubiquitous
+    * character entities decode (`&amp;` LAST, so `&amp;lt;` yields the
+    * literal `&lt;` — single-decode, never double), and whitespace runs
+    * collapse.
+    *
+    * Deliberately regex-chain semantics, not a DOM parse: every stage is
+    * one codegen'd `regexp_replace`/`replace` whose pattern works
+    * identically in Java regex and RE2 — the whole operator replays
+    * verbatim in the DuckDB oracle, and at 100 TB it runs at scan speed
+    * with zero shuffle. */
+  def htmlToText(textCol: Column): Column = {
+    val noScript =
+      regexp_replace(textCol, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last: &amp;lt; must become &lt;, not <
+    ).foldLeft(noTags) { case (c, (ent, ch)) =>
+      org.apache.spark.sql.functions.replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Fraction of characters outside printable ASCII (`[ -~]`) — the
     * standard cheap junk/mojibake signal for corpus filtering. */
   def nonAsciiRatio(textCol: Column): Column =
