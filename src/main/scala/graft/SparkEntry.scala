@@ -3499,6 +3499,40 @@ object SparkEntry {
         .orderBy("doc_id", "rec_idx"), "rec_idx")
     }),
 
+    // the same archive shipped the way crawls actually ship it:
+    // .warc.gz with ONE GZIP MEMBER PER RECORD (seekable); gunzipText
+    // reads the concatenated members in one compiled call and feeds the
+    // same record splitter — compress → decompress → parse round-trips
+    // to the identical field rows, which the oracle again rebuilds from
+    // first principles
+    "q_warc_gz" -> ((s, d) => {
+      import graft.functions.WarcExprs.{gzipBytes, gunzipText, warcRecords}
+      val payload = concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val gz = concat(
+        gzipBytes(lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "Content-Length: 4\r\n\r\ninfo\r\n\r\n")),
+        gzipBytes(concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "WARC-Target-URI: https://example.com/doc/"), col("doc_id"),
+          lit("\r\nContent-Type: text/html\r\nContent-Length: "),
+          octet_length(payload).cast("string"),
+          lit("\r\n\r\n"), payload, lit("\r\n\r\n"))),
+        gzipBytes(lit("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+          "Content-Length: 2\r\n\r\nok\r\n\r\n")))
+      asLong(docs(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 180)
+        .select(col("doc_id"),
+          explode(warcRecords(gunzipText(gz))).as("r"))
+        .select(col("doc_id"), col("r.rec_idx").as("rec_idx"),
+          col("r.rec_type").as("rec_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_length").as("content_length"),
+          when(col("r.rec_type") === "response",
+            TextAnalysis.htmlToText(col("r.payload")))
+            .otherwise(col("r.payload")).as("clean_payload"))
+        .orderBy("doc_id", "rec_idx"), "rec_idx")
+    }),
+
     // HTML → text extraction (WET-style): script/style/comment bodies
     // dropped, tags collapsed, the six common entities decoded
     // (&amp; last — single-decode), whitespace collapsed. The raw page
@@ -5711,6 +5745,42 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_warc_gz" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id >= 100 AND doc_id < 180),
+        |resp AS (
+        |  SELECT doc_id,
+        |    '<html><body><p>' || text || '</p></body></html>' AS payload
+        |  FROM base),
+        |rows_all AS (
+        |  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+        |    CAST(NULL AS VARCHAR) AS target_uri,
+        |    CAST(4 AS BIGINT) AS content_length, 'info' AS clean_payload
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'response',
+        |    'https://example.com/doc/' || doc_id,
+        |    CAST(strlen(payload) AS BIGINT),
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(payload, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g'))
+        |  FROM resp
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'metadata', NULL, CAST(2 AS BIGINT), 'ok'
+        |  FROM base)
+        |SELECT doc_id, CAST(rec_idx AS BIGINT) AS rec_idx, rec_type,
+        |  target_uri, content_length, clean_payload
+        |FROM rows_all ORDER BY doc_id, rec_idx""".stripMargin,
 
     "q_warc_extract" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

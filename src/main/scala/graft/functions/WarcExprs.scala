@@ -72,8 +72,72 @@ object WarcExprs {
       copy(child = newChild)
   }
 
+  /** Multi-member gzip → UTF-8 text. Real crawl archives ship as
+    * `.warc.gz` / `.wet.gz` with ONE GZIP MEMBER PER RECORD so readers
+    * can seek; `java.util.zip.GZIPInputStream` transparently reads
+    * concatenated members, so the whole archive decompresses in one
+    * compiled call per row and feeds [[WarcRecords]] directly. Null
+    * input → null; corrupt gzip → null (a poisoned blob must not kill
+    * a 100 TB scan — filter nulls and count them). */
+  case class GunzipText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_gunzip_text"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary gzip bytes, got ${t.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      WarcKernels.gunzipText(v.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("gz")
+        s"""
+           |org.apache.spark.unsafe.types.UTF8String $r =
+           |  graft.functions.WarcKernels.gunzipText($a);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): GunzipText =
+      copy(child = newChild)
+  }
+
+  /** UTF-8 text → one gzip member (the fixture/write side of
+    * [[GunzipText]]; concat the members for a multi-member archive). */
+  case class GzipBytes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_gzip_bytes"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string, got ${t.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      WarcKernels.gzipBytes(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"${ev.value} = graft.functions.WarcKernels.gzipBytes($a);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): GzipBytes =
+      copy(child = newChild)
+  }
+
   def warcRecords(blob: Column): Column =
     GraftSqlBridge.column(WarcRecords(GraftSqlBridge.expression(blob)))
+
+  def gunzipText(gz: Column): Column =
+    GraftSqlBridge.column(GunzipText(GraftSqlBridge.expression(gz)))
+
+  def gzipBytes(text: Column): Column =
+    GraftSqlBridge.column(GzipBytes(GraftSqlBridge.expression(text)))
 }
 
 /** Compiled WARC scan (see [[DedupKernels]] for the kernel pattern). */
@@ -103,6 +167,32 @@ object WarcKernels {
       i += 1
     }
     null
+  }
+
+  /** See [[WarcExprs.GunzipText]]. */
+  def gunzipText(gz: Array[Byte]): UTF8String =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz), 64 << 10)
+      val out = new java.io.ByteArrayOutputStream(
+        math.max(gz.length * 4, 1024))
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      in.close()
+      UTF8String.fromBytes(out.toByteArray)
+    } catch { case _: java.io.IOException => null }
+
+  /** See [[WarcExprs.GzipBytes]]. */
+  def gzipBytes(text: UTF8String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    val gz = new java.util.zip.GZIPOutputStream(out, 64 << 10)
+    gz.write(text.getBytes)
+    gz.close()
+    out.toByteArray
   }
 
   def records(blob: UTF8String): ArrayData = {

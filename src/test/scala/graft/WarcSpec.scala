@@ -83,6 +83,27 @@ class WarcSpec extends AnyFunSuite {
     assert(out(1).getSeq[Any](0).isEmpty)
   }
 
+  test("multi-member gzip round-trips: one member per record, " +
+      "corrupt gzip → null") {
+    import graft.functions.WarcExprs.{gzipBytes, gunzipText}
+    val out = Seq(("a", "b")).toDF("r1", "r2")
+      .select(gunzipText(concat(
+        gzipBytes(lit(rec("warcinfo", "info"))),
+        gzipBytes(lit(rec("metadata", "ok"))))).as("t"),
+        gunzipText(lit("not gzip".getBytes("UTF-8"))).as("bad"))
+      .collect()(0)
+    assert(out.getString(0) === rec("warcinfo", "info") + rec("metadata", "ok"))
+    assert(out.isNullAt(1))
+    // and through the splitter
+    val rows = Seq(1).toDF("x")
+      .select(explode(WarcExprs.warcRecords(gunzipText(concat(
+        gzipBytes(lit(rec("warcinfo", "info"))),
+        gzipBytes(lit(rec("metadata", "ok")))))))
+        .as("r"))
+      .select(col("r.rec_type")).as[String].collect().toSeq
+    assert(rows === Seq("warcinfo", "metadata"))
+  }
+
   test("no codegen fallback: generated code compiles and evaluates") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val proj = org.apache.spark.sql.catalyst.expressions.codegen
