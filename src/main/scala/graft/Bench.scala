@@ -89,6 +89,48 @@ object Bench {
         (exact || !exactOnly(k) ||
           nameFilter.exists(_.split(',').exists(k.contains))) }
 
+    // `--profile`: per-query Spark-job accounting — where does a hot
+    // anchor query's wall time go? For each matching query (warmed
+    // once) it runs one measured pass under a listener and prints
+    // jobs / stages / tasks / summed task time vs wall. A query whose
+    // task time is a small fraction of wall is paying job-launch and
+    // planning floors (fix: fewer actions/jobs); one whose task time
+    // ~= wall is doing real work (fix: a better plan or kernel).
+    if (args.contains("--profile")) {
+      import org.apache.spark.scheduler._
+      picked.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val taskNanos = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+          stages.incrementAndGet()
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
+          if (t.taskInfo != null)
+            taskNanos.addAndGet(t.taskInfo.duration * 1000000L)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      picked.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        jobs.set(0); stages.set(0); tasks.set(0); taskNanos.set(0)
+        val t = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val wall = (System.nanoTime() - t) / 1e9
+        Thread.sleep(150) // let the listener bus drain the final events
+        println(f"PROFILE $name%-32s wall=$wall%7.3f jobs=${jobs.get}%3d " +
+          f"stages=${stages.get}%3d tasks=${tasks.get}%4d " +
+          f"taskSec=${taskNanos.get / 1e9}%7.3f")
+      }
+      spark.stop()
+      return
+    }
+
     // `--serve`: stdin-driven single-query execution for the
     // interleaved DuckDB anchor (scripts/anchor_interleaved.py). The
     // harness alternates one Spark run and one DuckDB run of the SAME

@@ -55,6 +55,40 @@ object SparkEntry {
       .partitionBy("bucket").parquet(dir)
   }
 
+  /** Memoized pristine fragmented-corpus fixture (hive-bucketed form)
+    * for the corpus-maintenance queries: built once per JVM, cloned per
+    * pass by the mutating queries ([[workingCopy]]), read in place by
+    * the listing-only profile. */
+  private def fragmentedCorpusFixtureOnce(s: SparkSession, d: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cfixparts_${math.abs(d.hashCode)}"
+    buildOnce(base) {
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fragmentedCorpusFixture(s, d, base)
+    }
+    base
+  }
+
+  /** Memoized pristine drip-ingested flat layout (12-file base + six
+    * one-file appends in one maxRecordsPerFile-split job) for
+    * q_corpus_compact. */
+  private def flatCorpusFixtureOnce(s: SparkSession, d: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cfixflat_${math.abs(d.hashCode)}"
+    buildOnce(base) {
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      docs(s, d).repartition(12).write.mode("overwrite").parquet(base)
+      docs(s, d).filter(col("doc_id") % 100 < 6).repartition(1)
+        .write.mode("append")
+        .option("maxRecordsPerFile",
+          math.ceil(docs(s, d).count() / 100.0).toLong)
+        .parquet(base)
+    }
+    base
+  }
+
   /** Once-per-JVM index-build fixture: battery queries that PROBE a
     * persisted index (bm25/IVF/LSH) build it on first touch and reuse
     * it afterwards, so Bench's timed passes measure the probe/ingest
@@ -2819,25 +2853,16 @@ object SparkEntry {
     }),
 
     // corpus-level small-file compaction (CorpusFiles.compactBySize):
-    // rebuild a drip-ingested layout (12-file base + 6 one-file appends,
-    // so files_before is exact), compact to 64 MB targets with a doc_id
-    // range layout, and return the receipt. rows = base + appended.
+    // a drip-ingested layout (12-file base + 6 one-file appends, so
+    // files_before is exact), compacted to 64 MB targets with a doc_id
+    // range layout; returns the receipt. rows = base + appended. The
+    // pristine fragmented layout is a memoized fixture ([[buildOnce]]);
+    // compaction MUTATES it, so each pass clones it ([[workingCopy]])
+    // — the measured operation is the compact-and-swap itself.
     "q_corpus_compact" -> ((s, d) => {
-      val path = s"/tmp/graft_corpus_compact_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val dir = s"$path/docs"
-      docs(s, d).repartition(12).write.mode("overwrite").parquet(dir)
-      // six small-file appends in ONE job: a single task split into
-      // per-residue-sized files (same 6-file layout the compaction
-      // receipt pins, minus five write-job launches)
-      docs(s, d).filter(col("doc_id") % 100 < 6).repartition(1)
-        .write.mode("append")
-        .option("maxRecordsPerFile",
-          math.ceil(docs(s, d).count() / 100.0).toLong)
-        .parquet(dir)
-      ops.CorpusFiles.compactBySize(s, dir, 64L << 20, Seq("doc_id"))
+      val work = s"/tmp/graft_corpus_compact_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      workingCopy(s, flatCorpusFixtureOnce(s, d), s"$work/docs")
+      ops.CorpusFiles.compactBySize(s, s"$work/docs", 64L << 20, Seq("doc_id"))
         .select(col("rows"), col("files_before"),
           (col("files_after") < col("files_before")).as("files_reduced"))
     }),
@@ -2849,13 +2874,9 @@ object SparkEntry {
     // 4 | 100), so exactly those two partitions exceed maxFiles and the
     // receipt (rows, 4 files -> 1) is fully derivable.
     "q_corpus_compact_parts" -> ((s, d) => {
-      val path = s"/tmp/graft_corpus_parts_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val dir = s"$path/docs"
-      fragmentedCorpusFixture(s, d, dir)
-      ops.CorpusFiles.compactPartitionsBySize(s, dir, 64L << 20)
+      val work = s"/tmp/graft_corpus_parts_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      workingCopy(s, fragmentedCorpusFixtureOnce(s, d), s"$work/docs")
+      ops.CorpusFiles.compactPartitionsBySize(s, s"$work/docs", 64L << 20)
         .orderBy("partition")
     }),
 
@@ -2863,30 +2884,21 @@ object SparkEntry {
     // only → re-profile): the receipt pins that ONLY the fragmented
     // buckets were rewritten and that they came out whole
     "q_corpus_maintain" -> ((s, d) => {
-      val path = s"/tmp/graft_corpus_maint_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val dir = s"$path/docs"
-      fragmentedCorpusFixture(s, d, dir)
-      ops.CorpusFiles.maintain(s, dir, 64L << 20)
+      val work = s"/tmp/graft_corpus_maint_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      workingCopy(s, fragmentedCorpusFixtureOnce(s, d), s"$work/docs")
+      ops.CorpusFiles.maintain(s, s"$work/docs", 64L << 20)
     }),
 
     // listing-only layout profile (partitionProfile): the scheduler's
     // decision input for partition-scoped compaction — no data read, so
     // byte columns are dropped from the gate (not SQL-derivable) and the
     // derivable (files, fragmented) receipt is oracle-checked.
-    "q_corpus_layout" -> ((s, d) => {
-      val path = s"/tmp/graft_corpus_layout_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      val dir = s"$path/docs"
-      fragmentedCorpusFixture(s, d, dir)
-      ops.CorpusFiles.partitionProfile(s, dir)
+    // the profile is read-only, so it runs against the memoized
+    // pristine fixture directly — no per-pass clone needed
+    "q_corpus_layout" -> ((s, d) =>
+      ops.CorpusFiles.partitionProfile(s, fragmentedCorpusFixtureOnce(s, d))
         .select(col("partition"), col("files"), col("fragmented"))
-        .orderBy("partition")
-    }),
+        .orderBy("partition")),
 
     // pre-flight self-join sizing on the customer key: exact output
     // cardinality and hot-key concentration from the histograms alone

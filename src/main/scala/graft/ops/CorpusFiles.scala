@@ -96,18 +96,45 @@ object CorpusFiles {
       (part, files.length, files.map(_.getLen).sum)
     }.filter(_._2 > maxFiles).take(maxPartitions).toSeq
     import spark.implicits._
-    val receipts = hot.map { case (part, _, bytes) =>
-      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      IndexFiles.compactWith(spark, dir, part.getName)(df =>
-        df.repartition(n).write.mode("overwrite"))
-        .withColumn("partition",
-          org.apache.spark.sql.functions.lit(part.getName))
-    }
+    // Partitions compact CONCURRENTLY (bounded pool): each rewrite is a
+    // small independent job over one partition's files, and a
+    // maintenance pass over a drip-ingested table typically has many
+    // fragmented partitions — serializing them leaves the cluster idle
+    // between tiny jobs. Safe because each compactWith touches only its
+    // own `<dir>/<part>` subtree (swap atomicity is per-partition), and
+    // Spark's scheduler accepts concurrent job submission from driver
+    // threads.
+    val receipts =
+      if (hot.size <= 1) hot.map(compactOne(spark, dir, targetBytes))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, hot.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            hot.map(h => scala.concurrent.Future(
+              compactOne(spark, dir, targetBytes)(h)))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
     receipts.reduceOption(_ union _)
       .getOrElse(Seq.empty[(String, Long, Long, Long)]
         .toDF("partition", "rows", "files_before", "files_after"))
       .select(col("partition"), col("rows"),
         col("files_before"), col("files_after"))
+  }
+
+  /** One partition's compact-and-swap, receipt tagged with its name. */
+  private def compactOne(spark: SparkSession, dir: String,
+      targetBytes: Long)(
+      hot: (org.apache.hadoop.fs.Path, Int, Long)): DataFrame = {
+    val (part, _, bytes) = hot
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    IndexFiles.compactWith(spark, dir, part.getName)(df =>
+      df.repartition(n).write.mode("overwrite"))
+      .withColumn("partition",
+        org.apache.spark.sql.functions.lit(part.getName))
   }
 
   /** Layout profile of a hive-partitioned corpus from the file listing
