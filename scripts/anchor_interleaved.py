@@ -52,8 +52,11 @@ def launch_server(sf_dir, repo_root):
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("SPARK_GRAFT_CPUS", "32")
     proc = subprocess.Popen(
-        ["java", "-Xmx32g", "--add-exports",
-         "java.base/sun.nio.ch=ALL-UNNAMED",
+        # 512m code cache: a long-lived server JITs generated classes for
+        # 200+ distinct queries; the 240m default flushes hot compiled
+        # code between rounds and re-JITs it, inflating later rounds
+        ["java", "-Xmx32g", "-XX:ReservedCodeCacheSize=512m",
+         "--add-exports", "java.base/sun.nio.ch=ALL-UNNAMED",
          "-cp", spark_classpath(repo_root), "graft.Bench", "--serve"],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, env=env, cwd=repo_root)

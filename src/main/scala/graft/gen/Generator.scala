@@ -441,19 +441,24 @@ final class Generator(spark: SparkSession, cat: Catalog,
   @volatile var lastRoute: String = ""
 
   /** Compile cache: identical requests reuse the composed plan
-    * (reference: generator.py:332-377,1041 — warm repeat compile). */
+    * (reference: generator.py:332-377,1041 — warm repeat compile).
+    * The chosen route is cached WITH the plan so a cache hit restores
+    * [[lastRoute]] exactly as the original compile left it — explain/
+    * route introspection must not depend on whether the compile was
+    * warm. */
   private val planCache =
-    new java.util.LinkedHashMap[SemanticQuery, DataFrame](64, 0.75f, true) {
+    new java.util.LinkedHashMap[SemanticQuery, (DataFrame, String)](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[SemanticQuery, DataFrame]): Boolean = size > 256
+          e: java.util.Map.Entry[SemanticQuery, (DataFrame, String)]): Boolean =
+        size > 256
     }
 
   def plan(q: SemanticQuery): DataFrame = planCache.synchronized {
     val hit = planCache.get(q)
-    if (hit != null) hit
+    if (hit != null) { lastRoute = hit._2; hit._1 }
     else {
       val df = compute(q)
-      planCache.put(q, df)
+      planCache.put(q, (df, lastRoute))
       df
     }
   }

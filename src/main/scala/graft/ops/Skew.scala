@@ -74,6 +74,11 @@ object Skew {
     require(Set("inner", "left", "right", "full")(jt),
       s"skewAwareJoin supports inner, left, right and full joins, got $joinType")
     val keyCols = keys.map(col)
+    // the hot-key set feeds multiple consumers (two semi joins, one or
+    // two anti joins), but they all broadcast the IDENTICAL subplan —
+    // Spark's exchange reuse materializes the detection aggregation
+    // once and shares the broadcast (verified: an eager localCheckpoint
+    // here only added a job)
     val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__hc"))
       .filter(col("__hc") > hotThreshold)
       .select(keyCols: _*)
