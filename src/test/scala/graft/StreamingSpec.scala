@@ -391,4 +391,62 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get(tmp, "stats.txt")), "UTF-8").split(",")
     assert(stats(0).toLong == 302L && stats(2).toInt == 16)
   }
+
+  test("streaming WARC ingest: archives land as canonical corpus rows " +
+      "per micro-batch in idempotent batch dirs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def gzMember(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    def archive(id: Long, body: String): Array[Byte] = {
+      val payload = s"<html><body><p>$body</p></body></html>"
+      gzMember("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "Content-Length: 4\r\n\r\ninfo\r\n\r\n") ++
+      gzMember("WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: HTTP://Example.COM:80/p/$id?b=2&a=1&utm_x=9#f\r\n" +
+        s"Content-Type: text/html\r\nContent-Length: ${
+          payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n\r\n") ++
+      gzMember("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+        "Content-Length: 2\r\n\r\nok\r\n\r\n")
+    }
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stwarc").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Array[Byte]]
+    val q = graft.streaming.StreamingWarcIngest.maintain(
+      in.toDS().toDF("blob"), "blob", s"$tmp/corpus", s"$tmp/_checkpoint")
+    try {
+      in.addData(Seq(archive(1, "the quick brown fox and the lazy dog")))
+      q.processAllAvailable()
+      in.addData(Seq(archive(2, "der hund und die katze sind nicht da")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.read.parquet(s"$tmp/corpus")
+      .orderBy("url").collect()
+    assert(rows.length == 2, s"expected 2 corpus rows, got ${rows.length}")
+    val r1 = rows(0)
+    // canonicalized URL: scheme/host lowered, :80 dropped, utm_x out,
+    // params sorted, fragment gone
+    assert(r1.getAs[String]("url") == "http://example.com/p/1?a=1&b=2")
+    assert(r1.getAs[String]("host") == "example.com")
+    assert(r1.getAs[String]("text") ==
+      "the quick brown fox and the lazy dog")
+    assert(r1.getAs[String]("lang") == "en")
+    assert(r1.getAs[Long]("n_tokens") == 8L)
+    assert(rows(1).getAs[String]("lang") == "de")
+    // doc_id is the xxhash64 of the canonical url — stable on refetch
+    assert(r1.getAs[Long]("doc_id") ==
+      Seq("http://example.com/p/1?a=1&b=2").toDF("u")
+        .select(xxhash64(col("u"))).head.getLong(0))
+    // each micro-batch landed in its own idempotent __batch dir
+    val dirs = new java.io.File(s"$tmp/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("__batch=0", "__batch=1"))
+  }
 }
