@@ -36,6 +36,27 @@ object SparkEntry {
   private def q(s: SparkSession, dir: String)(query: SemanticQuery): DataFrame =
     gen(s, dir).plan(query)
 
+  /** 30 tokens no real corpus contains — the novel filler between the
+    * planted contaminated passages of the span-decontamination pair. */
+  private val spanNovel = (1 to 30).map(i => s"spanglyph$i").mkString(" ")
+
+  /** Shared probe frame of the contamination-span pair (q_contam_spans /
+    * q_decontam_surgical): four raw docs, one probe interleaving two
+    * 20-token in-reference passages around [[spanNovel]], one all-novel. */
+  private def contamProbe(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("doc_id") >= 434 && col("doc_id") < 438)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs(s, d).filter(col("doc_id") === 8)
+        .select(lit(9100L).as("doc_id"),
+          concat_ws(" ",
+            expr("concat_ws(' ', slice(split(lower(text), '\\\\s+'), 1, 20))"),
+            lit(spanNovel),
+            expr("concat_ws(' ', slice(split(lower(text), '\\\\s+'), 21, 20))"))
+            .as("text")))
+      .unionByName(docs(s, d).filter(col("doc_id") === 8)
+        .select(lit(9101L).as("doc_id"),
+          lit(spanNovel.replace("spanglyph", "sologlyph")).as("text")))
+
   private def round4(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c).cast("double"), 4)))
 
@@ -2469,6 +2490,31 @@ object SparkEntry {
       asLong(Dedup.ngramOverlap(ref, probe, "doc_id", "text", n = 8)
         .withColumn("overlap_pct", round(col("overlap_pct"), 6))
         .orderBy("doc_id"))
+    }),
+
+    // token-level contamination SPANS: the planted probe interleaves two
+    // 20-token passages of an in-reference doc around a novel block, so
+    // the merged intervals must be exactly [0,20) and [50,70); an
+    // all-novel probe and raw probe docs ride along. The oracle replays
+    // windows → hits → lag/gap merge with the identical rules
+    "q_contam_spans" -> ((s, d) => {
+      val ref = docs(s, d).filter(col("doc_id") < 300)
+      val probe = contamProbe(s, d)
+      Dedup.contaminationSpans(ref, probe, "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // surgical decontamination end-to-end: cut exactly the contaminated
+    // spans, keep everything else — the planted probe must come back as
+    // its novel middle block alone, the all-novel probe untouched
+    "q_decontam_surgical" -> ((s, d) => {
+      val ref = docs(s, d).filter(col("doc_id") < 300)
+      val probe = contamProbe(s, d)
+      val spans = Dedup.contaminationSpans(ref, probe, "doc_id", "text",
+        n = 8)
+      Dedup.removeSpans(probe, "doc_id", "text", spans)
+        .select(col("doc_id"), col("clean_text"), col("n_removed"))
+        .orderBy("doc_id")
     }),
 
     // deterministic sharded export with a verification manifest: shard
@@ -6309,6 +6355,120 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM probe) p LEFT JOIN hits USING (doc_id)
         |ORDER BY doc_id""".stripMargin
         .replace("NOVELTOKENS", (1 to 20).map(i => s"novelglyph$i").mkString(" "))),
+
+    "q_contam_spans" ->
+      ("""WITH reft AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |refw AS (
+        |  SELECT DISTINCT array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS w
+        |  FROM reft, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i) s
+        |  WHERE len(t) >= 8),
+        |probe AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 434 AND doc_id < 438
+        |  UNION ALL SELECT 9100,
+        |    array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+        |      1, 20), ' ') || ' NOVEL30 ' ||
+        |    array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+        |      21, 40), ' ')
+        |    FROM documents WHERE doc_id = 8
+        |  UNION ALL SELECT 9101, 'SOLO30'),
+        |pt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM probe),
+        |pw AS (
+        |  SELECT doc_id, s.i - 1 AS pos,
+        |    array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS w
+        |  FROM pt, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i) s
+        |  WHERE len(t) >= 8),
+        |hits AS (SELECT doc_id, pos FROM pw WHERE w IN (SELECT w FROM refw)),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS gap
+        |  FROM hits),
+        |gg AS (
+        |  SELECT doc_id, pos,
+        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM g),
+        |pl AS (SELECT doc_id, len(t) AS tlen FROM pt)
+        |SELECT gg.doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(least(max(pos) + 8, any_value(pl.tlen)) AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM gg JOIN pl ON gg.doc_id = pl.doc_id
+        |GROUP BY gg.doc_id, grp
+        |ORDER BY gg.doc_id, span_start""".stripMargin
+        .replace("NOVEL30", (1 to 30).map(i => s"spanglyph$i").mkString(" "))
+        .replace("SOLO30", (1 to 30).map(i => s"sologlyph$i").mkString(" "))),
+
+    "q_decontam_surgical" ->
+      ("""WITH reft AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |refw AS (
+        |  SELECT DISTINCT array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS w
+        |  FROM reft, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i) s
+        |  WHERE len(t) >= 8),
+        |probe AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 434 AND doc_id < 438
+        |  UNION ALL SELECT 9100,
+        |    array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+        |      1, 20), ' ') || ' NOVEL30 ' ||
+        |    array_to_string(list_slice(string_split_regex(lower(text), '\s+'),
+        |      21, 40), ' ')
+        |    FROM documents WHERE doc_id = 8
+        |  UNION ALL SELECT 9101, 'SOLO30'),
+        |pt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM probe),
+        |pw AS (
+        |  SELECT doc_id, s.i - 1 AS pos,
+        |    array_to_string(list_slice(t, s.i, s.i + 7), ' ') AS w
+        |  FROM pt, LATERAL (SELECT unnest(range(1, len(t) - 8 + 2)) AS i) s
+        |  WHERE len(t) >= 8),
+        |hits AS (SELECT doc_id, pos FROM pw WHERE w IN (SELECT w FROM refw)),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |         THEN 1 ELSE 0 END AS gap
+        |  FROM hits),
+        |gg AS (
+        |  SELECT doc_id, pos,
+        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM g),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+        |  FROM gg GROUP BY doc_id, grp),
+        |ot AS (
+        |  SELECT doc_id, text, list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM probe),
+        |otp AS (
+        |  SELECT doc_id, s.i - 1 AS pos, t[s.i] AS tok
+        |  FROM ot, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) s),
+        |kept AS (
+        |  SELECT o.doc_id, o.pos, o.tok FROM otp o
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = o.doc_id
+        |      AND o.pos >= sp.span_start AND o.pos < sp.span_end)),
+        |cleaned AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS joined,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT ot.doc_id,
+        |  CASE WHEN ot.doc_id IN (SELECT DISTINCT doc_id FROM spans)
+        |       THEN coalesce(c.joined, '') ELSE ot.text END AS clean_text,
+        |  CAST(CASE WHEN ot.doc_id IN (SELECT DISTINCT doc_id FROM spans)
+        |       THEN len(ot.t) - coalesce(c.n_kept, 0) ELSE 0 END AS BIGINT)
+        |    AS n_removed
+        |FROM ot LEFT JOIN cleaned c ON ot.doc_id = c.doc_id
+        |ORDER BY ot.doc_id""".stripMargin
+        .replace("NOVEL30", (1 to 30).map(i => s"spanglyph$i").mkString(" "))
+        .replace("SOLO30", (1 to 30).map(i => s"sologlyph$i").mkString(" "))),
 
     "q_export_shards" ->
       """WITH s AS (

@@ -83,6 +83,47 @@ object DedupExprs {
       copy(child = newChild)
   }
 
+  /** POSITIONAL shingle hashes: one xxhash64 per start position, in
+    * position order, NO dedup — `result[p]` is the hash of the window
+    * starting at token `p`. The span-level contamination ops need the
+    * position (to report and cut the covered interval), which
+    * [[ShingleHashes]]'s first-occurrence dedup deliberately discards.
+    * Hash values are bit-identical to [[ShingleHashes]]' (same shingle
+    * construction incl. the truncated position-0 rule on short docs,
+    * same seed), so hits agree across the dedup'd and positional
+    * fronts. Empty/null token array → null (match [[ShingleHashes]]). */
+  case class PositionalShingleHashes(child: Expression, shingleSize: Int)
+      extends UnaryExpression {
+    require(shingleSize > 0, "shingleSize must be positive")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_positional_shingle_hashes"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string> tokens, got ${t.sql}")
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      DedupKernels.positionalShingleHashes(
+        v.asInstanceOf[ArrayData], shingleSize)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val r = ctx.freshName("psh")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $r =
+           |  graft.functions.DedupKernels.positionalShingleHashes($a, $shingleSize);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): PositionalShingleHashes =
+      copy(child = newChild)
+  }
+
   /** `numHashes` MinHash signature minima over a shingle-hash array:
     * `sigs[i] = min over h of hash(h, i)` with Spark's `hash()` murmur3
     * folding (seed 42 → hashLong(h) → hashInt(i)) — value-identical to
@@ -219,6 +260,10 @@ object DedupExprs {
 
   // ---- Column API ----
 
+  def positionalShingleHashes(tokens: Column, shingleSize: Int): Column =
+    GraftSqlBridge.column(PositionalShingleHashes(
+      GraftSqlBridge.expression(tokens), shingleSize))
+
   def shingleHashes(tokens: Column, shingleSize: Int): Column =
     GraftSqlBridge.column(ShingleHashes(
       GraftSqlBridge.expression(tokens), shingleSize))
@@ -280,6 +325,32 @@ object DedupKernels {
     var j = 0
     val it = seen.iterator()
     while (it.hasNext) { hashes(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(hashes)
+  }
+
+  /** See [[DedupExprs.PositionalShingleHashes]]: [[shingleHashes]]'
+    * shingle construction and hashing, positional and undeduped. */
+  def positionalShingleHashes(tokens: ArrayData, shingleSize: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len == 0) return null
+    val parts = new Array[UTF8String](shingleSize)
+    val lastStart = math.max(0, len - shingleSize)
+    val hashes = new Array[Long](lastStart + 1)
+    var p = 0
+    while (p <= lastStart) {
+      var i = p
+      var m = 0
+      val hi = math.min(p + shingleSize, len)
+      while (i < hi) {
+        if (!tokens.isNullAt(i)) { parts(m) = tokens.getUTF8String(i); m += 1 }
+        i += 1
+      }
+      val shingle =
+        if (m == shingleSize) UTF8String.concatWs(Space, parts: _*)
+        else UTF8String.concatWs(Space, java.util.Arrays.copyOf(parts, m): _*)
+      hashes(p) = XXH64.hashUTF8String(shingle, 42L)
+      p += 1
+    }
     new GenericArrayData(hashes)
   }
 

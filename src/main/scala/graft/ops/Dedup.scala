@@ -582,6 +582,90 @@ object Dedup {
       numHashes, bands, threshold, maxBucketSize)
   }
 
+  /** Token-level contamination SPANS: for each probe document, the
+    * merged `[span_start, span_end)` token intervals covered by at
+    * least one `n`-token window that also occurs anywhere in
+    * `reference`. [[crossSplitLeakage]] says "this doc leaked",
+    * [[ngramOverlap]] says "80% covered" — this says WHERE, which is
+    * what surgical removal ([[removeSpans]]) needs: cutting the quoted
+    * benchmark passage keeps the rest of an otherwise-fine document
+    * instead of dropping it whole.
+    *
+    * Scale shape: the reference side reduces to distinct window hashes
+    * (8-byte keys, boilerplate collapses); the probe side is one
+    * positional-hash projection + posexplode, a semi join on the
+    * uniform hash key keeps only HIT positions (sparse on a clean
+    * corpus), and interval merging is a per-document window over those
+    * hits — ordered by position, new span when the gap exceeds `n`
+    * (fixed-length intervals, so adjacency is a lag test). Run it after
+    * [[bloomSuspects]] gating on big corpora: pay per suspect, not per
+    * corpus. Probe docs shorter than `n` tokens contribute their single
+    * truncated window (the shingle kernel's position-0 rule), clamped
+    * to the doc length. Output: (idCol, span_start, span_end,
+    * n_windows) — token offsets into the whitespace token sequence. */
+  def contaminationSpans(reference: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n > 0, s"window size must be positive, got $n")
+    import graft.functions.DedupExprs
+    val refHashes = reference
+      .select(wsTokens(textCol).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(explode(DedupExprs.shingleHashes(col("__t"), n)).as("__wh"))
+      .distinct()
+    val hits = probe
+      .select(col(idCol), wsTokens(textCol).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol), size(col("__t")).as("__len"),
+        posexplode(DedupExprs.positionalShingleHashes(col("__t"), n))
+          .as(Seq("__pos", "__wh")))
+      .join(refHashes, Seq("__wh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    hits
+      .withColumn("__gap",
+        when(col("__pos") - lag(col("__pos"), 1).over(w) > n, 1)
+          .otherwise(0))
+      .withColumn("__grp", sum(col("__gap")).over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        least(max(col("__pos")) + n, max(col("__len"))).cast("long")
+          .as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .drop("__grp")
+  }
+
+  /** Cut token spans out of documents — the surgical half of
+    * decontamination: every token whose position falls inside one of
+    * the document's `spans` rows is removed and the survivors are
+    * rejoined with single spaces (whitespace is normalized by
+    * construction — positions are offsets into the whitespace token
+    * sequence). Documents with no spans pass through with their text
+    * UNTOUCHED (not even re-tokenized). Output: the input columns plus
+    * `clean_text` and `n_removed` (tokens cut).
+    *
+    * Scale shape: spans aggregate to one small array per contaminated
+    * doc (contamination is sparse by nature) and join back on the id;
+    * the cut itself is a per-row projection. The span arrays ride a
+    * hash join keyed on the doc id — no skew (one row per doc). */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col(idCol).as("__sid"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__spans"), s =>
+        i >= s.getField("s") && i < s.getField("e")))
+    df.join(sp, col(idCol) === col("__sid"), "left")
+      .withColumn("clean_text",
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")))
+      .withColumn("n_removed",
+        when(col("__spans").isNull, lit(0L))
+          .otherwise((size(toks) - size(kept)).cast("long")))
+      .drop("__sid", "__spans")
+  }
+
   /** Corpus-wide boilerplate line removal (the line-level dedup step of
     * web-corpus pipelines: nav menus, cookie banners, footers repeated
     * across thousands of pages poison next-token prediction even when

@@ -184,6 +184,29 @@ class DedupExprsSpec extends AnyFunSuite {
     assert(dense.filter(col("k") =!= col("cand")).count() === 0)
   }
 
+  test("positional shingle hashes: position-indexed, undeduped, " +
+      "value-identical to the dedup'd kernel") {
+    val df = (docs.limit(0).unionByName(edgeDocs.toDF("doc_id", "text"))
+      .unionByName(docs.filter(col("doc_id") < 50)))
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0).as("__t"))
+      .filter(size(col("__t")) > 0)
+    val both = df.select(col("doc_id"),
+      DedupExprs.positionalShingleHashes(col("__t"), 3).as("pos"),
+      DedupExprs.shingleHashes(col("__t"), 3).as("dedup"),
+      size(col("__t")).as("n"))
+    both.collect().foreach { r =>
+      val pos = r.getSeq[Long](1)
+      val dedup = r.getSeq[Long](2)
+      val n = r.getInt(3)
+      // one hash per start position (single truncated window when short)
+      assert(pos.length === math.max(1, n - 3 + 1), s"doc ${r.getLong(0)}")
+      // the dedup'd kernel is exactly the first-occurrence distinct view
+      assert(pos.distinct === dedup, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("no codegen fallback: generated code compiles and evaluates") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
@@ -193,6 +216,7 @@ class DedupExprsSpec extends AnyFunSuite {
       DedupExprs.ShingleHashes(toks, 3),
       DedupExprs.MinHashSigs(DedupExprs.ShingleHashes(toks, 3), 4),
       DedupExprs.SimHash64(toks),
+      DedupExprs.PositionalShingleHashes(toks, 3),
       DedupExprs.DistinctTokenWindows(toks, 3, truncated = false),
       DedupExprs.DistinctTokenWindows(toks, 8, truncated = true),
       DedupExprs.CdcBoundaries(toks, 3, 2))
@@ -204,9 +228,10 @@ class DedupExprsSpec extends AnyFunSuite {
     assert(row.getArray(0).numElements() === 3)
     assert(row.getArray(1).numElements() === 4)
     assert(row.getLong(2) !== 0L)
-    assert(row.getArray(3).numElements() === 3) // same 3 distinct windows
-    assert(row.getArray(4).numElements() === 1) // truncated whole-array
-    assert(row.getArray(4).getUTF8String(0).toString === "a b c a b c")
+    assert(row.getArray(3).numElements() === 4) // one hash per start
+    assert(row.getArray(4).numElements() === 3) // same 3 distinct windows
+    assert(row.getArray(5).numElements() === 1) // truncated whole-array
+    assert(row.getArray(5).getUTF8String(0).toString === "a b c a b c")
   }
 
   test("the minhash front plan has zero exchanges") {

@@ -1101,4 +1101,68 @@ class OpsSpec extends AnyFunSuite {
       assert(second == first, s"$name drifted on re-invocation")
     }
   }
+
+  test("contamination spans: merged intervals, gap split, clean doc absent") {
+    // reference vocabulary: w0..w39 in order
+    val refText = (0 until 40).map(i => s"w$i").mkString(" ")
+    val ref = Seq((100L, refText)).toDF("doc_id", "text")
+    // probe: ref[0..9] ++ 12 novel ++ ref[20..29] — two hit regions
+    val probeText = ((0 until 10).map(i => s"w$i") ++
+      (0 until 12).map(i => s"x$i") ++
+      (20 until 30).map(i => s"w$i")).mkString(" ")
+    val probe = Seq((1L, probeText), (2L, "entirely novel tokens only"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(ref, probe, "doc_id", "text", n = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // region 1: windows at 0..6 → [0, 10); region 2: at 22..28 → [22, 32)
+    assert(spans.toSeq ===
+      Seq((1L, 0L, 10L, 7L), (1L, 22L, 32L, 7L)))
+  }
+
+  test("contamination spans merge adjacent regions and clamp short docs") {
+    val ref = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    // every 4-window of the probe hits → one span covering everything
+    val probe = Seq((1L, "a b c d e f g h"), (2L, "b c d")) // 2: truncated
+      .toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(ref, probe, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: starts 0..4 chain into [0, 8); doc 2's truncated 3-token
+    // window "b c d" is NOT a reference 4-shingle → no span
+    assert(spans.toSeq === Seq((1L, 0L, 8L)))
+  }
+
+  test("removeSpans cuts exactly the span tokens and passes clean docs") {
+    val probe = Seq(
+      (1L, "Keep0 CUT1 CUT2 CUT3 Keep4 Keep5"),
+      (2L, "untouched original   spacing")).toDF("doc_id", "text")
+    val spans = Seq((1L, 1L, 4L, 3L))
+      .toDF("doc_id", "span_start", "span_end", "n_windows")
+    val out = Dedup.removeSpans(probe, "doc_id", "text", spans)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") === "Keep0 Keep4 Keep5")
+    assert(out(0).getAs[Long]("n_removed") === 3L)
+    // no spans → text bit-identical (not even whitespace-normalized)
+    assert(out(1).getAs[String]("clean_text") ===
+      "untouched original   spacing")
+    assert(out(1).getAs[Long]("n_removed") === 0L)
+  }
+
+  test("surgical decontamination round-trip: cut spans no longer overlap") {
+    val refText = (0 until 60).map(i => s"r$i").mkString(" ")
+    val ref = Seq((100L, refText)).toDF("doc_id", "text")
+    val probeText = ((0 until 15).map(i => s"r$i") ++
+      (0 until 10).map(i => s"n$i") ++ (30 until 45).map(i => s"r$i"))
+      .mkString(" ")
+    val probe = Seq((1L, probeText)).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(ref, probe, "doc_id", "text", n = 5)
+    val cleaned = Dedup.removeSpans(probe, "doc_id", "text", spans)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    // after the cut, a re-scan finds nothing
+    assert(Dedup.contaminationSpans(ref, cleaned, "doc_id", "text", n = 5)
+      .count() === 0L)
+    assert(cleaned.head.getString(1) ===
+      (0 until 10).map(i => s"n$i").mkString(" "))
+  }
 }
