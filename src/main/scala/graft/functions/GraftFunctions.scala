@@ -16,6 +16,11 @@ import org.apache.spark.sql.types.IntegerType
   *   - `graft_shingle_hashes(t, n)`   — [[DedupExprs.ShingleHashes]]
   *   - `graft_minhash_sigs(h, n)`     — [[DedupExprs.MinHashSigs]]
   *   - `graft_sniff_media(bytes)`     — [[MediaExprs.SniffMedia]]
+  *   - `graft_positional_shingle_hashes(t, n)`
+  *                                    — [[DedupExprs.PositionalShingleHashes]]
+  *   - `graft_warc_records(blob)`     — [[WarcExprs.WarcRecords]]
+  *   - `graft_gunzip_text(bytes)`     — [[WarcExprs.GunzipText]]
+  *   - `graft_gzip_bytes(text)`      — [[WarcExprs.GzipBytes]]
   *
   * Two installation routes, same builders:
   *   - `spark.sql.extensions=graft.sqlfront.GraftExtensions` injects
@@ -80,6 +85,28 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           arity("graft_sniff_media", args, 1)
           MediaExprs.SniffMedia(args(0))
+        }),
+      ("graft_positional_shingle_hashes",
+        classOf[DedupExprs.PositionalShingleHashes],
+        (args: Seq[Expression]) => {
+          arity("graft_positional_shingle_hashes", args, 2)
+          DedupExprs.PositionalShingleHashes(args(0),
+            intLit(args(1), "graft_positional_shingle_hashes", "shingleSize"))
+        }),
+      ("graft_warc_records", classOf[WarcExprs.WarcRecords],
+        (args: Seq[Expression]) => {
+          arity("graft_warc_records", args, 1)
+          WarcExprs.WarcRecords(args(0))
+        }),
+      ("graft_gunzip_text", classOf[WarcExprs.GunzipText],
+        (args: Seq[Expression]) => {
+          arity("graft_gunzip_text", args, 1)
+          WarcExprs.GunzipText(args(0))
+        }),
+      ("graft_gzip_bytes", classOf[WarcExprs.GzipBytes],
+        (args: Seq[Expression]) => {
+          arity("graft_gzip_bytes", args, 1)
+          WarcExprs.GzipBytes(args(0))
         })
     ).map { case (name, cls, builder) =>
       (FunctionIdentifier(name),

@@ -90,6 +90,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("WARC and positional-shingle kernels are callable from SQL") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        "SELECT size(graft_positional_shingle_hashes(" +
+          "  array('a','b','c','a','b','c'), 3)) AS np, " +
+          "graft_gunzip_text(graft_gzip_bytes('round trip')) AS rt, " +
+          "size(graft_warc_records(graft_gunzip_text(graft_gzip_bytes(" +
+          "  'WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2" +
+          "\r\n\r\nok\r\n\r\n')))) AS nr")
+        .collect()(0)
+      assert(r.getInt(0) == 4)  // one hash per start position
+      assert(r.getString(1) == "round trip")
+      assert(r.getInt(2) == 1)  // one parsed record
+    }
+  }
+
   test("structural kernel args must be integer literals") {
     withExtendedSession { s =>
       val e = intercept[Exception] {
