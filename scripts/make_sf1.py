@@ -18,6 +18,7 @@ This is a load-scaling artifact only — correctness oracles keep using
 the driver-generated sf dirs.
 """
 import os
+import shutil
 import sys
 
 import duckdb
@@ -66,15 +67,23 @@ COPY_AS_IS = ["region", "nation"]
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
+
+def rd(path):
+    """Read spec for a table that may be ONE parquet file (driver
+    testdata) or a DIRECTORY of part files (a scale artifact composed
+    from a previous run — sf10 from sf1)."""
+    return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+
+
 def columns(table):
     return [r[0] for r in con.sql(
-        f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'").fetchall()]
+        f"DESCRIBE SELECT * FROM {rd(f'{SRC}/{table}.parquet')}").fetchall()]
 
 # domain sizes from the OWNING table's pk range
 domain_size = {}
 for dom, (owner, pk) in DOMAINS.items():
     domain_size[dom] = con.sql(
-        f"SELECT max({pk}) FROM '{SRC}/{owner}.parquet'").fetchone()[0] + 1
+        f"SELECT max({pk}) FROM {rd(f'{SRC}/{owner}.parquet')}").fetchone()[0] + 1
 
 # integrity gate: every fk must fit inside its owning domain BEFORE
 # replication, else the replicas would join against shifted keys
@@ -88,7 +97,7 @@ for table, keymap in OFFSET_KEYS.items():
         if (table, col) == (owner, pk):
             continue
         fk_max = con.sql(
-            f"SELECT max({col}) FROM '{SRC}/{table}.parquet'").fetchone()[0]
+            f"SELECT max({col}) FROM {rd(f'{SRC}/{table}.parquet')}").fetchone()[0]
         if fk_max + 1 > domain_size[dom]:
             violations.append(
                 f"{table}.{col} max {fk_max} exceeds {owner}.{pk} domain "
@@ -99,14 +108,14 @@ if violations:
 for table in COPY_AS_IS:
     if ONLY is not None and table not in ONLY:
         continue
-    con.sql(f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO "
+    con.sql(f"COPY (SELECT * FROM {rd(f'{SRC}/{table}.parquet')}) TO "
             f"'{DST}/{table}.parquet' (FORMAT PARQUET)")
     print(f"{table}: copied")
 
 for table, keymap in OFFSET_KEYS.items():
     if ONLY is not None and table not in ONLY:
         continue
-    src = f"'{SRC}/{table}.parquet'"
+    src = rd(f"{SRC}/{table}.parquet")
     cols = columns(table)
     present = {k: d for k, d in keymap.items() if k in cols}
     missing = [k for k in keymap if k not in cols]
@@ -121,9 +130,20 @@ for table, keymap in OFFSET_KEYS.items():
             else:
                 exprs.append(c)
         selects.append(f"SELECT {', '.join(exprs)} FROM {src}")
-    union = " UNION ALL ".join(selects)
-    con.sql(f"COPY ({union}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
-    n = con.sql(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+    # one file per replica copy under a table DIRECTORY: a real corpus
+    # at this scale is many files (one per ingest batch), and Spark's
+    # scan parallelism follows the file layout — a single small-byte
+    # file would serialize every CPU-dense projection into one task
+    out = f"{DST}/{table}.parquet"
+    if os.path.isfile(out):
+        os.remove(out)
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for i, sel in enumerate(selects):
+        con.sql(f"COPY ({sel}) TO '{out}/part-{i:02d}.parquet' "
+                "(FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
 
 # post-build spot check: fk/pk alignment must hold on the replicas too
@@ -132,8 +152,8 @@ for fact, fk, dim, pk in [("orders", "o_custkey", "customer", "c_custkey"),
     if ONLY is not None and (fact not in ONLY or dim not in ONLY):
         continue
     dangling = con.sql(
-        f"SELECT count(*) FROM '{DST}/{fact}.parquet' f "
-        f"LEFT JOIN '{DST}/{dim}.parquet' d ON f.{fk} = d.{pk} "
+        f"SELECT count(*) FROM {rd(f'{DST}/{fact}.parquet')} f "
+        f"LEFT JOIN {rd(f'{DST}/{dim}.parquet')} d ON f.{fk} = d.{pk} "
         f"WHERE d.{pk} IS NULL").fetchone()[0]
     assert dangling == 0, f"{fact}.{fk}: {dangling} dangling fk rows"
     print(f"{fact}.{fk} -> {dim}.{pk}: aligned")

@@ -18,6 +18,7 @@ Foreign keys are remapped INTO existing dimension keys, so fk/pk
 alignment (asserted by make_sf1.py) is preserved by construction.
 """
 import os
+import shutil
 import sys
 
 import duckdb
@@ -33,15 +34,33 @@ BOILER = ("This document is provided for informational purposes only and "
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
+
+def rd(path):
+    """sf1 tables are DIRECTORIES of part files (one per replica copy)."""
+    return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+
+
+def wr(query, table):
+    """Write a transformed table keeping the many-file layout: the skew
+    transforms are row-wise, so per-thread output preserves the scan
+    parallelism the uniform artifact has."""
+    out = f"{DST}/{table}.parquet"
+    if os.path.isfile(out):
+        os.remove(out)
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    con.sql(f"COPY ({query}) TO '{out}' "
+            "(FORMAT PARQUET, PER_THREAD_OUTPUT TRUE)")
+
+
 PASSTHROUGH = ["region", "nation", "customer", "supplier", "part", "events"]
 for t in PASSTHROUGH:
-    con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
-            f"'{DST}/{t}.parquet' (FORMAT PARQUET)")
+    wr(f"SELECT * FROM {rd(f'{SRC}/{t}.parquet')}", t)
     print(f"{t}: copied")
 
 # orders: hot customer + hot date on the same deterministic 30% slice
 cols = [r[0] for r in con.sql(
-    f"DESCRIBE SELECT * FROM '{SRC}/orders.parquet'").fetchall()]
+    f"DESCRIBE SELECT * FROM {rd(f'{SRC}/orders.parquet')}").fetchall()]
 exprs = []
 for c in cols:
     if c == "o_custkey":
@@ -52,44 +71,40 @@ for c in cols:
                      f"ELSE o_orderdate END AS o_orderdate")
     else:
         exprs.append(c)
-con.sql(f"COPY (SELECT {', '.join(exprs)} FROM '{SRC}/orders.parquet') TO "
-        f"'{DST}/orders.parquet' (FORMAT PARQUET)")
+wr(f"SELECT {', '.join(exprs)} FROM {rd(f'{SRC}/orders.parquet')}", "orders")
 share = con.sql(f"SELECT count(*) FILTER (o_custkey = {HOT_CUST}) * 1.0 / count(*) "
-                f"FROM '{DST}/orders.parquet'").fetchone()[0]
+                f"FROM {rd(f'{DST}/orders.parquet')}").fetchone()[0]
 print(f"orders: hot-customer share {share:.2f}")
 
 # lineitem: inherits order skew through l_orderkey (30% of orders are hot);
 # also make one part hot so the part-side join skews too
 cols = [r[0] for r in con.sql(
-    f"DESCRIBE SELECT * FROM '{SRC}/lineitem.parquet'").fetchall()]
+    f"DESCRIBE SELECT * FROM {rd(f'{SRC}/lineitem.parquet')}").fetchall()]
 exprs = [("CASE WHEN l_orderkey % 10 < 3 THEN 1 ELSE l_partkey END AS l_partkey"
           if c == "l_partkey" else c) for c in cols]
-con.sql(f"COPY (SELECT {', '.join(exprs)} FROM '{SRC}/lineitem.parquet') TO "
-        f"'{DST}/lineitem.parquet' (FORMAT PARQUET)")
+wr(f"SELECT {', '.join(exprs)} FROM {rd(f'{SRC}/lineitem.parquet')}", "lineitem")
 print("lineitem: hot-part injected")
 
 # documents: 40% boilerplate duplicates
 boiler_sql = BOILER.replace("'", "''")
-con.sql(f"COPY (SELECT * REPLACE (CASE WHEN doc_id % 5 < 2 THEN '{boiler_sql}' "
-        f"ELSE text END AS text) FROM '{SRC}/documents.parquet') TO "
-        f"'{DST}/documents.parquet' (FORMAT PARQUET)")
+wr(f"SELECT * REPLACE (CASE WHEN doc_id % 5 < 2 THEN '{boiler_sql}' "
+   f"ELSE text END AS text) FROM {rd(f'{SRC}/documents.parquet')}", "documents")
 print("documents: 40% boilerplate")
 
 # embeddings: 20% collapse onto one constant vector
-dim = con.sql(f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1"
+dim = con.sql(f"SELECT len(embedding) FROM {rd(f'{SRC}/embeddings.parquet')} LIMIT 1"
               ).fetchone()[0]
 const_vec = "[" + ", ".join(["0.1"] * dim) + "]::FLOAT[]"
-con.sql(f"COPY (SELECT * REPLACE (CASE WHEN vec_id % 5 = 0 THEN {const_vec} "
-        f"ELSE embedding END AS embedding) FROM '{SRC}/embeddings.parquet') TO "
-        f"'{DST}/embeddings.parquet' (FORMAT PARQUET)")
+wr(f"SELECT * REPLACE (CASE WHEN vec_id % 5 = 0 THEN {const_vec} "
+   f"ELSE embedding END AS embedding) FROM {rd(f'{SRC}/embeddings.parquet')}", "embeddings")
 print("embeddings: 20% constant vector")
 
 # integrity: the remaps must not create dangling fks
 for fact, fk, dim_t, pk in [("orders", "o_custkey", "customer", "c_custkey"),
                             ("lineitem", "l_partkey", "part", "p_partkey")]:
     dangling = con.sql(
-        f"SELECT count(*) FROM '{DST}/{fact}.parquet' f "
-        f"LEFT JOIN '{DST}/{dim_t}.parquet' d ON f.{fk} = d.{pk} "
+        f"SELECT count(*) FROM {rd(f'{DST}/{fact}.parquet')} f "
+        f"LEFT JOIN {rd(f'{DST}/{dim_t}.parquet')} d ON f.{fk} = d.{pk} "
         f"WHERE d.{pk} IS NULL").fetchone()[0]
     assert dangling == 0, f"{fact}.{fk}: {dangling} dangling rows"
 print("fk alignment holds under skew")

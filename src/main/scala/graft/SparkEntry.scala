@@ -1921,7 +1921,17 @@ object SparkEntry {
       rmrf(base) // fresh checkpoint → deterministic backlog replay
       val src = base.resolve("src")
       Files.createDirectories(src)
-      Files.copy(Paths.get(s"$d/orders.parquet"), src.resolve("orders.parquet"))
+      // the source table may be one parquet file (driver testdata) or a
+      // directory of part files (the scale artifacts); stage whichever
+      val srcTable = Paths.get(s"$d/orders.parquet")
+      if (Files.isDirectory(srcTable)) {
+        val it = Files.list(srcTable).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            Files.copy(f, src.resolve(f.getFileName.toString))
+        }
+      } else Files.copy(srcTable, src.resolve("orders.parquet"))
       val store = new graft.preagg.PreAggStore(s, cat,
         base.resolve("rollups").toString)
       val pa = cat.model("orders").preAggregations.head

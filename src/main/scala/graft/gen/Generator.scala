@@ -442,23 +442,33 @@ final class Generator(spark: SparkSession, cat: Catalog,
 
   /** Compile cache: identical requests reuse the composed plan
     * (reference: generator.py:332-377,1041 — warm repeat compile).
-    * The chosen route is cached WITH the plan so a cache hit restores
-    * [[lastRoute]] exactly as the original compile left it — explain/
-    * route introspection must not depend on whether the compile was
-    * warm. */
+    * What's cached is the LOGICAL plan plus the chosen route, and a hit
+    * returns a FRESH Dataset over it: an executed DataFrame's
+    * QueryExecution pins its adaptive runtime state — materialized
+    * broadcast hash tables, reused-exchange references — and a
+    * long-lived layer that served hundreds of distinct queries would
+    * otherwise accumulate pinned broadcasts until execution memory
+    * starves and join/pair stages start spilling. The route is restored
+    * on hit so explain/route introspection does not depend on compile
+    * temperature. */
   private val planCache =
-    new java.util.LinkedHashMap[SemanticQuery, (DataFrame, String)](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[SemanticQuery, (DataFrame, String)]): Boolean =
-        size > 256
+    new java.util.LinkedHashMap[SemanticQuery,
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)](
+        64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[SemanticQuery,
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)])
+          : Boolean = size > 256
     }
 
   def plan(q: SemanticQuery): DataFrame = planCache.synchronized {
     val hit = planCache.get(q)
-    if (hit != null) { lastRoute = hit._2; hit._1 }
-    else {
+    if (hit != null) {
+      lastRoute = hit._2
+      org.apache.spark.sql.GraftSqlBridge.dataFrame(spark, hit._1)
+    } else {
       val df = compute(q)
-      planCache.put(q, (df, lastRoute))
+      planCache.put(q,
+        (org.apache.spark.sql.GraftSqlBridge.logicalPlan(df), lastRoute))
       df
     }
   }

@@ -110,11 +110,23 @@ object Dedup {
       .select("band", "bucket")
     val keyed = banded.join(bucketCounts, Seq("band", "bucket"))
 
-    val candidates = keyed.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(keyed.select(col("band"), col("bucket"), col("id").as("id_b")),
+    // candidate pairs are BYTE-small (two longs) but CPU-dense downstream
+    // (per-pair array intersects): an explicit pair-keyed repartition pins
+    // the dedup aggregation AND the verify join that follows to full
+    // parallelism — AQE's byte-based coalescing would otherwise pack
+    // millions of pairs into a handful of reducers and serialize the
+    // verify CPU (measured 27 CPU·s in 6 tasks on a replicated corpus)
+    val pairPar = 2 * df.sparkSession.sparkContext.defaultParallelism
+    // both self-join sides derive from ONE explicitly-partitioned frame,
+    // so the b²-per-bucket pair GENERATION itself runs at pairPar tasks
+    // (co-partitioned — the pin adds no extra exchange to the join)
+    val spread = keyed.repartition(pairPar, col("band"), col("bucket"))
+    val candidates = spread.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(spread.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .repartition(pairPar, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
 
     // exact-Jaccard verify over the per-doc distinct-hash ARRAYS: two
@@ -123,9 +135,14 @@ object Dedup {
     // Only candidate rows ever carry an array across a shuffle — the
     // old exploded-row verify shuffled the full corpus×shingle rows.
     val sets = front.select(col("id"), col("__hashes"), col("__n"))
+    // the explicit join-key repartitions ARE the exchanges these joins
+    // need anyway — pinning their width keeps the per-pair intersect
+    // work at pairPar tasks instead of AQE's byte-derived reducer count
     candidates
+      .repartition(pairPar, col("id_a"))
       .join(sets.select(col("id").as("id_a"), col("__hashes").as("__ha"),
         col("__n").as("__na")), Seq("id_a"))
+      .repartition(pairPar, col("id_b"))
       .join(sets.select(col("id").as("id_b"), col("__hashes").as("__hb"),
         col("__n").as("__nb")), Seq("id_b"))
       .withColumn("__i",
@@ -194,10 +211,18 @@ object Dedup {
       .withColumn("__bc", count(lit(1)).over(wBlock))
       .filter(col("__bc") > 1 && col("__bc") <= maxBlockSize)
       .drop("__bc")
-    val l = capped.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = capped.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // same parallelism pins as minHashLSH's candidate stage: block and
+    // pair rows are byte-small, so AQE would coalesce both the b²-pair
+    // GENERATION (the block self-join) and the dedup + hamming stage
+    // into a few reducers; explicit partitioning keeps the pair CPU
+    // spread across the cluster
+    val pairPar = 2 * df.sparkSession.sparkContext.defaultParallelism
+    val spread = capped.repartition(pairPar, col("c"), col("v"))
+    val l = spread.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = spread.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("c", "v"))
       .filter(col("id_a") < col("id_b"))
+      .repartition(pairPar, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))

@@ -402,11 +402,20 @@ object Similarity {
     val rawKeys = fronted.select(col("id"),
       posexplode(col("__buckets")).as(Seq("__band", "__bucket")))
     val keyed = capBuckets(rawKeys, maxBucketSize, dropSingletons = true)
-    val cand = keyed
-      .join(keyed.select(col("id").as("id_b"), col("__band"), col("__bucket")),
+    // parallelism pins (the Dedup.minHashLSH arrangement): bucket and
+    // pair rows are byte-small but the b²-pair generation, the dedup and
+    // the gate/verify joins are CPU-dense — AQE's byte-based coalescing
+    // would pack them into a few reducers; explicit partitioning keeps
+    // the pair CPU spread, and the self-join sides share ONE partitioned
+    // frame so the pin adds no extra exchange there
+    val pairPar = 2 * df.sparkSession.sparkContext.defaultParallelism
+    val spreadKeys = keyed.repartition(pairPar, col("__band"), col("__bucket"))
+    val cand = spreadKeys
+      .join(spreadKeys.select(col("id").as("id_b"), col("__band"), col("__bucket")),
         Seq("__band", "__bucket"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
+      .repartition(pairPar, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Signature-agreement pre-gate (the DedupIndex estimate-then-verify
     // trick, on bits this operator already computed): per candidate
@@ -430,8 +439,10 @@ object Similarity {
     val nbits = (bands * p).toDouble
     val gate = sAtT - 3.0 * math.sqrt(sAtT * (1 - sAtT) / nbits)
     val gated = cand
+      .repartition(pairPar, col("id_a"))
       .join(fronted.select(col("id").as("id_a"),
         col("__buckets").as("__sa")), "id_a")
+      .repartition(pairPar, col("id_b"))
       .join(fronted.select(col("id").as("id_b"),
         col("__buckets").as("__sb")), "id_b")
       .filter(VectorExprs.bitAgreement(col("__sa"), col("__sb"), p) >=
@@ -490,9 +501,15 @@ object Similarity {
     val vecs = df.select(col(idCol).as("__vid"),
         asDouble(col(vecCol)).as("__vv"))
       .withColumn("__nrm", VectorExprs.l2norm(col("__vv")))
+    // join-key repartitions pin the dim-wide dot products at full
+    // parallelism (these ARE the exchanges the joins need — see
+    // cosineNearDupPairs' candidate-stage note)
+    val pairPar = 2 * df.sparkSession.sparkContext.defaultParallelism
     cand
+      .repartition(pairPar, col("id_a"))
       .join(vecs.select(col("__vid").as("id_a"), col("__vv").as("__va"),
         col("__nrm").as("__na")), Seq("id_a"))
+      .repartition(pairPar, col("id_b"))
       .join(vecs.select(col("__vid").as("id_b"), col("__vv").as("__vb"),
         col("__nrm").as("__nb")), Seq("id_b"))
       .withColumn("cosine",
