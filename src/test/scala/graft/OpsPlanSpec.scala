@@ -215,4 +215,26 @@ class OpsPlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(fp).size >= 2,
       s"collapse must be a two-phase aggregate:\n$fp")
   }
+
+  test("pair stages keep their explicit parallelism pins (AQE must not " +
+      "re-coalesce the CPU-dense pair work by byte size)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(400)
+    val pairPar = 2 * spark.sparkContext.defaultParallelism
+    // REPARTITION_BY_NUM exchanges carry the pinned width through the
+    // final adaptive plan; byte-derived coalescing would show smaller
+    // partition counts on these exchanges
+    val sim = finalPlan(graft.ops.Dedup.simHashPairs(
+      docs, "doc_id", "text", maxDistance = 8))
+    assert(s"REPARTITION_BY_NUM".r.findAllIn(sim).size >= 2,
+      s"simHashPairs lost its parallelism pins:\n$sim")
+    val mh = finalPlan(graft.ops.Dedup.minHashLSH(
+      docs, "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 4,
+      threshold = 0.2))
+    assert(s"REPARTITION_BY_NUM".r.findAllIn(mh).size >= 3,
+      s"minHashLSH lost its parallelism pins:\n$mh")
+    assert(mh.contains(s"$pairPar)") || mh.contains(s", $pairPar"),
+      s"minHashLSH pin width is not 2x parallelism:\n$mh")
+  }
 }
