@@ -79,6 +79,12 @@ def spark_run(proc, name):
     raise RuntimeError(f"server died while running {name}")
 
 
+def rd(path):
+    """Read spec for a table that may be ONE parquet file or a DIRECTORY
+    of part files (the scale artifacts write directories)."""
+    return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+
+
 def median(xs):
     xs = sorted(xs)
     return xs[len(xs) // 2]
@@ -90,7 +96,7 @@ def main(sf_dir, oracle_path, out_path=None, rounds=3):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM {rd(f'{sf_dir}/{t}.parquet')}")
     names = sorted(oracles)
     # DuckDB warmup mirrors the server's Spark warmup
     duck_ok = set()
@@ -98,8 +104,9 @@ def main(sf_dir, oracle_path, out_path=None, rounds=3):
         try:
             con.sql(oracles[n]).fetchall()
             duck_ok.add(n)
-        except Exception:
-            pass
+        except Exception as e:
+            # a skipped query silently shrinks the anchor -- say so loudly
+            print(f"SKIP (duckdb warmup failed) {n}: {e}", file=sys.stderr)
     proc = launch_server(sf_dir, repo_root)
     spark_times = {n: [] for n in names}
     duck_times = {n: [] for n in names}

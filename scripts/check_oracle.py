@@ -36,11 +36,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def rd(path):
+    """Read spec for a table that may be ONE parquet file or a DIRECTORY
+    of part files (the scale artifacts write directories)."""
+    return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM {rd(f'{sf_dir}/{t}.parquet')}")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     for name in sorted(os.listdir(out_dir)):

@@ -10,6 +10,7 @@ against the reference's toy-data compile-latency ceilings.
 Usage: python3 scripts/duckdb_anchor.py <sfDir> <oracle_sql.json> [out.json]
 """
 import json
+import os
 import sys
 import time
 
@@ -19,10 +20,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def rd(path):
+    """Read spec for a table that may be ONE parquet file or a DIRECTORY
+    of part files (the scale artifacts write directories)."""
+    return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+
+
 def main(sf_dir, oracle_path, out_path=None):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {rd(f'{sf_dir}/{t}.parquet')}")
     oracles = json.load(open(oracle_path))
     # warmup pass (OS page cache, duckdb readers) mirrors Bench's warmup
     for name, sql in sorted(oracles.items()):

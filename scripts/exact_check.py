@@ -89,10 +89,16 @@ def duck_rows(con, sql):
     return names, sorted(rows), types
 
 
+def rd(path):
+    """Read spec for a table that may be ONE parquet file or a DIRECTORY
+    of part files (the scale artifacts write directories)."""
+    return f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+
+
 def main(sf_dir, out_dir, only):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {rd(f'{sf_dir}/{t}.parquet')}")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok, bad, rows_only = [], [], []
     for name in sorted(os.listdir(out_dir)):

@@ -68,11 +68,15 @@ object UrlOps {
     // at ^), then a stranded leading '&' from a removed head param
     val cleaned = regexp_replace(
       regexp_replace(q, "(?:^|&)" + TrackingParam, ""), "^&", "")
-    val sortedQ = array_join(sort_array(split(cleaned, "&")), "&")
+    // empty segments (trailing or doubled '&' — '?a=1&', '?a=1&&b=2')
+    // are dropped BEFORE sorting: empties sort first and would otherwise
+    // yield canonicals like '...?&a=1' that fail to collapse with '?a=1'
+    val sortedQ = array_join(sort_array(
+      filter(split(cleaned, "&"), s => length(s) > 0)), "&")
     // instr, not length(q): an empty CAPTURE can't tell "no '?'" from a
     // bare trailing '?', which rule 7 must still strip
     when(instr(noPort, "?") === 0, noPort)
-      .when(length(cleaned) > 0, concat(base, lit("?"), sortedQ))
+      .when(length(sortedQ) > 0, concat(base, lit("?"), sortedQ))
       .when(length(q) > 0, base) // every param was tracking → '?' gone
       .otherwise(noPort.substr(lit(1), length(noPort) - 1)) // bare '?'
   }
@@ -83,20 +87,22 @@ object UrlOps {
     lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
 
   /** URL-level exact dedup: one row per canonical URL, the minimum-id
-    * row winning (stable across partition layouts). The same
-    * collapse-first shape as content dedup — group to winners, then one
-    * semi join back — so the shuffle carries (canonical, id) pairs,
-    * never document payloads, and the winner set is as small as the
-    * unique-URL count. Rows whose `urlCol` is null pass through
-    * untouched (no URL ≠ duplicate URL). */
+    * row winning (stable across partition layouts; `min` over the id's
+    * OWN type — numeric ids win numerically, string/UUID ids
+    * lexicographically — so no cast can null out a non-numeric id and
+    * silently drop rows). The same collapse-first shape as content
+    * dedup — group to winners, then one semi join back — so the shuffle
+    * carries (canonical, id) pairs, never document payloads, and the
+    * winner set is as small as the unique-URL count. Rows whose
+    * `urlCol` is null pass through untouched (no URL ≠ duplicate URL). */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val canon = canonicalizeUrl(col(urlCol))
     val winners = df.filter(col(urlCol).isNotNull)
-      .select(canon.as("__cu"), col(idCol).cast("long").as("__uid"))
+      .select(canon.as("__cu"), col(idCol).as("__uid"))
       .groupBy(col("__cu")).agg(min(col("__uid")).as("__keep"))
       .select(col("__keep"))
     df.filter(col(urlCol).isNull).unionByName(
       df.filter(col(urlCol).isNotNull)
-        .join(winners, col(idCol).cast("long") === col("__keep"), "left_semi"))
+        .join(winners, col(idCol) === col("__keep"), "left_semi"))
   }
 }

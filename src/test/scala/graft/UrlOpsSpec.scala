@@ -40,6 +40,14 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon("http://a.com/x?") === "http://a.com/x")
   }
 
+  test("trailing and doubled '&' collapse with the plain spelling") {
+    assert(canon("http://a.com/x?a=1&") === "http://a.com/x?a=1")
+    assert(canon("http://a.com/x?a=1&&b=2") === "http://a.com/x?a=1&b=2")
+    assert(canon("http://a.com/x?a=1&") === canon("http://a.com/x?a=1"))
+    // a query of nothing but separators is an empty query
+    assert(canon("http://a.com/x?&&") === "http://a.com/x")
+  }
+
   test("over-merging rules are NOT applied") {
     assert(canon("http://www.a.com/x/") === "http://www.a.com/x/")
     assert(canon("http://a.com/%7Euser") === "http://a.com/%7Euser")
@@ -73,6 +81,18 @@ class UrlOpsSpec extends AnyFunSuite {
       Seq((10L, "http://Shop.example.com/item/7?a=1&b=2"),
         (11L, "HTTP://shop.example.COM:80/item/7?b=2&a=1&utm_c=9#x"))
         .toDF("id", "url"), "id", "url").count() === 1L)
+  }
+
+  test("urlDedup works on non-numeric (UUID-style) ids — no silent drop") {
+    val rows = Seq(
+      ("b-uuid", "http://a.com/p?x=1"),
+      ("a-uuid", "http://A.com:80/p?x=1#f"), // same canonical, smaller id
+      ("c-uuid", "http://a.com/q"),
+      ("d-uuid", null.asInstanceOf[String]))
+      .toDF("id", "url")
+    val kept = UrlOps.urlDedup(rows, "id", "url")
+      .select("id").as[String].collect().sorted
+    assert(kept.toSeq === Seq("a-uuid", "c-uuid", "d-uuid"))
   }
 
   test("urlHost extracts the lowercased authority host") {
