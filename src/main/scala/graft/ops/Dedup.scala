@@ -81,7 +81,100 @@ object Dedup {
       .select(col("id"), explode(bandStructs(numHashes, bands)).as("lsh"))
       .select(col("id"), col("lsh.band"), col("lsh.bucket"))
 
-  /** Near-duplicate pairs via MinHash + LSH banding.
+  /** Near-duplicate pairs via MinHash + LSH banding — COLLAPSE-ROUTED.
+    *
+    * The full-corpus pair set is computed as: exact-collapse to one
+    * representative per distinct text (one content-keyed aggregate
+    * window), [[minHashLSHDirect]] among representatives only, then
+    * expansion back to member pairs (an exact copy has the same shingle
+    * set as its representative, so jaccard(a, b) = jaccard(rep_a, rep_b)
+    * exactly — inter-family pairs inherit the verified value, and
+    * intra-family pairs are 1.0 by construction). On a corpus with no
+    * exact duplicates this plans to the direct path plus one window.
+    *
+    * Why the routing is the DEFAULT: an exact family of size f inflates
+    * every LSH bucket it lands in by f² candidate pairs, each paying a
+    * full Jaccard verify for a result the collapse already knows.
+    * Measured at the replica-dense sf10 battery the unrouted operator
+    * was superlinear (85.9 s vs its collapsed twin's 3.6 s for 10× the
+    * sf1 data); routed, pair cost is ∝ distinct content and the output
+    * expansion is linear in the emitted pair set — flat-per-row.
+    *
+    * Two deliberate, observable deviations from the unrouted path on
+    * DUP-DENSE corpora (on dup-free data the output is identical):
+    *   - families larger than `maxBucketSize` expand to their
+    *     representative only (the same quadratic-output guard the bucket
+    *     cap gives the direct path; the full family remains
+    *     [[exactDuplicateGroups]]'s report);
+    *   - exact copies of a text too short to shingle still pair with
+    *     each other (jaccard 1.0): identical texts are duplicates by
+    *     definition, and the collapse sees them even where LSH cannot.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
+    * `threshold`.
+    */
+  def minHashLSH(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
+    val (reps, members) = familyRoute(df, idCol, textCol, maxBucketSize)
+    val repPairs = minHashLSHDirect(reps, idCol, textCol, shingleSize,
+      numHashes, bands, threshold, maxBucketSize, pinMinBytes)
+    expandFamilyPairs(repPairs, members, "jaccard", lit(1.0),
+      keepIntra = threshold <= 1.0)
+  }
+
+  /** The exact-family frame behind the routed pair-formers: tags every
+    * non-null-text row with its family representative (min id — ONE
+    * content-keyed aggregate window, no sort) and returns
+    * (representatives with text, member map capped at `maxFamily`).
+    * Families above the cap are represented by their rep alone — the
+    * expansion-side quadratic guard. */
+  private def familyRoute(df: DataFrame, idCol: String, textCol: String,
+      maxFamily: Int): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col(textCol))
+    val tagged = df.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull)
+      .withColumn("__rep", min(col(idCol)).over(w))
+      .withColumn("__fam", count(lit(1)).over(w))
+    val reps = tagged.filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol))
+    val members = tagged
+      .filter(col(idCol) === col("__rep") || col("__fam") <= maxFamily)
+      .select(col("__rep"), col(idCol).as("__m"))
+    (reps, members)
+  }
+
+  /** Expand representative pairs back to the full member pair set:
+    * inter-family pairs inherit `scoreCol` from their reps (exact copies
+    * score identically by construction), intra-family pairs get
+    * `intraScore`. Families are disjoint, so no pair is emitted twice;
+    * `least`/`greatest` restore the id_a < id_b contract. The work here
+    * is linear in the EMITTED pair set — the unavoidable output cost —
+    * never in candidate space. */
+  private def expandFamilyPairs(repPairs: DataFrame, members: DataFrame,
+      scoreCol: String, intraScore: Column, keepIntra: Boolean): DataFrame = {
+    val inter = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("__m").as("__ma")),
+        Seq("id_a"))
+      .join(members.select(col("__rep").as("id_b"), col("__m").as("__mb")),
+        Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col(scoreCol))
+    if (!keepIntra) inter
+    else inter.unionByName(
+      members.select(col("__rep"), col("__m").as("id_a"))
+        .join(members.select(col("__rep"), col("__m").as("id_b")),
+          Seq("__rep"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), intraScore.as(scoreCol)))
+  }
+
+  /** The unrouted MinHash + LSH pair search — pairs among the input rows
+    * as given. [[minHashLSH]] routes through this on exact-collapsed
+    * representatives; call it directly only on a frame already known
+    * duplicate-free (the collapsed twins do), since exact families make
+    * its bucket joins superlinear.
     *
     * Signature rows are split into `bands`; docs sharing any band bucket
     * become candidates (bucket join — shuffle keyed on band hash, never a
@@ -89,9 +182,11 @@ object Dedup {
     * sets. Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥
     * `threshold`.
     */
-  def minHashLSH(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def minHashLSHDirect(df: DataFrame, idCol: String,
+      textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
 
     // shared front: the per-row projection is consumed by the band keys
@@ -115,18 +210,22 @@ object Dedup {
     // the dedup aggregation AND the verify join that follows to full
     // parallelism — AQE's byte-based coalescing would otherwise pack
     // millions of pairs into a handful of reducers and serialize the
-    // verify CPU (measured 27 CPU·s in 6 tasks on a replicated corpus)
-    val pairPar = 2 * df.sparkSession.sparkContext.defaultParallelism
+    // verify CPU (measured 27 CPU·s in 6 tasks on a replicated corpus).
+    // ADAPTIVE (see [[PairPins]]): below `pinMinBytes` of input the pin
+    // is off — the pinned exchanges' fixed cost dominated small corpora
+    // (A/B at sf0.1: 1.46 s unpinned vs 2.08 s pinned, identical data)
+    val pairPar = PairPins.pairPar(df, pinMinBytes)
     // both self-join sides derive from ONE explicitly-partitioned frame,
     // so the b²-per-bucket pair GENERATION itself runs at pairPar tasks
     // (co-partitioned — the pin adds no extra exchange to the join)
-    val spread = keyed.repartition(pairPar, col("band"), col("bucket"))
-    val candidates = spread.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(spread.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .repartition(pairPar, col("id_a"), col("id_b"))
+    val spread = PairPins.spread(keyed, pairPar, col("band"), col("bucket"))
+    val candidates = PairPins.spread(
+      spread.select(col("band"), col("bucket"), col("id").as("id_a"))
+        .join(spread.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b"),
+      pairPar, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair can collide in many bands
 
     // exact-Jaccard verify over the per-doc distinct-hash ARRAYS: two
@@ -138,11 +237,11 @@ object Dedup {
     // the explicit join-key repartitions ARE the exchanges these joins
     // need anyway — pinning their width keeps the per-pair intersect
     // work at pairPar tasks instead of AQE's byte-derived reducer count
-    candidates
-      .repartition(pairPar, col("id_a"))
-      .join(sets.select(col("id").as("id_a"), col("__hashes").as("__ha"),
-        col("__n").as("__na")), Seq("id_a"))
-      .repartition(pairPar, col("id_b"))
+    PairPins.spread(
+      PairPins.spread(candidates, pairPar, col("id_a"))
+        .join(sets.select(col("id").as("id_a"), col("__hashes").as("__ha"),
+          col("__n").as("__na")), Seq("id_a")),
+      pairPar, col("id_b"))
       .join(sets.select(col("id").as("id_b"), col("__hashes").as("__hb"),
         col("__n").as("__nb")), Seq("id_b"))
       .withColumn("__i",
@@ -203,8 +302,42 @@ object Dedup {
     * the chunked frame — it rides the same (c, v) exchange the self-join
     * needs anyway (no extra groupBy + re-join shuffle). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3, maxBlockSize: Int = 1000): DataFrame = {
-    val chunked = simHashChunks(df, idCol, textCol, maxDistance)
+      maxDistance: Int = 3, maxBlockSize: Int = 1000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
+    // COLLAPSE-ROUTED like [[minHashLSH]] (same rationale, same
+    // deviations): pairs are searched among distinct texts, then
+    // expanded — identical texts have identical 64-bit signatures, so
+    // inter-family pairs inherit the rep hamming exactly and
+    // intra-family pairs are hamming 0 by construction
+    val (reps, members) = familyRoute(df, idCol, textCol, maxBlockSize)
+    val repPairs = simHashPairsDirect(reps, idCol, textCol, maxDistance,
+      maxBlockSize, pinMinBytes)
+    expandFamilyPairs(repPairs, members, "hamming", lit(0L),
+      keepIntra = maxDistance >= 0)
+  }
+
+  /** The unrouted SimHash pigeonhole pair search — see
+    * [[minHashLSHDirect]] for the direct-vs-routed contract. */
+  private[graft] def simHashPairsDirect(df: DataFrame, idCol: String,
+      textCol: String, maxDistance: Int = 3, maxBlockSize: Int = 1000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame =
+    hammingBandedPairs(simHashChunks(df, idCol, textCol, maxDistance),
+      maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes))
+
+  /** Pigeonhole-blocked Hamming pair search over a PRE-CHUNKED
+    * (id, sig, c, v) frame — the blocking machinery shared by text
+    * SimHash ([[simHashPairsDirect]]) and image perceptual hashes
+    * ([[graft.ops.Multimodal.imageNearDupPairs]]). Blocks larger than
+    * `maxBlockSize` are dropped from candidate generation (the quadratic
+    * guard; see [[simHashPairs]]' scaladoc for the recall contract), and
+    * the pair stages carry the adaptive parallelism pin (`pairPar` = 0
+    * disables it — [[PairPins]]).
+    *
+    * Candidate pairs verify with one `bit_count(xor)` — exact Hamming,
+    * codegen'd. Output: (id_a, id_b, hamming ≤ maxDistance), id_a <
+    * id_b. */
+  private[graft] def hammingBandedPairs(chunked: DataFrame,
+      maxDistance: Int, maxBlockSize: Int, pairPar: Int): DataFrame = {
     // skew cap: drop oversized (chunk, value) blocks before the self-join
     val wBlock = Window.partitionBy(col("c"), col("v"))
     val capped = chunked
@@ -215,19 +348,35 @@ object Dedup {
     // pair rows are byte-small, so AQE would coalesce both the b²-pair
     // GENERATION (the block self-join) and the dedup + hamming stage
     // into a few reducers; explicit partitioning keeps the pair CPU
-    // spread across the cluster
-    val pairPar = 2 * df.sparkSession.sparkContext.defaultParallelism
-    val spread = capped.repartition(pairPar, col("c"), col("v"))
+    // spread across the cluster. ADAPTIVE below PairPins.DefaultMinBytes
+    // of input — the pins' fixed exchange cost dominated small corpora
+    val spread = PairPins.spread(capped, pairPar, col("c"), col("v"))
     val l = spread.select(col("c"), col("v"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = spread.select(col("c"), col("v"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("c", "v"))
-      .filter(col("id_a") < col("id_b"))
-      .repartition(pairPar, col("id_a"), col("id_b"))
+    PairPins.spread(
+      l.join(r, Seq("c", "v")).filter(col("id_a") < col("id_b")),
+      pairPar, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxDistance)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** (id, sig, c, v) pigeonhole chunk keys from an (id, sig) frame of
+    * 64-bit fingerprints: `maxDistance + 1` chunks — two sigs within
+    * `maxDistance` MUST agree on at least one whole chunk (pigeonhole),
+    * so blocking on (chunk idx, chunk value) never misses a true pair. */
+  private[graft] def sigChunks(withSig: DataFrame,
+      maxDistance: Int): DataFrame = {
+    val chunks = maxDistance + 1
+    require(chunks >= 1 && chunks <= 64,
+      s"maxDistance must be in [0, 63], got $maxDistance")
+    val width = 64 / chunks
+    withSig.select(col("id"), col("sig"),
+      explode(expr(s"transform(sequence(0, ${chunks - 1}), c -> named_struct(" +
+        s"'c', c, 'v', (sig >> (c * $width)) & ${(1L << width) - 1}))")).as("ch"))
+      .select(col("id"), col("sig"), col("ch.c"), col("ch.v"))
   }
 
   /** [[simHashPairs]] over [[collapseExact]] representatives — the
@@ -243,7 +392,9 @@ object Dedup {
       maxDistance: Int = 3, maxBlockSize: Int = 1000): DataFrame = {
     val reps = collapseExact(df, idCol, textCol)
     val sizes = reps.select(col(idCol), col("family_size"))
-    simHashPairs(reps.select(col(idCol), col(textCol)), idCol, textCol,
+    // Direct, not the routed wrapper: reps are duplicate-free by
+    // construction, so the wrapper's family window would be pure cost
+    simHashPairsDirect(reps.select(col(idCol), col(textCol)), idCol, textCol,
         maxDistance, maxBlockSize)
       .join(sizes.select(col(idCol).as("id_a"),
         col("family_size").as("dups_a")), Seq("id_a"))
@@ -275,20 +426,13 @@ object Dedup {
     * are order-free integers, so the native loop emits identical
     * fingerprints). */
   private[graft] def simHashChunks(df: DataFrame, idCol: String,
-      textCol: String, maxDistance: Int): DataFrame = {
-    val chunks = maxDistance + 1
-    val width = 64 / chunks
-    val withSig = df
+      textCol: String, maxDistance: Int): DataFrame =
+    sigChunks(df
       .select(col(idCol).as("id"),
         graft.functions.DedupExprs.simHash64(
           split(lower(col(textCol)), "\\s+")).as("sig"))
       // empty-token docs produced no rows under the explode shape
-      .filter(col("sig").isNotNull)
-    withSig.select(col("id"), col("sig"),
-      explode(expr(s"transform(sequence(0, ${chunks - 1}), c -> named_struct(" +
-        s"'c', c, 'v', (sig >> (c * $width)) & ${(1L << width) - 1}))")).as("ch"))
-      .select(col("id"), col("sig"), col("ch.c"), col("ch.v"))
-  }
+      .filter(col("sig").isNotNull), maxDistance)
 
   /** Exact character-n-gram Jaccard similarity for pairs within a blocking
     * key (e.g. source/language). Block sizes must be bounded — this is the
@@ -965,7 +1109,9 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     val reps = collapseExact(df, idCol, textCol)
     val sizes = reps.select(col(idCol), col("family_size"))
-    minHashLSH(reps.select(col(idCol), col(textCol)), idCol, textCol,
+    // Direct, not the routed wrapper: reps are duplicate-free by
+    // construction, so the wrapper's family window would be pure cost
+    minHashLSHDirect(reps.select(col(idCol), col(textCol)), idCol, textCol,
         shingleSize, numHashes, bands, threshold, maxBucketSize)
       .join(sizes.select(col(idCol).as("id_a"),
         col("family_size").as("dups_a")), Seq("id_a"))

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Adaptive parallelism pins for the CPU-dense candidate-pair stages of
+  * the text dedup family ([[Dedup.minHashLSH]], [[Dedup.simHashPairs]]).
+  *
+  * Why a pin exists at all: candidate-pair rows there are BYTE-small
+  * (two longs) but CPU-dense downstream (per-pair array intersects /
+  * hamming), so AQE's byte-based partition coalescing packs millions of
+  * pairs into a handful of reducers and serializes the verify CPU
+  * (measured 27 CPU·s in 6 tasks on a replica-dense corpus; pinning cut
+  * the sf10 minhash battery 155 s → 86 s).
+  *
+  * Why the pin must be CONDITIONAL: each `repartition(n, keys)` is a
+  * REPARTITION_BY_NUM exchange that AQE may not coalesce, so on a small
+  * corpus the pinned stages pay ~fixed scheduling/codegen cost that
+  * dwarfs the pair work they spread. A/B at sf0.1 on the identical
+  * corpus (round 15): unpinned 0.90–1.46 s vs pinned 2.08–2.76 s per
+  * query. The decision rides the optimizer's OWN size estimate for the
+  * input plan — plan-time, no job — so below [[DefaultMinBytes]] the
+  * operators keep their r13 shape (plain join-demanded exchanges, AQE
+  * free to coalesce) and above it the pins engage.
+  *
+  * The EMBEDDING pair family ([[Similarity.cosineNearDupPairs]] /
+  * `cosineVerify`) deliberately has no pin at all: its pair rows carry
+  * the bucket-signature array and dim-wide vectors, so bytes track CPU
+  * and AQE already sizes those stages correctly (sf10 A/B: pin-neutral
+  * 65.3 vs 66.8 s; pinned cost 2–3x at sf0.1/sf1).
+  */
+private[graft] object PairPins {
+
+  /** Input-plan size below which the pair stages cannot accumulate
+    * enough CPU work to beat the pinned exchanges' fixed cost. 4 MiB of
+    * source bytes is ~tens of thousands of documents — even a fully
+    * replica-dense corpus that size generates bucket-capped pair CPU in
+    * the low seconds, which AQE's shape handles fine. */
+  val DefaultMinBytes: Long = 4L << 20
+
+  /** The pin width when engaged: 2x the cluster's core count — scales
+    * with the CLUSTER, not the data, which is right for CPU-dense
+    * byte-small stages. Returns 0 (= no pin) when the optimizer's size
+    * estimate for `df` is below `minBytes`. */
+  def pairPar(df: DataFrame, minBytes: Long): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(minBytes))
+      2 * df.sparkSession.sparkContext.defaultParallelism
+    else 0
+  }
+
+  /** `repartition(n, keys)` when the pin is engaged, identity when not
+    * (the join's own required distribution then provides the exchange
+    * and AQE sizes it). */
+  def spread(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    if (n > 0) df.repartition(n, keys: _*) else df
+}

@@ -402,20 +402,18 @@ object Similarity {
     val rawKeys = fronted.select(col("id"),
       posexplode(col("__buckets")).as(Seq("__band", "__bucket")))
     val keyed = capBuckets(rawKeys, maxBucketSize, dropSingletons = true)
-    // parallelism pins (the Dedup.minHashLSH arrangement): bucket and
-    // pair rows are byte-small but the b²-pair generation, the dedup and
-    // the gate/verify joins are CPU-dense — AQE's byte-based coalescing
-    // would pack them into a few reducers; explicit partitioning keeps
-    // the pair CPU spread, and the self-join sides share ONE partitioned
-    // frame so the pin adds no extra exchange there
-    val pairPar = 2 * df.sparkSession.sparkContext.defaultParallelism
-    val spreadKeys = keyed.repartition(pairPar, col("__band"), col("__bucket"))
-    val cand = spreadKeys
-      .join(spreadKeys.select(col("id").as("id_b"), col("__band"), col("__bucket")),
+    // NO parallelism pin here, deliberately (unlike Dedup.minHashLSH —
+    // see [[PairPins]]): this family's join rows carry the bucket-
+    // signature ARRAY and, at verify, dim-wide vectors, so partition
+    // bytes track partition CPU and AQE's byte-based coalescing sizes
+    // these stages correctly on its own. Measured (round-15 A/B,
+    // identical corpus): pins were 2–3x SLOWER at sf0.1/sf1 (0.90 s →
+    // 2.76 s) and neutral at the replica-dense sf10 (66.8 vs 65.3 s)
+    val cand = keyed
+      .join(keyed.select(col("id").as("id_b"), col("__band"), col("__bucket")),
         Seq("__band", "__bucket"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
-      .repartition(pairPar, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Signature-agreement pre-gate (the DedupIndex estimate-then-verify
     // trick, on bits this operator already computed): per candidate
@@ -439,10 +437,8 @@ object Similarity {
     val nbits = (bands * p).toDouble
     val gate = sAtT - 3.0 * math.sqrt(sAtT * (1 - sAtT) / nbits)
     val gated = cand
-      .repartition(pairPar, col("id_a"))
       .join(fronted.select(col("id").as("id_a"),
         col("__buckets").as("__sa")), "id_a")
-      .repartition(pairPar, col("id_b"))
       .join(fronted.select(col("id").as("id_b"),
         col("__buckets").as("__sb")), "id_b")
       .filter(VectorExprs.bitAgreement(col("__sa"), col("__sb"), p) >=
@@ -501,15 +497,14 @@ object Similarity {
     val vecs = df.select(col(idCol).as("__vid"),
         asDouble(col(vecCol)).as("__vv"))
       .withColumn("__nrm", VectorExprs.l2norm(col("__vv")))
-    // join-key repartitions pin the dim-wide dot products at full
-    // parallelism (these ARE the exchanges the joins need — see
-    // cosineNearDupPairs' candidate-stage note)
-    val pairPar = 2 * df.sparkSession.sparkContext.defaultParallelism
+    // no parallelism pins: every row past the first join carries a
+    // dim-wide vector, so AQE's byte-based reducer sizing tracks the
+    // dot-product CPU on its own (see the candidate-stage note in
+    // cosineNearDupPairs and [[PairPins]]; pinning here measured 2–3x
+    // slower at sf0.1/sf1, neutral at sf10, and dragged semDedup down)
     cand
-      .repartition(pairPar, col("id_a"))
       .join(vecs.select(col("__vid").as("id_a"), col("__vv").as("__va"),
         col("__nrm").as("__na")), Seq("id_a"))
-      .repartition(pairPar, col("id_b"))
       .join(vecs.select(col("__vid").as("id_b"), col("__vv").as("__vb"),
         col("__nrm").as("__nb")), Seq("id_b"))
       .withColumn("cosine",

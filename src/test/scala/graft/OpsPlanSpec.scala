@@ -216,25 +216,57 @@ class OpsPlanSpec extends AnyFunSuite {
       s"collapse must be a two-phase aggregate:\n$fp")
   }
 
-  test("pair stages keep their explicit parallelism pins (AQE must not " +
-      "re-coalesce the CPU-dense pair work by byte size)") {
+  test("pair stages keep their explicit parallelism pins above the " +
+      "size gate (AQE must not re-coalesce the CPU-dense pair work)") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).limit(400)
     val pairPar = 2 * spark.sparkContext.defaultParallelism
-    // REPARTITION_BY_NUM exchanges carry the pinned width through the
-    // final adaptive plan; byte-derived coalescing would show smaller
-    // partition counts on these exchanges
+    // pinMinBytes = 0 forces the large-corpus branch regardless of the
+    // test slice's size; REPARTITION_BY_NUM exchanges carry the pinned
+    // width through the final adaptive plan — byte-derived coalescing
+    // would show smaller partition counts on these exchanges
     val sim = finalPlan(graft.ops.Dedup.simHashPairs(
-      docs, "doc_id", "text", maxDistance = 8))
+      docs, "doc_id", "text", maxDistance = 8, pinMinBytes = 0L))
     assert(s"REPARTITION_BY_NUM".r.findAllIn(sim).size >= 2,
       s"simHashPairs lost its parallelism pins:\n$sim")
     val mh = finalPlan(graft.ops.Dedup.minHashLSH(
       docs, "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 4,
-      threshold = 0.2))
+      threshold = 0.2, pinMinBytes = 0L))
     assert(s"REPARTITION_BY_NUM".r.findAllIn(mh).size >= 3,
       s"minHashLSH lost its parallelism pins:\n$mh")
     assert(mh.contains(s"$pairPar)") || mh.contains(s", $pairPar"),
       s"minHashLSH pin width is not 2x parallelism:\n$mh")
+  }
+
+  test("pair-stage pins stay OFF below the size gate — a small corpus " +
+      "must keep the r13 shape (no REPARTITION_BY_NUM fixed cost)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(400)
+    // the 400-row slice sits far below PairPins.DefaultMinBytes, so the
+    // default arguments must plan WITHOUT pinned exchanges (measured
+    // 2-3x slower pinned at this scale; the joins' own required
+    // distributions still provide the shuffles, AQE free to size them)
+    val mh = finalPlan(graft.ops.Dedup.minHashLSH(
+      docs, "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 4,
+      threshold = 0.2))
+    assert(!mh.contains("REPARTITION_BY_NUM"),
+      s"minHashLSH pinned a small corpus:\n$mh")
+    val sim = finalPlan(graft.ops.Dedup.simHashPairs(
+      docs, "doc_id", "text", maxDistance = 8))
+    assert(!sim.contains("REPARTITION_BY_NUM"),
+      s"simHashPairs pinned a small corpus:\n$sim")
+  }
+
+  test("the embedding pair family carries NO parallelism pins (its " +
+      "rows are byte-heavy, so AQE sizes the stages correctly)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(400)
+    val plan = finalPlan(graft.ops.Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.8))
+    assert(!plan.contains("REPARTITION_BY_NUM"),
+      s"cosineNearDupPairs re-grew a pin (measured 2-3x slower at " +
+        s"sf0.1/sf1, neutral at sf10):\n$plan")
   }
 }

@@ -41,6 +41,60 @@ class OpsSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("routed minHashLSH expands families: full member pair set, exact " +
+      "scores, capped families rep-only") {
+    // family {1,2,10}: three exact copies; 3 is a near dup of the family
+    val corpus = docs.union(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog", "a")
+    ).toDF("doc_id", "text", "source"))
+    val pairs = Dedup.minHashLSH(corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // intra-family: all three copy pairs at exactly 1.0
+    assert(pairs((1L, 2L)) == 1.0 && pairs((1L, 10L)) == 1.0 &&
+      pairs((2L, 10L)) == 1.0)
+    // inter-family: every member pairs with the near dup at the SAME
+    // verified jaccard as the representative pair (identical shingles)
+    val j13 = pairs((1L, 3L))
+    assert(j13 > 0.3 && pairs((2L, 3L)) == j13 && pairs((3L, 10L)) == j13)
+    // cap: with maxBucketSize below the family size, the family expands
+    // to its representative only — no quadratic intra output, but the
+    // rep still pairs (the direct path would have dropped its buckets)
+    val capped = Dedup.minHashLSH(corpus, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3,
+      maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 3L)),
+      s"capped family must survive as its rep alone, got $capped")
+  }
+
+  test("routing decision: raw pair-formers collapse first; collapsed " +
+      "twins stay direct (no double routing)") {
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    // the family stage is a window PARTITIONED BY THE TEXT COLUMN
+    // (simhash's block cap is also a window, but over (c, v) — only the
+    // text-partitioned spec identifies the exact-collapse routing)
+    val famWindow = "windowspecdefinition\\(text#".r
+    // the routed default runs the family window in front of the LSH
+    // machinery...
+    assert(famWindow.findFirstIn(
+      plan(Dedup.minHashLSH(docs, "doc_id", "text"))).isDefined,
+      "routed minHashLSH lost its exact-collapse family stage")
+    assert(famWindow.findFirstIn(
+      plan(Dedup.simHashPairs(docs, "doc_id", "text"))).isDefined,
+      "routed simHashPairs lost its exact-collapse family stage")
+    // ...while the collapsed twins run on duplicate-free representatives
+    // and must NOT pay a second family window
+    assert(famWindow.findFirstIn(
+      plan(Dedup.minHashLSHCollapsed(docs, "doc_id", "text"))).isEmpty,
+      "minHashLSHCollapsed must call the direct path (reps are distinct)")
+    assert(famWindow.findFirstIn(
+      plan(Dedup.simHashPairsCollapsed(docs, "doc_id", "text"))).isEmpty,
+      "simHashPairsCollapsed must call the direct path (reps are distinct)")
+  }
+
   test("collapseExact: one min-id representative per distinct text") {
     val reps = Dedup.collapseExact(docs, "doc_id", "text")
       .select("doc_id", "family_size")
