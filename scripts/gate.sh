@@ -34,6 +34,10 @@ codegen_tripwire() {
 }
 SF_DIR="${1:-/root/testdata/sf0.01}"
 shift || true
+echo "== gate: frozen bench-corpus checksum"
+# round-over-round bench deltas come from frozen/ ONLY — silent drift
+# there would quietly invalidate every cross-round comparison
+python3 scripts/make_frozen.py --check
 OUT_DIR="$(mktemp -d /tmp/graft_gate.XXXXXX)"
 trap 'rm -rf "$OUT_DIR"' EXIT
 echo "== gate: verify battery @ $SF_DIR -> $OUT_DIR"
