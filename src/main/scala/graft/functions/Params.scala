@@ -13,8 +13,11 @@ package graft.functions
   * `render` handles the template subset the reference's SQL fields use:
   * `{# comments #}`, `{% if var %} … {% elif var %} … {% else %} … {% endif %}`
   * (conditions: bare-variable truthiness, `var == 'lit'`, `var != 'lit'`),
-  * then `{{ var }}` substitution. Full Jinja (loops, filters, macros) is
-  * out of scope by design — SQL fields in the corpus never use them.
+  * `{% for item in items %} … {% endfor %}` over comma-separated context
+  * lists (with `loop.index`/`loop.first`/`loop.last`), then `{{ var }}`
+  * substitution with the `default('x')`/`upper`/`lower` filters. The
+  * rest of Jinja (macros, set, compound conditions, other filters) is
+  * out of scope by design and REFUSED loudly — never mis-rendered.
   */
 object Params {
 
@@ -71,9 +74,81 @@ object Params {
   private val IfBlock =
     raw"(?s)\{%\s*if\s+(.*?)\s*%\}(.*?)\{%\s*endif\s*%\}".r
 
-  /** Render the template subset: comments → if-chains → substitution. */
+  private val ForBlock =
+    raw"(?s)\{%\s*for\s+(\w+)\s+in\s+(\w+)\s*%\}(.*?)\{%\s*endfor\s*%\}".r
+
+  /** Expand `{% for item in items %} … {% endfor %}` blocks: the
+    * iterable is a context value holding a comma-separated list (the
+    * string-valued context's list form); each iteration renders the
+    * body RECURSIVELY with `item`, `loop.index` (1-based), `loop.first`
+    * and `loop.last` bound — so `{% if not loop.first %}OR{% endif %}`
+    * separators work, the pattern real LookML/Cube templates use.
+    * Nested `{% for %}` stays outside the subset (refused loudly, like
+    * nested if), and an iterable absent from the context is an error —
+    * Jinja's strict-undefined behavior, not a silent empty loop. */
+  private def expandFor(sql: String, ctx: Map[String, String]): String = {
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      out = ForBlock.replaceAllIn(out, m => {
+        changed = true
+        val (item, iter, body) = (m.group(1), m.group(2), m.group(3))
+        require(raw"\{%\s*for\b".r.findFirstIn(body).isEmpty,
+          s"unsupported template: nested {% for %} blocks are not in the Jinja subset")
+        require(ctx.contains(iter),
+          s"template iterates over undefined variable: $iter")
+        val items = unq(ctx(iter)).split(",").map(_.trim)
+          .filter(_.nonEmpty).toVector
+        java.util.regex.Matcher.quoteReplacement(
+          items.zipWithIndex.map { case (v, i) =>
+            render(body, ctx
+              + (item -> v)
+              + ("loop.index" -> (i + 1).toString)
+              + ("loop.first" -> (if (i == 0) "true" else "false"))
+              + ("loop.last" ->
+                  (if (i == items.size - 1) "true" else "false")))
+          }.mkString)
+      })
+    }
+    out
+  }
+
+  /** `{{ var | filter }}` resolution for the 3-filter subset the real
+    * template corpora use: `default('x')` (missing/empty var → the
+    * literal), `upper`, `lower`. Unknown filters refuse loudly; a bare
+    * `{{ var }}` with no binding passes through untouched (callers
+    * layer contexts — see [[render]]'s substitution contract). */
+  private val VarRef =
+    raw"\{\{\s*([\w.]+)\s*(?:\|\s*(\w+)\s*(?:\(\s*'([^']*)'\s*\))?\s*)?\}\}".r
+
+  private def substitute(sql: String, ctx: Map[String, String]): String =
+    VarRef.replaceAllIn(sql, m => {
+      val (name, filt, arg) =
+        (m.group(1), Option(m.group(2)), Option(m.group(3)))
+      val bound = ctx.get(name)
+      val resolved = filt match {
+        case None => bound
+        case Some("default") =>
+          require(arg.isDefined,
+            "default filter needs a quoted literal argument: " + m.matched)
+          Some(bound.filter(v => unq(v).nonEmpty).getOrElse(arg.get))
+        case Some("upper") => bound.map(_.toUpperCase)
+        case Some("lower") => bound.map(_.toLowerCase)
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"unsupported template filter (not in the Jinja subset): $other")
+      }
+      // unresolved plain references stay verbatim for the next layer
+      java.util.regex.Matcher.quoteReplacement(
+        resolved.getOrElse(m.matched))
+    })
+
+  /** Render the template subset: comments → for-loops → if-chains →
+    * filtered substitution. */
   def render(sql: String, ctx: Map[String, String]): String = {
     var out = raw"(?s)\{#.*?#\}".r.replaceAllIn(sql, "")
+    out = expandFor(out, ctx)
     // innermost-last if-blocks resolve in a loop (no nesting inside one
     // match because .*? stops at the first endif)
     var changed = true
@@ -101,15 +176,11 @@ object Params {
           }.getOrElse(""))
       })
     }
-    // anything {% ... %} still standing is an unmatched endif or a
-    // construct (for/macro/…) outside the subset — refuse, don't emit
+    // anything {% ... %} still standing is an unmatched endif/endfor or
+    // a construct (macro/set/…) outside the subset — refuse, don't emit
     require(raw"\{%".r.findFirstIn(out).isEmpty,
       s"unsupported template: unmatched or unsupported {% ... %} block: $out")
-    // {{ var }} substitution
-    ctx.foldLeft(out) { case (acc, (k, v)) =>
-      acc.replaceAll(raw"\{\{\s*" + java.util.regex.Pattern.quote(k) + raw"\s*\}\}",
-        java.util.regex.Matcher.quoteReplacement(v))
-    }
+    substitute(out, ctx)
   }
 
   def isTemplate(sql: String): Boolean =

@@ -86,6 +86,52 @@ class ParamsSpec extends AnyFunSuite {
     }
   }
 
+  test("jinja subset: for loops with loop bindings (mirrors the " +
+      "reference's test_template_with_loop)") {
+    // the reference's canonical loop case, verbatim template
+    assert(Params.render(
+      "id IN ({% for id in ids %}{{ id }}{% if not loop.last %}, " +
+        "{% endif %}{% endfor %})",
+      Map("ids" -> "1,2,3")) == "id IN (1, 2, 3)")
+    // loop.first separators and 1-based loop.index
+    assert(Params.render(
+      "{% for c in cols %}{% if not loop.first %} AND {% endif %}" +
+        "{{ c }} = {{ loop.index }}{% endfor %}",
+      Map("cols" -> "a,b")) == "a = 1 AND b = 2")
+    // an if around the loop still resolves
+    assert(Params.render(
+      "{% if go %}({% for x in xs %}{{ x }};{% endfor %}){% endif %}",
+      Map("go" -> "true", "xs" -> "p, q")) == "(p;q;)")
+    // nested for is refused, not mis-paired
+    intercept[IllegalArgumentException] {
+      Params.render(
+        "{% for x in xs %}{% for y in xs %}z{% endfor %}{% endfor %}",
+        Map("xs" -> "1"))
+    }
+  }
+
+  test("jinja subset: default/upper/lower filters (mirrors the " +
+      "reference's test_template_with_filters)") {
+    assert(Params.render("SELECT {{ col | upper }}",
+      Map("col" -> "name")) == "SELECT NAME")
+    assert(Params.render("{{ col | lower }}",
+      Map("col" -> "NAME")) == "name")
+    assert(Params.render("{{ region | default('all') }}",
+      Map.empty) == "all")
+    assert(Params.render("{{ region | default('all') }}",
+      Map("region" -> "emea")) == "emea")
+    // filters outside the subset refuse loudly
+    intercept[IllegalArgumentException] {
+      Params.render("{{ col | trim }}", Map("col" -> "x"))
+    }
+    // dict iteration (.items()) is outside the subset — refused, since
+    // the for-matcher only binds a single loop variable over a name
+    intercept[IllegalArgumentException] {
+      Params.render("{% for k, v in m.items() %}{{ k }}{% endfor %}",
+        Map("m" -> "x"))
+    }
+  }
+
   test("declared typed parameter quotes itself; injection value returns no rows") {
     spark.sql(
       """SELECT * FROM VALUES (1, 'pending', 10.0), (2, 'completed', 20.0),
