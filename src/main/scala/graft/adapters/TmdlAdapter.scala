@@ -34,6 +34,11 @@ import graft.model._
   *     time_comparison (prior period) — including when the CALCULATE is
   *     bound through a simple `VAR x = … RETURN x`
   *   - `TOTALYTD/QTD/MTD(agg, col)` → cumulative with grain_to_date
+  *   - `CALCULATE(base, FILTER('T', pred))` over the SAME table with a
+  *     translatable predicate → metric-level filters (r15)
+  *   - `SWITCH(TRUE(), c, r, …[, else])` / `SWITCH(expr, v, r, …)` →
+  *     CASE; `ISBLANK(x)` → `x IS NULL`; `BLANK()` → NULL; DAX
+  *     double-quoted strings requote as SQL literals (r15)
   * Only measures outside that subset (RANKX, cross-table filters, table
   * constructors in non-IN position, multi-VAR bodies, …) fall back to
   * NON-PUBLIC derived stubs carrying their DAX verbatim (round-trip
@@ -384,7 +389,15 @@ object TmdlAdapter {
       }
       case Some((fn, _)) if ToDateFns.contains(fn) =>
         Some(GrainToDate(ToDateFns(fn)))
-      case Some(_) => None // FILTER/ALL/… — not representable per-metric
+      // FILTER('T', pred) over the SAME table with a translatable
+      // predicate is exactly a boolean filter arg with extra steps —
+      // the most common CALCULATE table-expression in real TMDL estates
+      case Some(("filter", args)) => splitArgs(args) match {
+        case Seq(t, pred) if unquote(t) == table =>
+          daxPredicate(pred, table).map(Pred.apply)
+        case _ => None
+      }
+      case Some(_) => None // ALL/ALLEXCEPT/… — not representable per-metric
       case None => daxPredicate(arg, table).map(Pred.apply)
     }
 
@@ -482,7 +495,8 @@ object TmdlAdapter {
   private def containsDaxOnly(s: String): Boolean =
     (raw"(?i)\b(CALCULATE|CALCULATETABLE|VAR|RETURN|FILTER|ALL|ALLEXCEPT|" +
       raw"SAMEPERIODLASTYEAR|DATESYTD|DATESMTD|DATEADD|DATESINPERIOD|" +
-      raw"SUMMARIZE|SUMMARIZECOLUMNS|SELECTEDVALUE|SWITCH|RELATED|" +
+      // SWITCH deliberately absent: daxToSql lowers it to CASE (r15)
+      raw"SUMMARIZE|SUMMARIZECOLUMNS|SELECTEDVALUE|RELATED|" +
       raw"RELATEDTABLE|RANKX|EARLIER|FORMAT|USERELATIONSHIP|TREATAS|" +
       raw"SUMX|AVERAGEX|MINX|MAXX|COUNTX|CONCATENATEX|TOPN|VALUES|" +
       raw"ISFILTERED|HASONEVALUE|TOTALYTD|TOTALMTD|TOTALQTD)\b")
@@ -546,6 +560,35 @@ object TmdlAdapter {
         }
       }
     }
+    // DAX double-quoted string literals → SQL single-quoted (DAX
+    // reserves "" for strings; identifiers use ''/[] — already rewritten
+    // above, so every surviving double quote IS a string literal)
+    s = raw""""([^"]*)"""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "'" + m.group(1).replace("'", "''") + "'"))
+    // SWITCH → CASE (both forms: SWITCH(TRUE(), cond, res, …[, else])
+    // and SWITCH(expr, val, res, …[, else]))
+    s = rewriteCalls(s, "switch", args => {
+      if (args.length < 3) None
+      else {
+        val rest = args.tail
+        val hasElse = rest.length % 2 == 1
+        val pairs = rest.dropRight(if (hasElse) 1 else 0).grouped(2).toSeq
+        val els = if (hasElse) s" ELSE ${rest.last}" else ""
+        if (raw"(?i)^\s*TRUE\s*\(\s*\)\s*$$".r.matches(args.head))
+          Some(pairs.map { case Seq(c, r) => s"WHEN $c THEN $r" }
+            .mkString("CASE ", " ", els + " END"))
+        else
+          Some(pairs.map { case Seq(v, r) => s"WHEN $v THEN $r" }
+            .mkString(s"CASE ${args.head} ", " ", els + " END"))
+      }
+    }).getOrElse(return None)
+    // ISBLANK(x) → ((x) IS NULL); BLANK() → NULL
+    s = rewriteCalls(s, "isblank", {
+      case Seq(a) => Some(s"(($a) IS NULL)")
+      case _ => None
+    }).getOrElse(return None)
+    s = raw"(?i)\bBLANK\s*\(\s*\)".r.replaceAllIn(s, "NULL")
     // COUNTROWS(Table) → COUNT(*)
     s = (raw"(?i)\bCOUNTROWS\s*\(\s*(?:'$tq'|$tq)\s*\)").r
       .replaceAllIn(s, "COUNT(*)")
@@ -553,5 +596,40 @@ object TmdlAdapter {
     s = raw"(?i)\bAVERAGE\s*\(".r.replaceAllIn(s, "AVG(")
     s = raw"(?i)\bDISTINCTCOUNT\s*\(".r.replaceAllIn(s, "COUNT(DISTINCT ")
     Some(s.replaceAll(raw"\s+", " ").trim)
+  }
+
+  /** Rewrite every `fn(…)` call in `s` through `build` (case-
+    * insensitive, balanced-paren arg extraction, top-level-comma arg
+    * split). Re-scans after each replacement, so nested calls resolve
+    * inner-to-outer. None when any occurrence fails to build — the
+    * caller then keeps the measure as an opaque fidelity-noted stub
+    * rather than emitting half-translated SQL. */
+  private def rewriteCalls(s0: String,
+      fn: String, build: Seq[String] => Option[String]): Option[String] = {
+    val callRe = (raw"(?i)(?<![\w])" + fn + raw"\s*\(").r
+    var s = s0
+    var guard = 0
+    var m = callRe.findFirstMatchIn(s)
+    while (m.isDefined && guard < 64) {
+      guard += 1
+      val open = m.get.end - 1
+      var depth = 0; var i = open; var close = -1
+      while (i < s.length && close < 0) {
+        s(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (close < 0) return None
+      build(splitArgs(s.substring(open + 1, close))) match {
+        case None => return None
+        case Some(rep) =>
+          s = s.substring(0, m.get.start) + rep + s.substring(close + 1)
+      }
+      m = callRe.findFirstMatchIn(s)
+    }
+    if (m.isDefined) None else Some(s)
   }
 }
