@@ -408,4 +408,103 @@ object MediaExprs {
     override protected def withNewChildInternal(newChild: Expression): SniffMedia =
       copy(child = newChild)
   }
+
+  /** `graft_average_hash(array<float|double>)` → 64-bit average-hash
+    * perceptual fingerprint: bit i is set when cell i of the (row-major,
+    * ≤64-cell) downsampled luma grid sits ABOVE the grid mean. The
+    * classic aHash — invariant to uniform brightness/contrast shifts and
+    * to the high-frequency noise lossy recompression introduces, which
+    * is exactly what an image-level near-dup key needs (a JPEG re-save
+    * of a PNG keeps its fingerprint; a different picture does not).
+    *
+    * The DECODE (pixels → luma grid) lives in
+    * [[graft.ops.Multimodal.imageLumaGrid]] behind `mapPartitions`
+    * (a codec cannot be a Catalyst expression); this kernel is the
+    * grid → fingerprint step, a tight two-pass loop that stays inside
+    * whole-stage codegen like every [[VectorExprs]] kernel. NULL for
+    * null/empty/oversized grids or null cells — never an exception.
+    */
+  case class AverageHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_average_hash"
+
+    @transient private lazy val elem =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double> input, got ${t.sql}")
+      }
+
+    private def get(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        i: Int): Double = elem match {
+      case FloatType => a.getFloat(i).toDouble
+      case _ => a.getDouble(i)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = a.numElements()
+      if (n == 0 || n > 64) return null
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        sum += get(a, i)
+        i += 1
+      }
+      val mean = sum / n
+      var bits = 0L
+      i = 0
+      while (i < n) {
+        if (get(a, i) > mean) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val sum = ctx.freshName("sum")
+        val mean = ctx.freshName("mean")
+        val bits = ctx.freshName("bits")
+        val bad = ctx.freshName("bad")
+        val getter = elem match {
+          case FloatType => s"(double) $a.getFloat"
+          case _ => s"$a.getDouble"
+        }
+        s"""
+           |final int $n = $a.numElements();
+           |if ($n == 0 || $n > 64) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $sum = 0.0;
+           |  boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i)) { $bad = true; break; }
+           |    $sum += $getter($i);
+           |  }
+           |  if ($bad) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    final double $mean = $sum / $n;
+           |    long $bits = 0L;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      if ($getter($i) > $mean) $bits |= 1L << $i;
+           |    }
+           |    ${ev.value} = $bits;
+           |  }
+           |}
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): AverageHash =
+      copy(child = newChild)
+  }
 }

@@ -388,4 +388,155 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("content"),
       lit("image").as("media_type"),
       lit(null).cast(mediaSchema("meta").dataType).as("meta"))
+
+  // ------------------------------------------------- image near-dup dedup
+
+  /** splitmix64 — deterministic 64-bit mix, identical on every JVM (no
+    * library hash whose seed could drift between versions). */
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic 16×16 block-pattern image per id: the 8×8 grid of
+    * 2×2-pixel blocks renders bit i of `mix64(id)` as bright (200) or
+    * dark (55) — so two DIFFERENT ids are ~32 aHash bits apart (random
+    * 64-bit fingerprints) while any re-encode of the SAME id stays at
+    * hamming ≈ 0. `format` picks the codec ("png" lossless, "jpg" a
+    * REAL lossy recompression — the classic near-dup pair a crawl
+    * corpus carries); `idOffset` shifts the emitted media_id so planted
+    * twins don't collide with their originals. Batched per partition
+    * like every codec stage. */
+  def syntheticPatternImage(df: DataFrame, idCol: String,
+      format: String = "png", idOffset: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    val projected = df.select(col(idCol).cast("long").as("media_id"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bits = mix64(id)
+        val im = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val block = (y / 2) * 8 + (x / 2)
+            val luma = if (((bits >>> block) & 1L) == 1L) 200 else 55
+            im.setRGB(x, y, (luma << 16) | (luma << 8) | luma)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(im, format, bos)
+        Row(id + idOffset, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** (media_id, width, height, grid) per image: `gridSize`² cell-mean
+    * luma values (row-major floats in [0, 255]) — the decode front of
+    * [[imageNearDupPairs]], and the ONLY stage that touches pixels.
+    * Undecodable bytes yield a NULL grid (observable, like the WARC
+    * front's corrupt-gzip contract — a 100 TB scan must not fail on one
+    * bad object). Cell ranges clamp to ≥1 source pixel so images
+    * smaller than the grid still fingerprint. */
+  def imageLumaGrid(df: DataFrame, idCol: String, binCol: String,
+      gridSize: Int = 8): DataFrame = {
+    require(gridSize >= 1 && gridSize * gridSize <= 64,
+      s"gridSize² must fit a 64-bit fingerprint, got $gridSize")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("grid", ArrayType(FloatType))))
+    val g = gridSize
+    val projected = df.select(col(idCol).cast("long").as("media_id"), col(binCol))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: Exception => None }
+        img match {
+          case None => Row(r.getLong(0), null, null, null)
+          case Some(im) =>
+            val w = im.getWidth; val h = im.getHeight
+            val grid = new Array[Float](g * g)
+            var gy = 0
+            while (gy < g) {
+              val y0 = gy * h / g
+              val y1 = math.max(y0 + 1, (gy + 1) * h / g)
+              var gx = 0
+              while (gx < g) {
+                val x0 = gx * w / g
+                val x1 = math.max(x0 + 1, (gx + 1) * w / g)
+                var sum = 0.0; var n = 0L
+                var y = y0
+                while (y < y1 && y < h) {
+                  var x = x0
+                  while (x < x1 && x < w) {
+                    val rgb = im.getRGB(x, y)
+                    sum += 0.299 * ((rgb >> 16) & 0xff) +
+                      0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                    n += 1; x += 1
+                  }
+                  y += 1
+                }
+                grid(gy * g + gx) = if (n == 0) 0f else (sum / n).toFloat
+                gx += 1
+              }
+              gy += 1
+            }
+            Row(r.getLong(0), w, h, grid.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Average-hash column over a luma grid
+    * ([[graft.functions.MediaExprs.AverageHash]] — codegen'd kernel). */
+  def averageHash(grid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MediaExprs.AverageHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(grid)))
+
+  /** Image-content near-duplicate pairs — the multimodal analog of
+    * [[Dedup.simHashPairs]]: decode each image ONCE to a `gridSize`²
+    * cell-mean luma grid ([[imageLumaGrid]] — the only pixel pass),
+    * fingerprint with the codegen'd average-hash kernel (robust to
+    * recompression, format conversion and uniform brightness shifts),
+    * then find pairs within `maxDistance` Hamming via the SAME
+    * pigeonhole blocking + block-cap machinery the text SimHash path
+    * uses ([[Dedup.hammingBandedPairs]] — never all-pairs, skew-capped,
+    * adaptive parallelism pins).
+    *
+    * Undecodable images have a null fingerprint and simply produce no
+    * pairs (their count is observable via [[imageLumaGrid]]).
+    *
+    * `pinMinBytes` gates the pair-stage pins on the BINARY corpus size,
+    * whose bytes are payload-dominated — hence a higher default than
+    * the text family's (image count, not byte count, drives pair CPU).
+    *
+    * Output: (id_a, id_b, hamming ≤ maxDistance), id_a < id_b. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxDistance: Int = 6, maxBlockSize: Int = 1000, gridSize: Int = 8,
+      pinMinBytes: Long = 64L << 20): DataFrame = {
+    val sigs = imageLumaGrid(df, idCol, binCol, gridSize)
+      .filter(col("grid").isNotNull)
+      .select(col("media_id").as("id"), averageHash(col("grid")).as("sig"))
+      .filter(col("sig").isNotNull)
+    Dedup.hammingBandedPairs(Dedup.sigChunks(sigs, maxDistance),
+      maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes))
+  }
 }
