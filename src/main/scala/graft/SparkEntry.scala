@@ -27,11 +27,25 @@ object SparkEntry {
     * pass re-compose plans the cache had already built. The catalog is
     * immutable and `Generator.plan` is synchronized, so sharing one
     * instance across sequential battery passes is safe. */
+  private val MaxGen = 8
   private val genCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Generator]
+    new java.util.LinkedHashMap[(SparkSession, String), Generator](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), Generator]): Boolean =
+        size > MaxGen
+    }
   private def gen(s: SparkSession, dir: String): Generator =
-    genCache.computeIfAbsent((s, dir),
-      _ => new Generator(s, TpchCatalog.build(dir)))
+    genCache.synchronized {
+      // a long-lived host that creates many sessions must not retain a
+      // stopped session (and its Generator/plan cache) forever: purge
+      // dead-session entries on every access, and LRU-bound the rest —
+      // the memoization only needs to survive sequential battery passes
+      val it = genCache.keySet.iterator
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      genCache.computeIfAbsent((s, dir),
+        _ => new Generator(s, TpchCatalog.build(dir)))
+    }
 
   private def q(s: SparkSession, dir: String)(query: SemanticQuery): DataFrame =
     gen(s, dir).plan(query)
@@ -289,6 +303,20 @@ object SparkEntry {
       dimensions = Seq("orders.orderstatus"),
       filters = Seq("orders.orderpriority = '{{prio}}'"),
       parameters = Map("prio" -> "1-URGENT"),
+      orderBy = Seq("orderstatus")))),
+
+    // the round-15 Jinja-subset extension under the oracle: a {% for %}
+    // loop builds the IN list (loop.last separator — the reference's
+    // canonical loop shape) and an UNBOUND parameter falls back through
+    // `| default('3-MEDIUM')`
+    "q_parameter_loop" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus"),
+      filters = Seq(
+        "orders.orderpriority IN ({% for p in prios %}'{{ p }}'" +
+          "{% if not loop.last %}, {% endif %}{% endfor %})",
+        "orders.orderpriority != '{{ excl | default('3-MEDIUM') }}'"),
+      parameters = Map("prios" -> "1-URGENT,2-HIGH,3-MEDIUM"),
       orderBy = Seq("orderstatus")))),
 
     "q_bool_dimension" -> ((s, d) => q(s, d)(SemanticQuery(
@@ -1222,12 +1250,17 @@ object SparkEntry {
           |    measure total_sales = SUM(Sales[Amount])
           |    measure sales_ytd = TOTALYTD(SUM(Sales[Amount]), Sales[OrderDate])
           |    measure sales_ly = CALCULATE([total_sales], SAMEPERIODLASTYEAR(Sales[OrderDate]))
+          |    measure big_sales = CALCULATE(SUM(Sales[Amount]), FILTER(Sales, Sales[Amount] > 50000))
+          |    measure sales_tier = SWITCH(TRUE(), [total_sales] > 50000000, "high", [total_sales] > 30000000, "mid", "low")
+          |    measure safe_ratio = IF(ISBLANK([total_sales]), BLANK(), DIVIDE([big_sales], [total_sales]))
           |""".stripMargin), resolve)
       val cat = graft.model.Catalog().add(imp.models: _*)
-      new Generator(s, cat).plan(SemanticQuery(
-        metrics = Seq("Sales.total_sales", "Sales.sales_ytd", "Sales.sales_ly"),
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("Sales.total_sales", "Sales.sales_ytd",
+          "Sales.sales_ly", "Sales.big_sales", "Sales.sales_tier",
+          "Sales.safe_ratio"),
         dimensions = Seq("Sales.OrderDate__month"),
-        orderBy = Seq("OrderDate__month")))
+        orderBy = Seq("OrderDate__month"))), "safe_ratio")
     }),
 
     // fourteenth external adapter: ThoughtSpot model TML — flattened
@@ -2090,6 +2123,24 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       asLong(Dedup.simHashPairs(docs(s, d), "doc_id", "text", maxDistance = 3)
         .orderBy("id_a", "id_b"), "hamming")),
+
+    // image-content near-dup (round 15): PNG originals + their JPEG
+    // re-saves (the classic crawl-corpus recompressed twin) must pair by
+    // perceptual average-hash — and ONLY with their own twin (distinct
+    // pattern images are ~32 hamming bits apart by construction). The
+    // oracle derives the expected pair set from the planting rule; the
+    // hamming value itself stays out of the gate (JPEG quantization is
+    // codec-version-dependent, retrieval is the contract)
+    "q_image_neardup" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 40).select(col("doc_id"))
+      val orig = ops.Multimodal.syntheticPatternImage(base, "doc_id", "png")
+      val twins = ops.Multimodal.syntheticPatternImage(base, "doc_id", "jpg",
+        idOffset = 100000L)
+      ops.Multimodal.imageNearDupPairs(orig.unionByName(twins),
+          "media_id", "content")
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
 
     // collapse-first simhash twin (planted exact copies, as the other
     // collapsed gates): pairs among distinct texts with family sizes
@@ -3677,7 +3728,7 @@ object SparkEntry {
         .when(m === 2, concat(lit("http://example.com/p/"), id,
           lit("?utm_a=1&utm_b=2")))
         .when(m === 3, concat(lit("http://example.com:8080/p/"), id,
-          lit("?z=1&y=2&gclid=abc")))
+          lit("?z=1&&y=2&gclid=abc&")))
         .when(m === 4, concat(lit("  https://mirror.example.com/x/"), id,
           lit("?  ")))
         .otherwise(concat(lit("not a url "), id))
@@ -4039,6 +4090,14 @@ object SparkEntry {
       """SELECT o_orderstatus AS orderstatus,
         |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_parameter_loop" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |  AND o_orderpriority != '3-MEDIUM'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bool_dimension" ->
@@ -4659,9 +4718,18 @@ object SparkEntry {
         |  sum(total_sales) OVER (PARTITION BY date_trunc('year', OrderDate__month)
         |    ORDER BY OrderDate__month
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sales_ytd,
-        |  lag(total_sales, 12) OVER (ORDER BY OrderDate__month) AS sales_ly
+        |  lag(total_sales, 12) OVER (ORDER BY OrderDate__month) AS sales_ly,
+        |  big_sales,
+        |  CASE WHEN total_sales > 50000000 THEN 'high'
+        |       WHEN total_sales > 30000000 THEN 'mid'
+        |       ELSE 'low' END AS sales_tier,
+        |  round(CAST(CASE WHEN total_sales IS NULL THEN NULL
+        |        ELSE big_sales / NULLIF(total_sales, 0) END AS DOUBLE), 4)
+        |    AS safe_ratio
         |FROM (SELECT date_trunc('month', o_orderdate) AS OrderDate__month,
-        |        sum(cast(o_totalprice as decimal(18,2))) AS total_sales
+        |        sum(cast(o_totalprice as decimal(18,2))) AS total_sales,
+        |        sum(CASE WHEN cast(o_totalprice as decimal(18,2)) > 50000
+        |            THEN cast(o_totalprice as decimal(18,2)) END) AS big_sales
         |      FROM orders GROUP BY 1)
         |ORDER BY 1""".stripMargin,
 
@@ -5375,6 +5443,11 @@ object SparkEntry {
         |(458, 462, 0.9828))
         |t(id_a, id_b, jaccard)""".stripMargin,
 
+    "q_image_neardup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a,
+        |       CAST(doc_id + 100000 AS BIGINT) AS id_b
+        |FROM documents WHERE doc_id < 40 ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_minhash_collapsed" ->
       """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(jaccard AS DOUBLE) AS jaccard, CAST(dups_a AS BIGINT) AS dups_a, CAST(dups_b AS BIGINT) AS dups_b
         |FROM (VALUES
@@ -6062,7 +6135,7 @@ object SparkEntry {
         |      WHEN 2 THEN 'http://example.com/p/' || doc_id
         |                  || '?utm_a=1&utm_b=2'
         |      WHEN 3 THEN 'http://example.com:8080/p/' || doc_id
-        |                  || '?z=1&y=2&gclid=abc'
+        |                  || '?z=1&&y=2&gclid=abc&'
         |      WHEN 4 THEN '  https://mirror.example.com/x/' || doc_id
         |                  || '?  '
         |      ELSE 'not a url ' || doc_id END AS url
@@ -6088,11 +6161,12 @@ object SparkEntry {
         |           '(?:^|&)(?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*',
         |           '', 'g'), '^&', '') AS cleaned
         |       FROM s5),
-        |s7 AS (SELECT *, array_to_string(list_sort(string_split(cleaned,
-        |         '&')), '&') AS sortedq FROM s6),
+        |s7 AS (SELECT *, array_to_string(list_sort(list_filter(
+        |         string_split(cleaned, '&'), s -> length(s) > 0)), '&')
+        |         AS sortedq FROM s6),
         |c AS (SELECT doc_id, url,
         |        CASE WHEN strpos(noport, '?') = 0 THEN noport
-        |             WHEN length(cleaned) > 0 THEN base || '?' || sortedq
+        |             WHEN length(sortedq) > 0 THEN base || '?' || sortedq
         |             WHEN length(q) > 0 THEN base
         |             ELSE substring(noport, 1, length(noport) - 1)
         |        END AS canonical
