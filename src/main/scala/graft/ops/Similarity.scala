@@ -389,7 +389,8 @@ object Similarity {
     * loss on a real cluster would fail the job instead of recomputing). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.4, bands: Int = 16, planesPerBand: Int = 0,
-      dim: Int = 64, seed: Int = 42, maxBucketSize: Int = 1000): DataFrame = {
+      dim: Int = 64, seed: Int = 42, maxBucketSize: Int = 1000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
     val p =
       if (planesPerBand > 0) planesPerBand
       else {
@@ -402,18 +403,24 @@ object Similarity {
     val rawKeys = fronted.select(col("id"),
       posexplode(col("__buckets")).as(Seq("__band", "__bucket")))
     val keyed = capBuckets(rawKeys, maxBucketSize, dropSingletons = true)
-    // NO parallelism pin here, deliberately (unlike Dedup.minHashLSH —
-    // see [[PairPins]]): this family's join rows carry the bucket-
-    // signature ARRAY and, at verify, dim-wide vectors, so partition
-    // bytes track partition CPU and AQE's byte-based coalescing sizes
-    // these stages correctly on its own. Measured (round-15 A/B,
-    // identical corpus): pins were 2–3x SLOWER at sf0.1/sf1 (0.90 s →
-    // 2.76 s) and neutral at the replica-dense sf10 (66.8 vs 65.3 s)
-    val cand = keyed
-      .join(keyed.select(col("id").as("id_b"), col("__band"), col("__bucket")),
-        Seq("__band", "__bucket"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
+    // ADAPTIVE parallelism pins ([[PairPins]]) — the round-15 A/B on the
+    // identical corpus measured BOTH failure modes: unconditional pins
+    // were 2–3x slower at sf0.1/sf1 (0.90 s → 2.76 s, fixed exchange
+    // cost), and NO pins melted down on the candidate-dense sf10 slice
+    // (65.3 s pinned → 354 s unpinned — AQE packed the b²-pair
+    // generation and the gate/verify joins into a handful of reducers).
+    // So the pin engages only above the input-size gate, exactly like
+    // the text family.
+    val pairPar = PairPins.pairPar(df, pinMinBytes)
+    val spreadKeys = PairPins.spread(keyed, pairPar,
+      col("__band"), col("__bucket"))
+    val cand = PairPins.spread(
+      spreadKeys
+        .join(spreadKeys.select(col("id").as("id_b"), col("__band"),
+          col("__bucket")), Seq("__band", "__bucket"))
+        .filter(col("id") < col("id_b"))
+        .select(col("id").as("id_a"), col("id_b")),
+      pairPar, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Signature-agreement pre-gate (the DedupIndex estimate-then-verify
     // trick, on bits this operator already computed): per candidate
@@ -436,15 +443,17 @@ object Similarity {
     val sAtT = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
     val nbits = (bands * p).toDouble
     val gate = sAtT - 3.0 * math.sqrt(sAtT * (1 - sAtT) / nbits)
-    val gated = cand
-      .join(fronted.select(col("id").as("id_a"),
-        col("__buckets").as("__sa")), "id_a")
+    val gated = PairPins.spread(
+      PairPins.spread(cand, pairPar, col("id_a"))
+        .join(fronted.select(col("id").as("id_a"),
+          col("__buckets").as("__sa")), "id_a"),
+      pairPar, col("id_b"))
       .join(fronted.select(col("id").as("id_b"),
         col("__buckets").as("__sb")), "id_b")
       .filter(VectorExprs.bitAgreement(col("__sa"), col("__sb"), p) >=
         lit(gate * nbits))
       .select("id_a", "id_b")
-    cosineVerify(df, idCol, vecCol, gated)
+    cosineVerify(df, idCol, vecCol, gated, pairPar)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -493,18 +502,21 @@ object Similarity {
     * order was partition-dependent. Returns (id_a, id_b, cosine),
     * unfiltered. */
   private[ops] def cosineVerify(df: DataFrame, idCol: String,
-      vecCol: String, cand: DataFrame): DataFrame = {
+      vecCol: String, cand: DataFrame, pairPar: Int = 0): DataFrame = {
     val vecs = df.select(col(idCol).as("__vid"),
         asDouble(col(vecCol)).as("__vv"))
       .withColumn("__nrm", VectorExprs.l2norm(col("__vv")))
-    // no parallelism pins: every row past the first join carries a
-    // dim-wide vector, so AQE's byte-based reducer sizing tracks the
-    // dot-product CPU on its own (see the candidate-stage note in
-    // cosineNearDupPairs and [[PairPins]]; pinning here measured 2–3x
-    // slower at sf0.1/sf1, neutral at sf10, and dragged semDedup down)
-    cand
-      .join(vecs.select(col("__vid").as("id_a"), col("__vv").as("__va"),
-        col("__nrm").as("__na")), Seq("id_a"))
+    // adaptive parallelism pins, inherited from the caller's input-size
+    // decision ([[PairPins]]; 0 = off): candidate rows are byte-small
+    // until the vectors attach, and on candidate-dense corpora AQE's
+    // byte-based sizing under-parallelized the dot-product stage (the
+    // round-15 sf10 A/B: 65 s pinned vs 354 s unpinned), while below
+    // the gate the pins' fixed exchange cost dominated (2–3x at sf0.1)
+    PairPins.spread(
+      PairPins.spread(cand, pairPar, col("id_a"))
+        .join(vecs.select(col("__vid").as("id_a"), col("__vv").as("__va"),
+          col("__nrm").as("__na")), Seq("id_a")),
+      pairPar, col("id_b"))
       .join(vecs.select(col("__vid").as("id_b"), col("__vv").as("__vb"),
         col("__nrm").as("__nb")), Seq("id_b"))
       .withColumn("cosine",
@@ -557,7 +569,10 @@ object Similarity {
         Seq("__cell"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val dropped = cosineVerify(df, idCol, vecCol, cand)
+    // verify inherits the adaptive pin decision from the corpus size
+    // (same contract as cosineNearDupPairs — see [[PairPins]])
+    val dropped = cosineVerify(df, idCol, vecCol, cand,
+      PairPins.pairPar(df, PairPins.DefaultMinBytes))
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("dup_of"))

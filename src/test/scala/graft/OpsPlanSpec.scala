@@ -259,14 +259,22 @@ class OpsPlanSpec extends AnyFunSuite {
       s"simHashPairs pinned a small corpus:\n$sim")
   }
 
-  test("the embedding pair family carries NO parallelism pins (its " +
-      "rows are byte-heavy, so AQE sizes the stages correctly)") {
+  test("the embedding pair family pins adaptively: OFF below the size " +
+      "gate, ON above it (both failure modes are measured — see " +
+      "PairPins)") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").limit(400)
-    val plan = finalPlan(graft.ops.Similarity.cosineNearDupPairs(
+    // tiny input → the pins' fixed exchange cost must NOT be paid
+    // (2-3x at sf0.1 on the identical corpus)
+    val small = finalPlan(graft.ops.Similarity.cosineNearDupPairs(
       emb, "vec_id", "embedding", threshold = 0.8))
-    assert(!plan.contains("REPARTITION_BY_NUM"),
-      s"cosineNearDupPairs re-grew a pin (measured 2-3x slower at " +
-        s"sf0.1/sf1, neutral at sf10):\n$plan")
+    assert(!small.contains("REPARTITION_BY_NUM"),
+      s"cosineNearDupPairs pinned a small corpus:\n$small")
+    // forced-pin branch → the candidate/gate/verify stages must carry
+    // the pinned width (sf10 unpinned melted down 65 s → 354 s)
+    val pinned = finalPlan(graft.ops.Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.8, pinMinBytes = 0L))
+    assert("REPARTITION_BY_NUM".r.findAllIn(pinned).size >= 3,
+      s"cosineNearDupPairs lost its above-gate pins:\n$pinned")
   }
 }
