@@ -117,6 +117,16 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, maxBucketSize: Int = 1000,
       pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
+    // ONE size gate drives both levers ([[PairPins]]): below it the
+    // direct unpinned r13 shape runs (a small corpus's pair space is
+    // bounded, and the routing's family window + expansion joins cost
+    // more than they save — measured ~+1.2 s at sf0.1); above it the
+    // collapse-routed, pinned shape runs. Output is identical wherever
+    // exact duplicates are absent; the routed deviations (scaladoc
+    // above) engage only at the scale that needs them.
+    if (PairPins.pairPar(df, pinMinBytes) == 0)
+      return minHashLSHDirect(df, idCol, textCol, shingleSize, numHashes,
+        bands, threshold, maxBucketSize, pinMinBytes)
     val (reps, members) = familyRoute(df, idCol, textCol, maxBucketSize)
     val repPairs = minHashLSHDirect(reps, idCol, textCol, shingleSize,
       numHashes, bands, threshold, maxBucketSize, pinMinBytes)
@@ -124,13 +134,15 @@ object Dedup {
       keepIntra = threshold <= 1.0)
   }
 
-  /** The exact-family frame behind the routed pair-formers: tags every
-    * non-null-text row with its family representative (min id — ONE
-    * content-keyed aggregate window, no sort) and returns
-    * (representatives with text, member map capped at `maxFamily`).
+  /** The exact-family frame behind the routed pair-formers (generic
+    * over any groupable content column — text for minhash/simhash,
+    * `array<float>` embeddings for [[Similarity.cosineNearDupPairs]]):
+    * tags every non-null-content row with its family representative
+    * (min id — ONE content-keyed aggregate window, no sort) and returns
+    * (representatives with content, member map capped at `maxFamily`).
     * Families above the cap are represented by their rep alone — the
     * expansion-side quadratic guard. */
-  private def familyRoute(df: DataFrame, idCol: String, textCol: String,
+  private[ops] def familyRoute(df: DataFrame, idCol: String, textCol: String,
       maxFamily: Int): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col(textCol))
     val tagged = df.select(col(idCol), col(textCol))
@@ -152,7 +164,7 @@ object Dedup {
     * `least`/`greatest` restore the id_a < id_b contract. The work here
     * is linear in the EMITTED pair set — the unavoidable output cost —
     * never in candidate space. */
-  private def expandFamilyPairs(repPairs: DataFrame, members: DataFrame,
+  private[ops] def expandFamilyPairs(repPairs: DataFrame, members: DataFrame,
       scoreCol: String, intraScore: Column, keepIntra: Boolean): DataFrame = {
     val inter = repPairs
       .join(members.select(col("__rep").as("id_a"), col("__m").as("__ma")),
@@ -305,10 +317,13 @@ object Dedup {
       maxDistance: Int = 3, maxBlockSize: Int = 1000,
       pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
     // COLLAPSE-ROUTED like [[minHashLSH]] (same rationale, same
-    // deviations): pairs are searched among distinct texts, then
-    // expanded — identical texts have identical 64-bit signatures, so
-    // inter-family pairs inherit the rep hamming exactly and
-    // intra-family pairs are hamming 0 by construction
+    // deviations, same single size gate): pairs are searched among
+    // distinct texts, then expanded — identical texts have identical
+    // 64-bit signatures, so inter-family pairs inherit the rep hamming
+    // exactly and intra-family pairs are hamming 0 by construction
+    if (PairPins.pairPar(df, pinMinBytes) == 0)
+      return simHashPairsDirect(df, idCol, textCol, maxDistance,
+        maxBlockSize, pinMinBytes)
     val (reps, members) = familyRoute(df, idCol, textCol, maxBlockSize)
     val repPairs = simHashPairsDirect(reps, idCol, textCol, maxDistance,
       maxBlockSize, pinMinBytes)

@@ -391,6 +391,41 @@ object Similarity {
       threshold: Double = 0.4, bands: Int = 16, planesPerBand: Int = 0,
       dim: Int = 64, seed: Int = 42, maxBucketSize: Int = 1000,
       pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
+    // COLLAPSE-ROUTED like Dedup.minHashLSH (round 15): an identical-
+    // vector family of size f (re-encoded mirrors, boilerplate hitting
+    // one embedding) inflates EVERY band bucket it lands in by f²
+    // candidate pairs, each paying the signature gate and a dim-wide
+    // dot for a result the collapse already knows. Pairs are searched
+    // among distinct vectors, then expanded — identical vectors have
+    // identical band buckets and cosine, so inter-family pairs inherit
+    // the verified cosine exactly and intra-family pairs are 1.0 by
+    // construction (the raw value rounds to the same at any precision
+    // the caller keeps). Measured at the 100-copy-family sf10 slice:
+    // 67.0 s unrouted → see SCALING.md. Families above `maxBucketSize`
+    // expand to their representative only (the quadratic-output guard).
+    // On an all-distinct corpus this plans to the direct path plus one
+    // vector-keyed window. The SAME size gate as the pins picks the
+    // path (Dedup.minHashLSH's contract): small corpora run direct and
+    // unpinned, large ones routed and pinned.
+    if (PairPins.pairPar(df, pinMinBytes) == 0)
+      return cosineNearDupPairsDirect(df, idCol, vecCol, threshold, bands,
+        planesPerBand, dim, seed, maxBucketSize, pinMinBytes)
+    val (reps, members) = Dedup.familyRoute(df, idCol, vecCol, maxBucketSize)
+    val repPairs = cosineNearDupPairsDirect(reps, idCol, vecCol, threshold,
+      bands, planesPerBand, dim, seed, maxBucketSize, pinMinBytes)
+    Dedup.expandFamilyPairs(repPairs, members, "cosine", lit(1.0),
+      keepIntra = threshold <= 1.0)
+  }
+
+  /** The unrouted banded pair search — pairs among the input rows as
+    * given. [[cosineNearDupPairs]] routes through this on exact-vector-
+    * collapsed representatives; call it directly only on a frame already
+    * known duplicate-free (the collapsed twin does). */
+  private[graft] def cosineNearDupPairsDirect(df: DataFrame, idCol: String,
+      vecCol: String,
+      threshold: Double = 0.4, bands: Int = 16, planesPerBand: Int = 0,
+      dim: Int = 64, seed: Int = 42, maxBucketSize: Int = 1000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
     val p =
       if (planesPerBand > 0) planesPerBand
       else {
@@ -479,8 +514,10 @@ object Similarity {
     val reps = df.groupBy(col(vecCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("family_size"))
     val sizes = reps.select(col(idCol), col("family_size"))
-    cosineNearDupPairs(reps.select(col(idCol), col(vecCol)), idCol, vecCol,
-        threshold, bands, planesPerBand, dim, seed, maxBucketSize)
+    // Direct, not the routed wrapper: reps are duplicate-free by
+    // construction, so the wrapper's family window would be pure cost
+    cosineNearDupPairsDirect(reps.select(col(idCol), col(vecCol)), idCol,
+        vecCol, threshold, bands, planesPerBand, dim, seed, maxBucketSize)
       .join(sizes.select(col(idCol).as("id_a"),
         col("family_size").as("dups_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"),

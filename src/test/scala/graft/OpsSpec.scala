@@ -48,7 +48,8 @@ class OpsSpec extends AnyFunSuite {
       (10L, "the quick brown fox jumps over the lazy dog", "a")
     ).toDF("doc_id", "text", "source"))
     val pairs = Dedup.minHashLSH(corpus, "doc_id", "text",
-      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3)
+      shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3,
+      pinMinBytes = 0L) // force the routed (above-gate) branch
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
       .toMap
     // intra-family: all three copy pairs at exactly 1.0
@@ -63,7 +64,7 @@ class OpsSpec extends AnyFunSuite {
     // rep still pairs (the direct path would have dropped its buckets)
     val capped = Dedup.minHashLSH(corpus, "doc_id", "text",
       shingleSize = 2, numHashes = 32, bands = 16, threshold = 0.3,
-      maxBucketSize = 2)
+      maxBucketSize = 2, pinMinBytes = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((1L, 3L)),
       s"capped family must survive as its rep alone, got $capped")
@@ -77,14 +78,22 @@ class OpsSpec extends AnyFunSuite {
     // (simhash's block cap is also a window, but over (c, v) — only the
     // text-partitioned spec identifies the exact-collapse routing)
     val famWindow = "windowspecdefinition\\(text#".r
-    // the routed default runs the family window in front of the LSH
-    // machinery...
+    // above the size gate the routed shape runs the family window in
+    // front of the LSH machinery...
     assert(famWindow.findFirstIn(
-      plan(Dedup.minHashLSH(docs, "doc_id", "text"))).isDefined,
+      plan(Dedup.minHashLSH(docs, "doc_id", "text", pinMinBytes = 0L)))
+      .isDefined,
       "routed minHashLSH lost its exact-collapse family stage")
     assert(famWindow.findFirstIn(
-      plan(Dedup.simHashPairs(docs, "doc_id", "text"))).isDefined,
+      plan(Dedup.simHashPairs(docs, "doc_id", "text", pinMinBytes = 0L)))
+      .isDefined,
       "routed simHashPairs lost its exact-collapse family stage")
+    // ...below the gate the direct r13 shape runs — no family window,
+    // no expansion joins (their fixed cost beat their benefit on small
+    // corpora, measured at sf0.1)
+    assert(famWindow.findFirstIn(
+      plan(Dedup.minHashLSH(docs, "doc_id", "text"))).isEmpty,
+      "small-corpus minHashLSH must take the direct path")
     // ...while the collapsed twins run on duplicate-free representatives
     // and must NOT pay a second family window
     assert(famWindow.findFirstIn(
@@ -299,6 +308,32 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99, bands = 4, planesPerBand = 4, dim = 8).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("routed cosineNearDupPairs expands vector families: member pair " +
+      "set complete, intra-family cosine exactly 1.0") {
+    // family {1,2,7}: identical vectors; 3 is a slightly rotated near
+    // dup; 4 is opposite (never pairs)
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val near = Array.tabulate(8)(i => (i + 1).toFloat + (if (i == 0) 0.3f else 0f))
+    val vecs = Seq(
+      (1L, base), (2L, base), (7L, base), (3L, near),
+      (4L, base.map(-_))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, bands = 4, planesPerBand = 4, dim = 8,
+      pinMinBytes = 0L) // force the routed (above-gate) branch
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // intra-family: all three copy pairs at exactly 1.0
+    assert(pairs((1L, 2L)) == 1.0 && pairs((1L, 7L)) == 1.0 &&
+      pairs((2L, 7L)) == 1.0)
+    // inter-family: each member pairs with the near dup at the SAME
+    // verified cosine as the representative (identical vectors)
+    val c13 = pairs((1L, 3L))
+    assert(c13 > 0.99 && c13 < 1.0)
+    assert(pairs((2L, 3L)) == c13 && pairs((3L, 7L)) == c13)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
   test("language id separates english and german profiles") {
