@@ -1253,12 +1253,13 @@ object SparkEntry {
           |    measure big_sales = CALCULATE(SUM(Sales[Amount]), FILTER(Sales, Sales[Amount] > 50000))
           |    measure sales_tier = SWITCH(TRUE(), [total_sales] > 50000000, "high", [total_sales] > 30000000, "mid", "low")
           |    measure safe_ratio = IF(ISBLANK([total_sales]), BLANK(), DIVIDE([big_sales], [total_sales]))
+          |    measure sales_r3m = CALCULATE([total_sales], DATESINPERIOD(Sales[OrderDate], MAX(Sales[OrderDate]), -3, MONTH))
           |""".stripMargin), resolve)
       val cat = graft.model.Catalog().add(imp.models: _*)
       round4(new Generator(s, cat).plan(SemanticQuery(
         metrics = Seq("Sales.total_sales", "Sales.sales_ytd",
           "Sales.sales_ly", "Sales.big_sales", "Sales.sales_tier",
-          "Sales.safe_ratio"),
+          "Sales.safe_ratio", "Sales.sales_r3m"),
         dimensions = Seq("Sales.OrderDate__month"),
         orderBy = Seq("OrderDate__month"))), "safe_ratio")
     }),
@@ -4725,12 +4726,16 @@ object SparkEntry {
         |       ELSE 'low' END AS sales_tier,
         |  round(CAST(CASE WHEN total_sales IS NULL THEN NULL
         |        ELSE big_sales / NULLIF(total_sales, 0) END AS DOUBLE), 4)
-        |    AS safe_ratio
+        |    AS safe_ratio,
+        |  sum(total_sales) OVER (ORDER BY mkey
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS sales_r3m
         |FROM (SELECT date_trunc('month', o_orderdate) AS OrderDate__month,
+        |        year(date_trunc('month', o_orderdate)) * 12
+        |          + month(date_trunc('month', o_orderdate)) AS mkey,
         |        sum(cast(o_totalprice as decimal(18,2))) AS total_sales,
         |        sum(CASE WHEN cast(o_totalprice as decimal(18,2)) > 50000
         |            THEN cast(o_totalprice as decimal(18,2)) END) AS big_sales
-        |      FROM orders GROUP BY 1)
+        |      FROM orders GROUP BY 1, 2)
         |ORDER BY 1""".stripMargin,
 
     "q_adapter_thoughtspot" ->

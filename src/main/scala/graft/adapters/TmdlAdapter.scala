@@ -334,6 +334,7 @@ object TmdlAdapter {
   private final case class Pred(sql: String) extends CalcMod
   private final case class Comparison(code: String) extends CalcMod
   private final case class GrainToDate(grain: String) extends CalcMod
+  private final case class Trailing(n: Int, grain: String) extends CalcMod
 
   private val DateAddUnits = Map("year" -> "yoy", "quarter" -> "qoq",
     "month" -> "mom", "day" -> "dod")
@@ -389,6 +390,18 @@ object TmdlAdapter {
       }
       case Some((fn, _)) if ToDateFns.contains(fn) =>
         Some(GrainToDate(ToDateFns(fn)))
+      // DATESINPERIOD(dates, MAX(dates), -N, GRAIN) anchored at the
+      // current context's max date IS the trailing-N-period window —
+      // the rolling-3-month measure every real estate carries (r15)
+      case Some(("datesinperiod", args)) => splitArgs(args) match {
+        case Seq(_, anchor, n, unit)
+            if raw"(?is)^\s*MAX\s*\(.+\)\s*$$".r.matches(anchor) &&
+               raw"^-\d+$$".r.matches(n.trim) &&
+               Set("year", "quarter", "month", "day")
+                 .contains(unit.trim.toLowerCase) =>
+          Some(Trailing(n.trim.drop(1).toInt, unit.trim.toLowerCase))
+        case _ => None
+      }
       // FILTER('T', pred) over the SAME table with a translatable
       // predicate is exactly a boolean filter arg with extra steps —
       // the most common CALCULATE table-expression in real TMDL estates
@@ -461,6 +474,11 @@ object TmdlAdapter {
             baseOf(name, args.head, table, measureNames).map { case (base, extra) =>
               extra :+ Metric(name, metricType = Some("cumulative"),
                 baseMetric = Some(base), grainToDate = Some(g))
+            }
+          case Seq(Trailing(n, g)) if preds.isEmpty =>
+            baseOf(name, args.head, table, measureNames).map { case (base, extra) =>
+              extra :+ Metric(name, metricType = Some("cumulative"),
+                baseMetric = Some(base), window = Some(s"$n $g"))
             }
           case _ => None // mixed/multiple time mods — out of the subset
         }

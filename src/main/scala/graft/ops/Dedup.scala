@@ -136,24 +136,35 @@ object Dedup {
 
   /** The exact-family frame behind the routed pair-formers (generic
     * over any groupable content column — text for minhash/simhash,
-    * `array<float>` embeddings for [[Similarity.cosineNearDupPairs]]):
-    * tags every non-null-content row with its family representative
-    * (min id — ONE content-keyed aggregate window, no sort) and returns
-    * (representatives with content, member map capped at `maxFamily`).
-    * Families above the cap are represented by their rep alone — the
-    * expansion-side quadratic guard. */
+    * `array<float>` embeddings for [[Similarity.cosineNearDupPairs]] /
+    * `semDedup`): returns (representatives with content, member map
+    * capped at `maxFamily`). Families above the cap are represented by
+    * their rep alone — the expansion-side quadratic guard.
+    *
+    * Shape matters because Spark re-executes shared lazy subtrees per
+    * consumer, and the routed operators consume `reps` many times
+    * (semDedup ~10x: trainer jobs, assignment, pairing, verify). So the
+    * rep computation must be CHEAP per recompute: a content-keyed
+    * groupBy whose map-side combine moves at most one copy of each
+    * distinct content per input partition — NOT a content-partitioned
+    * window, whose full-corpus sort re-ran on every consumption
+    * (measured: routed semDedup at sf10 spent 44 of 44 s re-sorting
+    * 200k vectors ~10 times). `members` joins back via an explicit
+    * shuffle-hash hint — content keys are hashable, and SMJ would
+    * re-introduce exactly the sorts the groupBy shape avoids; a
+    * degenerate hot family (one content in millions of copies) streams
+    * through the probe side with a 1-row build. */
   private[ops] def familyRoute(df: DataFrame, idCol: String, textCol: String,
       maxFamily: Int): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(textCol))
-    val tagged = df.select(col(idCol), col(textCol))
+    val nn = df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
-      .withColumn("__rep", min(col(idCol)).over(w))
-      .withColumn("__fam", count(lit(1)).over(w))
-    val reps = tagged.filter(col(idCol) === col("__rep"))
-      .select(col(idCol), col(textCol))
-    val members = tagged
-      .filter(col(idCol) === col("__rep") || col("__fam") <= maxFamily)
-      .select(col("__rep"), col(idCol).as("__m"))
+    val fams = nn.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__fam"))
+    val reps = fams.select(col("__rep").as(idCol), col(textCol))
+    val members = nn.select(col(textCol), col(idCol).as("__m"))
+      .join(fams.hint("shuffle_hash"), Seq(textCol))
+      .filter(col("__m") === col("__rep") || col("__fam") <= maxFamily)
+      .select(col("__rep"), col("__m"))
     (reps, members)
   }
 

@@ -591,6 +591,44 @@ object Similarity {
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.7, nCells: Int = 16, iters: Int = 3,
       trainSampleMod: Int = 1,
+      maxCellSize: Int = 10000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
+    // COLLAPSE-ROUTED above the size gate (the pair-former contract —
+    // [[cosineNearDupPairs]]): identical vectors land in the same cell
+    // with cosine 1.0 ≥ any threshold ≤ 1, so an exact family's
+    // verdicts are fully determined by its representative's — run the
+    // whole operator on distinct vectors only, then propagate. A
+    // non-rep member is never kept (its rep is a smaller-id neighbor at
+    // cosine 1.0): kept = false, dup_of = the rep's own dup_of when the
+    // rep itself was dropped (the greedy min-id chain's true minimum)
+    // else the rep. Cell sizes/caps are measured over DISTINCT vectors
+    // — the deviation class the routed pair-formers document — and
+    // null-vector rows are dropped by this branch (no semantic content
+    // to dedup; the direct branch reports them kept with a null cell).
+    // Training sees one vector per family either way (identical copies
+    // cannot move a centroid's direction, only its weight).
+    if (threshold <= 1.0 && PairPins.pairPar(df, pinMinBytes) > 0) {
+      val (reps, members) =
+        Dedup.familyRoute(df, idCol, vecCol, Int.MaxValue)
+      val repOut = semDedupDirect(reps, idCol, vecCol, threshold, nCells,
+        iters, trainSampleMod, maxCellSize)
+      return members
+        .join(repOut.withColumnRenamed("id", "__rep"), Seq("__rep"))
+        .select(col("__m").as("id"), col("cell"), col("cell_capped"),
+          (col("__m") === col("__rep") && col("kept")).as("kept"),
+          when(col("__m") === col("__rep"), col("dup_of"))
+            .otherwise(coalesce(col("dup_of"), col("__rep"))).as("dup_of"))
+    }
+    semDedupDirect(df, idCol, vecCol, threshold, nCells, iters,
+      trainSampleMod, maxCellSize)
+  }
+
+  /** The unrouted cell-scoped dedup — verdicts over the input rows as
+    * given; [[semDedup]] routes through this on distinct vectors. */
+  private[graft] def semDedupDirect(df: DataFrame, idCol: String,
+      vecCol: String,
+      threshold: Double = 0.7, nCells: Int = 16, iters: Int = 3,
+      trainSampleMod: Int = 1,
       maxCellSize: Int = 10000): DataFrame = {
     val cents = trainCentroids(df, idCol, vecCol, nCells, iters,
       trainSampleMod)

@@ -74,10 +74,11 @@ class OpsSpec extends AnyFunSuite {
       "twins stay direct (no double routing)") {
     def plan(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.toString
-    // the family stage is a window PARTITIONED BY THE TEXT COLUMN
-    // (simhash's block cap is also a window, but over (c, v) — only the
-    // text-partitioned spec identifies the exact-collapse routing)
-    val famWindow = "windowspecdefinition\\(text#".r
+    // the family stage aggregates min(id) into the __rep column (a
+    // map-side-combined groupBy — deliberately NOT a window, whose
+    // full-corpus sort re-ran per consumer); __rep appears in no other
+    // plan, so it identifies the exact-collapse routing
+    val famWindow = "__rep".r
     // above the size gate the routed shape runs the family window in
     // front of the LSH machinery...
     assert(famWindow.findFirstIn(

@@ -63,6 +63,36 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out(4L) == (true, None))
   }
 
+  test("routed branch propagates family verdicts: copies drop against " +
+      "their representative's chain, one row per input") {
+    import spark.implicits._
+    def vec(x: Double, y: Double): Seq[Float] =
+      (Seq(x, y) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val n = math.sqrt(1.25)
+    // family {1, 5, 6}: identical vectors; 2 is a near dup of 1's
+    // vector (chain 1–2); family {2, 8}: identical; 4 distinct
+    val df = Seq(
+      (1L, vec(1, 0)), (5L, vec(1, 0)), (6L, vec(1, 0)),
+      (2L, vec(1 / n, 0.5 / n)), (8L, vec(1 / n, 0.5 / n)),
+      (4L, vec(0, 1)))
+      .toDF("id", "v")
+    val out = Similarity.semDedup(df, "id", "v", threshold = 0.85,
+        nCells = 1, iters = 1, pinMinBytes = 0L) // force the routed branch
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("kept"), Option(r.getAs[Any]("dup_of"))))
+      .toMap
+    assert(out.size == 6, "one row per input doc")
+    // reps carry the direct-path verdicts over distinct vectors
+    assert(out(1L) == (true, None))
+    assert(out(2L) == (false, Some(1L)))   // rep 2 drops against rep 1
+    assert(out(4L) == (true, None))
+    // copies of a KEPT rep drop against that rep...
+    assert(out(5L) == (false, Some(1L)) && out(6L) == (false, Some(1L)))
+    // ...copies of a DROPPED rep drop against the rep's own dup_of
+    // (the greedy min-id chain's true minimum), not the rep itself
+    assert(out(8L) == (false, Some(1L)))
+  }
+
   test("capped cells skip pairing, surface the cap, and keep their rows") {
     val out = Similarity.semDedup(
         emb.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding")),

@@ -85,11 +85,13 @@ class TmdlAdapterSpec extends AnyFunSuite {
         |    measure 'Sales Tier' = SWITCH(TRUE(), [Total Sales] > 1000, "High", [Total Sales] > 100, "Mid", "Low")
         |    measure 'Region Code' = SWITCH(Sales[Region], "West", 1, "East", 2, 0)
         |    measure 'Safe Avg' = IF(ISBLANK([Order Count]), BLANK(), DIVIDE([Total Sales], [Order Count]))
+        |    measure 'Sales R3M' = CALCULATE([Total Sales], DATESINPERIOD(Sales[OrderDate], MAX(Sales[OrderDate]), -3, MONTH))
         |""".stripMargin))
     val sales = imp.models.find(_.name == "Sales").get
     val declared = Seq("Total Sales", "Order Count", "Avg Sale", "West Sales",
       "Big West Sales", "Sales YTD", "Sales QTD", "Sales LY", "Sales PM",
-      "Sales Rank", "Filtered Sales", "Sales Tier", "Region Code", "Safe Avg")
+      "Sales Rank", "Filtered Sales", "Sales Tier", "Region Code",
+      "Safe Avg", "Sales R3M")
     def isStub(m: graft.model.Metric): Boolean =
       !m.public && m.metricType == Some("derived")
     val executable = declared.filter(n => sales.metric(n).exists(!isStub(_)))
@@ -108,6 +110,9 @@ class TmdlAdapterSpec extends AnyFunSuite {
     assert(sales.metric("Safe Avg").exists(m =>
       m.sql.exists(s => s.contains("IS NULL") && s.contains("NULL") &&
         s.contains("NULLIF"))))
+    assert(sales.metric("Sales R3M").exists(m =>
+      m.metricType == Some("cumulative") && m.window == Some("3 month") &&
+        m.baseMetric == Some("Total Sales")))
     // spot-check each translated shape
     assert(sales.metric("West Sales").exists(m =>
       m.agg == Some("sum") && m.filters == Seq("Region = 'West'")))
