@@ -507,4 +507,102 @@ object MediaExprs {
     override protected def withNewChildInternal(newChild: Expression): AverageHash =
       copy(child = newChild)
   }
+
+  /** `graft_difference_hash(array<float|double>)` → 64-bit dHash over a
+    * SQUARE row-major luma grid (g×g, g² ≤ 64): bit (r·g + c) is set
+    * when cell (r, c) is brighter than its right neighbor (wrapping at
+    * the row end, so a g×g grid still yields g² bits). Complements
+    * [[AverageHash]]: aHash compares against the GLOBAL mean, so a
+    * low-contrast image whose cells sit near the mean flips bits under
+    * tiny noise — dHash compares ADJACENT cells (a local gradient
+    * sign), which survives exactly that case and is equally invariant
+    * to uniform brightness/contrast shifts. Same null contracts, same
+    * codegen discipline. NULL for non-square grids. */
+  case class DifferenceHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_difference_hash"
+
+    @transient private lazy val elem =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double> input, got ${t.sql}")
+      }
+
+    private def get(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        i: Int): Double = elem match {
+      case FloatType => a.getFloat(i).toDouble
+      case _ => a.getDouble(i)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = a.numElements()
+      val g = math.sqrt(n.toDouble).toInt
+      if (n == 0 || n > 64 || g * g != n) return null
+      var i = 0
+      while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+      var bits = 0L
+      var r = 0
+      while (r < g) {
+        var c = 0
+        while (c < g) {
+          val here = get(a, r * g + c)
+          val right = get(a, r * g + (c + 1) % g)
+          if (here > right) bits |= 1L << (r * g + c)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val g = ctx.freshName("g")
+        val r = ctx.freshName("r")
+        val c = ctx.freshName("c")
+        val i = ctx.freshName("i")
+        val bits = ctx.freshName("bits")
+        val bad = ctx.freshName("bad")
+        val getter = elem match {
+          case FloatType => s"(double) $a.getFloat"
+          case _ => s"$a.getDouble"
+        }
+        s"""
+           |final int $n = $a.numElements();
+           |final int $g = (int) java.lang.Math.sqrt((double) $n);
+           |if ($n == 0 || $n > 64 || $g * $g != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $bad = false;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i)) { $bad = true; break; }
+           |  }
+           |  if ($bad) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    long $bits = 0L;
+           |    for (int $r = 0; $r < $g; $r++) {
+           |      for (int $c = 0; $c < $g; $c++) {
+           |        if ($getter($r * $g + $c) >
+           |            $getter($r * $g + ($c + 1) % $g))
+           |          $bits |= 1L << ($r * $g + $c);
+           |      }
+           |    }
+           |    ${ev.value} = $bits;
+           |  }
+           |}
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): DifferenceHash =
+      copy(child = newChild)
+  }
 }

@@ -410,23 +410,26 @@ object Multimodal {
     * twins don't collide with their originals. Batched per partition
     * like every codec stage. */
   def syntheticPatternImage(df: DataFrame, idCol: String,
-      format: String = "png", idOffset: Long = 0L): DataFrame = {
+      format: String = "png", idOffset: Long = 0L,
+      side: Int = 16): DataFrame = {
+    require(side >= 8 && side % 8 == 0, s"side must be a multiple of 8, got $side")
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("content", BinaryType)))
     val projected = df.select(col(idCol).cast("long").as("media_id"))
+    val blk = side / 8 // render scale: side=32 is the 2x "thumbnail twin"
     val rdd = projected.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val bits = mix64(id)
-        val im = new java.awt.image.BufferedImage(16, 16,
+        val im = new java.awt.image.BufferedImage(side, side,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
-        while (y < 16) {
+        while (y < side) {
           var x = 0
-          while (x < 16) {
-            val block = (y / 2) * 8 + (x / 2)
+          while (x < side) {
+            val block = (y / blk) * 8 + (x / blk)
             val luma = if (((bits >>> block) & 1L) == 1L) 200 else 55
             im.setRGB(x, y, (luma << 16) | (luma << 8) | luma)
             x += 1
@@ -511,6 +514,13 @@ object Multimodal {
       graft.functions.MediaExprs.AverageHash(
         org.apache.spark.sql.GraftSqlBridge.expression(grid)))
 
+  /** Difference-hash column over a square luma grid
+    * ([[graft.functions.MediaExprs.DifferenceHash]] — codegen'd). */
+  def differenceHash(grid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MediaExprs.DifferenceHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(grid)))
+
   /** Image-content near-duplicate pairs — the multimodal analog of
     * [[Dedup.simHashPairs]]: decode each image ONCE to a `gridSize`²
     * cell-mean luma grid ([[imageLumaGrid]] — the only pixel pass),
@@ -528,13 +538,26 @@ object Multimodal {
     * whose bytes are payload-dominated — hence a higher default than
     * the text family's (image count, not byte count, drives pair CPU).
     *
+    * `method` picks the fingerprint: "ahash" (global-mean threshold —
+    * the default; strongest on structured content) or "dhash"
+    * (adjacent-cell gradient sign — survives LOW-CONTRAST images whose
+    * cells hover near the global mean, where aHash bits flip under
+    * noise).
+    *
     * Output: (id_a, id_b, hamming ≤ maxDistance), id_a < id_b. */
   def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
       maxDistance: Int = 6, maxBlockSize: Int = 1000, gridSize: Int = 8,
-      pinMinBytes: Long = 64L << 20): DataFrame = {
+      pinMinBytes: Long = 64L << 20, method: String = "ahash"): DataFrame = {
+    val fp: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      method match {
+        case "ahash" => averageHash
+        case "dhash" => differenceHash
+        case other => throw new IllegalArgumentException(
+          s"unknown fingerprint method '$other' (ahash | dhash)")
+      }
     val sigs = imageLumaGrid(df, idCol, binCol, gridSize)
       .filter(col("grid").isNotNull)
-      .select(col("media_id").as("id"), averageHash(col("grid")).as("sig"))
+      .select(col("media_id").as("id"), fp(col("grid")).as("sig"))
       .filter(col("sig").isNotNull)
     Dedup.hammingBandedPairs(Dedup.sigChunks(sigs, maxDistance),
       maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes))

@@ -78,6 +78,50 @@ class ImageNearDupSpec extends AnyFunSuite {
       assert(p._3 <= 6, s"twin distance blew the budget: $p"))
   }
 
+  test("differenceHash: gradient-sign bits, shift invariance, null on " +
+      "non-square grids, codegen compiles; dhash twins retrieved") {
+    def h(cells: Seq[Float]): Any = MediaExprs.DifferenceHash(
+      Literal.create(cells, ArrayType(FloatType))).eval(null)
+    // 2x2 grid [10, 20; 30, 5]: bit set where cell > right neighbor
+    // (wrapping): (0,0)=10>20? no; (0,1)=20>10? yes → bit 1;
+    // (1,0)=30>5? yes → bit 2; (1,1)=5>30? no
+    assert(h(Seq(10f, 20f, 30f, 5f)) === 6L)
+    // invariant to uniform brightness/contrast like aHash
+    val base = (0 until 64).map(i => if ((i * 7) % 3 == 0) 180f else 60f)
+    assert(h(base) === h(base.map(_ + 25f)))
+    assert(h(base) === h(base.map(_ * 2f)))
+    // where aHash degenerates (low contrast around the mean), dhash
+    // still separates: tiny gradient survives a brightness wobble
+    val lowc = (0 until 64).map(i => 100f + (i % 8) * 0.5f)
+    assert(h(lowc) === h(lowc.map(_ + 0.2f)))
+    // non-square cell counts are NULL, never an exception
+    assert(h((0 until 6).map(_.toFloat)) == null)
+    // generated code compiles and agrees with interpreted eval
+    val lit = Literal.create(base, ArrayType(FloatType))
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(MediaExprs.DifferenceHash(lit)))
+    assert(proj.apply(InternalRow.empty).getLong(0) ===
+      MediaExprs.DifferenceHash(lit).eval(null))
+    // end-to-end under dhash: THUMBNAIL twins (the same pattern
+    // rendered at 2x size — a resize re-encode) land at hamming 0
+    // through the cell-mean grid. JPEG-noise robustness stays aHash's
+    // test: the block fixture has exactly-EQUAL adjacent cells whose
+    // gradient sign is undefined under ringing, which is the documented
+    // reason dhash targets low-contrast/smooth content instead
+    val ids = spark.range(0, 10).toDF("id")
+    val both = Multimodal.syntheticPatternImage(ids, "id", "png")
+      .unionByName(Multimodal.syntheticPatternImage(ids, "id", "png",
+        idOffset = 100000L, side = 32))
+    val pairs = Multimodal.imageNearDupPairs(both, "media_id", "content",
+        method = "dhash")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    (0L until 10L).foreach { i =>
+      assert(pairs.get((i, i + 100000L)).contains(0L),
+        s"dhash thumbnail twin for id $i missing or nonzero distance")
+    }
+  }
+
   test("undecodable bytes: observable null grid, zero pairs, no crash") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](-9, 0, 4)))
       .toDF("media_id", "content")
