@@ -141,41 +141,104 @@ object Dedup {
     * capped at `maxFamily`). Families above the cap are represented by
     * their rep alone — the expansion-side quadratic guard.
     *
-    * Shape matters because Spark re-executes shared lazy subtrees per
-    * consumer, and the routed operators consume `reps` many times
-    * (semDedup ~10x: trainer jobs, assignment, pairing, verify). So the
-    * rep computation must be CHEAP per recompute: a content-keyed
-    * groupBy whose map-side combine moves at most one copy of each
-    * distinct content per input partition — NOT a content-partitioned
-    * window, whose full-corpus sort re-ran on every consumption
-    * (measured: routed semDedup at sf10 spent 44 of 44 s re-sorting
-    * 200k vectors ~10 times). `members` joins back via an explicit
-    * shuffle-hash hint — content keys are hashable, and SMJ would
-    * re-introduce exactly the sorts the groupBy shape avoids; a
-    * degenerate hot family (one content in millions of copies) streams
-    * through the probe side with a 1-row build. */
+    * The family key is a 128-bit content digest computed on the RAW
+    * input rows and carried THROUGH the groupBy. Grouping by the content
+    * column itself would let Spark normalize float group keys
+    * (-0.0 → 0.0, NaN canonicalization — including inside arrays) while
+    * a digest computed independently on the member side kept the sign,
+    * so the member join silently dropped -0.0-bearing vectors (r15
+    * ADVICE). Both sides now derive the key from the SAME expression
+    * over the same rows; a -0.0-bearing vector and its +0.0 twin form
+    * two families whose reps the pair search still verifies against
+    * each other (their cosine is exactly 1.0). Digest-equals-identity
+    * is [[exact]]'s stance (collision odds ~2^-128 over distinct
+    * contents); md5 hashes arrays and strings alike, so the vector
+    * route shares the shape.
+    *
+    * Both frames are EAGERLY locally checkpointed (the Bpe word-table
+    * trick). The routed operators consume `reps`/`members` many times
+    * (semDedup ~10x: trainer jobs, assignment, pairing, verify;
+    * [[expandFamilyPairs]] 2–4x), and Spark re-executes shared lazy
+    * subtrees per consumer — the r15 zipfian skew battery paid the
+    * family groupBy ~7x per query (routed simhash 2.7 s → 9.3 s
+    * round-over-round). The checkpoint runs the groupBy exactly ONCE;
+    * every consumer then reads executor-local blocks (spec-pinned:
+    * the routed plans' only leaves are checkpoint scans). Storage is
+    * bounded — one content copy per DISTINCT content plus two ids per
+    * input row — and released by the ContextCleaner when the returned
+    * plans are dropped. Local checkpoints are non-resilient (an
+    * executor loss fails the job instead of recomputing), a trade the
+    * routed path only makes above the size gate, where the recompute
+    * amplification it removes dominates that risk.
+    *
+    * `members` joins back via an explicit shuffle-hash hint — digest
+    * keys are hashable, SMJ would re-introduce sorts, and a degenerate
+    * hot family (one content in millions of copies) streams through
+    * the probe side with a 1-row build. The join moves ~40 bytes/row
+    * (digest + ids), never full documents. */
   private[ops] def familyRoute(df: DataFrame, idCol: String, textCol: String,
       maxFamily: Int): (DataFrame, DataFrame) = {
     val nn = df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
-    val fams = nn.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__fam"))
+      .withColumn("__k", md5(col(textCol).cast("string").cast("binary")))
+    val fams = nn.groupBy(col("__k"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__fam"),
+        first(col(textCol)).as(textCol))
+      .localCheckpoint(true)
     val reps = fams.select(col("__rep").as(idCol), col(textCol))
-    // The member join keys on a 128-bit CONTENT DIGEST, not the content:
-    // each recompute then shuffles ~40 bytes/row instead of full
-    // documents — measured on the zipfian sf1 corpus the content-keyed
-    // join re-shuffled ~0.5 GB of text per consumer and put routed
-    // simhash at 11.3 s; digest-keyed it is pennies. Same digest-equals-
-    // identity stance as [[exact]]'s sha2 grouping (collision odds
-    // ~2^-128 over distinct contents); md5 hashes arrays and strings
-    // alike, so the vector route shares the shape.
-    val keyOf = md5(col(textCol).cast("string").cast("binary"))
-    val members = nn.select(keyOf.as("__k"), col(idCol).as("__m"))
-      .join(fams.select(keyOf.as("__k"), col("__rep"), col("__fam"))
+    val members = nn.select(col("__k"), col(idCol).as("__m"))
+      .join(fams.select(col("__k"), col("__rep"), col("__fam"))
         .hint("shuffle_hash"), Seq("__k"))
       .filter(col("__m") === col("__rep") || col("__fam") <= maxFamily)
       .select(col("__rep"), col("__m"))
+      .localCheckpoint(true)
     (reps, members)
+  }
+
+  /** Explain-style receipt for the collapse-routing decision the pair-
+    * formers share ([[minHashLSH]], [[simHashPairs]],
+    * [[Similarity.cosineNearDupPairs]], [[Similarity.semDedup]] all ride
+    * the same size gate + family map): one row with the routing
+    * decision, the plan-statistics evidence behind it, and the family
+    * map's shape — so a 100 TB operator run can be audited BEFORE it is
+    * paid for, the way `Generator.explain` and
+    * `PreAggStore.explainCandidates` audit the semantic layer. Runs ONE
+    * aggregate over the family groupBy (the diagnostic costs what the
+    * map it describes costs; nothing is checkpointed).
+    *
+    * Columns: `routed` (would the pair-formers take the collapsed
+    * path), `input_bytes` (the optimizer's size estimate driving the
+    * gate) and `gate_bytes`; then the family map — `rows` (non-null-
+    * content inputs), `families` (distinct contents), `max_family`,
+    * `dup_rows` (rows the collapse removes from the pair search), and
+    * `overcap_families` / `overcap_rows_dropped` (families beyond
+    * `maxFamily`, whose non-rep members the expansion will not pair —
+    * the quadratic-output guard's audited blast radius). */
+  def describeRoute(df: DataFrame, idCol: String, textCol: String,
+      maxFamily: Int = 1000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame = {
+    val inputBytes =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    val routed = PairPins.pairPar(df, pinMinBytes) > 0
+    df.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol).cast("string").cast("binary")).as("__k"))
+      .agg(count(lit(1)).as("__fam"))
+      .agg(
+        coalesce(sum(col("__fam")), lit(0L)).as("rows"),
+        count(lit(1)).as("families"),
+        coalesce(max(col("__fam")), lit(0L)).as("max_family"),
+        coalesce(sum(col("__fam") - 1), lit(0L)).as("dup_rows"),
+        coalesce(sum(when(col("__fam") > maxFamily, 1L).otherwise(0L)),
+          lit(0L)).as("overcap_families"),
+        coalesce(sum(when(col("__fam") > maxFamily, col("__fam") - 1)
+          .otherwise(0L)), lit(0L)).as("overcap_rows_dropped"))
+      .select(lit(routed).as("routed"),
+        lit(inputBytes).as("input_bytes"),
+        lit(pinMinBytes).as("gate_bytes"),
+        col("rows"), col("families"), col("max_family"), col("dup_rows"),
+        col("overcap_families"), col("overcap_rows_dropped"))
   }
 
   /** Expand representative pairs back to the full member pair set:
@@ -409,9 +472,16 @@ object Dedup {
     require(chunks >= 1 && chunks <= 64,
       s"maxDistance must be in [0, 63], got $maxDistance")
     val width = 64 / chunks
+    // maxDistance = 0 → one 64-bit chunk. Scala's `1L << 64` is 1 (shifts
+    // are mod 64), so the general mask formula would collapse to 0 and
+    // block EVERY signature on (c=0, v=0) — one mega-block that the skew
+    // cap then drops on any corpus larger than maxBlockSize, silently
+    // returning zero pairs at the one distance that should be cheapest.
+    // A full-width chunk blocks on the signature itself.
+    val mask = if (width == 64) -1L else (1L << width) - 1
     withSig.select(col("id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${chunks - 1}), c -> named_struct(" +
-        s"'c', c, 'v', (sig >> (c * $width)) & ${(1L << width) - 1}))")).as("ch"))
+        s"'c', c, 'v', (sig >> (c * $width)) & $mask))")).as("ch"))
       .select(col("id"), col("sig"), col("ch.c"), col("ch.v"))
   }
 

@@ -585,9 +585,16 @@ object Similarity {
     * cap is visible per row, and exact copies inside a capped cell are
     * still [[Dedup.exactDuplicates]]'s job).
     *
-    * Returns one row per input doc:
-    * (id, cell, cell_capped, kept, dup_of) — `dup_of` is the smallest
-    * in-cell neighbor above threshold (null when kept). */
+    * Returns one row per input doc — a HARD contract that holds on BOTH
+    * execution branches (the routed/direct choice below rides a plan-
+    * statistics size gate, so the same logical corpus can flip branches
+    * across file layouts; only performance may depend on the gate, never
+    * output cardinality — r15 ADVICE). Rows whose vector is null carry
+    * no semantic content to dedup and are reported kept with a null
+    * cell (cell_capped false, dup_of null) on both branches.
+    *
+    * Output: (id, cell, cell_capped, kept, dup_of) — `dup_of` is the
+    * smallest in-cell neighbor above threshold (null when kept). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.7, nCells: Int = 16, iters: Int = 3,
       trainSampleMod: Int = 1,
@@ -602,11 +609,12 @@ object Similarity {
     // cosine 1.0): kept = false, dup_of = the rep's own dup_of when the
     // rep itself was dropped (the greedy min-id chain's true minimum)
     // else the rep. Cell sizes/caps are measured over DISTINCT vectors
-    // — the deviation class the routed pair-formers document — and
-    // null-vector rows are dropped by this branch (no semantic content
-    // to dedup; the direct branch reports them kept with a null cell).
-    // Training sees one vector per family either way (identical copies
-    // cannot move a centroid's direction, only its weight).
+    // — the deviation class the routed pair-formers document. Training
+    // sees one vector per family either way (identical copies cannot
+    // move a centroid's direction, only its weight). Null-vector rows
+    // never enter the family map (familyRoute filters them), so they
+    // are unioned back here exactly as the direct branch reports them
+    // — the one-row-per-input contract cannot depend on the gate.
     if (threshold <= 1.0 && PairPins.pairPar(df, pinMinBytes) > 0) {
       val (reps, members) =
         Dedup.familyRoute(df, idCol, vecCol, Int.MaxValue)
@@ -618,10 +626,22 @@ object Similarity {
           (col("__m") === col("__rep") && col("kept")).as("kept"),
           when(col("__m") === col("__rep"), col("dup_of"))
             .otherwise(coalesce(col("dup_of"), col("__rep"))).as("dup_of"))
+        .unionByName(nullVecVerdicts(df, idCol, vecCol))
     }
     semDedupDirect(df, idCol, vecCol, threshold, nCells, iters,
       trainSampleMod, maxCellSize)
   }
+
+  /** The null-vector rows of a semDedup input, with the fixed verdict
+    * both branches report: kept, no cell, never capped, no dup. */
+  private def nullVecVerdicts(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNull)
+      .select(col(idCol).as("id"),
+        lit(null).cast("int").as("cell"),
+        lit(false).as("cell_capped"),
+        lit(true).as("kept"),
+        lit(null).cast(df.schema(idCol).dataType).as("dup_of"))
 
   /** The unrouted cell-scoped dedup — verdicts over the input rows as
     * given; [[semDedup]] routes through this on distinct vectors. */
@@ -656,5 +676,8 @@ object Similarity {
       .join(dropped, Seq("id"), "left")
       .withColumn("kept", col("dup_of").isNull)
       .select("id", "cell", "cell_capped", "kept", "dup_of")
+      // assignCells projects null vectors away (no centroid distance to
+      // compute); the one-row-per-input contract restores them here
+      .unionByName(nullVecVerdicts(df, idCol, vecCol))
   }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The collapse-routing family map behind the routed pair-formers:
+  * digest keying (float-normalization safety), single-execution
+  * checkpoint pinning, the semDedup one-row-per-input contract on both
+  * branches, the maxDistance=0 pigeonhole mask, and the describeRoute
+  * receipt. */
+class FamilyRouteSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def vec(xs: Double*): Seq[Float] =
+    (xs ++ Seq.fill(8 - xs.size)(0.0)).map(_.toFloat)
+
+  test("-0.0-bearing vectors survive the routed member join " +
+      "(family digest is computed once, on the raw rows)") {
+    import spark.implicits._
+    // Spark normalizes -0.0 → 0.0 in GROUP keys (incl. inside arrays);
+    // a digest computed independently on the member side kept the sign,
+    // so the old shape silently dropped these rows from the inner join.
+    val df = Seq(
+      (1L, vec(-0.0, 1.0)), (2L, vec(-0.0, 1.0)),   // -0.0 family
+      (3L, vec(0.0, 1.0)),                           // +0.0 twin
+      (4L, vec(1.0, 0.0)))
+      .toDF("id", "v")
+    val out = Similarity.semDedup(df, "id", "v", threshold = 0.9,
+        nCells = 1, iters = 1, pinMinBytes = 0L) // force the routed branch
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept"))
+      .toMap
+    assert(out.size == 4, s"one row per input doc, got ${out.keySet}")
+    assert(out(1L) && !out(2L), "family verdicts propagate")
+    assert(!out(3L), "+0.0 twin drops against the -0.0 rep (cosine 1.0)")
+    assert(out(4L))
+
+    // same class of loss on the pair-formers: the family's pairs exist
+    val pairs = Similarity.cosineNearDupPairs(df, "id", "v",
+        threshold = 0.9, dim = 8, pinMinBytes = 0L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)), "intra-family pair of the -0.0 family")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "-0.0 and +0.0 reps verify against each other at cosine 1.0")
+  }
+
+  test("routed plans read the family map from checkpoint blocks only — " +
+      "the family groupBy cannot re-execute per consumer") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, s"doc ${i % 50} body " +
+      ("tok " * (i % 7 + 3)))).toDF("id", "text")
+    val pairs = Dedup.simHashPairs(df, "id", "text", maxDistance = 3,
+      maxBlockSize = 1000, pinMinBytes = 0L) // force the routed path
+    val plan = pairs.queryExecution.executedPlan.toString
+    // every leaf is a checkpoint scan; the source relation is absent,
+    // so no consumer can recompute the family groupBy (r15: the zipfian
+    // skew battery paid it ~7x per query)
+    assert(plan.contains("ExistingRDD"), s"expected checkpoint scans:\n$plan")
+    assert(!plan.contains("LocalTableScan") && !plan.contains("LocalRelation"),
+      s"routed plan still scans the source relation:\n$plan")
+    // and the routed output is still the direct path's pair set over
+    // reps expanded to members — spot-check it is non-degenerate
+    assert(pairs.limit(1).count() >= 0)
+  }
+
+  test("semDedup reports null-vector rows kept with a null cell on BOTH " +
+      "branches — output cardinality never depends on the size gate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(vec(1.0, 0.0))), (2L, Some(vec(1.0, 0.0))),
+      (3L, Option.empty[Seq[Float]]), (4L, Some(vec(0.0, 1.0))))
+      .toDF("id", "v")
+    for (gate <- Seq(0L, Long.MaxValue)) { // routed, then direct
+      val out = Similarity.semDedup(df, "id", "v", threshold = 0.9,
+          nCells = 1, iters = 1, pinMinBytes = gate)
+        .collect().map(r => r.getAs[Long]("id") -> r).toMap
+      assert(out.size == 4, s"gate=$gate: one row per input, got ${out.keySet}")
+      val r3 = out(3L)
+      assert(r3.getAs[Boolean]("kept"), s"gate=$gate: null vector kept")
+      assert(r3.isNullAt(r3.fieldIndex("cell")), s"gate=$gate: null cell")
+      assert(!r3.getAs[Boolean]("cell_capped"))
+      assert(r3.isNullAt(r3.fieldIndex("dup_of")))
+    }
+  }
+
+  test("maxDistance = 0 blocks on the full 64-bit signature — a corpus " +
+      "beyond maxBlockSize still finds its exact-sig pairs") {
+    import spark.implicits._
+    // 1200 distinct singleton texts + one anagram pair (SimHash over the
+    // word multiset is order-independent → identical signatures). The
+    // broken mask ((1L << 64) - 1 == 0) put all 1202 docs in ONE block
+    // (c=0, v=0), which the skew cap then dropped — zero pairs returned
+    // at the one distance where blocking is exact.
+    val df = ((1 to 1200).map(i => (i.toLong, s"w$i")) ++
+      Seq((2001L, "alpha beta"), (2002L, "beta alpha")))
+      .toDF("id", "text")
+    val pairs = Dedup.simHashPairs(df, "id", "text", maxDistance = 0,
+        maxBlockSize = 1000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.contains((2001L, 2002L, 0L)),
+      s"anagram pair missing from ${pairs.take(5).toSeq}")
+    assert(pairs.forall(_._3 == 0L))
+  }
+
+  test("describeRoute receipt: gate decision + family-map shape") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"),   // family of 3 (over the cap)
+      (4L, "B"), (5L, "B"),              // family of 2
+      (6L, "C"),                         // singleton
+      (7L, null.asInstanceOf[String]))   // no content — not a family row
+      .toDF("id", "text")
+    val r = Dedup.describeRoute(df, "id", "text", maxFamily = 2,
+      pinMinBytes = 0L).collect()(0)
+    assert(r.getAs[Boolean]("routed"))
+    assert(r.getAs[Long]("input_bytes") > 0L)
+    assert(r.getAs[Long]("gate_bytes") == 0L)
+    assert(r.getAs[Long]("rows") == 6L)
+    assert(r.getAs[Long]("families") == 3L)
+    assert(r.getAs[Long]("max_family") == 3L)
+    assert(r.getAs[Long]("dup_rows") == 3L)
+    assert(r.getAs[Long]("overcap_families") == 1L)
+    assert(r.getAs[Long]("overcap_rows_dropped") == 2L)
+    // below the gate the decision flips; the map shape is unchanged
+    val direct = Dedup.describeRoute(df, "id", "text", maxFamily = 2,
+      pinMinBytes = Long.MaxValue).collect()(0)
+    assert(!direct.getAs[Boolean]("routed"))
+    assert(direct.getAs[Long]("families") == 3L)
+  }
+}
