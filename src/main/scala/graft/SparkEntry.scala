@@ -315,8 +315,12 @@ object SparkEntry {
       filters = Seq(
         "orders.orderpriority IN ({% for p in prios %}'{{ p }}'" +
           "{% if not loop.last %}, {% endif %}{% endfor %})",
-        "orders.orderpriority != '{{ excl | default('3-MEDIUM') }}'"),
-      parameters = Map("prios" -> "1-URGENT,2-HIGH,3-MEDIUM"),
+        "orders.orderpriority != '{{ excl | default('3-MEDIUM') }}'",
+        // compound condition: and/or at Jinja precedence (r16)
+        "{% if mode == 'tight' and excl2 %}orders.orderpriority != " +
+          "'{{ excl2 }}'{% else %}orders.orderpriority IS NOT NULL{% endif %}"),
+      parameters = Map("prios" -> "1-URGENT,2-HIGH,3-MEDIUM",
+        "mode" -> "tight", "excl2" -> "2-HIGH"),
       orderBy = Seq("orderstatus")))),
 
     "q_bool_dimension" -> ((s, d) => q(s, d)(SemanticQuery(
@@ -1254,12 +1258,15 @@ object SparkEntry {
           |    measure sales_tier = SWITCH(TRUE(), [total_sales] > 50000000, "high", [total_sales] > 30000000, "mid", "low")
           |    measure safe_ratio = IF(ISBLANK([total_sales]), BLANK(), DIVIDE([big_sales], [total_sales]))
           |    measure sales_r3m = CALCULATE([total_sales], DATESINPERIOD(Sales[OrderDate], MAX(Sales[OrderDate]), -3, MONTH))
+          |    measure sales_rank = RANKX(ALL(Sales), [total_sales])
+          |    measure weighted_sales = SUMX(Sales, Sales[Amount] * 2)
           |""".stripMargin), resolve)
       val cat = graft.model.Catalog().add(imp.models: _*)
       round4(new Generator(s, cat).plan(SemanticQuery(
         metrics = Seq("Sales.total_sales", "Sales.sales_ytd",
           "Sales.sales_ly", "Sales.big_sales", "Sales.sales_tier",
-          "Sales.safe_ratio", "Sales.sales_r3m"),
+          "Sales.safe_ratio", "Sales.sales_r3m", "Sales.sales_rank",
+          "Sales.weighted_sales"),
         dimensions = Seq("Sales.OrderDate__month"),
         orderBy = Seq("OrderDate__month"))), "safe_ratio")
     }),
@@ -2099,6 +2106,15 @@ object SparkEntry {
       Dedup.exact(docs(s, d), "doc_id", "text")
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .orderBy("source")),
+
+    // the routing receipt behind every collapse-routed pair-former:
+    // the family-map shape is oracle-checkable SQL; the Spark-planner
+    // columns (routed / input_bytes / gate_bytes) are spec-gated in
+    // FamilyRouteSpec instead
+    "q_route_receipt" -> ((s, d) =>
+      Dedup.describeRoute(docs(s, d), "doc_id", "text", maxFamily = 2)
+        .select("n_rows", "families", "max_family", "dup_rows",
+          "overcap_families", "overcap_rows_dropped")),
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashLSH(docs(s, d), "doc_id", "text",
@@ -4099,6 +4115,7 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
         |  AND o_orderpriority != '3-MEDIUM'
+        |  AND o_orderpriority != '2-HIGH'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bool_dimension" ->
@@ -4728,13 +4745,16 @@ object SparkEntry {
         |        ELSE big_sales / NULLIF(total_sales, 0) END AS DOUBLE), 4)
         |    AS safe_ratio,
         |  sum(total_sales) OVER (ORDER BY mkey
-        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS sales_r3m
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS sales_r3m,
+        |  rank() OVER (ORDER BY total_sales DESC) AS sales_rank,
+        |  weighted_sales
         |FROM (SELECT date_trunc('month', o_orderdate) AS OrderDate__month,
         |        year(date_trunc('month', o_orderdate)) * 12
         |          + month(date_trunc('month', o_orderdate)) AS mkey,
         |        sum(cast(o_totalprice as decimal(18,2))) AS total_sales,
         |        sum(CASE WHEN cast(o_totalprice as decimal(18,2)) > 50000
-        |            THEN cast(o_totalprice as decimal(18,2)) END) AS big_sales
+        |            THEN cast(o_totalprice as decimal(18,2)) END) AS big_sales,
+        |        sum(cast(o_totalprice as decimal(18,2)) * 2) AS weighted_sales
         |      FROM orders GROUP BY 1, 2)
         |ORDER BY 1""".stripMargin,
 
@@ -4982,6 +5002,18 @@ object SparkEntry {
         |  CAST(sum(bit_count(bits)) AS BIGINT) AS set_bits,
         |  round(sum(bit_count(bits)) / (4096.0 * 8), 6) AS fill_ratio
         |FROM bloom""".stripMargin,
+
+    "q_route_receipt" ->
+      """SELECT cast(sum(c) AS BIGINT) AS n_rows,
+        |  cast(count(*) AS BIGINT) AS families,
+        |  cast(max(c) AS BIGINT) AS max_family,
+        |  cast(sum(c - 1) AS BIGINT) AS dup_rows,
+        |  cast(sum(CASE WHEN c > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS overcap_families,
+        |  cast(sum(CASE WHEN c > 2 THEN c - 1 ELSE 0 END) AS BIGINT)
+        |    AS overcap_rows_dropped
+        |FROM (SELECT count(*) AS c FROM documents
+        |      WHERE text IS NOT NULL GROUP BY text)""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs

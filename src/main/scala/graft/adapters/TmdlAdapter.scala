@@ -38,8 +38,13 @@ import graft.model._
   *     translatable predicate → metric-level filters (r15)
   *   - `SWITCH(TRUE(), c, r, …[, else])` / `SWITCH(expr, v, r, …)` →
   *     CASE; `ISBLANK(x)` → `x IS NULL`; `BLANK()` → NULL; DAX
-  *     double-quoted strings requote as SQL literals (r15)
-  * Only measures outside that subset (RANKX, cross-table filters, table
+  *     double-quoted strings requote as SQL literals (r15, `""` escape
+  *     honored r16)
+  *   - `SUMX/AVERAGEX/MINX/MAXX/COUNTX('T', scalar)` over the same
+  *     table → aggregate-of-expression; `RANKX(ALL(…), base[, order])`
+  *     → a rank window over the grouped result (r16)
+  * Only measures outside that subset (cross-table filters, iterator
+  * bodies with measure refs or table expressions, table
   * constructors in non-IN position, multi-VAR bodies, …) fall back to
   * NON-PUBLIC derived stubs carrying their DAX verbatim (round-trip
   * fidelity without claiming executability) — the reference keeps those
@@ -298,6 +303,8 @@ object TmdlAdapter {
     simpleAggMetric(name, dax, table).map(Seq(_))
       .orElse(calculateMetric(name, dax, table, measureNames))
       .orElse(totalToDateMetric(name, dax, table, measureNames))
+      .orElse(iteratorMetric(name, dax, table, measureNames).map(Seq(_)))
+      .orElse(rankxMetric(name, dax, table, measureNames))
       .orElse(daxToSql(dax, table, measureNames).map(sql =>
         Seq(Metric(name, metricType = Some("derived"), sql = Some(sql)))))
       .getOrElse(opaque(name, dax0))
@@ -345,15 +352,40 @@ object TmdlAdapter {
   private def parseCall(dax: String): Option[(String, String)] = {
     val m = raw"(?is)^\s*([a-z]+)\s*\((.*)\)\s*$$".r.findFirstMatchIn(dax)
     m.filter { mm =>
-      // the closing paren must match the opening one
-      var depth = 0; var ok = true
-      mm.group(2).foreach {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth < 0) ok = false
-        case _ => ()
+      // the closing paren must match the opening one — quote-aware, so
+      // a paren inside a DAX string literal ("(a") or a quoted table
+      // name ('T (new)') doesn't skew the balance (same quote handling
+      // as splitArgs)
+      val s = mm.group(2)
+      var depth = 0; var ok = true; var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c == '"' || c == '\'') {
+          i += 1
+          while (i < s.length && s(i) != c) i += 1
+        } else if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth < 0) ok = false }
+        i += 1
       }
       ok && depth == 0
     }.map(mm => (mm.group(1).toLowerCase, mm.group(2)))
+  }
+
+  /** Index of the ')' matching the '(' at `open`, skipping quoted spans
+    * (the same quote handling splitArgs uses — parens inside string
+    * literals and quoted table names don't count). -1 when unbalanced. */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '"' || c == '\'') {
+        i += 1
+        while (i < s.length && s(i) != c) i += 1
+      } else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
   }
 
   /** Split call arguments on top-level commas (paren/quote aware). */
@@ -425,9 +457,10 @@ object TmdlAdapter {
     s = raw"(?<!\w)\[([^\]]+)\]".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(ident(m.group(1))))
     if (s.contains("[") || s.contains("(")) return None // cross-table / calls
-    // DAX double-quoted strings → SQL single-quoted
-    s = raw""""([^"]*)"""".r.replaceAllIn(s, m =>
-      java.util.regex.Matcher.quoteReplacement("'" + m.group(1).replace("'", "''") + "'"))
+    // DAX double-quoted strings → SQL single-quoted ("" un-escapes first)
+    s = raw""""((?:[^"]|"")*)"""".r.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "'" + m.group(1).replace("\"\"", "\"").replace("'", "''") + "'"))
     // DAX IN-list braces → SQL parens: Col IN {"A","B"} is valid DAX but
     // `IN {...}` is not SQL
     s = raw"(?i)\bIN\s*\{([^{}]*)\}".r.replaceAllIn(s, m =>
@@ -446,9 +479,88 @@ object TmdlAdapter {
     expr match {
       case measRef(m) if measureNames(m) => Some((m, Nil))
       case _ => simpleAggMetric(s"$name (Base)", expr, table)
+        .orElse(iteratorMetric(s"$name (Base)", expr, table, measureNames))
         .map(met => (met.name, Seq(met.copy(public = false))))
     }
   }
+
+  // ---- iterator functions / RANKX ----------------------------------
+
+  private val IterAggs = Map("sumx" -> "sum", "averagex" -> "avg",
+    "minx" -> "min", "maxx" -> "max", "countx" -> "count")
+
+  /** `SUMX('T', <scalar expr>)` / AVERAGEX / MINX / MAXX / COUNTX over
+    * the SAME table with a row-level scalar body → aggregate-of-
+    * expression metric (SUMX(Sales, Sales[Qty] * Sales[Price]) is
+    * sum(Qty * Price); COUNTX counts non-null evaluations, which is SQL
+    * COUNT(expr)). Table expressions (FILTER, RELATEDTABLE, VALUES) and
+    * bodies referencing measures (row-context measure evaluation) stay
+    * outside the executable subset. */
+  private def iteratorMetric(name: String, dax: String, table: String,
+      measureNames: Set[String]): Option[Metric] =
+    parseCall(dax) match {
+      case Some((fn, argsStr)) if IterAggs.contains(fn) =>
+        splitArgs(argsStr) match {
+          case Seq(t, body) if unquote(t.trim) == table =>
+            scalarSql(body, table, measureNames).map(sql =>
+              Metric(name, agg = Some(IterAggs(fn)), sql = Some(sql)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private val AggCallRe = (raw"(?i)\b(sum|min|max|count|counta|average|" +
+    raw"distinctcount|median|countrows)\s*\(").r
+
+  /** A row-context scalar DAX body → SQL expression: same-table column
+    * refs inline via [[daxToSql]]; aggregate calls and measure refs
+    * refuse (a row expression cannot contain its own aggregation, and a
+    * measure ref would mean row-context measure evaluation). */
+  private def scalarSql(body: String, table: String,
+      measureNames: Set[String]): Option[String] = {
+    if (AggCallRe.findFirstIn(body).isDefined) return None
+    val tq = java.util.regex.Pattern.quote(table)
+    val woQualified =
+      (raw"(?i)(?:'$tq'|$tq)\s*\[([^\]]+)\]").r.replaceAllIn(body, "")
+    val bareRefs = raw"(?<!\w)\[([^\]]+)\]".r
+      .findAllMatchIn(woQualified).map(_.group(1))
+    if (bareRefs.exists(measureNames)) return None
+    daxToSql(body, table, measureNames)
+  }
+
+  /** `RANKX(ALL('T') | ALL(T[Col…]) | 'T', <base>[, order])` → a rank
+    * window over the grouped result, ordered by the base measure
+    * (reference: crates/dax-parser RANKX; lowered through the metric
+    * window_expression passthrough, the same machinery TableCalcs.rank
+    * rides). DAX's default order is DESC — rank 1 is the largest value;
+    * a trailing ASC/DESC (or DAX's 1/0) flips it. The value and ties
+    * arguments stay outside the subset. The base is a same-table
+    * measure ref or an inline aggregate ([[baseOf]]'s contract). */
+  private def rankxMetric(name: String, dax: String, table: String,
+      measureNames: Set[String]): Option[Seq[Metric]] =
+    parseCall(dax) match {
+      case Some(("rankx", argsStr)) =>
+        val args = splitArgs(argsStr)
+        if (args.length < 2) return None
+        val tableOk = parseCall(args.head) match {
+          case Some(("all", inner)) =>
+            unquote(inner.trim) == table || columnRef(inner, table).isDefined
+          case _ => unquote(args.head.trim) == table
+        }
+        if (!tableOk) return None
+        val dir = args.drop(2) match {
+          case Seq() => "DESC"
+          case Seq(d) if d.equalsIgnoreCase("asc") || d.trim == "1" => "ASC"
+          case Seq(d) if d.equalsIgnoreCase("desc") || d.trim == "0" => "DESC"
+          case _ => return None // value / ties args — outside the subset
+        }
+        baseOf(name, args(1), table, measureNames).map { case (base, extra) =>
+          extra :+ Metric(name, metricType = Some("cumulative"),
+            windowExpression = Some("RANK()"),
+            windowOrder = Some(s"${ident(base)} $dir"))
+        }
+      case _ => None
+    }
 
   private def calculateMetric(name: String, dax: String, table: String,
       measureNames: Set[String]): Option[Seq[Metric]] =
@@ -551,39 +663,25 @@ object TmdlAdapter {
     s = raw"(?<!\w)\[([^\]]+)\]".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(ident(m.group(1))))
     if (s.contains("[")) return None // cross-table reference remains
-    // DIVIDE(a, b) → (a) / NULLIF(b, 0)
-    var changed = true
-    while (changed) {
-      changed = false
-      val idx = s.toLowerCase.indexOf("divide(")
-      if (idx >= 0 && (idx == 0 || !s(idx - 1).isLetterOrDigit)) {
-        val open = idx + 6
-        var depth = 0; var i = open; var close = -1
-        var commas = Vector.empty[Int]
-        while (i < s.length && close < 0) {
-          s(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) close = i
-            case ',' if depth == 1 => commas :+= i
-            case _ => ()
-          }
-          i += 1
-        }
-        if (close > 0 && commas.nonEmpty) {
-          val a = s.substring(open + 1, commas.head).trim
-          val b = s.substring(commas.head + 1,
-            commas.lift(1).getOrElse(close)).trim
-          s = s.substring(0, idx) + s"(($a) / NULLIF($b, 0))" + s.substring(close + 1)
-          changed = true
-        }
-      }
-    }
+    // DIVIDE(a, b[, alt]) → null-safe division; the optional third arg
+    // is DAX's divide-by-zero alternate result
+    s = rewriteCalls(s, "divide", {
+      case Seq(a, b) => Some(s"(($a) / NULLIF($b, 0))")
+      // the alternate fires exactly when the denominator is 0 or BLANK
+      // (DAX's contract) — not when the numerator is null
+      case Seq(a, b, alt) => Some(s"(CASE WHEN ($b) = 0 OR ($b) IS NULL " +
+        s"THEN $alt ELSE ($a) / ($b) END)")
+      case _ => None
+    }).getOrElse(return None)
     // DAX double-quoted string literals → SQL single-quoted (DAX
     // reserves "" for strings; identifiers use ''/[] — already rewritten
-    // above, so every surviving double quote IS a string literal)
-    s = raw""""([^"]*)"""".r.replaceAllIn(s, m =>
+    // above, so every surviving double quote IS a string literal). The
+    // doubled-quote escape ("a""b" is the 5-char string a"b) un-escapes
+    // BEFORE the SQL re-escape — matching "..." spans naively would cut
+    // such a literal into two adjacent strings.
+    s = raw""""((?:[^"]|"")*)"""".r.replaceAllIn(s, m =>
       java.util.regex.Matcher.quoteReplacement(
-        "'" + m.group(1).replace("'", "''") + "'"))
+        "'" + m.group(1).replace("\"\"", "\"").replace("'", "''") + "'"))
     // SWITCH → CASE (both forms: SWITCH(TRUE(), cond, res, …[, else])
     // and SWITCH(expr, val, res, …[, else]))
     s = rewriteCalls(s, "switch", args => {
@@ -631,15 +729,7 @@ object TmdlAdapter {
     while (m.isDefined && guard < 64) {
       guard += 1
       val open = m.get.end - 1
-      var depth = 0; var i = open; var close = -1
-      while (i < s.length && close < 0) {
-        s(i) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) close = i
-          case _ => ()
-        }
-        i += 1
-      }
+      val close = matchingParen(s, open)
       if (close < 0) return None
       build(splitArgs(s.substring(open + 1, close))) match {
         case None => return None

@@ -11,13 +11,16 @@ package graft.functions
   * escape its predicate.
   *
   * `render` handles the template subset the reference's SQL fields use:
-  * `{# comments #}`, `{% if var %} … {% elif var %} … {% else %} … {% endif %}`
-  * (conditions: bare-variable truthiness, `var == 'lit'`, `var != 'lit'`),
-  * `{% for item in items %} … {% endfor %}` over comma-separated context
-  * lists (with `loop.index`/`loop.first`/`loop.last`), then `{{ var }}`
-  * substitution with the `default('x')`/`upper`/`lower` filters. The
-  * rest of Jinja (macros, set, compound conditions, other filters) is
-  * out of scope by design and REFUSED loudly — never mis-rendered.
+  * `{# comments #}`, `{% if cond %} … {% elif cond %} … {% else %} … {% endif %}`
+  * (conditions: bare-variable truthiness, `not`, `var == 'lit'` /
+  * `var != 'lit'` — dotted names like `loop.index` included — composed
+  * with `and`/`or` at Jinja precedence), `{% for item in items %} …
+  * {% endfor %}` over comma-separated context lists (with
+  * `loop.index`/`loop.first`/`loop.last`), then `{{ var }}`
+  * substitution with the `default('x')`/`upper`/`lower`/`join('sep')`
+  * filters. The rest of Jinja (macros, set, parenthesized conditions,
+  * other filters) is out of scope by design and REFUSED loudly — never
+  * mis-rendered.
   */
 object Params {
 
@@ -52,22 +55,64 @@ object Params {
     s.nonEmpty && !s.equalsIgnoreCase("false") && s != "0" &&
       !s.equalsIgnoreCase("none"))
 
-  private def evalCond(cond: String, ctx: Map[String, String]): Boolean = {
-    val t = cond.trim
-    val cmp = raw"^(\w+)\s*(==|!=)\s*'([^']*)'$$".r
+  /** Split `s` on a top-level keyword (`and` / `or`) — whitespace-
+    * delimited, outside single-quoted literals — so a quoted value like
+    * 'Food and Drink' never splits. Returns the parts (the whole string
+    * when the keyword is absent). */
+  private def splitKw(s: String, kw: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'') {
+        cur.append(c); i += 1
+        while (i < s.length && s(i) != '\'') { cur.append(s(i)); i += 1 }
+        if (i < s.length) { cur.append('\''); i += 1 }
+      } else if ((c == ' ' || c == '\t') &&
+          s.regionMatches(i + 1, kw, 0, kw.length) &&
+          i + 1 + kw.length < s.length &&
+          (s(i + 1 + kw.length) == ' ' || s(i + 1 + kw.length) == '\t')) {
+        out += cur.toString; cur.clear()
+        i += 1 + kw.length
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result().map(_.trim)
+  }
+
+  /** Condition evaluation with Jinja precedence (`not` > `and` > `or`):
+    * the condition splits on top-level `or`, each branch on `and`, and
+    * every atom is a bare-variable truthiness test, a `not` of one, or
+    * a `==`/`!=` comparison against a quoted literal. Anything else
+    * (parentheses, `in`, `is`, unquoted right-hand sides) is outside
+    * the subset and refuses loudly — never mis-rendered. */
+  private def evalCond(cond: String, ctx: Map[String, String]): Boolean =
+    splitKw(cond.trim, "or").exists(part =>
+      splitKw(part, "and").forall(evalAtom(_, ctx)))
+
+  private def evalAtom(atom: String, ctx: Map[String, String]): Boolean = {
+    val t = atom.trim
+    // dotted names included: for-loops bind loop.index/first/last as
+    // plain context keys, and they compare like any other variable
+    val cmp = raw"^([\w.]+)\s*(==|!=)\s*'([^']*)'$$".r
     t match {
       // the comparison form matches FIRST so an and/or inside the quoted
       // literal (seg == 'Food and Drink') stays a plain comparison
       case cmp(v, op, lit) =>
         val eq = ctx.get(v).map(unq).contains(lit)
         if (op == "==") eq else !eq
+      case _ if t.startsWith("not ") => !evalAtom(t.drop(4), ctx)
       case _ =>
-        // compound conditions are outside the supported subset — reject
-        // loudly rather than evaluating `a and b` as one variable lookup
-        require(raw"(?i)(^|\s)(and|or)(\s|$$)".r.findFirstIn(t).isEmpty,
-          s"unsupported template condition (and/or not in the Jinja subset): $t")
-        if (t.startsWith("not ")) !truthy(ctx.get(t.drop(4).trim))
-        else truthy(ctx.get(t))
+        // whatever remains must be a bare variable; whitespace or parens
+        // here means a construct outside the subset (a comparison the
+        // cmp regex rejected, grouping, `in`, …) and an empty atom is a
+        // dangling and/or — refuse loudly rather than silently
+        // truthiness-testing a nonsense key
+        require(t.nonEmpty &&
+            !t.exists(c => c.isWhitespace || c == '(' || c == ')'),
+          s"unsupported template condition (not in the Jinja subset): $t")
+        truthy(ctx.get(t))
     }
   }
 
@@ -135,6 +180,12 @@ object Params {
           Some(bound.filter(v => unq(v).nonEmpty).getOrElse(arg.get))
         case Some("upper") => bound.map(_.toUpperCase)
         case Some("lower") => bound.map(_.toLowerCase)
+        case Some("join") =>
+          // the context's list form is a comma-separated string (the
+          // same shape {% for %} iterates); join re-delimits it with
+          // the quoted argument (Jinja's default separator is empty)
+          bound.map(v => unq(v).split(",").map(_.trim).filter(_.nonEmpty)
+            .mkString(arg.getOrElse("")))
         case Some(other) =>
           throw new IllegalArgumentException(
             s"unsupported template filter (not in the Jinja subset): $other")

@@ -33,13 +33,19 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
       m.kind match {
         case "cumulative" if m.windowExpression.isDefined =>
           // arbitrary window expression: its metric references become the
-          // inner aggregates (reference: core/metric.py:299-308)
-          graft.functions.Exprs.refs(spark, m.windowExpression.get).collect {
-            case Seq(f) if cat.model(model).metric(f).isDefined =>
-              s"$model.$f"
-            case Seq(mm, f) if cat.models.get(mm).exists(_.metric(f).isDefined) =>
-              s"$mm.$f"
-          }
+          // inner aggregates (reference: core/metric.py:299-308); an
+          // explicit window_order may reference metrics too (a RANKX-
+          // style rank orders by the base measure), so scan it as well
+          // with any trailing direction keyword stripped
+          val orderSrc = m.windowOrder.map(
+            _.replaceAll(raw"(?i)\s+(ASC|DESC)\s*$$", ""))
+          (m.windowExpression.get +: orderSrc.toSeq).flatMap(src =>
+            graft.functions.Exprs.refs(spark, src).collect {
+              case Seq(f) if cat.model(model).metric(f).isDefined =>
+                s"$model.$f"
+              case Seq(mm, f) if cat.models.get(mm).exists(_.metric(f).isDefined) =>
+                s"$mm.$f"
+            })
         case "cumulative" | "time_comparison" =>
           Seq(qualify(model, m.baseMetric.getOrElse(throw new IllegalArgumentException(
             s"Metric '${m.name}' needs base_metric"))))
@@ -60,11 +66,20 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
     }
     val timeIdx = dimInfo.indexWhere { case (fr, d) =>
       fr.grain.isDefined || d.dimType == DimType.Time }
-    require(timeIdx >= 0,
+    // a windowExpression metric with its own explicit ORDER BY column
+    // needs no time axis (e.g. a RANKX-style rank over the grouped
+    // result, ordered by the base measure); every other window type
+    // anchors on a time dimension
+    val needsTime = mets.exists { case (_, (_, m)) =>
+      !(m.kind == "cumulative" && m.windowExpression.isDefined &&
+        m.windowOrder.isDefined) }
+    require(timeIdx >= 0 || !needsTime,
       "cumulative/time_comparison metrics require a time dimension in the query")
-    val (timeFr, timeDim) = dimInfo(timeIdx)
-    val timeName = timeFr.outName
-    val queryGrain = timeFr.grain.orElse(timeDim.granularity).getOrElse("day")
+    def timeName = dimInfo(timeIdx)._1.outName
+    def queryGrain = {
+      val (timeFr, timeDim) = dimInfo(timeIdx)
+      timeFr.grain.orElse(timeDim.granularity).getOrElse("day")
+    }
     val otherDims = dimInfo.zipWithIndex.collect {
       case ((fr, _), i) if i != timeIdx => fr.outName }
 

@@ -48,18 +48,45 @@ object Bpe {
   /** Learn the top `numMerges` BPE merges. Returns (merge_rank, left,
     * right, pair_count) with merge_rank 1-based in learn order.
     *
-    * Each iteration: adjacent symbol pairs of every distinct word,
-    * weighted by word count, one partial-agg shuffle, `limit 1` argmax
-    * (ties break on the pair string so the learned vocabulary is
-    * deterministic), then a literal replace bakes the merge into the
-    * symbol column for the next round. The word table is checkpointed
-    * every few rounds to keep the nested-replace plan shallow. */
-  def learnMerges(df: DataFrame, textCol: String,
-      numMerges: Int): DataFrame = {
+    * HYBRID execution (the classic BPE trainer split): the corpus is
+    * touched exactly once — one distributed pass collapses it into the
+    * (distinct word, count) table, which Zipf keeps tiny relative to
+    * any corpus (a 100 TB crawl has billions of rows but a ~10^7 word-
+    * type vocabulary). If that table's estimated heap footprint fits
+    * `maxDriverBytes`, the merge loop itself runs DRIVER-SIDE with
+    * incremental pair-count maintenance (only words containing the
+    * merged pair are rescanned; argmax via a lazy-deletion heap) — a
+    * real 32k-merge vocabulary is seconds of CPU instead of 32k
+    * sequential Spark jobs, each paying the cluster scheduling floor
+    * regardless of cluster size. Only when the word table itself is too
+    * large to collect (pathological vocabularies: no natural language
+    * gets there) does the loop fall back to one distributed weighted
+    * pair aggregate per merge, checkpointed every few rounds to keep
+    * the nested-replace plan shallow.
+    *
+    * Both paths learn the identical merge sequence: same weighted
+    * counts over the same word table, same argmax tie-break
+    * (pair_count desc, then left/right ascending in UTF-8 byte order —
+    * the driver comparator matches Spark's binary string ordering), and
+    * the driver's in-place merge reproduces the regex form's left-to-
+    * right overlap rule ("aaa" + (a,a) → [aa, a]); spec-pinned by a
+    * forced-path parity test. */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxDriverBytes: Long = 256L << 20): DataFrame = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     var words = wordTable(df, textCol).localCheckpoint(true)
     val spark = df.sparkSession
     import spark.implicits._
+    // one cheap profile over the checkpointed table decides the path:
+    // ~96 bytes/symbol + ~96/word covers String/array/index overhead
+    val prof = words.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("sym"))), lit(0L)).as("symchars")).head()
+    val (nWords, symChars) = (prof.getLong(0), prof.getLong(1))
+    val estBytes = (symChars / 2) * 96L + nWords * 96L
+    if (nWords > 0 && estBytes <= maxDriverBytes)
+      return learnMergesDriver(words, numMerges)
+        .toDF("merge_rank", "left", "right", "pair_count")
+
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -80,6 +107,110 @@ object Bpe {
       }
     }
     learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Spark's string sort is binary UTF-8; match it exactly so both
+    * learn paths break count ties identically. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Driver-side merge loop over a collected word table: incremental
+    * pair counts (a merge rescans ONLY the words that contain its pair)
+    * with a lazy-deletion max-heap for the argmax. A merged-away pair
+    * can legitimately reappear later (a subsequent merge can create its
+    * left symbol adjacent to its right); stale heap entries are skipped
+    * by re-checking the live count at poll time. */
+  private def learnMergesDriver(words: DataFrame,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val rows = words.select(col("sym"), col("cnt")).collect()
+    val syms: Array[Array[String]] =
+      rows.map(_.getString(0).split(Sep).filter(_.nonEmpty))
+    val cnts: Array[Long] = rows.map(_.getLong(1))
+
+    val counts = new java.util.HashMap[(String, String), Long]
+    val index = new java.util.HashMap[(String, String), java.util.HashSet[Int]]
+    val touched = new java.util.HashSet[(String, String)]
+    def bump(p: (String, String), by: Long, w: Int): Unit = {
+      val nc = counts.getOrDefault(p, 0L) + by
+      if (nc == 0L) counts.remove(p) else counts.put(p, nc)
+      if (by > 0)
+        index.computeIfAbsent(p, _ => new java.util.HashSet[Int]).add(w)
+      touched.add(p)
+    }
+    def scan(w: Int, sign: Long): Unit = {
+      val a = syms(w); var i = 0
+      while (i < a.length - 1) {
+        bump((a(i), a(i + 1)), sign * cnts(w), w); i += 1
+      }
+    }
+    syms.indices.foreach(scan(_, 1L))
+
+    // max-heap: count desc, then (left, right) ascending in UTF-8 order
+    val pq = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(counts.size, 11),
+      (x: (Long, String, String), y: (Long, String, String)) => {
+        val c = java.lang.Long.compare(y._1, x._1)
+        if (c != 0) c else {
+          val lc = utf8Compare(x._2, y._2)
+          if (lc != 0) lc else utf8Compare(x._3, y._3)
+        }
+      })
+    counts.forEach((p, c) => pq.add((c, p._1, p._2)))
+    touched.clear()
+
+    def mergeWord(a: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < a.length) {
+        if (i < a.length - 1 && a(i) == l && a(i + 1) == r) {
+          out += (l + r); i += 2 // left-to-right: the merged token does
+                                  // not re-pair with what it consumed
+        } else { out += a(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges && !pq.isEmpty) {
+      val (c, l, r) = pq.poll()
+      val live = counts.getOrDefault((l, r), 0L)
+      if (live != c) {
+        // stale entry — the pair's count changed since this was pushed;
+        // its refreshed entry (if any) is already in the heap
+      } else {
+        learned += ((rank, l, r, c))
+        val ws = index.get((l, r))
+        if (ws != null) {
+          val snapshot = ws.toArray(new Array[Integer](0))
+          snapshot.foreach { wi =>
+            val w = wi.intValue
+            val a = syms(w)
+            var has = false; var i = 0
+            while (!has && i < a.length - 1) {
+              has = a(i) == l && a(i + 1) == r; i += 1
+            }
+            if (has) { // stale index entries (word changed) are skipped
+              scan(w, -1L)
+              syms(w) = mergeWord(a, l, r)
+              scan(w, 1L)
+            }
+          }
+        }
+        index.remove((l, r))
+        // re-push every pair whose count moved; stale heap entries are
+        // filtered at poll time
+        touched.forEach { p =>
+          val nc = counts.getOrDefault(p, 0L)
+          if (nc > 0L) pq.add((nc, p._1, p._2))
+        }
+        touched.clear()
+        rank += 1
+      }
+    }
+    learned.toSeq
   }
 
   /** Boundary-anchored merge pattern: both symbols must sit exactly

@@ -208,7 +208,7 @@ object Dedup {
     *
     * Columns: `routed` (would the pair-formers take the collapsed
     * path), `input_bytes` (the optimizer's size estimate driving the
-    * gate) and `gate_bytes`; then the family map — `rows` (non-null-
+    * gate) and `gate_bytes`; then the family map — `n_rows` (non-null-
     * content inputs), `families` (distinct contents), `max_family`,
     * `dup_rows` (rows the collapse removes from the pair search), and
     * `overcap_families` / `overcap_rows_dropped` (families beyond
@@ -226,7 +226,7 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("string").cast("binary")).as("__k"))
       .agg(count(lit(1)).as("__fam"))
       .agg(
-        coalesce(sum(col("__fam")), lit(0L)).as("rows"),
+        coalesce(sum(col("__fam")), lit(0L)).as("n_rows"),
         count(lit(1)).as("families"),
         coalesce(max(col("__fam")), lit(0L)).as("max_family"),
         coalesce(sum(col("__fam") - 1), lit(0L)).as("dup_rows"),
@@ -237,7 +237,7 @@ object Dedup {
       .select(lit(routed).as("routed"),
         lit(inputBytes).as("input_bytes"),
         lit(pinMinBytes).as("gate_bytes"),
-        col("rows"), col("families"), col("max_family"), col("dup_rows"),
+        col("n_rows"), col("families"), col("max_family"), col("dup_rows"),
         col("overcap_families"), col("overcap_rows_dropped"))
   }
 

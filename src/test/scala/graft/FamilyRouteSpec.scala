@@ -118,7 +118,7 @@ class FamilyRouteSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("routed"))
     assert(r.getAs[Long]("input_bytes") > 0L)
     assert(r.getAs[Long]("gate_bytes") == 0L)
-    assert(r.getAs[Long]("rows") == 6L)
+    assert(r.getAs[Long]("n_rows") == 6L)
     assert(r.getAs[Long]("families") == 3L)
     assert(r.getAs[Long]("max_family") == 3L)
     assert(r.getAs[Long]("dup_rows") == 3L)

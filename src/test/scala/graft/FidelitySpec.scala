@@ -51,7 +51,7 @@ class FidelitySpec extends AnyFunSuite {
           |        sourceColumn: Amount
           |    measure 'Total Sales' = SUM(Sales[Amount])
           |    measure 'West Sales' = CALCULATE(SUM(Sales[Amount]), Sales[Region] = "West")
-          |    measure 'Sales Rank' = RANKX(ALL(Sales[Region]), [Total Sales])
+          |    measure 'Rank Ties' = RANKX(ALL(Sales[Region]), [Total Sales], [Total Sales], DESC, Dense)
           |    measure 'Cross Filter' = CALCULATE(SUM(Sales[Amount]), Other[K] = 1)
           |""".stripMargin))
     }
@@ -60,7 +60,7 @@ class FidelitySpec extends AnyFunSuite {
     val dax = report.byConstruct("non_translatable_dax")
     assert(dax.size == 2, report.summaryLines.mkString("\n"))
     assert(dax.forall(_.severity == "unsupported"))
-    assert(dax.exists(_.detail.contains("Sales Rank")))
+    assert(dax.exists(_.detail.contains("Rank Ties")))
     assert(dax.exists(_.detail.contains("Cross Filter")))
   }
 

@@ -735,6 +735,54 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_bpe_tokens") == 6L)
   }
 
+  test("bpe hybrid: driver-side loop learns the identical merge " +
+      "sequence as the distributed fallback") {
+    val df = (Seq.fill(9)("low lowest") ++ Seq.fill(4)("lower wide") ++
+      Seq.fill(3)("newest widest") ++ Seq("new news nest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    def seq(maxDriverBytes: Long) =
+      Bpe.learnMerges(df, "text", 20, maxDriverBytes)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
+          r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    val driver = seq(Long.MaxValue) // word table trivially fits
+    val dist = seq(0L)              // force the distributed fallback
+    assert(driver == dist, s"paths diverged:\n  driver=$driver\n  dist=$dist")
+    assert(driver.nonEmpty)
+  }
+
+  test("bpe hybrid: hundreds of merges cost O(1) Spark jobs, not one " +
+      "job per merge") {
+    // enough distinct pairs to sustain 512 merges: 400 synthetic words
+    // over a 20-letter alphabet
+    val rnd = new scala.util.Random(7)
+    val letters = "abcdefghijklmnopqrst"
+    val df = (1 to 400).map { i =>
+      (i.toLong, (1 to 3).map(_ =>
+        (0 until 6 + rnd.nextInt(6)).map(_ =>
+          letters(rnd.nextInt(letters.length))).mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = Bpe.learnMerges(df, "text", 512)
+      val n = merges.count()
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      assert(n >= 512L, s"corpus exhausted early: $n merges")
+      // word-table checkpoint + size profile + collect (+ the count
+      // above, + AQE sub-jobs) — the 512-iteration loop itself must
+      // not touch the cluster
+      assert(jobs.get() <= 10, s"${jobs.get()} jobs for 512 merges — " +
+        "the merge loop is running distributed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("cross-corpus near-dups reports only cross-side pairs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -73,9 +73,17 @@ class ParamsSpec extends AnyFunSuite {
       Params.render("{% if a %}X{% if b %}Y{% endif %}Z{% endif %}",
         Map("a" -> "true", "b" -> "true"))
     }
-    // compound conditions are not evaluated as unknown-variable lookups
+    // grouped conditions stay outside the subset — refused, not guessed
     intercept[IllegalArgumentException] {
-      Params.render("{% if a and b %}X{% endif %}", Map("a" -> "true"))
+      Params.render("{% if (a and b) or c %}X{% endif %}", Map("a" -> "true"))
+    }
+    // an `in` membership test is not silently truthiness-tested
+    intercept[IllegalArgumentException] {
+      Params.render("{% if x in xs %}X{% endif %}", Map("x" -> "1"))
+    }
+    // a dangling and/or is malformed, not a lookup of the empty key
+    intercept[IllegalArgumentException] {
+      Params.render("{% if a and %}X{% endif %}", Map("a" -> "true"))
     }
     // a stray endif (or any other {% %} construct) is refused
     intercept[IllegalArgumentException] {
@@ -84,6 +92,47 @@ class ParamsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Params.render("{% for x in xs %}{{ x }}{% endfor %}", Map.empty)
     }
+  }
+
+  test("jinja subset: compound and/or conditions at Jinja precedence") {
+    val ctx = Map("region" -> "'west'", "tier" -> "'gold'", "flag" -> "true")
+    def r(cond: String) =
+      Params.render(s"{% if $cond %}Y{% else %}N{% endif %}", ctx)
+    assert(r("region == 'west' and tier == 'gold'") == "Y")
+    assert(r("region == 'east' and tier == 'gold'") == "N")
+    assert(r("region == 'east' or tier == 'gold'") == "Y")
+    // `and` binds tighter than `or`: false-and-X or true → true
+    assert(r("region == 'east' and flag or tier == 'gold'") == "Y")
+    // `not` applies to its atom; missing variables are falsy
+    assert(r("not missing and flag") == "Y")
+    assert(r("flag and missing") == "N")
+    // a quoted literal containing the words stays one comparison
+    assert(Params.render(
+      "{% if seg == 'Food and Drink' or seg == 'Bars or Pubs' %}Y{% endif %}",
+      Map("seg" -> "'Food and Drink'")) == "Y")
+    // elif branches evaluate compound conditions too
+    assert(Params.render(
+      "{% if a and b %}1{% elif a or b %}2{% else %}3{% endif %}",
+      Map("a" -> "true")) == "2")
+  }
+
+  test("jinja subset: dotted names compare like plain variables " +
+      "(loop.index inside a for body)") {
+    val out = Params.render(
+      "{% for s in statuses %}{% if loop.index == '2' %}[{{ s }}]{% else %}{{ s }}{% endif %} {% endfor %}",
+      Map("statuses" -> "a,b,c"))
+    assert(out == "a [b] c ", s"got '$out'")
+  }
+
+  test("jinja subset: join filter re-delimits a context list") {
+    assert(Params.render("IN ({{ statuses | join(' , ') }})",
+      Map("statuses" -> "a,b,c")) == "IN (a , b , c)")
+    // no argument joins with the empty separator (Jinja's default)
+    assert(Params.render("{{ statuses | join }}",
+      Map("statuses" -> "a, b, c")) == "abc")
+    // unbound variable passes through for the next context layer
+    assert(Params.render("{{ nope | join(',') }}", Map.empty)
+      == "{{ nope | join(',') }}")
   }
 
   test("jinja subset: for loops with loop bindings (mirrors the " +

@@ -449,4 +449,63 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     assert(dirs == Seq("__batch=0", "__batch=1"))
   }
+
+  test("streaming image ingest: re-saved twins drop against the indexed " +
+      "corpus; fresh fingerprints append and are seen next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{ImageIndex, Multimodal}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simg").toString
+    def imgs(ids: Seq[Long], format: String, idOffset: Long = 0L) =
+      Multimodal.syntheticPatternImage(ids.toDF("id"), "id", format,
+          idOffset)
+        .as[(Long, Array[Byte])].collect().toSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingImageIngest.maintain(
+      in.toDS().toDF("media_id", "content"), "media_id", "content",
+      tmp, s"$tmp/_checkpoint")
+    def receipt() = spark.read.parquet(s"$tmp/last_ingest")
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("verdict")).toMap
+    try {
+      // batch 1 bootstraps the index: 12 pattern originals, all fresh
+      in.addData(imgs(0L until 12L, "png"))
+      q.processAllAvailable()
+      assert(receipt().values.forall(_ == "fresh"))
+      // batch 2: JPEG re-saves of 0-5 (corpus dups through the
+      // perceptual hash), two genuinely new patterns, one in-batch
+      // duplicate pair (same pattern, two ids), one undecodable blob
+      in.addData(imgs(0L until 6L, "jpg", idOffset = 100000L) ++
+        imgs(Seq(50L, 51L), "png") ++
+        imgs(Seq(60L), "png") ++ imgs(Seq(60L), "jpg", idOffset = 300000L) ++
+        Seq((999L, "not an image".getBytes("UTF-8"))))
+      q.processAllAvailable()
+      val r2 = receipt()
+      (100000L until 100006L).foreach(i =>
+        assert(r2(i) == "corpus_dup", s"$i: ${r2(i)}"))
+      assert(r2(50L) == "fresh" && r2(51L) == "fresh")
+      assert(r2(60L) == "fresh" && r2(300060L) == "batch_dup")
+      assert(r2(999L) == "undecodable")
+      // batch 3: a re-save of batch 2's fresh pattern 50 — the append
+      // is visible within a trigger interval
+      in.addData(imgs(Seq(50L), "jpg", idOffset = 400000L))
+      q.processAllAvailable()
+      assert(receipt()(400050L) == "corpus_dup")
+    } finally q.stop()
+    // the batch-facing query API prunes to the probe's own buckets and
+    // reports the matched corpus ids
+    val res = ImageIndex.query(spark, tmp,
+      Multimodal.syntheticPatternImage(Seq(3L).toDF("id"), "id", "jpg",
+        idOffset = 500000L), "media_id", "content")
+    val m = res.collect().map(r => (r.getAs[Long]("corpus_id"),
+      r.getAs[Long]("batch_id")))
+    assert(m.toSeq == Seq((3L, 500003L)), m.mkString(", "))
+    // and the keys scan is statically pruned to the probe's own chunk
+    // buckets — corpus I/O ∝ batch, the index family contract
+    val plan = res.queryExecution.executedPlan.toString
+    assert(raw"(?s)PartitionFilters: \[[^\]]*__pb#\d+ (IN|INSET)".r
+        .findFirstIn(plan).isDefined,
+      s"keys scan not pruned to the probe's buckets:\n${plan.take(4000)}")
+  }
 }

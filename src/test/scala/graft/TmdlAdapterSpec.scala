@@ -86,18 +86,19 @@ class TmdlAdapterSpec extends AnyFunSuite {
         |    measure 'Region Code' = SWITCH(Sales[Region], "West", 1, "East", 2, 0)
         |    measure 'Safe Avg' = IF(ISBLANK([Order Count]), BLANK(), DIVIDE([Total Sales], [Order Count]))
         |    measure 'Sales R3M' = CALCULATE([Total Sales], DATESINPERIOD(Sales[OrderDate], MAX(Sales[OrderDate]), -3, MONTH))
+        |    measure 'Weighted Qty' = SUMX(Sales, Sales[Amount] * Sales[Qty])
         |""".stripMargin))
     val sales = imp.models.find(_.name == "Sales").get
     val declared = Seq("Total Sales", "Order Count", "Avg Sale", "West Sales",
       "Big West Sales", "Sales YTD", "Sales QTD", "Sales LY", "Sales PM",
       "Sales Rank", "Filtered Sales", "Sales Tier", "Region Code",
-      "Safe Avg", "Sales R3M")
+      "Safe Avg", "Sales R3M", "Weighted Qty")
     def isStub(m: graft.model.Metric): Boolean =
       !m.public && m.metricType == Some("derived")
     val executable = declared.filter(n => sales.metric(n).exists(!isStub(_)))
-    // r15 raised the bar from 0.8: SWITCH→CASE, FILTER-in-CALCULATE and
-    // ISBLANK/BLANK translation leave only RANKX as a fidelity stub
-    assert(executable.size.toDouble / declared.size >= 0.9,
+    // r16 closed the sink: RANKX lowers to a rank window and SUMX to an
+    // aggregate-of-expression — every declared measure now executes
+    assert(executable.size == declared.size,
       s"only ${executable.size}/${declared.size} executable: $executable")
     assert(sales.metric("Filtered Sales").exists(m =>
       m.agg == Some("sum") && m.filters == Seq("Qty > 5")))
@@ -127,8 +128,15 @@ class TmdlAdapterSpec extends AnyFunSuite {
       m.grainToDate == Some("quarter") && m.baseMetric == Some("Total Sales")))
     assert(sales.metric("Sales PM").exists(m =>
       m.comparison == Some("mom") && m.calculation == Some("prior")))
-    // RANKX stays an honest non-public stub
-    assert(sales.metric("Sales Rank").exists(isStub))
+    // RANKX → rank window over the grouped result, DESC by default
+    assert(sales.metric("Sales Rank").exists(m =>
+      m.metricType == Some("cumulative") &&
+        m.windowExpression == Some("RANK()") &&
+        m.windowOrder == Some("`Total Sales` DESC")))
+    // SUMX over a same-table scalar body → aggregate-of-expression
+    assert(sales.metric("Weighted Qty").exists(m =>
+      m.agg == Some("sum") && m.sql.exists(s =>
+        s.contains("Amount") && s.contains("*") && s.contains("Qty"))))
   }
 
   test("DAX IN-list braces translate to SQL IN; other braces stay stubs") {
