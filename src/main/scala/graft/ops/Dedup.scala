@@ -124,7 +124,7 @@ object Dedup {
     // collapse-routed, pinned shape runs. Output is identical wherever
     // exact duplicates are absent; the routed deviations (scaladoc
     // above) engage only at the scale that needs them.
-    if (PairPins.pairPar(df, pinMinBytes) == 0)
+    if (PairPins.pairPar(df, pinMinBytes, Some(textCol)) == 0)
       return minHashLSHDirect(df, idCol, textCol, shingleSize, numHashes,
         bands, threshold, maxBucketSize, pinMinBytes)
     val (reps, members) = familyRoute(df, idCol, textCol, maxBucketSize)
@@ -178,20 +178,41 @@ object Dedup {
     * (digest + ids), never full documents. */
   private[ops] def familyRoute(df: DataFrame, idCol: String, textCol: String,
       maxFamily: Int): (DataFrame, DataFrame) = {
-    val nn = df.select(col(idCol), col(textCol))
+    // ONE corpus scan, ONE digest-keyed exchange, ONE checkpointed
+    // frame: a window over the digest tags every row with its family's
+    // rep and size (the same shape [[collapseExact]] uses — the r15
+    // objection to the window form was its full-corpus sort re-running
+    // per consumer, which the checkpoint removes), and the content
+    // column is kept ONLY on rep rows before materialization, so the
+    // stored blocks hold one content copy per DISTINCT content plus two
+    // ids per row. A groupBy + member-join shape was measured slower
+    // here: it scans the corpus twice (once for the families, once for
+    // the member side) and checkpoints twice.
+    val w = Window.partitionBy(col("__k"))
+    val par = 2 * df.sparkSession.sparkContext.defaultParallelism
+    val fam0 = df.select(col(idCol).as("__m"), col(textCol))
       .filter(col(textCol).isNotNull)
       .withColumn("__k", md5(col(textCol).cast("string").cast("binary")))
-    val fams = nn.groupBy(col("__k"))
-      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__fam"),
-        first(col(textCol)).as(textCol))
-      .localCheckpoint(true)
-    val reps = fams.select(col("__rep").as(idCol), col(textCol))
-    val members = nn.select(col("__k"), col(idCol).as("__m"))
-      .join(fams.select(col("__k"), col("__rep"), col("__fam"))
-        .hint("shuffle_hash"), Seq("__k"))
+      // the explicit keyed repartition IS the window's required
+      // distribution, pinned at cluster width: without it the window
+      // rides a plain exchange that AQE (advisory-size-first) coalesces
+      // into a few fat tasks — measured 2x on the whole routed pass
+      .repartition(par, col("__k"))
+      .withColumn("__rep", min(col("__m")).over(w))
+      .withColumn("__fam", count(lit(1)).over(w))
       .filter(col("__m") === col("__rep") || col("__fam") <= maxFamily)
-      .select(col("__rep"), col("__m"))
+      .select(col("__rep"), col("__m"), col("__fam"),
+        when(col("__m") === col("__rep"), col(textCol)).as(textCol))
       .localCheckpoint(true)
+    // reps re-reads the checkpoint per consumer (cheap: small id rows
+    // plus the distinct contents); the explicit repartition spreads the
+    // CPU-dense downstream fingerprint passes to cluster width — AQE
+    // sizes the tiny-bytes frame to ~1 partition otherwise (measured:
+    // the whole routed simhash ran 27 tasks / 19.5 CPU·s serial)
+    val reps = fam0.filter(col("__m") === col("__rep"))
+      .select(col("__m").as(idCol), col(textCol))
+      .repartition(par)
+    val members = fam0.select(col("__rep"), col("__m"))
     (reps, members)
   }
 
@@ -220,7 +241,7 @@ object Dedup {
     val inputBytes =
       df.queryExecution.optimizedPlan.stats.sizeInBytes
         .min(BigInt(Long.MaxValue)).toLong
-    val routed = PairPins.pairPar(df, pinMinBytes) > 0
+    val routed = PairPins.pairPar(df, pinMinBytes, Some(textCol)) > 0
     df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
       .groupBy(md5(col(textCol).cast("string").cast("binary")).as("__k"))
@@ -310,7 +331,7 @@ object Dedup {
     // ADAPTIVE (see [[PairPins]]): below `pinMinBytes` of input the pin
     // is off — the pinned exchanges' fixed cost dominated small corpora
     // (A/B at sf0.1: 1.46 s unpinned vs 2.08 s pinned, identical data)
-    val pairPar = PairPins.pairPar(df, pinMinBytes)
+    val pairPar = PairPins.pairPar(df, pinMinBytes, Some(textCol))
     // both self-join sides derive from ONE explicitly-partitioned frame,
     // so the b²-per-bucket pair GENERATION itself runs at pairPar tasks
     // (co-partitioned — the pin adds no extra exchange to the join)
@@ -405,7 +426,7 @@ object Dedup {
     // distinct texts, then expanded — identical texts have identical
     // 64-bit signatures, so inter-family pairs inherit the rep hamming
     // exactly and intra-family pairs are hamming 0 by construction
-    if (PairPins.pairPar(df, pinMinBytes) == 0)
+    if (PairPins.pairPar(df, pinMinBytes, Some(textCol)) == 0)
       return simHashPairsDirect(df, idCol, textCol, maxDistance,
         maxBlockSize, pinMinBytes)
     val (reps, members) = familyRoute(df, idCol, textCol, maxBlockSize)
@@ -421,7 +442,7 @@ object Dedup {
       textCol: String, maxDistance: Int = 3, maxBlockSize: Int = 1000,
       pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame =
     hammingBandedPairs(simHashChunks(df, idCol, textCol, maxDistance),
-      maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes))
+      maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes, Some(textCol)))
 
   /** Pigeonhole-blocked Hamming pair search over a PRE-CHUNKED
     * (id, sig, c, v) frame — the blocking machinery shared by text
