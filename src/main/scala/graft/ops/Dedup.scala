@@ -124,12 +124,12 @@ object Dedup {
     // collapse-routed, pinned shape runs. Output is identical wherever
     // exact duplicates are absent; the routed deviations (scaladoc
     // above) engage only at the scale that needs them.
-    if (PairPins.pairPar(df, pinMinBytes, Some(textCol)) == 0)
+    if (PairPins.routePar(df, pinMinBytes, textCol) == 0)
       return minHashLSHDirect(df, idCol, textCol, shingleSize, numHashes,
-        bands, threshold, maxBucketSize, pinMinBytes)
+        bands, threshold, maxBucketSize, pinMinBytes = Long.MaxValue)
     val (reps, members) = familyRoute(df, idCol, textCol, maxBucketSize)
     val repPairs = minHashLSHDirect(reps, idCol, textCol, shingleSize,
-      numHashes, bands, threshold, maxBucketSize, pinMinBytes)
+      numHashes, bands, threshold, maxBucketSize, pinMinBytes = 0L)
     expandFamilyPairs(repPairs, members, "jaccard", lit(1.0),
       keepIntra = threshold <= 1.0)
   }
@@ -241,7 +241,7 @@ object Dedup {
     val inputBytes =
       df.queryExecution.optimizedPlan.stats.sizeInBytes
         .min(BigInt(Long.MaxValue)).toLong
-    val routed = PairPins.pairPar(df, pinMinBytes, Some(textCol)) > 0
+    val routed = PairPins.routePar(df, pinMinBytes, textCol) > 0
     df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
       .groupBy(md5(col(textCol).cast("string").cast("binary")).as("__k"))
@@ -331,7 +331,7 @@ object Dedup {
     // ADAPTIVE (see [[PairPins]]): below `pinMinBytes` of input the pin
     // is off — the pinned exchanges' fixed cost dominated small corpora
     // (A/B at sf0.1: 1.46 s unpinned vs 2.08 s pinned, identical data)
-    val pairPar = PairPins.pairPar(df, pinMinBytes, Some(textCol))
+    val pairPar = PairPins.pairPar(df, pinMinBytes)
     // both self-join sides derive from ONE explicitly-partitioned frame,
     // so the b²-per-bucket pair GENERATION itself runs at pairPar tasks
     // (co-partitioned — the pin adds no extra exchange to the join)
@@ -426,12 +426,12 @@ object Dedup {
     // distinct texts, then expanded — identical texts have identical
     // 64-bit signatures, so inter-family pairs inherit the rep hamming
     // exactly and intra-family pairs are hamming 0 by construction
-    if (PairPins.pairPar(df, pinMinBytes, Some(textCol)) == 0)
+    if (PairPins.routePar(df, pinMinBytes, textCol) == 0)
       return simHashPairsDirect(df, idCol, textCol, maxDistance,
-        maxBlockSize, pinMinBytes)
+        maxBlockSize, pinMinBytes = Long.MaxValue)
     val (reps, members) = familyRoute(df, idCol, textCol, maxBlockSize)
     val repPairs = simHashPairsDirect(reps, idCol, textCol, maxDistance,
-      maxBlockSize, pinMinBytes)
+      maxBlockSize, pinMinBytes = 0L)
     expandFamilyPairs(repPairs, members, "hamming", lit(0L),
       keepIntra = maxDistance >= 0)
   }
@@ -442,7 +442,7 @@ object Dedup {
       textCol: String, maxDistance: Int = 3, maxBlockSize: Int = 1000,
       pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame =
     hammingBandedPairs(simHashChunks(df, idCol, textCol, maxDistance),
-      maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes, Some(textCol)))
+      maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes))
 
   /** Pigeonhole-blocked Hamming pair search over a PRE-CHUNKED
     * (id, sig, c, v) frame — the blocking machinery shared by text

@@ -560,6 +560,6 @@ object Multimodal {
       .select(col("media_id").as("id"), fp(col("grid")).as("sig"))
       .filter(col("sig").isNotNull)
     Dedup.hammingBandedPairs(Dedup.sigChunks(sigs, maxDistance),
-      maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes, Some(binCol)))
+      maxDistance, maxBlockSize, PairPins.pairPar(df, pinMinBytes))
   }
 }

@@ -39,47 +39,50 @@ private[graft] object PairPins {
 
   /** The pin width when engaged: 2x the cluster's core count — scales
     * with the CLUSTER, not the data, which is right for CPU-dense
-    * byte-small stages. Returns 0 (= no pin) when the corpus is small.
-    *
-    * "Small" is decided by the optimizer's byte estimate — OR, when
-    * that is under the gate, by what the bytes cannot see. A file
-    * source's estimate is the COMPRESSED size, and compression ratio
-    * correlates with duplication: a dup-dense corpus — exactly the kind
-    * the collapse routing exists for — under-reports its pair CPU by
-    * orders of magnitude (measured: the zipfian skew fixture packs 50k
-    * documents at ~17 copies each into a 3.8 MB parquet, under the
-    * 4 MiB gate, which silently sent the whole corpus down the direct
-    * path — 3.5x slower AND 400 pairs short, the block cap's recall
-    * loss that routing avoids). Inside the byte window
-    * [minBytes/1024, minBytes) one cheap aggregate over the ≤minBytes
-    * file decides on the real signals:
+    * byte-small stages. Returns 0 (= no pin) when the optimizer's size
+    * estimate for `df` is below `minBytes`. Plan-time only — this NEVER
+    * runs a job, so the direct pair paths and the collapsed twins stay
+    * zero-overhead; the routing wrappers use [[routePar]], which may
+    * pay one small job to see what bytes cannot. */
+  def pairPar(df: DataFrame, minBytes: Long): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(minBytes))
+      2 * df.sparkSession.sparkContext.defaultParallelism
+    else 0
+  }
+
+  /** The ROUTING gate for the collapse-routed pair-formers. Engages
+    * like [[pairPar]] on the byte estimate — but a file source's
+    * estimate is the COMPRESSED size, and compression ratio correlates
+    * with duplication, the exact signal routing exists for: the zipfian
+    * skew fixture packs 50k documents at ~17 copies each into a 3.8 MB
+    * parquet, under the 4 MiB gate, which silently sent the whole
+    * corpus down the direct path — 3.5x slower AND 400 pairs short (the
+    * block cap's recall loss that routing avoids). So inside the byte
+    * window [minBytes/1024, minBytes) ONE cheap aggregate over the
+    * ≤minBytes source decides on the real signals:
     *   - rows ≥ minBytes/64 — the ≥64 content bytes/row break-even the
     *     byte gate already assumes (CPU-dense regardless of dups), or
     *   - rows ≥ minBytes/256 AND ≥4 copies per distinct content — the
-    *     dup density at which family collapse beats the direct pass.
-    * Above the window, bytes decide alone — the 100 TB path never pays
-    * a gate job. Below it no plausible density reaches either gate.
-    * Gates above 1 TiB mean "never engage" and skip the job too. */
-  def pairPar(df: DataFrame, minBytes: Long): Int =
-    pairPar(df, minBytes, None)
-
-  def pairPar(df: DataFrame, minBytes: Long,
-      contentCol: Option[String]): Int = {
+    *     dup density at which the family collapse beats the direct
+    *     pass.
+    * Above the window bytes decide alone — the 100 TB path never pays a
+    * gate job; below it no plausible density reaches either gate; gates
+    * above 1 TiB mean "never engage" and skip the job too. The wrappers
+    * call this ONCE and thread the decision into their direct pass as a
+    * sentinel `pinMinBytes`, so no construction pays two gate jobs. */
+  def routePar(df: DataFrame, minBytes: Long, contentCol: String): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val par = 2 * df.sparkSession.sparkContext.defaultParallelism
     if (bytes >= BigInt(minBytes)) return par
     if (minBytes > (1L << 40) || bytes < BigInt(minBytes >> 10)) return 0
-    val engaged = contentCol match {
-      case Some(c) =>
-        val r = df.agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.approx_count_distinct(
-            org.apache.spark.sql.functions.col(c))).head()
-        val (n, d) = (r.getLong(0), math.max(r.getLong(1), 1L))
-        n >= (minBytes >> 6) || (n >= (minBytes >> 8) && n >= 4 * d)
-      case None => df.count() >= (minBytes >> 6)
-    }
-    if (engaged) par else 0
+    val r = df.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.approx_count_distinct(
+        org.apache.spark.sql.functions.col(contentCol))).head()
+    val (n, d) = (r.getLong(0), math.max(r.getLong(1), 1L))
+    if (n >= (minBytes >> 6) || (n >= (minBytes >> 8) && n >= 4 * d)) par
+    else 0
   }
 
   /** `repartition(n, keys)` when the pin is engaged, identity when not

@@ -407,12 +407,12 @@ object Similarity {
     // vector-keyed window. The SAME size gate as the pins picks the
     // path (Dedup.minHashLSH's contract): small corpora run direct and
     // unpinned, large ones routed and pinned.
-    if (PairPins.pairPar(df, pinMinBytes, Some(vecCol)) == 0)
+    if (PairPins.routePar(df, pinMinBytes, vecCol) == 0)
       return cosineNearDupPairsDirect(df, idCol, vecCol, threshold, bands,
-        planesPerBand, dim, seed, maxBucketSize, pinMinBytes)
+        planesPerBand, dim, seed, maxBucketSize, pinMinBytes = Long.MaxValue)
     val (reps, members) = Dedup.familyRoute(df, idCol, vecCol, maxBucketSize)
     val repPairs = cosineNearDupPairsDirect(reps, idCol, vecCol, threshold,
-      bands, planesPerBand, dim, seed, maxBucketSize, pinMinBytes)
+      bands, planesPerBand, dim, seed, maxBucketSize, pinMinBytes = 0L)
     Dedup.expandFamilyPairs(repPairs, members, "cosine", lit(1.0),
       keepIntra = threshold <= 1.0)
   }
@@ -446,7 +446,7 @@ object Similarity {
     // generation and the gate/verify joins into a handful of reducers).
     // So the pin engages only above the input-size gate, exactly like
     // the text family.
-    val pairPar = PairPins.pairPar(df, pinMinBytes, Some(vecCol))
+    val pairPar = PairPins.pairPar(df, pinMinBytes)
     val spreadKeys = PairPins.spread(keyed, pairPar,
       col("__band"), col("__bucket"))
     val cand = PairPins.spread(
@@ -615,7 +615,7 @@ object Similarity {
     // never enter the family map (familyRoute filters them), so they
     // are unioned back here exactly as the direct branch reports them
     // — the one-row-per-input contract cannot depend on the gate.
-    if (threshold <= 1.0 && PairPins.pairPar(df, pinMinBytes, Some(vecCol)) > 0) {
+    if (threshold <= 1.0 && PairPins.routePar(df, pinMinBytes, vecCol) > 0) {
       val (reps, members) =
         Dedup.familyRoute(df, idCol, vecCol, Int.MaxValue)
       val repOut = semDedupDirect(reps, idCol, vecCol, threshold, nCells,
@@ -667,7 +667,7 @@ object Similarity {
     // verify inherits the adaptive pin decision from the corpus size
     // (same contract as cosineNearDupPairs — see [[PairPins]])
     val dropped = cosineVerify(df, idCol, vecCol, cand,
-      PairPins.pairPar(df, PairPins.DefaultMinBytes, Some(vecCol)))
+      PairPins.pairPar(df, PairPins.DefaultMinBytes))
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("dup_of"))

@@ -105,34 +105,38 @@ class FamilyRouteSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 == 0L))
   }
 
-  test("the size gate catches dup-dense corpora whose byte estimate " +
-      "lies: the row count engages routing below the byte gate") {
+  test("the routing gate catches dup-dense corpora whose byte estimate " +
+      "lies: rows and dup density engage routing below the byte gate") {
     import spark.implicits._
     import graft.ops.PairPins
-    // 20k rows whose byte estimate sits under a 1 MiB gate: the row
-    // fallback (minBytes/64 = 16384 rows) must engage the pins — the
-    // zipfian fixture packs 500k docs into 3.8 MB of parquet, and the
-    // byte-only gate sent it down the direct path (slow + 400 pairs
-    // short of the routed answer)
-    val dense = (1 to 20000).map(i => (i.toLong, s"tok ${i % 5}"))
+    // the zipfian fixture packs 50k docs at ~17 copies each into a
+    // 3.8 MB parquet — under the 4 MiB byte gate, which silently sent
+    // the corpus down the direct path (slow + 400 pairs short of the
+    // routed answer). routePar's in-window aggregate catches it:
+    // DUP DENSITY engages at a quarter of the row gate — 8k rows of 5
+    // distinct texts route, 8k distinct texts do not (nothing to
+    // collapse)
+    val dupDense = (1 to 8000).map(i => (i.toLong, s"tok ${i % 5}"))
       .toDF("id", "text")
-    assert(PairPins.pairPar(dense, 1L << 20) > 0,
-      "row fallback must engage on a 20k-row corpus under the byte gate")
+    assert(PairPins.routePar(dupDense, 1L << 20, "text") > 0,
+      "dup density must engage routing under the byte gate")
+    val allDistinct = (1 to 8000).map(i => (i.toLong, s"doc body $i"))
+      .toDF("id", "text")
+    assert(PairPins.routePar(allDistinct, 1L << 20, "text") == 0)
+    // sheer row count engages regardless of dups (CPU-dense pair space)
+    val manyDistinct = (1 to 20000).map(i => (i.toLong, s"doc body $i"))
+      .toDF("id", "text")
+    assert(PairPins.routePar(manyDistinct, 1L << 20, "text") > 0)
     // few rows, same byte window: stays direct
     val sparse = (1 to 1000).map(i => (i.toLong, s"tok ${i % 5}"))
       .toDF("id", "text")
-    assert(PairPins.pairPar(sparse, 1L << 20) == 0)
-    // a gate above 1 TiB means "never engage" — no count job, no pins
-    assert(PairPins.pairPar(dense, Long.MaxValue) == 0)
-    // with the content column, DUP DENSITY engages routing at a quarter
-    // of the row gate: 8k rows of 5 distinct texts route (the zipfian
-    // case), 8k distinct texts do not (nothing to collapse)
-    val dupDense = (1 to 8000).map(i => (i.toLong, s"tok ${i % 5}"))
-      .toDF("id", "text")
-    assert(PairPins.pairPar(dupDense, 1L << 20, Some("text")) > 0)
-    val allDistinct = (1 to 8000).map(i => (i.toLong, s"doc body $i"))
-      .toDF("id", "text")
-    assert(PairPins.pairPar(allDistinct, 1L << 20, Some("text")) == 0)
+    assert(PairPins.routePar(sparse, 1L << 20, "text") == 0)
+    // a gate above 1 TiB means "never engage" — no gate job, no route
+    assert(PairPins.routePar(dupDense, Long.MaxValue, "text") == 0)
+    // the PIN gate stays plan-time bytes-only — it never runs a job,
+    // so direct paths and collapsed twins carry zero gate overhead
+    assert(PairPins.pairPar(dupDense, Long.MaxValue) == 0)
+    assert(PairPins.pairPar(dupDense, 0L) > 0)
   }
 
   test("describeRoute receipt: gate decision + family-map shape") {
