@@ -177,44 +177,60 @@ object Dedup {
     * the probe side with a 1-row build. The join moves ~40 bytes/row
     * (digest + ids), never full documents. */
   private[ops] def familyRoute(df: DataFrame, idCol: String, textCol: String,
-      maxFamily: Int): (DataFrame, DataFrame) = {
-    // ONE corpus scan, ONE digest-keyed exchange, ONE checkpointed
-    // frame: a window over the digest tags every row with its family's
-    // rep and size (the same shape [[collapseExact]] uses — the r15
-    // objection to the window form was its full-corpus sort re-running
-    // per consumer, which the checkpoint removes), and the content
-    // column is kept ONLY on rep rows before materialization, so the
-    // stored blocks hold one content copy per DISTINCT content plus two
-    // ids per row. A groupBy + member-join shape was measured slower
-    // here: it scans the corpus twice (once for the families, once for
-    // the member side) and checkpoints twice.
-    val w = Window.partitionBy(col("__k"))
-    val par = 2 * df.sparkSession.sparkContext.defaultParallelism
-    val fam0 = df.select(col(idCol).as("__m"), col(textCol))
+      maxFamily: Int, checkpointMembers: Boolean = true): (DataFrame, DataFrame) = {
+    val nn = df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
-      .withColumn("__k", md5(col(textCol).cast("string").cast("binary")))
-      // the explicit keyed repartition IS the window's required
-      // distribution, pinned at cluster width: without it the window
-      // rides a plain exchange that AQE (advisory-size-first) coalesces
-      // into a few fat tasks — measured 2x on the whole routed pass
-      .repartition(par, col("__k"))
-      .withColumn("__rep", min(col("__m")).over(w))
-      .withColumn("__fam", count(lit(1)).over(w))
-      .filter(col("__m") === col("__rep") || col("__fam") <= maxFamily)
-      .select(col("__rep"), col("__m"), col("__fam"),
-        when(col("__m") === col("__rep"), col(textCol)).as(textCol))
-      .localCheckpoint(true)
-    // reps re-reads the checkpoint per consumer (cheap: small id rows
-    // plus the distinct contents); the explicit repartition spreads the
-    // CPU-dense downstream fingerprint passes to cluster width — AQE
-    // sizes the tiny-bytes frame to ~1 partition otherwise (measured:
-    // the whole routed simhash ran 27 tasks / 19.5 CPU·s serial)
-    val reps = fam0.filter(col("__m") === col("__rep"))
-      .select(col("__m").as(idCol), col(textCol))
+      .withColumn("__k", familyKey(col(textCol)))
+    // family map via GROUPBY, not a window: map-side combine moves at
+    // most one copy of each distinct content per input partition, so on
+    // the dup-dense corpora this route exists for the shuffle carries
+    // ~distinct rows — a window over the digest shuffled the FULL
+    // corpus content and sorted it (measured at sf10 100-copy density:
+    // routed semDedup 3.6 -> 6.8 s, 110 CPU.s). The explicit
+    // repartition pins the checkpoint block count at cluster width
+    // (AQE coalesces the tiny-bytes distinct frame to ~1 partition,
+    // serializing every downstream fingerprint pass — measured 27
+    // tasks / 19.5 CPU.s near-serial); `first(text)` is exact because
+    // digest-equal rows carry identical content.
+    val par = 2 * df.sparkSession.sparkContext.defaultParallelism
+    val fams = nn.groupBy(col("__k"))
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__fam"),
+        first(col(textCol)).as(textCol))
       .repartition(par)
-    val members = fam0.select(col("__rep"), col("__m"))
-    (reps, members)
+      .localCheckpoint(true)
+    // reps re-reads the checkpoint per consumer: no shuffle, no corpus
+    // scan, cluster-width blocks
+    val reps = fams.select(col("__rep").as(idCol), col(textCol))
+    // the member join keys on the digest (~40 bytes/row shuffle, never
+    // full documents) against the CHECKPOINTED families; shuffle-hash
+    // keeps a degenerate hot family streaming through the probe side
+    // with a small build. This is the second (and last) corpus scan;
+    // the checkpoint makes both frames single-execution (spec-pinned:
+    // the routed plans' only leaves are checkpoint scans).
+    val members = nn.select(col("__k"), col(idCol).as("__m"))
+      .join(fams.select(col("__k"), col("__rep"), col("__fam"))
+        .hint("shuffle_hash"), Seq("__k"))
+      .filter(col("__m") === col("__rep") || col("__fam") <= maxFamily)
+      .select(col("__rep"), col("__m"))
+    // the pair-formers consume members 2-4x (expansion joins) — the
+    // checkpoint makes those single-execution; a caller that consumes
+    // members exactly ONCE (semDedup's propagation join) skips it and
+    // saves the eager corpus-scan job
+    (reps, if (checkpointMembers) members.localCheckpoint(true) else members)
   }
+
+  /** The 128-bit family identity: two seeded native xxhash64 lanes
+    * over the raw content — strings and arrays alike, hashed in binary
+    * with no stringification (an md5 over `cast(array<float> as
+    * string)` paid ~40 us/row formatting 64 floats on every family
+    * scan; the native lanes are pennies). Digest-equals-identity is
+    * [[exact]]'s stance: a family merge needs BOTH chained lanes to
+    * collide (~2^-128 per pair). Spark's hash kernels canonicalize
+    * floats (-0.0/NaN) IDENTICALLY on every evaluation, so both sides
+    * of the member join always agree — the r15 group-key hazard cannot
+    * recur. */
+  private def familyKey(content: Column): Column =
+    struct(xxhash64(content), xxhash64(content, lit(1)))
 
   /** Explain-style receipt for the collapse-routing decision the pair-
     * formers share ([[minHashLSH]], [[simHashPairs]],
@@ -244,7 +260,7 @@ object Dedup {
     val routed = PairPins.routePar(df, pinMinBytes, textCol) > 0
     df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
-      .groupBy(md5(col(textCol).cast("string").cast("binary")).as("__k"))
+      .groupBy(familyKey(col(textCol)).as("__k"))
       .agg(count(lit(1)).as("__fam"))
       .agg(
         coalesce(sum(col("__fam")), lit(0L)).as("n_rows"),

@@ -617,7 +617,8 @@ object Similarity {
     // — the one-row-per-input contract cannot depend on the gate.
     if (threshold <= 1.0 && PairPins.routePar(df, pinMinBytes, vecCol) > 0) {
       val (reps, members) =
-        Dedup.familyRoute(df, idCol, vecCol, Int.MaxValue)
+        Dedup.familyRoute(df, idCol, vecCol, Int.MaxValue,
+          checkpointMembers = false) // consumed once: the join below
       val repOut = semDedupDirect(reps, idCol, vecCol, threshold, nCells,
         iters, trainSampleMod, maxCellSize)
       return members
