@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains are driven by a harness that parses the LAST
+// stdout line of the sbt process as JSON. Two things break that under
+// sbt's defaults: forked program output is re-logged with an "[info] "
+// prefix, and sbt appends a "[success] Total time: …" trailer AFTER the
+// program's last line. Route forked output straight through to stdout
+// and drop the success trailer so the program's last printed line IS
+// the process's last stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not another task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

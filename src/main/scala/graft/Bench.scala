@@ -180,6 +180,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val battery = if (exact) "exact" else "default"
+    // Stop the session BEFORE printing the contract lines: Spark's
+    // shutdown logging (stderr normally, but harnesses capture 2>&1)
+    // must never trail the JSON the driver parses off the tail.
+    spark.stop()
     // The FULL per-query record — what the repo's own harness scripts
     // capture (grep '"metric":"total_full"'). At 220 queries this line
     // runs ~10 KB, far beyond the driver's 2000-char stdout tail, so it
@@ -189,10 +193,13 @@ object Bench {
     // value, unit, queries, sf} — kept self-contained and small (the
     // queries map holds the top-12 slowest only) so the 2000-char tail
     // capture always contains the whole line and it parses as JSON.
+    // build.sbt routes forked output straight to stdout (StdoutOutput)
+    // and suppresses sbt's "[success] Total time" trailer (showSuccess
+    // := false) so this line IS the sbt process's last stdout line.
     val top = results.sortBy(-_._2).take(12)
       .map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,"n_queries":${results.size},"passes":$passes,"warmup_sec":$warmup%.1f,"battery":"$battery","sf":"$sfDir"}""")
-    spark.stop()
+    Console.flush()
   }
 }

@@ -229,6 +229,15 @@ object SparkEntry {
       dimensions = Seq("orders.order_date__month"),
       orderBy = Seq("order_date__month"))), "revenue_ma3m")),
 
+    // RANKX-style windowExpression metric queried by a NON-time
+    // dimension: no time axis, so the rank's window spans the whole
+    // grouped result — PARTITION BY the queried dims would rank every
+    // one-row group 1 (the r16 ADVICE regression this oracle pins)
+    "q_window_rank_dim" -> ((s, d) => asLong(q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue", "orders.revenue_rank"),
+      dimensions = Seq("orders.orderpriority"),
+      orderBy = Seq("orderpriority"))), "revenue_rank")),
+
     "q_stats" -> ((s, d) => round4(q(s, d)(SemanticQuery(
       metrics = Seq("lineitem.median_quantity", "lineitem.stddev_quantity",
         "lineitem.stddev_pop_quantity", "lineitem.var_quantity",
@@ -4038,6 +4047,14 @@ object SparkEntry {
         |  round(avg(cast(revenue as double)) OVER (ORDER BY order_date__month
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS revenue_ma3m
         |FROM (SELECT date_trunc('month', o_orderdate) AS order_date__month,
+        |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |      FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin,
+
+    "q_window_rank_dim" ->
+      """SELECT orderpriority, revenue,
+        |  CAST(rank() OVER (ORDER BY revenue DESC) AS BIGINT) AS revenue_rank
+        |FROM (SELECT o_orderpriority AS orderpriority,
         |        sum(cast(o_totalprice as decimal(18,2))) AS revenue
         |      FROM orders GROUP BY 1)
         |ORDER BY 1""".stripMargin,

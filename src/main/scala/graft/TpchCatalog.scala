@@ -102,7 +102,13 @@ object TpchCatalog {
       // (reference: core/metric.py:299-308)
       Metric("revenue_ma3m", metricType = Some("cumulative"),
         windowExpression = Some("avg(cast(revenue as double))"),
-        windowFrame = Some("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"))),
+        windowFrame = Some("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW")),
+      // RANKX-style rank with an explicit window order and NO time
+      // axis: queried by a plain dimension the rank runs over the
+      // whole grouped result (reference: RANKX(ALL('orders'), [rev]))
+      Metric("revenue_rank", metricType = Some("cumulative"),
+        windowExpression = Some("rank()"),
+        windowOrder = Some("revenue DESC"))),
     relationships = Seq(
       Relationship("customer", "many_to_one", foreignKey = Seq("o_custkey"))),
     segments = Seq(

@@ -68,11 +68,14 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
       fr.grain.isDefined || d.dimType == DimType.Time }
     // a windowExpression metric with its own explicit ORDER BY column
     // needs no time axis (e.g. a RANKX-style rank over the grouped
-    // result, ordered by the base measure); every other window type
-    // anchors on a time dimension
+    // result, ordered by the base measure); every other WINDOW type
+    // anchors on a time dimension. Plain metrics riding along in the
+    // same query aggregate in the inner stage and don't care.
     val needsTime = mets.exists { case (_, (_, m)) =>
-      !(m.kind == "cumulative" && m.windowExpression.isDefined &&
-        m.windowOrder.isDefined) }
+      (m.kind == "cumulative" && !(m.windowExpression.isDefined &&
+        m.windowOrder.isDefined)) ||
+      m.kind == "time_comparison" ||
+      (m.kind == "ratio" && m.offsetWindow.isDefined) }
     require(timeIdx >= 0 || !needsTime,
       "cumulative/time_comparison metrics require a time dimension in the query")
     def timeName = dimInfo(timeIdx)._1.outName
@@ -90,7 +93,14 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
           // Spark's window support verbatim (interval RANGE frames are not
           // supported by Spark and surface as analysis errors)
           val orderCol = m.windowOrder.getOrElse(timeName)
-          val part = if (otherDims.isEmpty) ""
+          // With a time axis the non-time dims partition and the window
+          // runs along time inside each group. WITHOUT one (timeIdx < 0
+          // — only legal when every window metric has an explicit
+          // windowOrder), the grouped result itself is the ranking
+          // domain: partitioning by every queried dim would put each
+          // one-row group alone in its window and a RANKX-style rank
+          // would return 1 for every row.
+          val part = if (otherDims.isEmpty || timeIdx < 0) ""
                      else s"PARTITION BY ${otherDims.mkString(", ")} "
           val frame = m.windowFrame.map(" " + _).getOrElse("")
           df = df.withColumn(m.name, expr(

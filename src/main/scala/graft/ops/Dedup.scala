@@ -219,18 +219,26 @@ object Dedup {
     (reps, if (checkpointMembers) members.localCheckpoint(true) else members)
   }
 
-  /** The 128-bit family identity: two seeded native xxhash64 lanes
-    * over the raw content — strings and arrays alike, hashed in binary
-    * with no stringification (an md5 over `cast(array<float> as
-    * string)` paid ~40 us/row formatting 64 floats on every family
-    * scan; the native lanes are pennies). Digest-equals-identity is
-    * [[exact]]'s stance: a family merge needs BOTH chained lanes to
-    * collide (~2^-128 per pair). Spark's hash kernels canonicalize
-    * floats (-0.0/NaN) IDENTICALLY on every evaluation, so both sides
-    * of the member join always agree — the r15 group-key hazard cannot
-    * recur. */
-  private def familyKey(content: Column): Column =
-    struct(xxhash64(content), xxhash64(content, lit(1)))
+  /** The 128-bit family identity: two INDEPENDENTLY seeded native
+    * xxhash64 lanes over the raw content — strings and arrays alike,
+    * hashed in binary with no stringification (an md5 over
+    * `cast(array<float> as string)` paid ~40 us/row formatting 64
+    * floats on every family scan; the native lanes are pennies).
+    * Lane independence matters: Spark's multi-arg XxHash64 folds by
+    * seeding each argument's hash with the previous result, so
+    * `xxhash64(content, lit(1))` would be a pure function of
+    * `xxhash64(content)` — one 64-bit lane wearing a 128-bit costume.
+    * The second lane instead hashes a LEADING literal first, which
+    * folds into a distinct seed for the content bytes:
+    * `xxhash64(lit(1), content)` = xxh(content, seed = xxh(1, 42)) —
+    * genuinely independent of lane one. Digest-equals-identity is
+    * [[exact]]'s stance: a family merge needs both independent lanes
+    * to collide (~2^-128 per pair, safe at billions of distinct
+    * documents). Spark's hash kernels canonicalize floats (-0.0/NaN)
+    * IDENTICALLY on every evaluation, so both sides of the member
+    * join always agree — the r15 group-key hazard cannot recur. */
+  private[graft] def familyKey(content: Column): Column =
+    struct(xxhash64(content), xxhash64(lit(1), content))
 
   /** Explain-style receipt for the collapse-routing decision the pair-
     * formers share ([[minHashLSH]], [[simHashPairs]],

@@ -1,6 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Adaptive parallelism pins for the CPU-dense candidate-pair stages of
   * the text dedup family ([[Dedup.minHashLSH]], [[Dedup.simHashPairs]]).
@@ -70,20 +73,55 @@ private[graft] object PairPins {
     * gate job; below it no plausible density reaches either gate; gates
     * above 1 TiB mean "never engage" and skip the job too. The wrappers
     * call this ONCE and thread the decision into their direct pass as a
-    * sentinel `pinMinBytes`, so no construction pays two gate jobs. */
+    * sentinel `pinMinBytes`, so no construction pays two gate jobs.
+    *
+    * The in-window aggregate is MEMOIZED per (session, canonicalized
+    * input plan, content column, byte estimate) in a session-scoped LRU
+    * (the [[graft.gen.Generator]] planCache pattern): a layer that
+    * constructs several routed wrappers over the same source — a
+    * decontamination pass gating suspects then spanning them, a bench
+    * loop rebuilding the query per iteration — pays the gate job ONCE,
+    * not per construction (measured ~0.18 s each at sub-gate scale).
+    * The byte estimate rides in the key on purpose: an incremental
+    * source whose files grew re-resolves to a different estimate and
+    * takes a fresh gate job rather than a stale density verdict. */
   def routePar(df: DataFrame, minBytes: Long, contentCol: String): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val par = 2 * df.sparkSession.sparkContext.defaultParallelism
     if (bytes >= BigInt(minBytes)) return par
     if (minBytes > (1L << 40) || bytes < BigInt(minBytes >> 10)) return 0
-    val r = df.agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)),
-      org.apache.spark.sql.functions.approx_count_distinct(
-        org.apache.spark.sql.functions.col(contentCol))).head()
-    val (n, d) = (r.getLong(0), math.max(r.getLong(1), 1L))
+    val key = (df.sparkSession, df.queryExecution.optimizedPlan.canonicalized,
+      contentCol, bytes)
+    val (n, d) = gateMemo.synchronized(Option(gateMemo.get(key))) match {
+      case Some(hit) => hit
+      case None =>
+        gateJobs.incrementAndGet()
+        val r = df.agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.approx_count_distinct(
+            org.apache.spark.sql.functions.col(contentCol))).head()
+        val v = (r.getLong(0), math.max(r.getLong(1), 1L))
+        gateMemo.synchronized(gateMemo.put(key, v))
+        v
+    }
     if (n >= (minBytes >> 6) || (n >= (minBytes >> 8) && n >= 4 * d)) par
     else 0
   }
+
+  /** Gate-job count, for specs pinning the memo contract (one job per
+    * distinct (source, column, size) — never per wrapper construction). */
+  private[graft] val gateJobs = new AtomicLong(0L)
+
+  // Bounded LRU (access-order) of in-window gate aggregates. 128 entries
+  // of four pointers + two longs — bytes, not plans' worth of memory:
+  // LogicalPlan keys are references into plans the session already holds.
+  private val gateMemo =
+    new java.util.LinkedHashMap[(SparkSession, LogicalPlan, String, BigInt),
+        (Long, Long)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, LogicalPlan, String, BigInt),
+            (Long, Long)]): Boolean = size > 128
+    }
 
   /** `repartition(n, keys)` when the pin is engaged, identity when not
     * (the join's own required distribution then provides the exchange

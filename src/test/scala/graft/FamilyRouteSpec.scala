@@ -139,6 +139,59 @@ class FamilyRouteSpec extends AnyFunSuite {
     assert(PairPins.pairPar(dupDense, 0L) > 0)
   }
 
+  test("the in-window gate job is memoized: repeated routed-wrapper " +
+      "constructions over the same source pay ONE gate job") {
+    import spark.implicits._
+    import graft.ops.PairPins
+    val df = (1 to 8000).map(i => (i.toLong, s"tok ${i % 5}"))
+      .toDF("id", "text")
+    val before = PairPins.gateJobs.get()
+    assert(PairPins.routePar(df, 1L << 20, "text") > 0)
+    val afterFirst = PairPins.gateJobs.get()
+    // the first call may itself be a memo hit (other suites share the
+    // fixture shape); what the contract pins is zero NEW jobs after it
+    assert(PairPins.gateJobs.get() - before <= 1)
+    // same source, repeated constructions (the decontaminate/bench-loop
+    // shape): every wrapper the layer builds re-gates for free
+    PairPins.routePar(df, 1L << 20, "text")
+    graft.ops.Dedup.simHashPairs(df, "id", "text", maxDistance = 1,
+      maxBlockSize = 1000, pinMinBytes = 1L << 20)
+    graft.ops.Dedup.minHashLSH(df, "id", "text",
+      maxBucketSize = 1000, pinMinBytes = 1L << 20)
+    assert(PairPins.gateJobs.get() == afterFirst,
+      "repeat constructions over the same source must hit the memo")
+    // a DIFFERENT source (even the same schema) takes its own gate job
+    val other = (1 to 8000).map(i => (i.toLong, s"other ${i % 5}"))
+      .toDF("id", "text")
+    PairPins.routePar(other, 1L << 20, "text")
+    assert(PairPins.gateJobs.get() == afterFirst + 1)
+  }
+
+  test("family digest lanes are independently seeded — the second lane " +
+      "is NOT the chained fold of the first") {
+    import spark.implicits._
+    // Spark's multi-arg XxHash64 folds: xxhash64(c, 1) = xxh(1, seed =
+    // xxh(c, 42)) — a pure function of lane one, so the struct would
+    // carry only 64 bits of collision resistance. The fixed shape hashes
+    // a LEADING literal (folds into a distinct seed for the content):
+    // xxhash64(1, c) = xxh(c, seed = xxh(1, 42)), independent of lane 1.
+    val df = Seq("alpha", "beta", "").toDF("t")
+    val rows = df.select(
+        Dedup.familyKey(col("t")).as("k"),
+        xxhash64(col("t")).as("lane1"),
+        xxhash64(lit(1), col("t")).as("independent"),
+        xxhash64(col("t"), lit(1)).as("chained"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getStruct(0)
+      assert(k.getLong(0) == r.getAs[Long]("lane1"))
+      assert(k.getLong(1) == r.getAs[Long]("independent"),
+        "second lane must be the leading-literal (independent-seed) hash")
+      assert(k.getLong(1) != r.getAs[Long]("chained"),
+        "second lane must not be the chained fold of lane one")
+    }
+  }
+
   test("describeRoute receipt: gate decision + family-map shape") {
     import spark.implicits._
     val df = Seq(
