@@ -528,26 +528,37 @@ object TmdlAdapter {
     daxToSql(body, table, measureNames)
   }
 
-  /** `RANKX(ALL('T') | ALL(T[Col…]) | 'T', <base>[, order])` → a rank
-    * window over the grouped result, ordered by the base measure
-    * (reference: crates/dax-parser RANKX; lowered through the metric
+  /** `RANKX(ALL('T') | 'T', <base>[, order])` → a rank window over the
+    * grouped result, ordered by the base measure (reference:
+    * crates/dax-parser RANKX; lowered through the metric
     * window_expression passthrough, the same machinery TableCalcs.rank
     * rides). DAX's default order is DESC — rank 1 is the largest value;
     * a trailing ASC/DESC (or DAX's 1/0) flips it. The value and ties
     * arguments stay outside the subset. The base is a same-table
-    * measure ref or an inline aggregate ([[baseOf]]'s contract). */
+    * measure ref or an inline aggregate ([[baseOf]]'s contract).
+    *
+    * `ALL(T[Col])` ranks over the VALUES of `Col` in DAX, which only
+    * coincides with the query's grouped result when the query groups by
+    * exactly that column — something the measure can't know at import
+    * time. The import records `Col` as the metric's [[Metric
+    * .windowDomain]] and the PLANNER enforces the match, refusing
+    * loudly on any other grouping instead of silently ranking the
+    * wrong domain. */
   private def rankxMetric(name: String, dax: String, table: String,
       measureNames: Set[String]): Option[Seq[Metric]] =
     parseCall(dax) match {
       case Some(("rankx", argsStr)) =>
         val args = splitArgs(argsStr)
         if (args.length < 2) return None
-        val tableOk = parseCall(args.head) match {
+        val domain = parseCall(args.head) match {
+          case Some(("all", inner)) if unquote(inner.trim) == table =>
+            Some(None) // ALL('T'): the whole grouped result
           case Some(("all", inner)) =>
-            unquote(inner.trim) == table || columnRef(inner, table).isDefined
-          case _ => unquote(args.head.trim) == table
+            columnRef(inner, table).map(Some(_)) // ALL(T[Col]): pinned
+          case _ if unquote(args.head.trim) == table => Some(None)
+          case _ => None
         }
-        if (!tableOk) return None
+        if (domain.isEmpty) return None
         val dir = args.drop(2) match {
           case Seq() => "DESC"
           case Seq(d) if d.equalsIgnoreCase("asc") || d.trim == "1" => "ASC"
@@ -557,7 +568,8 @@ object TmdlAdapter {
         baseOf(name, args(1), table, measureNames).map { case (base, extra) =>
           extra :+ Metric(name, metricType = Some("cumulative"),
             windowExpression = Some("RANK()"),
-            windowOrder = Some(s"${ident(base)} $dir"))
+            windowOrder = Some(s"${ident(base)} $dir"),
+            windowDomain = domain.flatten)
         }
       case _ => None
     }

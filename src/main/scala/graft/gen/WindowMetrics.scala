@@ -93,6 +93,17 @@ final class WindowMetrics(spark: SparkSession, gen: Generator) {
           // Spark's window support verbatim (interval RANGE frames are not
           // supported by Spark and surface as analysis errors)
           val orderCol = m.windowOrder.getOrElse(timeName)
+          // a pinned ranking domain (DAX RANKX(ALL(T[Col]), …)) is only
+          // faithful when the query groups by exactly that column —
+          // refuse loudly on any other grouping rather than silently
+          // ranking a different domain
+          m.windowDomain.foreach { dom =>
+            val dims = dimInfo.map(_._1.field)
+            require(dims.map(_.toLowerCase) == Seq(dom.toLowerCase),
+              s"Metric '${m.name}' ranks over the values of '$dom'; " +
+                s"query must group by exactly that column (got " +
+                s"${if (dims.isEmpty) "none" else dims.mkString(", ")})")
+          }
           // With a time axis the non-time dims partition and the window
           // runs along time inside each group. WITHOUT one (timeIdx < 0
           // — only legal when every window metric has an explicit

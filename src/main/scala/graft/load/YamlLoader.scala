@@ -403,6 +403,7 @@ object YamlLoader {
       windowExpression = m.get("window_expression").map(_.toString),
       windowFrame = m.get("window_frame").map(_.toString),
       windowOrder = m.get("window_order").map(_.toString),
+      windowDomain = m.get("window_domain").map(_.toString),
       comparison = m.get("comparison_type").map(_.toString),
       calculation = m.get("calculation").map(_.toString),
       entity = m.get("entity").map(_.toString),

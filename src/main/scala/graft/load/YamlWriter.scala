@@ -124,6 +124,7 @@ object YamlWriter {
       "window_expression" -> met.windowExpression,
       "window_frame" -> met.windowFrame,
       "window_order" -> met.windowOrder,
+      "window_domain" -> met.windowDomain,
       "comparison_type" -> met.comparison,
       "calculation" -> met.calculation,
       "steps" -> strs(met.steps),

@@ -99,6 +99,11 @@ final case class Metric(
     windowExpression: Option[String] = None,
     windowFrame: Option[String] = None,
     windowOrder: Option[String] = None,
+    // ranking domain constraint: the window expression's semantics are
+    // "over the values of THIS column" (DAX RANKX(ALL(T[Col]), …)), so
+    // the plan is only faithful when the query groups by exactly that
+    // column — the planner enforces it and refuses other groupings
+    windowDomain: Option[String] = None,
     comparison: Option[String] = None,    // dod|wow|mom|qoq|yoy|prior
     calculation: Option[String] = None,   // difference|percent_change|ratio
     // conversion / retention / cohort / funnel

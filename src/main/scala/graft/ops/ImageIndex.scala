@@ -66,10 +66,17 @@ object ImageIndex {
   def build(corpus: DataFrame, idCol: String, binCol: String,
       path: String, maxDistance: Int = 6, gridSize: Int = 8,
       method: String = "ahash", nBuckets: Int = 64,
-      maxBlockSize: Int = 1000): Unit = {
-    val spark = corpus.sparkSession
-    val keys = sigChunkRows(corpus, idCol, binCol, maxDistance, gridSize,
-      method)
+      maxBlockSize: Int = 1000): Unit =
+    writeIndex(sigChunkRows(corpus, idCol, binCol, maxDistance, gridSize,
+        method), corpus.sparkSession, path, maxDistance, gridSize, method,
+      nBuckets, maxBlockSize)
+
+  /** [[build]]'s tail for already-fingerprinted chunk rows — shared with
+    * the bootstrap ingest path, which has the chunks in hand (decoded
+    * once, self-dedup already applied) and must not decode again. */
+  private def writeIndex(keys: DataFrame, spark: SparkSession,
+      path: String, maxDistance: Int, gridSize: Int, method: String,
+      nBuckets: Int, maxBlockSize: Int): Unit = {
     // build-time skew cap: one window over the write shuffle's exchange
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c"), col("v"))
@@ -163,17 +170,28 @@ object ImageIndex {
       gridSize: Int = 8, method: String = "ahash",
       maxBlockSize: Int = 1000): DataFrame = {
     if (!exists(spark, path)) {
-      build(batch, idCol, binCol, path, maxDistance, gridSize, method,
-        maxBlockSize = maxBlockSize)
-      val receipt = batch.select(col(idCol).cast("long").as("media_id"))
-        .join(sigChunkRows(batch, idCol, binCol, maxDistance, gridSize,
-            method).select(col("id").as("media_id")).distinct()
-            .withColumn("__dec", lit(true)),
-          Seq("media_id"), "left")
+      // bootstrap follows the SAME receipt contract as every later
+      // batch: in-batch perceptual dups self-dedup first (larger id
+      // drops as 'batch_dup'), only survivors are indexed — batch 0 is
+      // not a special case that double-indexes its own duplicates
+      val chunks = sigChunkRows(batch, idCol, binCol, maxDistance,
+        gridSize, method).localCheckpoint(true)
+      val selfDups = Dedup.hammingBandedPairs(chunks, maxDistance,
+          maxBlockSize, pairPar = 0)
+        .select(col("id_b").as("media_id")).distinct()
+      val decoded = chunks.select(col("id").as("media_id")).distinct()
+      val verdicts = batch.select(col(idCol).cast("long").as("media_id"))
+        .join(decoded.withColumn("__dec", lit(true)), Seq("media_id"), "left")
+        .join(selfDups.withColumn("__sd", lit(true)), Seq("media_id"), "left")
         .select(col("media_id"),
-          when(col("__dec").isNull, "undecodable").otherwise("fresh")
-            .as("verdict"))
-      receipt.write.mode("overwrite").parquet(s"$path/last_ingest")
+          when(col("__dec").isNull, "undecodable")
+            .when(col("__sd").isNotNull, "batch_dup")
+            .otherwise("fresh").as("verdict"))
+      val survivors = verdicts.filter(col("verdict") === "fresh")
+        .select(col("media_id").as("id"))
+      writeIndex(chunks.join(survivors, Seq("id")), spark, path,
+        maxDistance, gridSize, method, nBuckets = 64, maxBlockSize)
+      verdicts.write.mode("overwrite").parquet(s"$path/last_ingest")
       return spark.read.parquet(s"$path/last_ingest")
     }
     val (md, gs, meth, nBuckets, _) = loadMeta(spark, path)

@@ -469,10 +469,16 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("media_id") ->
         r.getAs[String]("verdict")).toMap
     try {
-      // batch 1 bootstraps the index: 12 pattern originals, all fresh
-      in.addData(imgs(0L until 12L, "png"))
+      // batch 1 bootstraps the index: 12 pattern originals fresh, plus
+      // one in-batch re-save — bootstrap self-dedups exactly like every
+      // later batch (r16 ADVICE: batch 0 used to index its own dups and
+      // report them 'fresh')
+      in.addData(imgs(0L until 12L, "png") ++
+        imgs(Seq(11L), "jpg", idOffset = 200000L))
       q.processAllAvailable()
-      assert(receipt().values.forall(_ == "fresh"))
+      val r1i = receipt()
+      assert((0L until 12L).forall(i => r1i(i) == "fresh"), r1i.toString)
+      assert(r1i(200011L) == "batch_dup", r1i.toString)
       // batch 2: JPEG re-saves of 0-5 (corpus dups through the
       // perceptual hash), two genuinely new patterns, one in-batch
       // duplicate pair (same pattern, two ids), one undecodable blob

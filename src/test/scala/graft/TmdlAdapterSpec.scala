@@ -128,11 +128,15 @@ class TmdlAdapterSpec extends AnyFunSuite {
       m.grainToDate == Some("quarter") && m.baseMetric == Some("Total Sales")))
     assert(sales.metric("Sales PM").exists(m =>
       m.comparison == Some("mom") && m.calculation == Some("prior")))
-    // RANKX → rank window over the grouped result, DESC by default
+    // RANKX → rank window over the grouped result, DESC by default;
+    // ALL(Sales[Region]) pins the ranking domain to Region — the
+    // planner refuses any other grouping (r16 ADVICE: lowering it
+    // unconditionally silently diverged from DAX)
     assert(sales.metric("Sales Rank").exists(m =>
       m.metricType == Some("cumulative") &&
         m.windowExpression == Some("RANK()") &&
-        m.windowOrder == Some("`Total Sales` DESC")))
+        m.windowOrder == Some("`Total Sales` DESC") &&
+        m.windowDomain == Some("Region")))
     // SUMX over a same-table scalar body → aggregate-of-expression
     assert(sales.metric("Weighted Qty").exists(m =>
       m.agg == Some("sum") && m.sql.exists(s =>
@@ -228,5 +232,51 @@ class TmdlAdapterSpec extends AnyFunSuite {
       orderBy = Seq("Segment"))).collect()
     assert(out.length == 5)
     assert(out.forall(r => !r.isNullAt(3)))
+  }
+
+  test("RANKX(ALL(T[Col])) executes when the query groups by Col and " +
+      "refuses any other grouping at plan time") {
+    val spark = TestSpark.spark
+    val resolve: graft.load.YamlLoader.TableResolver = _ =>
+      ModelSource.SqlView(
+        s"""SELECT o_orderkey AS SaleID, o_orderstatus AS Region,
+           |  o_orderpriority AS Pri,
+           |  cast(o_totalprice as decimal(18,2)) AS Amount
+           |FROM parquet.`${TestSpark.sfDir}/orders.parquet`""".stripMargin)
+    val imp = TmdlAdapter.load(Seq(
+      """table Sales
+        |    column SaleID
+        |        dataType: int64
+        |        isKey
+        |        sourceColumn: SaleID
+        |    column Region
+        |        dataType: string
+        |        sourceColumn: Region
+        |    column Pri
+        |        dataType: string
+        |        sourceColumn: Pri
+        |    column Amount
+        |        dataType: decimal
+        |        sourceColumn: Amount
+        |    measure 'Total Sales' = SUM(Sales[Amount])
+        |    measure 'Sales Rank' = RANKX(ALL(Sales[Region]), [Total Sales])
+        |""".stripMargin), resolve)
+    val gen = new graft.gen.Generator(spark, Catalog().add(imp.models: _*))
+    // grouped by the pinned domain: ranks across the Region values
+    val ok = gen.plan(graft.plan.SemanticQuery(
+        metrics = Seq("Sales.Total Sales", "Sales.Sales Rank"),
+        dimensions = Seq("Sales.Region"), orderBy = Seq("Region")))
+      .collect()
+    assert(ok.length == 3) // orderstatus has 3 values
+    val ranks = ok.map(_.getAs[Int]("Sales Rank")).sorted
+    assert(ranks.toSeq == Seq(1, 2, 3),
+      s"rank must span the grouped result, got ${ranks.toSeq}")
+    // grouped by anything else: loud plan-time refusal, not a wrong rank
+    val e = intercept[IllegalArgumentException] {
+      gen.plan(graft.plan.SemanticQuery(
+        metrics = Seq("Sales.Sales Rank"),
+        dimensions = Seq("Sales.Pri")))
+    }
+    assert(e.getMessage.contains("Region"), e.getMessage)
   }
 }
