@@ -105,22 +105,56 @@ object Bench {
       val stages = new java.util.concurrent.atomic.AtomicInteger
       val tasks = new java.util.concurrent.atomic.AtomicInteger
       val taskNanos = new java.util.concurrent.atomic.AtomicLong
+      // per-STAGE task-time attribution (stage id → (name, tasks, ns)) —
+      // the query totals say WHETHER time is distributed work; the stage
+      // rows say WHERE (which exchange/scan/agg), which is what chasing
+      // a routed-vs-twin gap actually needs
+      val stageInfo = new java.util.concurrent.ConcurrentHashMap[
+        Int, (String, Int, Long)]()
       val listener = new SparkListener {
         override def onJobStart(j: SparkListenerJobStart): Unit =
           jobs.incrementAndGet()
-        override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
           stages.incrementAndGet()
+          // append row volumes at completion — WHICH stage carries the
+          // records is the routed-vs-twin question
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            val vol = s"  [in=${m.inputMetrics.recordsRead} " +
+              s"sRead=${m.shuffleReadMetrics.recordsRead} " +
+              s"sWrite=${m.shuffleWriteMetrics.recordsWritten} " +
+              s"run=${m.executorRunTime} cpu=${m.executorCpuTime / 1000000} " +
+              s"deser=${m.executorDeserializeTime} gc=${m.jvmGCTime} " +
+              s"fetchWait=${m.shuffleReadMetrics.fetchWaitTime}]"
+            stageInfo.computeIfPresent(s.stageInfo.stageId,
+              (_, v) => (v._1 + vol, v._2, v._3))
+          }
+        }
+        override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+          // the callsite name is opaque for SQL stages; the RDD scope
+          // chain (Scan > Exchange > WholeStageCodegen…) says what the
+          // stage IS
+          val scopes = s.stageInfo.rddInfos.sortBy(_.id)
+            .map(r => r.scope.map(_.name).getOrElse(r.name))
+            .distinct.take(6).mkString(" > ")
+          stageInfo.putIfAbsent(s.stageInfo.stageId, (scopes.take(96), 0, 0L))
+        }
         override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
           tasks.incrementAndGet()
-          if (t.taskInfo != null)
+          if (t.taskInfo != null) {
             taskNanos.addAndGet(t.taskInfo.duration * 1000000L)
+            stageInfo.merge(t.stageId, ("?", 1, t.taskInfo.duration * 1000000L),
+              (a, b) => (a._1, a._2 + b._2, a._3 + b._3))
+          }
         }
       }
       spark.sparkContext.addSparkListener(listener)
       // settle any still-queued warmup events before the first query
       org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      val perStage = args.contains("--stages")
       picked.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         jobs.set(0); stages.set(0); tasks.set(0); taskNanos.set(0)
+        stageInfo.clear()
         val t = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         val wall = (System.nanoTime() - t) / 1e9
@@ -132,6 +166,14 @@ object Bench {
         println(f"PROFILE $name%-32s wall=$wall%7.3f jobs=${jobs.get}%3d " +
           f"stages=${stages.get}%3d tasks=${tasks.get}%4d " +
           f"taskSec=${taskNanos.get / 1e9}%7.3f")
+        if (perStage) {
+          import scala.jdk.CollectionConverters._
+          stageInfo.asScala.toSeq.sortBy(-_._2._3).take(15).foreach {
+            case (sid, (sname, nt, ns)) =>
+              println(f"  STAGE $sid%4d tasks=$nt%4d " +
+                f"taskSec=${ns / 1e9}%7.3f  $sname")
+          }
+        }
       }
       spark.sparkContext.removeSparkListener(listener)
       spark.stop()

@@ -124,12 +124,15 @@ object Dedup {
     // collapse-routed, pinned shape runs. Output is identical wherever
     // exact duplicates are absent; the routed deviations (scaladoc
     // above) engage only at the scale that needs them.
-    if (PairPins.routePar(df, pinMinBytes, textCol) == 0)
+    val (routed, pinPar) = PairPins.routeAndPin(df, pinMinBytes, textCol)
+    if (routed == 0)
       return minHashLSHDirect(df, idCol, textCol, shingleSize, numHashes,
         bands, threshold, maxBucketSize, pinMinBytes = Long.MaxValue)
-    val (reps, members) = familyRoute(df, idCol, textCol, maxBucketSize)
+    val (reps, members) = familyRoute(df, idCol, textCol, maxBucketSize,
+      pinPar = pinPar)
     val repPairs = minHashLSHDirect(reps, idCol, textCol, shingleSize,
-      numHashes, bands, threshold, maxBucketSize, pinMinBytes = 0L)
+      numHashes, bands, threshold, maxBucketSize,
+      pinMinBytes = if (pinPar > 0) 0L else Long.MaxValue)
     expandFamilyPairs(repPairs, members, "jaccard", lit(1.0),
       keepIntra = threshold <= 1.0)
   }
@@ -177,7 +180,8 @@ object Dedup {
     * the probe side with a 1-row build. The join moves ~40 bytes/row
     * (digest + ids), never full documents. */
   private[ops] def familyRoute(df: DataFrame, idCol: String, textCol: String,
-      maxFamily: Int, checkpointMembers: Boolean = true): (DataFrame, DataFrame) = {
+      maxFamily: Int, checkpointMembers: Boolean = true,
+      pinPar: Int = 0): (DataFrame, DataFrame) = {
     val nn = df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
       .withColumn("__k", familyKey(col(textCol)))
@@ -186,17 +190,22 @@ object Dedup {
     // the dup-dense corpora this route exists for the shuffle carries
     // ~distinct rows — a window over the digest shuffled the FULL
     // corpus content and sorted it (measured at sf10 100-copy density:
-    // routed semDedup 3.6 -> 6.8 s, 110 CPU.s). The explicit
-    // repartition pins the checkpoint block count at cluster width
-    // (AQE coalesces the tiny-bytes distinct frame to ~1 partition,
-    // serializing every downstream fingerprint pass — measured 27
-    // tasks / 19.5 CPU.s near-serial); `first(text)` is exact because
-    // digest-equal rows carry identical content.
-    val par = 2 * df.sparkSession.sparkContext.defaultParallelism
-    val fams = nn.groupBy(col("__k"))
+    // routed semDedup 3.6 -> 6.8 s, 110 CPU.s). When `pinPar` > 0 (the
+    // gate saw a LARGE distinct side) an explicit repartition pins the
+    // checkpoint block count at cluster width — AQE coalesces the
+    // tiny-bytes distinct frame to ~1 partition, serializing every
+    // downstream fingerprint pass (measured 27 tasks / 19.5 CPU.s
+    // near-serial at sf10). When the distinct side is SMALL the pin is
+    // pure per-task fixed cost (the r16 zipfian residual: ~3k families
+    // spread over 64-task stages paid ~35 CPU·s where the AQE-sized
+    // plan did the same work in 4) — the caller passes pinPar = 0 and
+    // the checkpoint keeps the aggregate's own partitioning.
+    // `first(text)` is exact because digest-equal rows carry identical
+    // content.
+    val grouped = nn.groupBy(col("__k"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__fam"),
         first(col(textCol)).as(textCol))
-      .repartition(par)
+    val fams = (if (pinPar > 0) grouped.repartition(pinPar) else grouped)
       .localCheckpoint(true)
     // reps re-reads the checkpoint per consumer: no shuffle, no corpus
     // scan, cluster-width blocks
@@ -252,7 +261,10 @@ object Dedup {
     * map it describes costs; nothing is checkpointed).
     *
     * Columns: `routed` (would the pair-formers take the collapsed
-    * path), `input_bytes` (the optimizer's size estimate driving the
+    * path), `pinned` (would the routed rep-side stages carry the
+    * cluster-width parallelism pins — a separate decision: routing
+    * follows dup density, pinning follows the DISTINCT side's size),
+    * `input_bytes` (the optimizer's size estimate driving the
     * gate) and `gate_bytes`; then the family map — `n_rows` (non-null-
     * content inputs), `families` (distinct contents), `max_family`,
     * `dup_rows` (rows the collapse removes from the pair search), and
@@ -265,7 +277,7 @@ object Dedup {
     val inputBytes =
       df.queryExecution.optimizedPlan.stats.sizeInBytes
         .min(BigInt(Long.MaxValue)).toLong
-    val routed = PairPins.routePar(df, pinMinBytes, textCol) > 0
+    val (routed, pinned) = PairPins.routeAndPin(df, pinMinBytes, textCol)
     df.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
       .groupBy(familyKey(col(textCol)).as("__k"))
@@ -279,7 +291,8 @@ object Dedup {
           lit(0L)).as("overcap_families"),
         coalesce(sum(when(col("__fam") > maxFamily, col("__fam") - 1)
           .otherwise(0L)), lit(0L)).as("overcap_rows_dropped"))
-      .select(lit(routed).as("routed"),
+      .select(lit(routed > 0).as("routed"),
+        lit(pinned > 0).as("pinned"),
         lit(inputBytes).as("input_bytes"),
         lit(pinMinBytes).as("gate_bytes"),
         col("n_rows"), col("families"), col("max_family"), col("dup_rows"),
@@ -450,12 +463,14 @@ object Dedup {
     // distinct texts, then expanded — identical texts have identical
     // 64-bit signatures, so inter-family pairs inherit the rep hamming
     // exactly and intra-family pairs are hamming 0 by construction
-    if (PairPins.routePar(df, pinMinBytes, textCol) == 0)
+    val (routed, pinPar) = PairPins.routeAndPin(df, pinMinBytes, textCol)
+    if (routed == 0)
       return simHashPairsDirect(df, idCol, textCol, maxDistance,
         maxBlockSize, pinMinBytes = Long.MaxValue)
-    val (reps, members) = familyRoute(df, idCol, textCol, maxBlockSize)
+    val (reps, members) = familyRoute(df, idCol, textCol, maxBlockSize,
+      pinPar = pinPar)
     val repPairs = simHashPairsDirect(reps, idCol, textCol, maxDistance,
-      maxBlockSize, pinMinBytes = 0L)
+      maxBlockSize, pinMinBytes = if (pinPar > 0) 0L else Long.MaxValue)
     expandFamilyPairs(repPairs, members, "hamming", lit(0L),
       keepIntra = maxDistance >= 0)
   }

@@ -85,11 +85,29 @@ private[graft] object PairPins {
     * The byte estimate rides in the key on purpose: an incremental
     * source whose files grew re-resolves to a different estimate and
     * takes a fresh gate job rather than a stale density verdict. */
-  def routePar(df: DataFrame, minBytes: Long, contentCol: String): Int = {
+  def routePar(df: DataFrame, minBytes: Long, contentCol: String): Int =
+    routeAndPin(df, minBytes, contentCol)._1
+
+  /** (routePar, pinPar): the collapse-routing decision AND the
+    * parallelism pin the routed rep-side stages should carry (0 = let
+    * AQE size them). They are SEPARATE decisions on purpose: routing
+    * asks "is the corpus dup-dense or row-heavy enough that collapsing
+    * first wins", pinning asks "is the DISTINCT side big enough that
+    * the CPU-dense pair stages need cluster-width exchanges". A zipfian
+    * corpus answers yes/no — 50k rows in 3k families routes (17 copies
+    * each), but pinning its ~12k chunk rows across 64-task stages paid
+    * ~35 CPU·s of per-task fixed cost where the AQE-sized plan did the
+    * same work in 4 (measured on the committed skew battery). Above the
+    * byte window both engage — a ≥minBytes DISTINCT side is what the
+    * byte estimate evidences there; inside it the gate aggregate's
+    * approx-distinct decides the pin with the same ≥minBytes/64
+    * break-even the row gate uses. */
+  def routeAndPin(df: DataFrame, minBytes: Long,
+      contentCol: String): (Int, Int) = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val par = 2 * df.sparkSession.sparkContext.defaultParallelism
-    if (bytes >= BigInt(minBytes)) return par
-    if (minBytes > (1L << 40) || bytes < BigInt(minBytes >> 10)) return 0
+    if (bytes >= BigInt(minBytes)) return (par, par)
+    if (minBytes > (1L << 40) || bytes < BigInt(minBytes >> 10)) return (0, 0)
     val key = (df.sparkSession, df.queryExecution.optimizedPlan.canonicalized,
       contentCol, bytes)
     val (n, d) = gateMemo.synchronized(Option(gateMemo.get(key))) match {
@@ -104,8 +122,8 @@ private[graft] object PairPins {
         gateMemo.synchronized(gateMemo.put(key, v))
         v
     }
-    if (n >= (minBytes >> 6) || (n >= (minBytes >> 8) && n >= 4 * d)) par
-    else 0
+    val routed = n >= (minBytes >> 6) || (n >= (minBytes >> 8) && n >= 4 * d)
+    (if (routed) par else 0, if (routed && d >= (minBytes >> 6)) par else 0)
   }
 
   /** Gate-job count, for specs pinning the memo contract (one job per

@@ -407,12 +407,15 @@ object Similarity {
     // vector-keyed window. The SAME size gate as the pins picks the
     // path (Dedup.minHashLSH's contract): small corpora run direct and
     // unpinned, large ones routed and pinned.
-    if (PairPins.routePar(df, pinMinBytes, vecCol) == 0)
+    val (routed, pinPar) = PairPins.routeAndPin(df, pinMinBytes, vecCol)
+    if (routed == 0)
       return cosineNearDupPairsDirect(df, idCol, vecCol, threshold, bands,
         planesPerBand, dim, seed, maxBucketSize, pinMinBytes = Long.MaxValue)
-    val (reps, members) = Dedup.familyRoute(df, idCol, vecCol, maxBucketSize)
+    val (reps, members) = Dedup.familyRoute(df, idCol, vecCol, maxBucketSize,
+      pinPar = pinPar)
     val repPairs = cosineNearDupPairsDirect(reps, idCol, vecCol, threshold,
-      bands, planesPerBand, dim, seed, maxBucketSize, pinMinBytes = 0L)
+      bands, planesPerBand, dim, seed, maxBucketSize,
+      pinMinBytes = if (pinPar > 0) 0L else Long.MaxValue)
     Dedup.expandFamilyPairs(repPairs, members, "cosine", lit(1.0),
       keepIntra = threshold <= 1.0)
   }
@@ -615,10 +618,15 @@ object Similarity {
     // never enter the family map (familyRoute filters them), so they
     // are unioned back here exactly as the direct branch reports them
     // — the one-row-per-input contract cannot depend on the gate.
-    if (threshold <= 1.0 && PairPins.routePar(df, pinMinBytes, vecCol) > 0) {
+    // threshold > 1.0 keeps everything — no routing, and no gate job
+    val (routed, pinPar) =
+      if (threshold > 1.0) (0, 0)
+      else PairPins.routeAndPin(df, pinMinBytes, vecCol)
+    if (routed > 0) {
       val (reps, members) =
         Dedup.familyRoute(df, idCol, vecCol, Int.MaxValue,
-          checkpointMembers = false) // consumed once: the join below
+          checkpointMembers = false, // consumed once: the join below
+          pinPar = pinPar)
       val repOut = semDedupDirect(reps, idCol, vecCol, threshold, nCells,
         iters, trainSampleMod, maxCellSize)
       return members

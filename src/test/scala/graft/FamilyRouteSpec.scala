@@ -127,6 +127,17 @@ class FamilyRouteSpec extends AnyFunSuite {
     val manyDistinct = (1 to 20000).map(i => (i.toLong, s"doc body $i"))
       .toDF("id", "text")
     assert(PairPins.routePar(manyDistinct, 1L << 20, "text") > 0)
+    // routing and PINNING are separate in-window decisions: the
+    // dup-dense corpus routes (collapse wins) but its distinct side
+    // (5 texts) is far below the pin break-even — cluster-width
+    // exchanges there are pure per-task fixed cost (the r16 zipfian
+    // residual: ~35 CPU·s pinned vs 4 unpinned for identical work)
+    assert(PairPins.routeAndPin(dupDense, 1L << 20, "text") ==
+      ((PairPins.routePar(dupDense, 1L << 20, "text"), 0)))
+    // a row-gate route whose distinct side clears minBytes/64 keeps
+    // the pin: 20k rows at gate 1MiB needs d >= 16384 — 20k distinct
+    val (mr, mp) = PairPins.routeAndPin(manyDistinct, 1L << 20, "text")
+    assert(mr > 0 && mp > 0, s"($mr, $mp)")
     // few rows, same byte window: stays direct
     val sparse = (1 to 1000).map(i => (i.toLong, s"tok ${i % 5}"))
       .toDF("id", "text")
@@ -203,6 +214,10 @@ class FamilyRouteSpec extends AnyFunSuite {
     val r = Dedup.describeRoute(df, "id", "text", maxFamily = 2,
       pinMinBytes = 0L).collect()(0)
     assert(r.getAs[Boolean]("routed"))
+    // gate 0 = unconditional route via the byte fast path — the pin
+    // rides along there (a >=gate byte estimate evidences a big
+    // distinct side)
+    assert(r.getAs[Boolean]("pinned"))
     assert(r.getAs[Long]("input_bytes") > 0L)
     assert(r.getAs[Long]("gate_bytes") == 0L)
     assert(r.getAs[Long]("n_rows") == 6L)
