@@ -2125,6 +2125,21 @@ object SparkEntry {
         .select("n_rows", "families", "max_family", "dup_rows",
           "overcap_families", "overcap_rows_dropped")),
 
+    // the vector-content twin: the SAME receipt over an embedding
+    // column (Similarity.describeRoute — cosineNearDupPairs/semDedup
+    // ride the same gate). Exact copies of vec_id < 20 are planted at
+    // +100000 so the family map has 20 two-member families; with
+    // maxFamily = 1 those are the over-cap blast radius
+    "q_route_receipt_vec" -> ((s, d) => {
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+      val copies = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Similarity.describeRoute(emb.unionByName(copies), "vec_id",
+          "embedding", maxFamily = 1)
+        .select("n_rows", "families", "max_family", "dup_rows",
+          "overcap_families", "overcap_rows_dropped")
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashLSH(docs(s, d), "doc_id", "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4)
@@ -4502,7 +4517,7 @@ object SparkEntry {
         |('events_secured', 'table', 3, 2, 0, true),
         |('lineitem', 'table', 3, 11, 3, false),
         |('nation', 'table', 2, 1, 1, false),
-        |('orders', 'table', 5, 19, 1, false),
+        |('orders', 'table', 5, 20, 1, false),
         |('orders_secured', 'table', 2, 2, 0, true),
         |('part', 'table', 3, 2, 1, false),
         |('region', 'table', 2, 1, 0, true),
@@ -5031,6 +5046,22 @@ object SparkEntry {
         |    AS overcap_rows_dropped
         |FROM (SELECT count(*) AS c FROM documents
         |      WHERE text IS NOT NULL GROUP BY text)""".stripMargin,
+
+    "q_route_receipt_vec" ->
+      """SELECT cast(sum(c) AS BIGINT) AS n_rows,
+        |  cast(count(*) AS BIGINT) AS families,
+        |  cast(max(c) AS BIGINT) AS max_family,
+        |  cast(sum(c - 1) AS BIGINT) AS dup_rows,
+        |  cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS overcap_families,
+        |  cast(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+        |    AS overcap_rows_dropped
+        |FROM (SELECT count(*) AS c FROM (
+        |        SELECT embedding FROM embeddings WHERE embedding IS NOT NULL
+        |        UNION ALL
+        |        SELECT embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL AND vec_id < 20)
+        |      GROUP BY embedding)""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT source, count(*) AS n_docs

@@ -28,6 +28,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
+  /** Explain-style receipt for the collapse-routing decision the VECTOR
+    * pair-formers share ([[cosineNearDupPairs]], [[semDedup]] ride the
+    * same size gate + family map as the text family): one row with the
+    * routing and pin decisions, the plan-statistics evidence, and the
+    * exact-vector family map's shape — audit a 100 TB embedding dedup
+    * BEFORE paying for it. The family digest hashes the raw float
+    * arrays (identical canonicalization on both sides — see
+    * `Dedup.familyKey`), so this is [[graft.ops.Dedup.describeRoute]]
+    * applied to vector content; columns are identical. */
+  def describeRoute(df: DataFrame, idCol: String, vecCol: String,
+      maxFamily: Int = 1000,
+      pinMinBytes: Long = PairPins.DefaultMinBytes): DataFrame =
+    Dedup.describeRoute(df, idCol, vecCol, maxFamily, pinMinBytes)
+
   /** Cosine similarity between two float/double-array columns (native
     * codegen'd kernels — see [[graft.functions.VectorExprs]]). */
   def dot(x: Column, y: Column): Column = VectorExprs.dot(x, y)

@@ -232,4 +232,29 @@ class FamilyRouteSpec extends AnyFunSuite {
     assert(!direct.getAs[Boolean]("routed"))
     assert(direct.getAs[Long]("families") == 3L)
   }
+
+  test("describeRoute receipt over vector content (Similarity twin)") {
+    import spark.implicits._
+    // same receipt columns, embedding content: exact float-array copies
+    // form the families; null vectors are not family rows
+    val df = Seq(
+      (1L, vec(0.5, 1.0)), (2L, vec(0.5, 1.0)), (3L, vec(0.5, 1.0)),
+      (4L, vec(1.0, 0.0)), (5L, vec(1.0, 0.0)),
+      (6L, vec(0.0, 1.0)),
+      (7L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "v")
+    val r = Similarity.describeRoute(df, "id", "v", maxFamily = 2,
+      pinMinBytes = 0L).collect()(0)
+    assert(r.getAs[Boolean]("routed"))
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("families") == 3L)
+    assert(r.getAs[Long]("max_family") == 3L)
+    assert(r.getAs[Long]("dup_rows") == 3L)
+    assert(r.getAs[Long]("overcap_families") == 1L)
+    assert(r.getAs[Long]("overcap_rows_dropped") == 2L)
+    val direct = Similarity.describeRoute(df, "id", "v", maxFamily = 2,
+      pinMinBytes = Long.MaxValue).collect()(0)
+    assert(!direct.getAs[Boolean]("routed"))
+    assert(direct.getAs[Long]("families") == 3L)
+  }
 }
