@@ -45,6 +45,22 @@ object Bpe {
       .withColumn("sym",
         concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)))
 
+  /** Per-run accounting for the frequency-floor trim (web-scale word
+    * tables): `trimmedPairMass` is T = Σ cnt·(symbols−1) over the
+    * dropped words — an upper bound on how much ANY pair's count can be
+    * under-reported, at any point of the merge loop (merging only
+    * shrinks a word's pair count, so the initial mass bounds every later
+    * state too). `minArgmaxGap` is the smallest winner-vs-runner-up
+    * margin the driver loop observed; when `minArgmaxGap > T` (and the
+    * trimmed table sustained all requested merges) the learned sequence
+    * is PROVABLY the full-table sequence: trimming only removes mass, so
+    * each winner's true count is ≥ its trimmed count while every rival's
+    * true count is ≤ trimmed + T — a gap > T at every step means no
+    * argmax (or tie-break) can flip. `proven` records that check. */
+  private[graft] final case class TrimInfo(keptWords: Long,
+      trimmedWords: Long, trimmedPairMass: Long, minArgmaxGap: Long,
+      proven: Boolean)
+
   /** Learn the top `numMerges` BPE merges. Returns (merge_rank, left,
     * right, pair_count) with merge_rank 1-based in learn order.
     *
@@ -58,21 +74,37 @@ object Bpe {
     * merged pair are rescanned; argmax via a lazy-deletion heap) — a
     * real 32k-merge vocabulary is seconds of CPU instead of 32k
     * sequential Spark jobs, each paying the cluster scheduling floor
-    * regardless of cluster size. Only when the word table itself is too
-    * large to collect (pathological vocabularies: no natural language
-    * gets there) does the loop fall back to one distributed weighted
-    * pair aggregate per merge, checkpointed every few rounds to keep
-    * the nested-replace plan shallow.
+    * regardless of cluster size.
     *
-    * Both paths learn the identical merge sequence: same weighted
-    * counts over the same word table, same argmax tie-break
-    * (pair_count desc, then left/right ascending in UTF-8 byte order —
-    * the driver comparator matches Spark's binary string ordering), and
-    * the driver's in-place merge reproduces the regex form's left-to-
-    * right overlap rule ("aaa" + (a,a) → [aa, a]); spec-pinned by a
-    * forced-path parity test. */
+    * When the full table exceeds the budget (a web crawl's 10^7+ word
+    * types), a FREQUENCY-FLOOR TRIM keeps the driver path engaged: one
+    * histogram aggregate groups the table by corpus count, the driver
+    * picks the largest count-descending prefix of buckets whose
+    * estimated footprint fits, and the merge loop runs on that head.
+    * The trim is a documented bounded approximation with a runtime
+    * proof obligation (see [[TrimInfo]]): every pair count is exact-or-
+    * under-reported by at most T = the dropped words' total pair mass,
+    * and whenever every argmax wins by MORE than T the sequence is
+    * provably identical to the untrimmed one (Zipf head counts dwarf
+    * hapax mass, so real corpora usually prove). Only when not even the
+    * hottest count bucket fits (no natural language gets there) does
+    * the loop fall back to one distributed weighted pair aggregate per
+    * merge, checkpointed every few rounds to keep the nested-replace
+    * plan shallow.
+    *
+    * All paths learn the same merge sequence over the table they see:
+    * same weighted counts, same argmax tie-break (pair_count desc, then
+    * left/right ascending in UTF-8 byte order — the driver comparator
+    * matches Spark's binary string ordering), and the driver's in-place
+    * merge reproduces the regex form's left-to-right overlap rule
+    * ("aaa" + (a,a) → [aa, a]); spec-pinned by forced-path parity
+    * tests (exact fallback and proven-trim). */
   def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
-      maxDriverBytes: Long = 256L << 20): DataFrame = {
+      maxDriverBytes: Long = 256L << 20): DataFrame =
+    learnMergesInfo(df, textCol, numMerges, maxDriverBytes)._1
+
+  private[graft] def learnMergesInfo(df: DataFrame, textCol: String,
+      numMerges: Int, maxDriverBytes: Long): (DataFrame, Option[TrimInfo]) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     var words = wordTable(df, textCol).localCheckpoint(true)
     val spark = df.sparkSession
@@ -82,10 +114,51 @@ object Bpe {
     val prof = words.agg(count(lit(1)).as("n"),
       coalesce(sum(length(col("sym"))), lit(0L)).as("symchars")).head()
     val (nWords, symChars) = (prof.getLong(0), prof.getLong(1))
-    val estBytes = (symChars / 2) * 96L + nWords * 96L
-    if (nWords > 0 && estBytes <= maxDriverBytes)
-      return learnMergesDriver(words, numMerges)
-        .toDF("merge_rank", "left", "right", "pair_count")
+    def est(n: Long, chars: Long): Long = (chars / 2) * 96L + n * 96L
+    if (nWords > 0 && est(nWords, symChars) <= maxDriverBytes)
+      return (learnMergesDriver(words, numMerges)._1
+        .toDF("merge_rank", "left", "right", "pair_count"), None)
+
+    if (nWords > 0 && maxDriverBytes > 0) {
+      // frequency-floor trim: bucket the table by corpus count (Zipf
+      // keeps distinct counts ~√mass — collectable), walk buckets in
+      // descending count accumulating the footprint estimate, keep the
+      // prefix that fits. Whole buckets only: the floor is a pure
+      // function of the histogram, so the trim is deterministic.
+      val hist = words.groupBy(col("cnt"))
+        .agg(count(lit(1)).as("n"), sum(length(col("sym"))).as("chars"),
+          // pairs per word = symbols − 1; wrapped sym has 2k+1 chars
+          sum(((length(col("sym")) - 3) / 2).cast("long")).as("pairsyms"))
+        .orderBy(col("cnt").desc).collect()
+      var acc = 0L
+      var floor = -1L
+      hist.foreach { r =>
+        if (floor < 0) {
+          val next = acc + est(r.getLong(1), r.getLong(2))
+          if (next <= maxDriverBytes) acc = next else floor = r.getLong(0)
+        }
+      }
+      if (floor != hist.headOption.map(_.getLong(0)).getOrElse(-1L)) {
+        // at least the hottest bucket fits; T = dropped pair mass
+        val trimmedMass = hist.filter(_.getLong(0) <= floor)
+          .map(r => r.getLong(0) * r.getLong(3)).sum
+        val trimmedWords = hist.filter(_.getLong(0) <= floor)
+          .map(_.getLong(1)).sum
+        val kept = words.filter(col("cnt") > floor)
+        val (learned, minGap) = learnMergesDriver(kept, numMerges)
+        val proven = learned.size == numMerges && minGap > trimmedMass
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"BPE frequency-floor trim: kept ${nWords - trimmedWords} of " +
+            s"$nWords words (floor cnt > $floor), trimmed pair mass " +
+            s"$trimmedMass, min argmax gap $minGap, " +
+            (if (proven) "sequence PROVEN identical to untrimmed"
+             else "sequence within the documented count bound, not proven"))
+        return (learned
+          .toDF("merge_rank", "left", "right", "pair_count"),
+          Some(TrimInfo(nWords - trimmedWords, trimmedWords, trimmedMass,
+            minGap, proven)))
+      }
+    }
 
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -106,7 +179,7 @@ object Bpe {
         rank += 1
       }
     }
-    learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+    (learned.toSeq.toDF("merge_rank", "left", "right", "pair_count"), None)
   }
 
   /** Spark's string sort is binary UTF-8; match it exactly so both
@@ -121,9 +194,16 @@ object Bpe {
     * with a lazy-deletion max-heap for the argmax. A merged-away pair
     * can legitimately reappear later (a subsequent merge can create its
     * left symbol adjacent to its right); stale heap entries are skipped
-    * by re-checking the live count at poll time. */
+    * by re-checking the live count at poll time.
+    *
+    * Also returns the minimum winner-vs-runner-up margin across all
+    * argmax steps (Long.MaxValue when no step had a rival) — the trim
+    * path's proof obligation. The runner-up probe pops stale entries
+    * (and the winner's own duplicates) off the heap until it sees a
+    * live DIFFERENT pair, then pushes that one entry back: amortized
+    * O(log) against the same lazy-deletion budget the poll loop pays. */
   private def learnMergesDriver(words: DataFrame,
-      numMerges: Int): Seq[(Int, String, String, Long)] = {
+      numMerges: Int): (Seq[(Int, String, String, Long)], Long) = {
     val rows = words.select(col("sym"), col("cnt")).collect()
     val syms: Array[Array[String]] =
       rows.map(_.getString(0).split(Sep).filter(_.nonEmpty))
@@ -173,6 +253,7 @@ object Bpe {
     }
 
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var minGap = Long.MaxValue
     var rank = 1
     while (rank <= numMerges && !pq.isEmpty) {
       val (c, l, r) = pq.poll()
@@ -181,6 +262,19 @@ object Bpe {
         // stale entry — the pair's count changed since this was pushed;
         // its refreshed entry (if any) is already in the heap
       } else {
+        // runner-up margin: next live entry for a pair other than the
+        // winner (stale entries and winner duplicates are discarded —
+        // every live pair still has a fresh entry in the heap)
+        var runnerUp = 0L
+        var probing = true
+        while (probing && !pq.isEmpty) {
+          val e = pq.poll()
+          val p = (e._2, e._3)
+          if (p != (l, r) && counts.getOrDefault(p, 0L) == e._1) {
+            runnerUp = e._1; pq.add(e); probing = false
+          }
+        }
+        if (c - runnerUp < minGap) minGap = c - runnerUp
         learned += ((rank, l, r, c))
         val ws = index.get((l, r))
         if (ws != null) {
@@ -210,7 +304,7 @@ object Bpe {
         rank += 1
       }
     }
-    learned.toSeq
+    (learned.toSeq, minGap)
   }
 
   /** Boundary-anchored merge pattern: both symbols must sit exactly

@@ -783,6 +783,80 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bpe frequency-floor trim: a word table over the driver budget " +
+      "still learns 512 merges in O(1) jobs") {
+    // Zipf-shaped: a hot head (every word cnt 50, fits the budget) +
+    // 3000 hapax junk words over a DISJOINT alphabet that blow past it.
+    // The trim must keep the head engaged on the driver path instead of
+    // falling back to one distributed aggregate per merge.
+    val rnd = new scala.util.Random(11)
+    val letters = "abcdefghijklmnopqrst"
+    val headRows = (1 to 400).map { i =>
+      (i.toLong, (1 to 3).map(_ =>
+        (0 until 6 + rnd.nextInt(6)).map(_ =>
+          letters(rnd.nextInt(letters.length))).mkString).mkString(" "))
+    }
+    val junkLetters = "uvwxyz"
+    val junkRows = (1 to 3000).map { j =>
+      // base-6 encoding makes every junk word unique (true hapax)
+      val w = (0 until 7).map(k => junkLetters((j >> (2 * k)) % 6 match {
+        case d => (d + k) % 6
+      })).mkString
+      (100000L + j, w + junkLetters(j % 6))
+    }
+    val df = ((1 to 50).flatMap(_ => headRows) ++ junkRows)
+      .toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (merges, info) =
+        Bpe.learnMergesInfo(df, "text", 512, maxDriverBytes = 2L << 20)
+      val n = merges.count()
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+      assert(n >= 512L, s"corpus exhausted early: $n merges")
+      assert(info.isDefined, "budget overflow must engage the trim path")
+      assert(info.get.trimmedWords > 0 && info.get.keptWords > 0)
+      assert(info.get.trimmedPairMass > 0)
+      assert(jobs.get() <= 64, s"${jobs.get()} jobs for 512 merges — " +
+        "the trimmed merge loop is running distributed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bpe frequency-floor trim: when every argmax clears the trimmed " +
+      "pair mass the sequence is proven identical to the untrimmed one") {
+    // head: aaaa x1000, bbbb x450 — merge gaps 1650/350/550/420; tail:
+    // 30 hapax 5-letter words over c..z, pair mass T = 30*4 = 120 < every
+    // gap, so the runtime proof obligation holds and both runs match.
+    val alphabet = "cdefghijklmnopqrstuvwxyz"
+    val hapax = (0 until 30).map { i =>
+      (500000L + i, (0 until 5).map(k =>
+        alphabet((i + 7 * k) % alphabet.length)).mkString)
+    }
+    val df = ((1 to 1000).map(i => (i.toLong, "aaaa")) ++
+      (1 to 450).map(i => (10000L + i, "bbbb")) ++ hapax)
+      .toDF("doc_id", "text")
+    def run(budget: Long) = Bpe.learnMergesInfo(df, "text", 4, budget)
+    val (full, fullInfo) = run(Long.MaxValue)
+    val (trimmed, trimInfo) = run(1500L)
+    assert(fullInfo.isEmpty, "the full table fits — no trim expected")
+    assert(trimInfo.isDefined && trimInfo.get.proven,
+      s"trim must prove the sequence: $trimInfo")
+    assert(trimInfo.get.trimmedPairMass == 120L)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("merge_rank").collect()
+        .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("left"),
+          r.getAs[String]("right"), r.getAs[Long]("pair_count"))).toSeq
+    assert(rows(trimmed) == rows(full),
+      s"proven trim diverged:\n  full=${rows(full)}\n  trim=${rows(trimmed)}")
+    assert(rows(full).map(t => (t._2, t._3)) ==
+      Seq(("a", "a"), ("b", "b"), ("aa", "aa"), ("bb", "bb")))
+  }
+
   test("cross-corpus near-dups reports only cross-side pairs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
