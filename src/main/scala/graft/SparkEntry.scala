@@ -332,6 +332,22 @@ object SparkEntry {
         "mode" -> "tight", "excl2" -> "2-HIGH"),
       orderBy = Seq("orderstatus")))),
 
+    // r17 Jinja increment: in / not in membership + parenthesized
+    // grouping in template conditions
+    "q_parameter_in" -> ((s, d) => q(s, d)(SemanticQuery(
+      metrics = Seq("orders.revenue"),
+      dimensions = Seq("orders.orderstatus"),
+      filters = Seq(
+        "{% if pri in ['1-URGENT', '2-HIGH'] %}orders.orderpriority = " +
+          "'{{ pri }}'{% else %}orders.orderpriority IS NOT NULL{% endif %}",
+        "{% if (mode == 'strict' or 'P' in allowed) and " +
+          "pri not in ['5-LOW'] %}orders.orderstatus IN " +
+          "({% for a in allowed %}'{{ a }}'{% if not loop.last %}, " +
+          "{% endif %}{% endfor %}){% else %}1 = 1{% endif %}"),
+      parameters = Map("pri" -> "2-HIGH", "mode" -> "loose",
+        "allowed" -> "F,O,P"),
+      orderBy = Seq("orderstatus")))),
+
     "q_bool_dimension" -> ((s, d) => q(s, d)(SemanticQuery(
       metrics = Seq("orders.order_count"),
       dimensions = Seq("orders.is_high_value"),
@@ -4148,6 +4164,14 @@ object SparkEntry {
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
         |  AND o_orderpriority != '3-MEDIUM'
         |  AND o_orderpriority != '2-HIGH'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_parameter_in" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  sum(cast(o_totalprice as decimal(18,2))) AS revenue
+        |FROM orders
+        |WHERE o_orderpriority = '2-HIGH'
+        |  AND o_orderstatus IN ('F', 'O', 'P')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bool_dimension" ->

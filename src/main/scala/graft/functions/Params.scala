@@ -13,14 +13,16 @@ package graft.functions
   * `render` handles the template subset the reference's SQL fields use:
   * `{# comments #}`, `{% if cond %} … {% elif cond %} … {% else %} … {% endif %}`
   * (conditions: bare-variable truthiness, `not`, `var == 'lit'` /
-  * `var != 'lit'` — dotted names like `loop.index` included — composed
-  * with `and`/`or` at Jinja precedence), `{% for item in items %} …
+  * `var != 'lit'` — dotted names like `loop.index` included —
+  * `in`/`not in` membership against quoted-literal lists or a
+  * variable's comma-separated list form, composed with `and`/`or` at
+  * Jinja precedence with `(...)` grouping), `{% for item in items %} …
   * {% endfor %}` over comma-separated context lists (with
   * `loop.index`/`loop.first`/`loop.last`), then `{{ var }}`
   * substitution with the `default('x')`/`upper`/`lower`/`join('sep')`
-  * filters. The rest of Jinja (macros, set, parenthesized conditions,
-  * other filters) is out of scope by design and REFUSED loudly — never
-  * mis-rendered.
+  * filters. The rest of Jinja (macros, set, `is` tests, variable-in-
+  * variable membership, other filters) is out of scope by design and
+  * REFUSED loudly — never mis-rendered.
   */
 object Params {
 
@@ -56,20 +58,26 @@ object Params {
       !s.equalsIgnoreCase("none"))
 
   /** Split `s` on a top-level keyword (`and` / `or`) — whitespace-
-    * delimited, outside single-quoted literals — so a quoted value like
-    * 'Food and Drink' never splits. Returns the parts (the whole string
-    * when the keyword is absent). */
+    * delimited, outside single-quoted literals AND outside `(...)` /
+    * `[...]` groups — so a quoted value like 'Food and Drink' never
+    * splits and `(a or b) and c` keeps its grouping. Returns the parts
+    * (the whole string when the keyword is absent). */
   private def splitKw(s: String, kw: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var i = 0
+    var depth = 0
     while (i < s.length) {
       val c = s(i)
       if (c == '\'') {
         cur.append(c); i += 1
         while (i < s.length && s(i) != '\'') { cur.append(s(i)); i += 1 }
         if (i < s.length) { cur.append('\''); i += 1 }
-      } else if ((c == ' ' || c == '\t') &&
+      } else if (c == '(' || c == '[') {
+        depth += 1; cur.append(c); i += 1
+      } else if (c == ')' || c == ']') {
+        depth -= 1; cur.append(c); i += 1
+      } else if (depth == 0 && (c == ' ' || c == '\t') &&
           s.regionMatches(i + 1, kw, 0, kw.length) &&
           i + 1 + kw.length < s.length &&
           (s(i + 1 + kw.length) == ' ' || s(i + 1 + kw.length) == '\t')) {
@@ -81,12 +89,17 @@ object Params {
     out.result().map(_.trim)
   }
 
-  /** Condition evaluation with Jinja precedence (`not` > `and` > `or`):
-    * the condition splits on top-level `or`, each branch on `and`, and
-    * every atom is a bare-variable truthiness test, a `not` of one, or
-    * a `==`/`!=` comparison against a quoted literal. Anything else
-    * (parentheses, `in`, `is`, unquoted right-hand sides) is outside
-    * the subset and refuses loudly — never mis-rendered. */
+  /** Condition evaluation with Jinja precedence (`not` > `and` > `or`,
+    * parentheses group): the condition splits on top-level `or`, each
+    * branch on `and`, and every atom is a bare-variable truthiness
+    * test, a `not` of an atom, a fully parenthesized sub-condition
+    * (recursing back here), a `==`/`!=` comparison against a quoted
+    * literal, or an `in`/`not in` membership — `v in ['a', 'b']`
+    * against a quoted-literal list/tuple, or `'a' in v` against the
+    * context's comma-separated list form (the same shape `{% for %}`
+    * iterates and `join` re-delimits). Anything else (`is`, unquoted
+    * right-hand sides, variable-in-variable) is outside the subset and
+    * refuses loudly — never mis-rendered. */
   private def evalCond(cond: String, ctx: Map[String, String]): Boolean =
     splitKw(cond.trim, "or").exists(part =>
       splitKw(part, "and").forall(evalAtom(_, ctx)))
@@ -96,24 +109,89 @@ object Params {
     // dotted names included: for-loops bind loop.index/first/last as
     // plain context keys, and they compare like any other variable
     val cmp = raw"^([\w.]+)\s*(==|!=)\s*'([^']*)'$$".r
+    // membership: a variable against a bracketed quoted-literal list
+    // (Jinja list or tuple syntax), or a quoted literal against a
+    // variable's list form. `not in` binds tighter than prefix `not`
+    // (Jinja parses `not x in y` as `not (x in y)` — same result).
+    val inList = raw"^([\w.]+)\s+(not\s+)?in\s+[\[(](.*)[\])]$$".r
+    val litInVar = raw"^'([^']*)'\s+(not\s+)?in\s+([\w.]+)$$".r
     t match {
       // the comparison form matches FIRST so an and/or inside the quoted
       // literal (seg == 'Food and Drink') stays a plain comparison
       case cmp(v, op, lit) =>
         val eq = ctx.get(v).map(unq).contains(lit)
         if (op == "==") eq else !eq
+      case inList(v, neg, items) =>
+        val lits = splitList(items)
+        require(lits.forall(s => s.length >= 2 && s.head == '\'' &&
+            s.last == '\''),
+          s"unsupported template condition (membership list must be " +
+            s"quoted literals): $t")
+        val found = ctx.get(v).map(unq).exists(x => lits.map(unq).contains(x))
+        if (neg == null) found else !found
+      case litInVar(lit, neg, v) =>
+        require(ctx.contains(v),
+          s"template condition tests membership in undefined variable: $v")
+        val found = unq(ctx(v)).split(",").map(_.trim).contains(lit)
+        if (neg == null) found else !found
       case _ if t.startsWith("not ") => !evalAtom(t.drop(4), ctx)
+      case _ if t.startsWith("(") =>
+        // must be ONE balanced group spanning the whole atom (splitKw
+        // keeps groups intact, so anything else is malformed)
+        require(t.endsWith(")") && balancedGroup(t),
+          s"unsupported template condition (unbalanced grouping): $t")
+        evalCond(t.substring(1, t.length - 1), ctx)
       case _ =>
         // whatever remains must be a bare variable; whitespace or parens
         // here means a construct outside the subset (a comparison the
-        // cmp regex rejected, grouping, `in`, …) and an empty atom is a
-        // dangling and/or — refuse loudly rather than silently
-        // truthiness-testing a nonsense key
+        // cmp regex rejected, `is`, …) and an empty atom is a dangling
+        // and/or — refuse loudly rather than silently truthiness-
+        // testing a nonsense key
         require(t.nonEmpty &&
             !t.exists(c => c.isWhitespace || c == '(' || c == ')'),
           s"unsupported template condition (not in the Jinja subset): $t")
         truthy(ctx.get(t))
     }
+  }
+
+  /** Comma-split a bracketed list body outside single quotes. */
+  private def splitList(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'') {
+        cur.append(c); i += 1
+        while (i < s.length && s(i) != '\'') { cur.append(s(i)); i += 1 }
+        if (i < s.length) { cur.append('\''); i += 1 }
+      } else if (c == ',') { out += cur.toString; cur.clear(); i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Does the leading '(' close exactly at the final character? */
+  private def balancedGroup(t: String): Boolean = {
+    var depth = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t(i)
+      if (c == '\'') {
+        i += 1
+        while (i < t.length && t(i) != '\'') i += 1
+        if (i < t.length) i += 1
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1
+          if (depth == 0 && i != t.length - 1) return false
+          if (depth < 0) return false
+        }
+        i += 1
+      }
+    }
+    depth == 0
   }
 
   private val IfBlock =

@@ -73,13 +73,19 @@ class ParamsSpec extends AnyFunSuite {
       Params.render("{% if a %}X{% if b %}Y{% endif %}Z{% endif %}",
         Map("a" -> "true", "b" -> "true"))
     }
-    // grouped conditions stay outside the subset — refused, not guessed
-    intercept[IllegalArgumentException] {
-      Params.render("{% if (a and b) or c %}X{% endif %}", Map("a" -> "true"))
-    }
-    // an `in` membership test is not silently truthiness-tested
+    // variable-in-variable membership stays outside the subset (the
+    // supported forms are quoted-literal lists on either side)
     intercept[IllegalArgumentException] {
       Params.render("{% if x in xs %}X{% endif %}", Map("x" -> "1"))
+    }
+    // unbalanced grouping is refused, not guessed
+    intercept[IllegalArgumentException] {
+      Params.render("{% if (a and (b) %}X{% endif %}", Map("a" -> "true"))
+    }
+    // membership against an unquoted list refuses (an unquoted RHS is
+    // outside the subset, same as comparisons)
+    intercept[IllegalArgumentException] {
+      Params.render("{% if x in [a, b] %}X{% endif %}", Map("x" -> "1"))
     }
     // a dangling and/or is malformed, not a lookup of the empty key
     intercept[IllegalArgumentException] {
@@ -114,6 +120,51 @@ class ParamsSpec extends AnyFunSuite {
     assert(Params.render(
       "{% if a and b %}1{% elif a or b %}2{% else %}3{% endif %}",
       Map("a" -> "true")) == "2")
+  }
+
+  test("jinja subset: parenthesized conditions group at Jinja precedence") {
+    val ctx = Map("region" -> "'west'", "flag" -> "true")
+    def r(cond: String) =
+      Params.render(s"{% if $cond %}Y{% else %}N{% endif %}", ctx)
+    // grouping overrides and-over-or: (false or true) and true → true,
+    // where the ungrouped read false-or-(true-and-true) is ALSO true —
+    // so pin the distinguishing shape: (true or x) and false → false
+    assert(r("(region == 'east' or flag) and region == 'west'") == "Y")
+    assert(r("(flag or missing) and region == 'east'") == "N")
+    assert(r("flag or (missing and region == 'west')") == "Y")
+    // not distributes over a group
+    assert(r("not (missing or region == 'east')") == "Y")
+    assert(r("not (flag or missing)") == "N")
+    // nesting and quoted parens inside literals
+    assert(r("((region == 'west'))") == "Y")
+    assert(Params.render(
+      "{% if (seg == 'a (small)' or flag) %}Y{% endif %}",
+      Map("seg" -> "'a (small)'")) == "Y")
+  }
+
+  test("jinja subset: in / not in membership") {
+    val ctx = Map("region" -> "'west'", "statuses" -> "open,paid,closed")
+    def r(cond: String) =
+      Params.render(s"{% if $cond %}Y{% else %}N{% endif %}", ctx)
+    // variable against a quoted-literal list (list and tuple syntax)
+    assert(r("region in ['west', 'east']") == "Y")
+    assert(r("region in ['north', 'east']") == "N")
+    assert(r("region not in ['north', 'east']") == "Y")
+    assert(r("region in ('west', 'east')") == "Y")
+    // quoted literal against the context's comma-separated list form
+    assert(r("'paid' in statuses") == "Y")
+    assert(r("'void' in statuses") == "N")
+    assert(r("'void' not in statuses") == "Y")
+    // prefix not parses as not (x in y) — Jinja's reading
+    assert(r("not region in ['north']") == "Y")
+    // membership composes with and/or and grouping
+    assert(r("region in ['west'] and 'open' in statuses") == "Y")
+    assert(r("(region in ['north']) or 'paid' in statuses") == "Y")
+    // missing variable on the left is simply not a member
+    assert(r("missing in ['west']") == "N")
+    // membership in an UNDEFINED list variable is an error (strict
+    // undefined, like for-loops), not an empty-list pass
+    intercept[IllegalArgumentException] { r("'x' in nothere") }
   }
 
   test("jinja subset: dotted names compare like plain variables " +
