@@ -233,6 +233,136 @@ object HolisticsAdapter {
       .map(_.replaceAll(raw"\{\{\s*#SOURCE\.(\w+)\s*\}\}", "$1")
         .replaceAll(raw"\{\{\s*([\w.]+)\s*\}\}", "$1")
         .replaceAll(raw"\s+", " ").trim)
+      .orElse(
+        raw"(?s)definition\s*:\s*@aql\s*(.*?);;".r.findFirstMatchIn(body)
+          .map(m => translateAql(m.group(1).replaceAll(raw"\s+", " ").trim)))
+
+  // ------------------------------------------------------------------
+  // AQL (@aql) definitions — translated to SQL fragments the same way
+  // the reference does (ref holistics.py:1910-2171): the pipeline
+  // splits on top-level `|`, aggregation functions lower to their SQL
+  // forms (two-arg sum(table, expr) aggregates expr; a piped base
+  // becomes the argument), count_if becomes SUM(CASE WHEN …),
+  // table-shaping functions (filter/group/select/where) pass the base
+  // through (the surrounding aggregation produces the value), metric
+  // modifiers (of_all/exclude/relative_period/…) preserve their inner
+  // expression, and @now/@today macros lower to CURRENT_TIMESTAMP/
+  // CURRENT_DATE. Unknown functions keep their name with the base
+  // folded in as the first argument.
+  // ------------------------------------------------------------------
+
+  private val AqlAggSql = Map("count" -> "COUNT", "count_all" -> "COUNT",
+    "sum" -> "SUM", "avg" -> "AVG", "average" -> "AVG", "min" -> "MIN",
+    "max" -> "MAX", "median" -> "MEDIAN")
+  private val AqlTableFuncs = Set("filter", "group", "select", "where")
+  private val AqlMetricModifiers = Set("of_all", "exclude", "keep_grains",
+    "relative_period", "period_to_date", "running_total")
+
+  private def aqlMacros(s: String): String =
+    s.replaceAll(raw"(?i)@now\b", "CURRENT_TIMESTAMP")
+      .replaceAll(raw"(?i)@today\b", "CURRENT_DATE")
+
+  /** Split on a delimiter at paren depth 0, outside quotes. */
+  private def splitTop(expr: String, delim: Char): Seq[String] = {
+    val parts = Vector.newBuilder[String]
+    val buf = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < expr.length) {
+      val c = expr(i)
+      if (quote != 0) { buf.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; buf.append(c) }
+      else if (c == '(') { depth += 1; buf.append(c) }
+      else if (c == ')') { depth = math.max(0, depth - 1); buf.append(c) }
+      else if (c == delim && depth == 0) { parts += buf.toString; buf.clear() }
+      else buf.append(c)
+      i += 1
+    }
+    parts += buf.toString
+    parts.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def applyAqlFn(name: String, args: Seq[String],
+      base: Option[String]): String = {
+    val n = name.trim.toLowerCase
+    val cleaned = args.map(a => aqlMacros(a.trim)).filter(_.nonEmpty)
+    val target = cleaned.headOption.orElse(base).getOrElse("*")
+    if (AqlAggSql.contains(n)) {
+      if (base.isEmpty && cleaned.size >= 2) s"${AqlAggSql(n)}(${cleaned(1)})"
+      else s"${AqlAggSql(n)}($target)"
+    } else if (n == "count_distinct" || n == "countdistinct") {
+      if (base.isEmpty && cleaned.size >= 2) s"COUNT(DISTINCT ${cleaned(1)})"
+      else s"COUNT(DISTINCT $target)"
+    } else if (n == "count_if" || n == "countif") {
+      val cond = cleaned.headOption.orElse(base).getOrElse("")
+      if (cond.isEmpty) "COUNT(*)"
+      else s"SUM(CASE WHEN $cond THEN 1 ELSE 0 END)"
+    } else if (AqlTableFuncs(n)) {
+      base.orElse(cleaned.headOption).getOrElse("*")
+    } else if (AqlMetricModifiers(n)) {
+      base.orElse(cleaned.headOption).getOrElse("")
+    } else {
+      val all = base.toSeq ++ cleaned
+      s"$name(${all.mkString(", ")})"
+    }
+  }
+
+  /** Rewrite every function call in a non-piped expression. */
+  private def translateAqlInline(expr0: String): String = {
+    val expr = aqlMacros(expr0)
+    val out = new StringBuilder
+    var i = 0
+    val Ident = raw"^[A-Za-z_][A-Za-z0-9_]*".r
+    while (i < expr.length) {
+      Ident.findFirstIn(expr.substring(i)) match {
+        case Some(name) if i + name.length < expr.length &&
+            expr(i + name.length) == '(' =>
+          // find the matching close paren (quote-aware)
+          var j = i + name.length
+          var depth = 0
+          var quote: Char = 0
+          var close = -1
+          while (close < 0 && j < expr.length) {
+            val c = expr(j)
+            if (quote != 0) { if (c == quote) quote = 0 }
+            else if (c == '\'' || c == '"' || c == '`') quote = c
+            else if (c == '(') depth += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) close = j }
+            j += 1
+          }
+          if (close < 0) { out.append(name); i += name.length }
+          else {
+            val args = splitTop(expr.substring(i + name.length + 1, close), ',')
+            out.append(applyAqlFn(name, args, base = None))
+            i = close + 1
+          }
+        case Some(name) => out.append(name); i += name.length
+        case None => out.append(expr(i)); i += 1
+      }
+    }
+    out.toString
+  }
+
+  private val AqlPipeFn =
+    raw"^([A-Za-z_][A-Za-z0-9_]*)\s*(?:\((.*)\))?\s*$$".r
+
+  private[graft] def translateAql(expr: String): String = {
+    val segments = splitTop(expr.trim, '|')
+    segments match {
+      case Seq() => expr.trim
+      case Seq(one) => translateAqlInline(one)
+      case base +: pipes =>
+        pipes.foldLeft(translateAqlInline(base)) { (cur, seg) =>
+          seg match {
+            case AqlPipeFn(name, args) =>
+              applyAqlFn(name, splitTop(Option(args).getOrElse(""), ','),
+                base = Some(cur))
+            case _ => cur
+          }
+        }
+    }
+  }
 
   // ------------------------------------------------------------------
   // model construction

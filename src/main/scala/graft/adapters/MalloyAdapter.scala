@@ -161,13 +161,26 @@ object MalloyAdapter {
                 depth += braceDepth(lines(i)); i += 1
               }
             case "join_one" | "join_many" =>
-              if (rest.trim.nonEmpty) { joinOf(sec, rest.trim).foreach(rels :+= _); i += 1 }
-              else {
-                i += 1
-                while (i < lines.length && lines(i).trim.nonEmpty &&
-                    SectionRe.findFirstIn(lines(i).trim).isEmpty) {
-                  joinOf(sec, lines(i).trim).foreach(rels :+= _); i += 1
-                }
+              // gather the whole join block (a declaration's `on`
+              // condition may wrap onto the following lines), then
+              // regroup: a NEW declaration starts at `<name> with|on|is`;
+              // anything else continues the previous one's condition
+              val block = Vector.newBuilder[String]
+              if (rest.trim.nonEmpty) block += rest.trim
+              i += 1
+              while (i < lines.length && lines(i).trim.nonEmpty &&
+                  !lines(i).trim.startsWith("}") &&
+                  SectionRe.findFirstIn(lines(i).trim).isEmpty) {
+                block += lines(i).trim; i += 1
+              }
+              val DeclStart =
+                raw"^[\w`]+\s+(?:(?:left|right|full|inner)\s+)?(with|on|is)\b.*".r
+              var decl = ""
+              (block.result() :+ "").foreach { ln =>
+                if (ln.isEmpty || DeclStart.matches(ln)) {
+                  if (decl.nonEmpty) joinOf(sec, decl).foreach(rels :+= _)
+                  decl = ln
+                } else decl = s"$decl $ln"
               }
             case _ =>
               if (rest.trim.nonEmpty) {
@@ -206,26 +219,45 @@ object MalloyAdapter {
 
   private def joinOf(kind: String, text: String): Option[Relationship] = {
     val relType = if (kind == "join_many") "one_to_many" else "many_to_one"
-    val With = raw"^(\w+)\s+with\s+([\w.]+)$$".r
-    val On = raw"^(\w+)\s+on\s+(.*)$$".r
+    // the aliased form `alias is source with fk` / `alias is source on c`
+    // joins under the ALIAS name, like the reference's joinNameDef
+    // (ref malloy.py:1930-1935: the relationship is named by the alias);
+    // an optional matrixOperation direction (left/right/full/inner)
+    // may sit before with/on (ref malloy.py:1952-1958 keeps it as
+    // metadata — the engine's join-type selection already picks
+    // LEFT/INNER from the relationship type, so the keyword is
+    // consumed, not dropped-with-a-note)
+    val With = raw"^(\w+)\s+(?:is\s+\w+(?:\([^)]*\))?\s+)?(?:(?:left|right|full|inner)\s+)?with\s+([\w.]+)$$".r
+    val On = raw"^(\w+)\s+(?:is\s+\w+(?:\([^)]*\))?\s+)?(?:(?:left|right|full|inner)\s+)?on\s+(.*)$$".r
     text match {
       case With(target, fk) =>
         Some(Relationship(target, relType, foreignKey = Seq(fk)))
       case On(target, cond) =>
-        // equi-condition `target.pk = fk` maps to key pairs; anything
-        // else keeps the raw condition
+        // an `and`-chain of equi-conditions `target.pk = fk` (either
+        // orientation, in any mix) maps to composite key pairs
+        // (ref malloy.py:1975-1990 extracts the key list the same way);
+        // anything else keeps the raw condition
         val Eq1 = (raw"^" + target + raw"\.(\w+)\s*=\s*(\w+)$$").r
         val Eq2 = (raw"^(\w+)\s*=\s*" + target + raw"\.(\w+)$$").r
-        cond.trim match {
-          case Eq1(pkc, fkc) => Some(Relationship(target, relType,
-            foreignKey = Seq(fkc), primaryKey = Seq(pkc)))
-          case Eq2(fkc, pkc) => Some(Relationship(target, relType,
-            foreignKey = Seq(fkc), primaryKey = Seq(pkc)))
-          case other => Some(Relationship(target, relType,
-            sqlOn = Some(s"{from}.$other"
-              .replace(s"{from}.$target.", s"{to}.")
-              .replaceFirst(raw"^\{from\}\.", "{from}.")))
-          )
+        val parts = cond.trim.split(raw"(?i)\s+and\s+").map(_.trim).toSeq
+        val keyPairs = parts.map {
+          case Eq1(pkc, fkc) => Some((fkc, pkc))
+          case Eq2(fkc, pkc) => Some((fkc, pkc))
+          case _ => None
+        }
+        if (keyPairs.nonEmpty && keyPairs.forall(_.isDefined)) {
+          val ps = keyPairs.flatten
+          Some(Relationship(target, relType,
+            foreignKey = ps.map(_._1), primaryKey = ps.map(_._2)))
+        } else if (parts.size == 1) Some(Relationship(target, relType,
+          sqlOn = Some(s"{from}.${parts.head}"
+            .replace(s"{from}.$target.", s"{to}.")
+            .replaceFirst(raw"^\{from\}\.", "{from}."))))
+        else {
+          graft.load.Fidelity.note("unparseable_join",
+            s"join condition '${cond.take(60)}' mixes non-equi terms in " +
+              "an and-chain; join dropped", source = Some("malloy"))
+          None
         }
       case other =>
         graft.load.Fidelity.note("unparseable_join",

@@ -158,9 +158,11 @@ class FidelitySpec extends AnyFunSuite {
     val fx = "/root/reference/tests/fixtures/holistics_kitchen_sink"
     val (imp, r) = Fidelity.capture { HolisticsAdapter.loadDirectory(fx) }
     assert(imp.models.nonEmpty)
-    assert(r.notes.size == 3, r.summaryLines.mkString("\n"))
-    // AQL (Holistics' calc language) definitions have no SQL lowering
-    assert(r.byConstruct("measure_without_definition").size == 2)
+    assert(r.notes.size == 1, r.summaryLines.mkString("\n"))
+    // @aql measure/dimension definitions translate since r17 (see the
+    // HolisticsAdapterSpec AQL test); only the dataset-level Metric
+    // surface still reports
+    assert(r.byConstruct("measure_without_definition").isEmpty)
     val metricNote = r.byConstruct("top_level_metric")
     assert(metricNote.size == 1)
     assert(metricNote.head.location.contains("metric_store.aml:8"))
@@ -207,5 +209,25 @@ class FidelitySpec extends AnyFunSuite {
           |}""".stripMargin)
     }
     assert(!report.hasLosses, report.summaryLines.mkString("\n"))
+  }
+
+  test("fixture-corpus drop census: the committed grammar depth is a " +
+      "floor, not a high-water mark") {
+    // r17 closed multi-line/aliased/direction joins (malloy 13 → 1) and
+    // @aql measure definitions (kitchen sink 3 → 1); these caps make a
+    // grammar regression loud. The two survivors are known: the_met's
+    // inline-source join, and the dataset-level Metric note.
+    val (_, malloy) = Fidelity.capture {
+      graft.adapters.MalloyAdapter
+        .loadDirectory("/root/reference/tests/fixtures/malloy")
+    }
+    assert(malloy.notes.size <= 1,
+      malloy.summaryLines.mkString("\n"))
+    val (_, sinkRep) = Fidelity.capture {
+      graft.adapters.HolisticsAdapter.loadDirectory(
+        "/root/reference/tests/fixtures/holistics_kitchen_sink")
+    }
+    assert(sinkRep.notes.size <= 1, sinkRep.summaryLines.mkString("\n"))
+    assert(sinkRep.notes.forall(_.construct == "top_level_metric"))
   }
 }

@@ -64,6 +64,31 @@ class HolisticsAdapterSpec extends AnyFunSuite {
     assert(inline.exists(_.dimension("promised_at").exists(_.dimType == DimType.Time)))
   }
 
+  test("kitchen sink: @aql definitions translate to SQL fragments " +
+      "(ref holistics.py:1910-2171)") {
+    val imp = HolisticsAdapter.loadDirectory(sink)
+    val orders = imp.models.find(_.name == "kitchen_orders").get
+    // pipeline form: order_id | count() → COUNT(order_id)
+    assert(orders.metric("order_count_aql").exists(m =>
+      m.sql == Some("COUNT(order_id)")), orders.metric("order_count_aql"))
+    // inline arithmetic over agg calls
+    assert(orders.metric("revenue_per_order_aql").exists(m =>
+      m.sql == Some("SUM(amount) / COUNT(order_id)")))
+    // @today macro inside a dimension definition
+    assert(orders.dimension("today").exists(_.sql == Some("CURRENT_DATE")))
+    // the translator alone: two-arg agg, count_if, table funcs, macros
+    import graft.adapters.HolisticsAdapter.translateAql
+    assert(translateAql("sum(orders, orders.amount)") == "SUM(orders.amount)")
+    assert(translateAql("count_if(status == 'paid')") ==
+      "SUM(CASE WHEN status == 'paid' THEN 1 ELSE 0 END)")
+    assert(translateAql("orders | where(status == 'x') | count()") ==
+      "COUNT(orders)")
+    assert(translateAql("count(orders.id) | of_all(orders)") ==
+      "COUNT(orders.id)")
+    assert(translateAql("created_at > @today") ==
+      "created_at > CURRENT_DATE")
+  }
+
   test("query end-to-end over a Holistics model bound to TPC-H") {
     val spark = TestSpark.spark
     val resolve: graft.load.YamlLoader.TableResolver = t =>

@@ -117,4 +117,34 @@ class MalloyAdapterSpec extends AnyFunSuite {
     assert(out.length == 5)
     assert(out.forall(r => r.getLong(3) > 0 && r.getLong(3) < r.getLong(2)))
   }
+
+  test("bigquery_jobs: multi-line and-chained on joins map to " +
+      "composite key pairs") {
+    val imp = MalloyAdapter.loadFile(s"$dir/bigquery_jobs.malloy")
+    val tables = imp.models.find(_.name == "tables").get
+    val stats = tables.relationships.find(_.to == "table_query_stats").get
+    assert(stats.foreignKey ==
+      Seq("table_catalog", "table_schema", "table_name"))
+    assert(stats.primaryKey == Seq("project_id", "dataset_id", "table_id"))
+    val storage = tables.relationships.find(_.to == "table_storage").get
+    assert(storage.foreignKey.size == 3 && storage.primaryKey.size == 3)
+  }
+
+  test("aliased and direction-qualified joins import under the alias") {
+    // flights_docs: `join_one: origin is airports with origin_code` —
+    // the relationship is named by the alias (ref malloy.py:1930-1935)
+    val fd = MalloyAdapter.loadFile(s"$dir/flights_docs.malloy")
+    val flights = fd.models.find(_.relationships.exists(_.to == "origin"))
+    assert(flights.isDefined, "alias join 'origin is airports' missing")
+    assert(flights.get.relationships.exists(r =>
+      r.to == "origin" && r.foreignKey == Seq("origin_code")))
+    // edge_cases: matrixOperation direction between name and on
+    val ec = MalloyAdapter.loadFile(s"$dir/edge_cases.malloy")
+    // `join_target_a left on id = join_target_a.id` and the inner
+    // variant: the direction keyword is consumed, the equi keys land
+    val withDir = ec.models.flatMap(_.relationships)
+      .filter(r => Set("join_target_a", "join_target_b")(r.to) &&
+        r.foreignKey == Seq("id") && r.primaryKey == Seq("id"))
+    assert(withDir.size == 2, s"direction-qualified joins dropped: $withDir")
+  }
 }
