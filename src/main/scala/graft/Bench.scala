@@ -241,7 +241,24 @@ object Bench {
     val top = results.sortBy(-_._2).take(12)
       .map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,"n_queries":${results.size},"passes":$passes,"warmup_sec":$warmup%.1f,"battery":"$battery","sf":"$sfDir"}""")
+    // Cite the newest committed frozen-battery capture alongside the
+    // live number: the frozen corpus (checksummed, one-session
+    // discipline) is the round-over-round comparability standard, and
+    // a headline captured in a noisy window must not be readable
+    // WITHOUT that context. Omitted when no artifact is present.
+    val frozenRef = {
+      val re = raw"BENCH_frozen_r(\d+)\.json".r
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f)); case _ => None
+        })
+      files.sortBy(-_._1).headOption.flatMap { case (rnd, f) =>
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        raw""""value"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(text)
+          .map(m => s""","frozen_ref":{"file":"${f.getName}","round":$rnd,"value":${m.group(1)}}""")
+      }.getOrElse("")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,"n_queries":${results.size},"passes":$passes,"warmup_sec":$warmup%.1f,"battery":"$battery","sf":"$sfDir"$frozenRef}""")
     Console.flush()
   }
 }
