@@ -65,14 +65,17 @@ object MalloyAdapter {
           case ref if models.exists(_.name == ref) => None // extension
           case other => Some(resolve(other))
         }
+        val extra = scala.collection.mutable.Buffer.empty[Model]
         val parsed = parseBody(name, body,
-          source.getOrElse(ModelSource.Table(name)))
+          source.getOrElse(ModelSource.Table(name)), resolve, extra)
         source match {
           case None =>
             val baseModel = models.find(_.name == base).get
             models :+= mergeModels(baseModel.copy(name = name), parsed)
           case Some(_) => models :+= parsed
         }
+        extra.foreach(e =>
+          if (!models.exists(_.name == e.name)) models :+= e)
       }
     }
     // `with fk` joins bind the target's primary key
@@ -91,8 +94,10 @@ object MalloyAdapter {
   // source body
   // ------------------------------------------------------------------
 
-  private def parseBody(name: String, body: String,
-      source: ModelSource): Model = {
+  private def parseBody(name: String, body: String, source: ModelSource,
+      resolve: YamlLoader.TableResolver = YamlLoader.defaultResolver,
+      extra: scala.collection.mutable.Buffer[Model] =
+        scala.collection.mutable.Buffer.empty): Model = {
     var pk = Vector.empty[String]
     var dims = Vector.empty[Dimension]
     var mets = Vector.empty[Metric]
@@ -175,10 +180,31 @@ object MalloyAdapter {
               }
               val DeclStart =
                 raw"^[\w`]+\s+(?:(?:left|right|full|inner)\s+)?(with|on|is)\b.*".r
+              // an INLINE-SOURCE join (`alias is conn.table('t') extend
+              // { … } with fk`) also defines its target: synthesize the
+              // aliased model the same way a top-level `source:` would
+              // (the reference's _extract_inline_join_source,
+              // malloy.py:1944-1950), then join against the alias
+              val InlineSrc = (raw"^(\w+)\s+is\s+\w[\w.]*\.table\(" +
+                raw"'([^']+)'\)\s*(?:extend\s*\{([^}]*)\})?\s+" +
+                raw"((?:(?:left|right|full|inner)\s+)?(?:with|on)\s.*)$$").r
+              def emit(decl: String): Unit = decl match {
+                case InlineSrc(alias, path, extendBody, tail) =>
+                  val src = resolve(
+                    path.split('/').last.replaceAll(raw"\.\w+$$", ""))
+                  val pk = Option(extendBody).toSeq.flatMap(b =>
+                    raw"primary_key:\s*([\w`]+)".r.findAllMatchIn(b)
+                      .map(_.group(1).replace("`", "")).toSeq)
+                  if (!extra.exists(_.name == alias))
+                    extra += Model(name = alias, source = src,
+                      primaryKey = pk)
+                  joinOf(sec, s"$alias $tail").foreach(rels :+= _)
+                case d => joinOf(sec, d).foreach(rels :+= _)
+              }
               var decl = ""
               (block.result() :+ "").foreach { ln =>
                 if (ln.isEmpty || DeclStart.matches(ln)) {
-                  if (decl.nonEmpty) joinOf(sec, decl).foreach(rels :+= _)
+                  if (decl.nonEmpty) emit(decl)
                   decl = ln
                 } else decl = s"$decl $ln"
               }

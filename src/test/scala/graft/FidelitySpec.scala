@@ -213,15 +213,15 @@ class FidelitySpec extends AnyFunSuite {
 
   test("fixture-corpus drop census: the committed grammar depth is a " +
       "floor, not a high-water mark") {
-    // r17 closed multi-line/aliased/direction joins (malloy 13 → 1) and
-    // @aql measure definitions (kitchen sink 3 → 1); these caps make a
-    // grammar regression loud. The two survivors are known: the_met's
-    // inline-source join, and the dataset-level Metric note.
+    // r17 closed multi-line/aliased/direction/inline-source joins
+    // (malloy 13 → 0) and @aql measure definitions (kitchen sink
+    // 3 → 1); these caps make a grammar regression loud. The one
+    // survivor is known: the dataset-level Metric note.
     val (_, malloy) = Fidelity.capture {
       graft.adapters.MalloyAdapter
         .loadDirectory("/root/reference/tests/fixtures/malloy")
     }
-    assert(malloy.notes.size <= 1,
+    assert(malloy.notes.isEmpty,
       malloy.summaryLines.mkString("\n"))
     val (_, sinkRep) = Fidelity.capture {
       graft.adapters.HolisticsAdapter.loadDirectory(

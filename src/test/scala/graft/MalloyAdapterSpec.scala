@@ -147,4 +147,18 @@ class MalloyAdapterSpec extends AnyFunSuite {
         r.foreignKey == Seq("id") && r.primaryKey == Seq("id"))
     assert(withDir.size == 2, s"direction-qualified joins dropped: $withDir")
   }
+
+  test("the_met: an inline-source join synthesizes its aliased model") {
+    // `join_one: images is bigquery.table('…') extend { primary_key:
+    // object_id } with object_id` — the alias gets a model (like the
+    // reference's _extract_inline_join_source) and the join binds its
+    // primary key
+    val imp = MalloyAdapter.loadFile(s"$dir/the_met.malloy")
+    val images = imp.models.find(_.name == "images")
+    assert(images.isDefined, imp.models.map(_.name).mkString(", "))
+    assert(images.get.primaryKey == Seq("object_id"))
+    assert(imp.models.exists(_.relationships.exists(r =>
+      r.to == "images" && r.foreignKey == Seq("object_id") &&
+        r.primaryKey == Seq("object_id"))))
+  }
 }
