@@ -17,7 +17,8 @@ package graft.functions
   * `in`/`not in` membership against quoted-literal lists or a
   * variable's comma-separated list form, composed with `and`/`or` at
   * Jinja precedence with `(...)` grouping), `{% for item in items %} …
-  * {% endfor %}` over comma-separated context lists (with
+  * {% endfor %}` over comma-separated context lists and
+  * `{% for k, v in m.items() %}` over `key: value` entries (both with
   * `loop.index`/`loop.first`/`loop.last`), then `{{ var }}`
   * substitution with the `default('x')`/`upper`/`lower`/`join('sep')`
   * filters. The rest of Jinja (macros, set, `is` tests, variable-in-
@@ -200,6 +201,9 @@ object Params {
   private val ForBlock =
     raw"(?s)\{%\s*for\s+(\w+)\s+in\s+(\w+)\s*%\}(.*?)\{%\s*endfor\s*%\}".r
 
+  private val ForItemsBlock =
+    raw"(?s)\{%\s*for\s+(\w+)\s*,\s*(\w+)\s+in\s+(\w+)\.items\(\)\s*%\}(.*?)\{%\s*endfor\s*%\}".r
+
   /** Expand `{% for item in items %} … {% endfor %}` blocks: the
     * iterable is a context value holding a comma-separated list (the
     * string-valued context's list form); each iteration renders the
@@ -210,27 +214,50 @@ object Params {
     * nested if), and an iterable absent from the context is an error —
     * Jinja's strict-undefined behavior, not a silent empty loop. */
   private def expandFor(sql: String, ctx: Map[String, String]): String = {
+    def loopCtx(i: Int, n: Int): Map[String, String] = Map(
+      "loop.index" -> (i + 1).toString,
+      "loop.first" -> (if (i == 0) "true" else "false"),
+      "loop.last" -> (if (i == n - 1) "true" else "false"))
+    def listOf(iter: String): Vector[String] = {
+      require(ctx.contains(iter),
+        s"template iterates over undefined variable: $iter")
+      unq(ctx(iter)).split(",").map(_.trim).filter(_.nonEmpty).toVector
+    }
     var out = sql
     var changed = true
     while (changed) {
       changed = false
+      // dict iteration: `{% for k, v in m.items() %}` over the map form
+      // of the string-valued context — comma-separated `key: value`
+      // entries (the list convention extended one level); a valueless
+      // entry refuses loudly rather than silently binding an empty v
+      out = ForItemsBlock.replaceAllIn(out, m => {
+        changed = true
+        val (kVar, vVar, iter, body) =
+          (m.group(1), m.group(2), m.group(3), m.group(4))
+        require(raw"\{%\s*for\b".r.findFirstIn(body).isEmpty,
+          s"unsupported template: nested {% for %} blocks are not in the Jinja subset")
+        val entries = listOf(iter).map { e =>
+          val sep = e.indexOf(':')
+          require(sep > 0, s"template iterates $iter.items() but entry " +
+            s"'$e' is not in the context's 'key: value' map form")
+          (e.substring(0, sep).trim, e.substring(sep + 1).trim)
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          entries.zipWithIndex.map { case ((k, v), i) =>
+            render(body, ctx + (kVar -> k) + (vVar -> v)
+              ++ loopCtx(i, entries.size))
+          }.mkString)
+      })
       out = ForBlock.replaceAllIn(out, m => {
         changed = true
         val (item, iter, body) = (m.group(1), m.group(2), m.group(3))
         require(raw"\{%\s*for\b".r.findFirstIn(body).isEmpty,
           s"unsupported template: nested {% for %} blocks are not in the Jinja subset")
-        require(ctx.contains(iter),
-          s"template iterates over undefined variable: $iter")
-        val items = unq(ctx(iter)).split(",").map(_.trim)
-          .filter(_.nonEmpty).toVector
+        val items = listOf(iter)
         java.util.regex.Matcher.quoteReplacement(
           items.zipWithIndex.map { case (v, i) =>
-            render(body, ctx
-              + (item -> v)
-              + ("loop.index" -> (i + 1).toString)
-              + ("loop.first" -> (if (i == 0) "true" else "false"))
-              + ("loop.last" ->
-                  (if (i == items.size - 1) "true" else "false")))
+            render(body, ctx + (item -> v) ++ loopCtx(i, items.size))
           }.mkString)
       })
     }

@@ -224,12 +224,26 @@ class ParamsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Params.render("{{ col | trim }}", Map("col" -> "x"))
     }
-    // dict iteration (.items()) is outside the subset — refused, since
-    // the for-matcher only binds a single loop variable over a name
+    // dict iteration over a value NOT in the key: value map form is
+    // refused, not silently bound to an empty value
     intercept[IllegalArgumentException] {
       Params.render("{% for k, v in m.items() %}{{ k }}{% endfor %}",
         Map("m" -> "x"))
     }
+  }
+
+  test("jinja subset: dict iteration via .items() over the key: value " +
+      "map form (mirrors the reference's test_complex_template_example)") {
+    val out = Params.render(
+      """CASE {% for status, value in status_map.items() %}WHEN status = '{{ status }}' THEN {{ value }} {% endfor %}ELSE 0 END""",
+      Map("status_map" -> "completed: 1, pending: 0.5, cancelled: 0"))
+    assert(out.contains("WHEN status = 'completed' THEN 1"))
+    assert(out.contains("WHEN status = 'pending' THEN 0.5"))
+    assert(out.contains("ELSE 0"))
+    // loop bindings work in the items() form too
+    assert(Params.render(
+      "{% for k, v in m.items() %}{{ k }}={{ v }}{% if not loop.last %},{% endif %}{% endfor %}",
+      Map("m" -> "a:1,b:2")) == "a=1,b=2")
   }
 
   test("declared typed parameter quotes itself; injection value returns no rows") {
