@@ -149,12 +149,25 @@ object HexAdapter {
           Metric(id, metricType = Some("ratio"),
             numerator = Some(s"$model.${id}__num"),
             denominator = Some(s"$model.${id}__den")))
-      case _ => // custom func_sql/func_calc without an executable map
-        graft.load.Fidelity.note("custom_measure_sql",
-          s"measure '$id' uses a custom func_sql/func_calc outside the " +
-            "aggregate/ratio subset; dropped",
-          severity = "unsupported", source = Some("hex"))
-        Nil
+      case _ =>
+        // custom func_sql/func_calc outside the aggregate/ratio map:
+        // import as a DERIVED metric carrying the raw expression, the
+        // way the reference does (ref hex.py:308-311 "Custom
+        // aggregation - treat as derived metric"); the engine's agg
+        // auto-extraction handles embedded aggregate calls downstream
+        mm.get("func_sql").orElse(mm.get("func_calc")).flatMap(Option(_))
+          .map(_.toString) match {
+          case Some(expr) =>
+            Seq(Metric(id, metricType = Some("derived"), sql = Some(expr),
+              filters = filters,
+              public = mm.get("visibility").forall(_.toString == "public")))
+          case None =>
+            graft.load.Fidelity.note("custom_measure_sql",
+              s"measure '$id' has neither a recognized func nor a " +
+                "func_sql/func_calc definition; dropped",
+              severity = "unsupported", source = Some("hex"))
+            Nil
+        }
     }
   }
 

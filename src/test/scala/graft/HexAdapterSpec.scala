@@ -70,4 +70,16 @@ class HexAdapterSpec extends AnyFunSuite {
     assert(got.getLong(2) == 0L)      // is_high_value: amount >= 500
     assert(got.getDouble(3) == 0.8)   // SUM(IF(completed))/NULLIF(SUM, 0)
   }
+
+  test("custom func_sql/func_calc measures import as derived metrics " +
+      "(ref hex.py:308-311)") {
+    val emp = HexAdapter.loadFile(s"$fixtures/employees.yml").head
+    // func_calc referencing sibling measures → derived over metric names
+    assert(emp.metric("avg_tenure").exists(m =>
+      m.metricType == Some("derived") &&
+        m.sql == Some("total_salary / headcount")))
+    // agg/NULLIF(agg, 0) func_sql stays the lifted first-class ratio
+    assert(emp.metric("cost_per_head").exists(m =>
+      m.metricType == Some("ratio")))
+  }
 }
