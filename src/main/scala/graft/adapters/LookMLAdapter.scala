@@ -65,11 +65,48 @@ object LookMLAdapter {
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".lkml")).sortBy(_.getName)
     val imp = loadFiles(files.map(_.getPath).toSeq, resolve)
+    // an extends base missing from the corpus (its `include:` file is
+    // not present) degrades to a note + no inherited fields instead of
+    // failing the whole directory — instrumented partiality, like every
+    // other adapter drop
+    val known = imp.models.map(_.name).toSet
+    val models = imp.models.map { m =>
+      m.extendsModel match {
+        case Some(self) if self == m.name =>
+          // documentation-placeholder corpora contain `view: x
+          // { extends: [x] }` — a degenerate cycle; inheritance from
+          // oneself is the identity
+          Fidelity.note("self_extends",
+            s"view '${m.name}' extends itself; inheritance ignored",
+            source = Some("lookml"))
+          m.copy(extendsModel = None)
+        case Some(missing) if !known(missing) =>
+          Fidelity.note("unknown_extends_base",
+            s"view '${m.name}' extends '$missing' which is not in the " +
+              "loaded corpus (include target absent); imported without " +
+              "inherited fields", source = Some("lookml"))
+          m.copy(extendsModel = None)
+        case _ => m
+      }
+    }
     // parents register before children: extends resolves on registration
-    val cat = topoByExtends(imp.models)
+    val cat = topoByExtends(models)
       .foldLeft(Catalog(dataDir = dataDir))((c, m) => c.add(m))
     imp.explores.filter(e => cat.models.contains(e.model))
-      .foldLeft(cat)((c, e) => c.addExplore(e))
+      .foldLeft(cat) { (c, e) =>
+        // an explore whose field lists reference views absent from the
+        // corpus (documentation placeholders, missing includes) is
+        // noted and skipped, not a directory-load failure
+        try c.addExplore(e)
+        catch {
+          case ex: IllegalArgumentException =>
+            Fidelity.note("unresolvable_explore",
+              s"explore '${e.name}' failed validation against the loaded " +
+                s"corpus (${ex.getMessage.take(80)}); explore dropped",
+              source = Some("lookml"))
+            c
+        }
+      }
   }
 
   /** Parents before children so `extends` resolves. */
@@ -87,14 +124,38 @@ object LookMLAdapter {
 
   def fromDocs(docs: Seq[LObj],
       resolve: YamlLoader.TableResolver): Imported = {
-    // collect views; `+name` refinements merge their entries onto the base
+    // collect views; `+name` refinements DEEP-merge onto the base:
+    // same-named sub-blocks (dimension: x, measure: y) merge per field
+    // with the refinement's properties winning — appending instead
+    // would duplicate the field (node_lookml_refinement_merging.lkml's
+    // deep_merging case) — and scalar keys override in place
+    def refine(base: LObj, ref: LObj): LObj = {
+      val merged = scala.collection.mutable.ArrayBuffer(base.entries: _*)
+      ref.entries.foreach {
+        case (k, o: LObj) if o.name.isDefined =>
+          val i = merged.indexWhere {
+            case (k2, o2: LObj) => k2 == k && o2.name == o.name
+            case _ => false
+          }
+          if (i >= 0)
+            merged(i) = (k, refine(merged(i)._2.asInstanceOf[LObj], o))
+          else merged += ((k, o))
+        case (k, value) =>
+          val i = merged.indexWhere {
+            case (k2, _: LObj) => false
+            case (k2, _) => k2 == k
+          }
+          if (i >= 0) merged(i) = (k, value) else merged += ((k, value))
+      }
+      LObj(base.name, merged.toSeq)
+    }
     var views = Vector.empty[LObj]
     docs.foreach(_.objs("view").foreach { v =>
       v.name match {
         case Some(n) if n.startsWith("+") =>
           val base = n.drop(1)
           views = views.map(b => if (b.name.contains(base))
-            LObj(b.name, b.entries ++ v.entries) else b)
+            refine(b, LObj(b.name, v.entries)) else b)
         case _ => views :+= v
       }
     })

@@ -28,11 +28,16 @@ final case class Catalog(
     copy(explores = explores ++ es.map(e => e.name -> e))
   }
 
-  def add(ms: Model*): Catalog = {
-    val resolved = ms.map(resolveExtends)
-    resolved.foreach(Validation.validate(_, this))
-    copy(models = models ++ resolved.map(m => m.name -> m))
-  }
+  def add(ms: Model*): Catalog =
+    // incremental: each model resolves `extends` and validates against
+    // the catalog INCLUDING its earlier siblings in this call, so a
+    // multi-model file whose extender follows its base in one add()
+    // works (cube extends_and_hierarchies.yml is exactly this shape)
+    ms.foldLeft(this) { (cat, m) =>
+      val r = cat.resolveExtends(m)
+      Validation.validate(r, cat)
+      cat.copy(models = cat.models + (r.name -> r))
+    }
 
   def addGraphMetric(ms: Metric*): Catalog =
     copy(graphMetrics = graphMetrics ++ ms.map(m => m.name -> m))
@@ -261,10 +266,21 @@ object Validation {
       pa.measures.foreach(ms => require(m.metric(ms).isDefined,
         s"Model '${m.name}' pre_aggregation '${pa.name}': unknown measure '$ms'"))
       // stored dimensions may also be raw relationship foreign keys
-      // (join-key routing stores the fk so joined queries can route)
-      pa.dimensions.foreach(d => require(m.dimension(d).isDefined ||
-        m.relationships.exists(_.foreignKey.contains(d)),
-        s"Model '${m.name}' pre_aggregation '${pa.name}': unknown dimension '$d'"))
+      // (join-key routing stores the fk so joined queries can route) or
+      // QUALIFIED joined-cube references ('other.dim' — cube's
+      // multiplied rollups): those validate against the remote model
+      // when it is already registered and stay late-bound otherwise
+      // (cross-file load order must not decide validity; an unmatched
+      // qualified dim just never routes)
+      pa.dimensions.foreach { d =>
+        if (d.contains('.')) {
+          val Array(om, od) = d.split("\\.", 2)
+          cat.models.get(om).foreach(o => require(o.dimension(od).isDefined,
+            s"Model '${m.name}' pre_aggregation '${pa.name}': unknown dimension '$d'"))
+        } else require(m.dimension(d).isDefined ||
+          m.relationships.exists(_.foreignKey.contains(d)),
+          s"Model '${m.name}' pre_aggregation '${pa.name}': unknown dimension '$d'")
+      }
       pa.timeDimension.foreach(td => require(m.dimension(td).isDefined,
         s"Model '${m.name}' pre_aggregation '${pa.name}': unknown time_dimension '$td'"))
     }

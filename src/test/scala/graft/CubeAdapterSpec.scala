@@ -149,4 +149,22 @@ class CubeAdapterSpec extends AnyFunSuite {
       assert(models != null, f.getName)
     }
   }
+
+  test("whole-corpus directory load: intra-file extends and " +
+      "joined-cube pre-agg dimensions resolve") {
+    val cat = CubeAdapter.loadDirectory(fixtures)
+    // extends_and_hierarchies.yml defines orders_base then extends it
+    // in the SAME file — one add() call must resolve sibling extends
+    assert(cat.models.contains("orders_base"))
+    // pre_aggregation_types.yaml's multiplied_rollup stores a QUALIFIED
+    // joined-cube dimension; it validates late-bound instead of failing
+    // (its `visitors` cube is shadowed by a later file in the directory
+    // catalog, so pin the single-file load — visitor_checkins follows
+    // visitors in the same add() call, the late-bound branch)
+    val single = Catalog().add(
+      CubeAdapter.loadFile(s"$fixtures/pre_aggregation_types.yaml"): _*)
+    assert(single.models("visitors").preAggregations.exists(pa =>
+      pa.name == "multiplied_rollup" &&
+        pa.dimensions.contains("visitor_checkins.source")))
+  }
 }

@@ -17,7 +17,8 @@ object FidelityCensusMain {
           }
         } else println(s"== $label: clean")
       } catch { case e: Exception =>
-        println(s"== $label: EXCEPTION ${e.getMessage.take(120)}") }
+        println(s"== $label: EXCEPTION ${e.getMessage.take(120)}")
+        e.getStackTrace.take(6).foreach(f => println(s"    at $f")) }
     report("atscale", AtScaleSmlAdapter.loadDirectory(s"$fx/atscale_sml"))
     report("atscale_sink", AtScaleSmlAdapter.loadDirectory(s"$fx/atscale_sml_kitchen_sink"))
     report("bsl", {
@@ -28,7 +29,8 @@ object FidelityCensusMain {
     report("cube", CubeAdapter.loadDirectory(s"$fx/cube"))
     report("gooddata", {
       val d = new java.io.File(s"$fx/gooddata")
-      Option(d.listFiles()).getOrElse(Array()).filter(_.isFile)
+      Option(d.listFiles()).getOrElse(Array())
+        .filter(f => f.isFile && f.getName.endsWith(".json"))
         .sortBy(_.getName).map(f => GoodDataAdapter.loadFile(f.getPath))
     })
     report("hex", HexAdapter.loadDirectory(s"$fx/hex"))

@@ -202,4 +202,23 @@ class LookMLAdapterSpec extends AnyFunSuite {
       LookMLAdapter.loadFile(f.getPath)
     }
   }
+
+  test("whole-corpus directory load survives placeholder fixtures: " +
+      "refinements deep-merge, self/unknown extends degrade to notes") {
+    val (cat, rep) = graft.load.Fidelity.capture {
+      LookMLAdapter.loadDirectory(fixtures)
+    }
+    assert(cat.models.nonEmpty)
+    // `view: +deep_merging { dimension: dim { label: … } }` merges the
+    // field onto the base — ONE dim, refined label — instead of
+    // duplicating it (node_lookml_refinement_merging.model.lkml)
+    val dm = cat.models("deep_merging")
+    assert(dm.dimensions.count(_.name == "dim") == 1)
+    assert(dm.dimensions.find(_.name == "dim").exists(d =>
+      d.label == Some("My Dim")),
+      dm.dimensions.find(_.name == "dim").toString)
+    // the doc-placeholder corpus degrades, never crashes
+    assert(rep.byConstruct("self_extends").nonEmpty)
+    assert(rep.byConstruct("unknown_extends_base").nonEmpty)
+  }
 }
