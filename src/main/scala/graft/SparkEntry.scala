@@ -908,6 +908,46 @@ object SparkEntry {
         orderBy = Seq("region"))), "average_order_value")
     }),
 
+    // r17: percentile measures import as executable PERCENTILE_CONT /
+    // PERCENTILE_DISC inverse-distribution aggregates (the reference
+    // drops agg: percentile — this is a strict extension)
+    "q_adapter_metricflow_pct" -> ((s, d) => {
+      val resolve: graft.load.YamlLoader.TableResolver = _ =>
+        graft.model.ModelSource.SqlView(
+          s"""SELECT o_orderkey AS order_id, o_orderstatus AS status,
+             |  cast(o_totalprice as double) AS order_amount
+             |FROM parquet.`$d/orders.parquet`""".stripMargin)
+      val yaml =
+        """semantic_models:
+          |  - name: pct_orders
+          |    model: ref('orders')
+          |    entities:
+          |      - name: order_id
+          |        type: primary
+          |    dimensions:
+          |      - name: status
+          |        type: categorical
+          |    measures:
+          |      - name: amount_p90
+          |        expr: order_amount
+          |        agg: percentile
+          |        agg_params:
+          |          percentile: 0.9
+          |      - name: amount_med_disc
+          |        expr: order_amount
+          |        agg: percentile
+          |        agg_params:
+          |          percentile: 0.5
+          |          use_discrete_percentile: true
+          |""".stripMargin
+      val imp = graft.adapters.MetricFlowAdapter.loadString(yaml, resolve)
+      val cat = graft.adapters.MetricFlowAdapter.toCatalog(imp)
+      round4(new Generator(s, cat).plan(SemanticQuery(
+        metrics = Seq("pct_orders.amount_p90", "pct_orders.amount_med_disc"),
+        dimensions = Seq("pct_orders.status"),
+        orderBy = Seq("status"))), "amount_p90", "amount_med_disc")
+    }),
+
     // seventh external adapter: the reference's Tableau orders.tds — XML
     // datasource parsing, aggregation attributes, calculated fields
     "q_adapter_tableau" -> ((s, d) => {
@@ -4747,6 +4787,14 @@ object SparkEntry {
         |    / cast(count(*) as double), 4) AS average_order_value
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_adapter_metricflow_pct" ->
+      """SELECT o_orderstatus AS status,
+        |  round(percentile_cont(0.9) WITHIN GROUP
+        |    (ORDER BY cast(o_totalprice as double)), 4) AS amount_p90,
+        |  round(percentile_disc(0.5) WITHIN GROUP
+        |    (ORDER BY cast(o_totalprice as double)), 4) AS amount_med_disc
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_adapter_snowflake" ->
       """SELECT c.c_mktsegment AS segment,

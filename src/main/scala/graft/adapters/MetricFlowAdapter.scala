@@ -364,6 +364,7 @@ object MetricFlowAdapter {
   private def foldedSimple(md: Map[String, Any], pm: ParsedModel): Option[Metric] = {
     if (md.getOrElse("type", "simple").toString != "simple") return None
     val name = md.get("name").map(_.toString).getOrElse(return None)
+    percentileMetric(name, md).foreach(m => return Some(m))
     val agg = mapAggOrNote(name, md.get("agg").map(_.toString)).getOrElse(return None)
     val rawExpr = md.get("expr").flatMap(Option(_)).map(_.toString)
     val pk = pm.model.primaryKey.headOption
@@ -412,13 +413,41 @@ object MetricFlowAdapter {
     }
   }
 
+  /** `agg: percentile` + agg_params → the engine's first-class
+    * percentile_cont / percentile_disc aggregations (ANSI inverse-
+    * distribution semantics). The reference DROPS percentile measures
+    * (its core cannot represent them — metricflow.py:544-546);
+    * importing them is a strict extension, and the approximate_*
+    * flavors lower to the exact form (the approximation choice is an
+    * engine hint, recorded as an info note, not a semantic
+    * difference). */
+  private def percentileMetric(name: String,
+      md: Map[String, Any]): Option[Metric] = {
+    if (!md.get("agg").exists(_.toString == "percentile")) return None
+    val params = mapOf(md.get("agg_params")).getOrElse(Map.empty)
+    val p = params.get("percentile").map(_.toString).getOrElse("0.5")
+    val discrete =
+      params.get("use_discrete_percentile").exists(_.toString == "true")
+    if (params.get("use_approximate_percentile").exists(_.toString == "true"))
+      graft.load.Fidelity.note("approximate_percentile_hint",
+        s"measure '$name': use_approximate_percentile is an engine hint; " +
+          "lowered to the exact PERCENTILE form", severity = "info",
+        source = Some("metricflow"))
+    Some(Metric(name,
+      agg = Some(if (discrete) "percentile_disc" else "percentile_cont"),
+      aggParam = Some(p),
+      sql = md.get("expr").flatMap(Option(_)).map(_.toString)
+        .orElse(Some(name)),
+      label = md.get("label").map(_.toString)))
+  }
+
   /** mapAgg that records a fidelity note naming the measure when the
     * aggregation has no lowering. */
   private def mapAggOrNote(name: String, a: Option[String]): Option[String] =
     mapAgg(a).orElse {
       graft.load.Fidelity.note("unsupported_aggregation",
-        s"measure '$name' aggregation '${a.getOrElse("?")}' has no lowering " +
-          "(percentile etc.); dropped rather than coerced",
+        s"measure '$name' aggregation '${a.getOrElse("?")}' has no lowering; " +
+          "dropped rather than coerced",
         source = Some("metricflow"))
       None
     }
@@ -426,6 +455,7 @@ object MetricFlowAdapter {
   private def parseMeasure(md: Map[String, Any], dimNames: Set[String],
       entityColumns: Map[String, String]): Option[Metric] = {
     val name = md.get("name").map(_.toString).getOrElse(return None)
+    percentileMetric(name, md).foreach(m => return Some(m))
     val agg = mapAggOrNote(name, md.get("agg").map(_.toString)).getOrElse(return None)
     val meta = mapOf(md.get("meta")).getOrElse(Map.empty)
     val nonAdditive = mapOf(md.get("non_additive_dimension")).map { na =>

@@ -401,6 +401,10 @@ final class Generator(spark: SparkSession, cat: Catalog,
       case "stddev_pop"     => stddev_pop(in)
       case "variance"       => var_samp(in)
       case "variance_pop"   => var_pop(in)
+      // ANSI inverse-distribution aggregates: PERCENTILE_CONT/DISC(p)
+      // WITHIN GROUP (ORDER BY expr)
+      case p @ ("percentile_cont" | "percentile_disc") =>
+        graft.functions.PercentileAgg.column(p, in, mr.metric.aggParam)
     }
     fillNulls(mr, c).as(mr.metric.name)
   }

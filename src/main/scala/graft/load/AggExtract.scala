@@ -16,9 +16,10 @@ import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
   */
 object AggExtract {
 
-  /** agg ∈ AggKind.All; inner None = `*` (count star). */
+  /** agg ∈ AggKind.All; inner None = `*` (count star); `param` carries
+    * a parameterized aggregation's argument (the percentile fraction). */
   final case class Extracted(agg: String, inner: Option[String],
-      filter: Option[String])
+      filter: Option[String], param: Option[String] = None)
 
   private val Renames = Map("stddev_samp" -> "stddev", "var_samp" -> "variance",
     "var_pop" -> "variance_pop", "mean" -> "avg")
@@ -34,7 +35,19 @@ object AggExtract {
       val name = Renames.getOrElse(f.nameParts.head.toLowerCase,
         f.nameParts.head.toLowerCase)
       val filter = f.filter.map(exprSql)
-      if (name == "count") {
+      if (name == "percentile_cont" || name == "percentile_disc") {
+        // inverse-distribution form: PERCENTILE_*(p) WITHIN GROUP
+        // (ORDER BY expr) — the value column is the ordering child, the
+        // lone argument is the fraction. The supported subset is a
+        // single ASCENDING sort; anything else stays unextracted.
+        import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+        f.orderingWithinGroup match {
+          case Seq(SortOrder(child, Ascending, _, _)) =>
+            Some(Extracted(name, Some(exprSql(child)), filter,
+              f.arguments.headOption.map(exprSql)))
+          case _ => None
+        }
+      } else if (name == "count") {
         if (f.isDistinct)
           Some(Extracted("count_distinct",
             Some(f.arguments.map(exprSql).mkString(", ")), filter))

@@ -290,7 +290,8 @@ object YamlLoader {
             s"synthesized for cumulative metric '${parsed.name}' — the " +
             "'__base' suffix is reserved; rename the declared metric")
       val base = Metric(name = baseName, agg = Some(x.agg),
-        sql = x.inner, filters = x.filter.toSeq, public = false)
+        aggParam = x.param, sql = x.inner, filters = x.filter.toSeq,
+        public = false)
       return Seq(base,
         parsed.copy(baseMetric = Some(base.name)))
     }
@@ -350,8 +351,8 @@ object YamlLoader {
     if (parsed.agg.isEmpty && parsed.metricType.isEmpty &&
         !skipExtraction(m))
       parsed.sql.flatMap(AggExtract.parse) match {
-        case Some(x) => parsed.copy(agg = Some(x.agg), sql = x.inner,
-          filters = parsed.filters ++ x.filter)
+        case Some(x) => parsed.copy(agg = Some(x.agg), aggParam = x.param,
+          sql = x.inner, filters = parsed.filters ++ x.filter)
         case None => parsed
       }
     else parsed

@@ -40,14 +40,16 @@ final case class Dimension(
 object AggKind {
   val All: Set[String] = Set(
     "sum", "count", "count_distinct", "approx_count_distinct", "avg",
-    "min", "max", "median", "stddev", "stddev_pop", "variance", "variance_pop")
+    "min", "max", "median", "stddev", "stddev_pop", "variance",
+    "variance_pop", "percentile_cont", "percentile_disc")
   /** Idempotent under row duplication (fan-out safe as-is). */
   val FanoutSafe: Set[String] =
     Set("min", "max", "count_distinct", "approx_count_distinct")
   /** No distributive decomposition exists — must raise under fan-out
     * (reference: symmetric_aggregate.py:147-159). */
   val NonDecomposable: Set[String] =
-    Set("median", "stddev", "stddev_pop", "variance", "variance_pop")
+    Set("median", "stddev", "stddev_pop", "variance", "variance_pop",
+      "percentile_cont", "percentile_disc")
 }
 
 /** Time-comparison offsets (reference: core/time_intelligence.py). */
@@ -78,6 +80,9 @@ final case class NonAdditiveDimension(
 final case class Metric(
     name: String,
     agg: Option[String] = None,
+    // parameter for parameterized aggregations — the fraction for
+    // percentile_cont / percentile_disc (e.g. "0.99")
+    aggParam: Option[String] = None,
     sql: Option[String] = None,
     metricType: Option[String] = None,
     filters: Seq[String] = Nil,

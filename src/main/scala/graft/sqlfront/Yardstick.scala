@@ -1053,6 +1053,8 @@ final class Yardstick(spark: SparkSession, cat: Catalog) {
           if (m.sql.isEmpty) count(lit(1))
           else if (m.filters.nonEmpty) count(gated)
           else count(inner)
+        case p @ ("percentile_cont" | "percentile_disc") =>
+          graft.functions.PercentileAgg.column(p, gated, m.aggParam)
         case other => throw new IllegalArgumentException(s"unsupported agg: $other")
       }
     }

@@ -166,7 +166,8 @@ class MetricFlowAdapterSpec extends AnyFunSuite {
     assert(der.sql.contains("amount_total / txn_count")) // aliases rewritten
   }
 
-  test("percentile measures drop instead of silently coercing") {
+  test("every imported aggregation is an engine-legal kind — nothing " +
+      "silently coerces") {
     val imp = MetricFlowAdapter.loadFile(
       s"$fixtures/simple_manifest_buys_source.yaml")
     imp.models.foreach(_.model.metrics.foreach(m =>
@@ -274,6 +275,26 @@ class MetricFlowAdapterSpec extends AnyFunSuite {
     val v = gen.plan(SemanticQuery(metrics = Seq("clash.total_foo")))
       .collect()(0).getDouble(0)
     assert(v == 30.0) // sums amount, never the user's foo__base measure
+  }
+
+  test("percentile measures import as first-class percentile_cont/disc " +
+      "aggregations (the reference drops them — strict extension)") {
+    val (imp, rep) = graft.load.Fidelity.capture {
+      MetricFlowAdapter.loadFile(s"$fixtures/bookings_source.yml")
+    }
+    val bookings = imp.models.map(_.model)
+      .find(_.metric("booking_value_p99").isDefined).get
+    assert(bookings.metric("booking_value_p99").exists(m =>
+      m.agg == Some("percentile_cont") && m.aggParam == Some("0.99") &&
+        m.sql == Some("booking_value")))
+    assert(bookings.metric("discrete_booking_value_p99").exists(m =>
+      m.agg == Some("percentile_disc") && m.aggParam == Some("0.99")))
+    // approximate flavors lower to the exact form with an info note only
+    assert(bookings.metric("approximate_continuous_booking_value_p99")
+      .exists(_.agg == Some("percentile_cont")))
+    assert(rep.byConstruct("unsupported_aggregation").isEmpty,
+      rep.summaryLines.mkString("\n"))
+    assert(rep.byConstruct("approximate_percentile_hint").nonEmpty)
   }
 
   test("the whole metricflow fixture corpus parses and validates") {
