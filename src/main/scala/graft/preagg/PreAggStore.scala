@@ -114,14 +114,18 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
 
   /** Hash the rollup across the cluster on its partition bucket before a
     * partitionBy write: each task then owns whole `__part` dirs — one
-    * file per dir, parquet-writer inits in parallel. Without it the
-    * post-agg coalesce leaves ONE task serially opening/closing a writer
-    * per directory (~80 month dirs ≈ seconds of pure writer churn), and
-    * at scale an unpartitioned write emits tasks×dirs files instead. The
-    * explicit partition count keeps AQE from re-coalescing to one task.  */
+    * file per dir, parquet-writer inits in parallel — and at scale an
+    * unpartitioned write would emit tasks×dirs files instead. The
+    * explicit partition count keeps AQE from re-coalescing to one task.
+    *
+    * The WIDTH is scale-adaptive ([[PreAggStore.writeWidth]]): a fixed
+    * cluster-width pin paid ~32 tasks of exchange/deserialize/writer
+    * fixed cost (~9 CPU·s profiled at sf0.1) to land a kilobyte-scale
+    * rollup, while a 100 TB rollup wants every core. Deriving the width
+    * from the optimizer's size estimate gives both ends: small rollups
+    * land in 1-2 tasks, big ones saturate the cluster. */
   private def byPart(rollup: DataFrame): DataFrame =
-    rollup.repartition(
-      math.max(spark.sparkContext.defaultParallelism, 1), col("__part"))
+    rollup.repartition(PreAggStore.writeWidth(rollup), col("__part"))
 
   /** Full rebuild: one aggregated write, partitioned on the time bucket. */
   def materialize(modelName: String, pa: PreAggregation): String = {
@@ -442,6 +446,45 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     q.offset.foreach(n => out = out.offset(n))
     q.limit.foreach(n => out = out.limit(n))
     out
+  }
+}
+
+object PreAggStore {
+
+  /** Scale-adaptive partition count for a partitioned-store write
+    * (rollup materialization/refresh, streaming micro-batch deltas).
+    *
+    * Derived from the optimizer's plan-time size estimate — no job —
+    * at one write task per `spark.graft.write.bytesPerTask` (default
+    * 32 MiB of estimated in-memory bytes ≈ 64-512 MiB of task input at
+    * typical parquet ratios), clamped to [1, defaultParallelism]:
+    *
+    *   - a kilobyte-scale rollup (one incremental refresh window, one
+    *     streaming micro-batch at bench SFs) lands in min(8, cores)
+    *     tasks — the previous fixed cluster-width pin paid 32 exchange
+    *     tasks of ~100 ms deserialize + writer-init fixed cost each
+    *     (profiled 9.4 CPU·s / 3.2 s deserialize at sf0.1) to write
+    *     <1 MB. The floor stays PARALLEL on purpose: each task opens
+    *     one zstd parquet writer per partition dir it owns, and that
+    *     init chain is the wall-clock bottleneck of a small write — a
+    *     width-1 A/B serialized ~80 writer inits and DOUBLED
+    *     q_streaming_rollup (3.3 → 5.7 s) despite spending 8 CPU·s
+    *     less;
+    *   - a 100 TB-scale rollup clears the divisor and saturates the
+    *     cluster exactly as before (the cap preserves the old width).
+    *
+    * The per-task divisor is a conf (`spark.graft.write.bytesPerTask`)
+    * so cluster deployments can align it with their target output file
+    * size; the default keeps local benches comparable. */
+  private[graft] def writeWidth(rollup: DataFrame): Int = {
+    val spark = rollup.sparkSession
+    val perTask = math.max(1L,
+      spark.conf.getOption("spark.graft.write.bytesPerTask")
+        .map(_.toLong).getOrElse(32L << 20))
+    val bytes = rollup.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (bytes / perTask).min(BigInt(Int.MaxValue)).toInt + 1
+    val par = spark.sparkContext.defaultParallelism
+    math.min(par, math.max(byBytes, math.min(8, par)))
   }
 }
 

@@ -43,11 +43,13 @@ final class StreamingRollup(spark: SparkSession, cat: Catalog,
 
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // hash on __part so tasks own whole partition dirs (parallel
-        // writer inits, one file per dir) — a coalesced single task
-        // would serially open/close one parquet writer per month dir
-        val batchRollup = store.rollupOf(m, pa, batch).repartition(
-          math.max(spark.sparkContext.defaultParallelism, 1), col("__part"))
+        // hash on __part so tasks own whole partition dirs (one file per
+        // dir); width is scale-adaptive (PreAggStore.writeWidth) — a
+        // micro-batch delta is usually small and lands in 1-2 tasks, a
+        // backlog-sized batch saturates the cluster
+        val rollup = store.rollupOf(m, pa, batch)
+        val batchRollup = rollup.repartition(
+          PreAggStore.writeWidth(rollup), col("__part"))
         // overwrite-into-place: replaying batch N rewrites __batch=N with
         // identical content — exactly-once effect without shared state
         batchRollup.write.mode("overwrite")
@@ -67,10 +69,10 @@ final class StreamingRollup(spark: SparkSession, cat: Catalog,
     val m = cat.model(modelName)
     val path = store.rollupPath(modelName, pa)
     if (!store.rollupExists(path)) return
-    val compacted = store.mergeComponents(pa, m,
+    val merged = store.mergeComponents(pa, m,
       spark.read.parquet(path).drop("__batch"))
-      .repartition(
-        math.max(spark.sparkContext.defaultParallelism, 1), col("__part"))
+    val compacted = merged.repartition(
+      PreAggStore.writeWidth(merged), col("__part"))
     val tmp = s"${path}__compacting"
     compacted.write.mode("overwrite").partitionBy("__part").parquet(s"$tmp/__batch=0")
     val fs = new org.apache.hadoop.fs.Path(path)

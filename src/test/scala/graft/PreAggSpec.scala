@@ -131,4 +131,23 @@ class PreAggSpec extends AnyFunSuite {
       metrics = Seq("orders.revenue", "customer.total_acctbal")))
     assert(!multi.eligible && multi.reason.exists(_.contains("span models")))
   }
+
+  test("writeWidth scales with the plan's size estimate, floored parallel") {
+    import org.apache.spark.sql.functions._
+    val par = spark.sparkContext.defaultParallelism
+    // a kilobyte frame floors at min(8, par): small rollup writes keep
+    // parallel writer inits (the wall bottleneck) without paying
+    // cluster-width exchange tasks (~100 ms fixed each, 9 CPU·s at 32)
+    val tiny = spark.range(10).select(col("id"),
+      col("id").cast("string").as("__part"))
+    assert(PreAggStore.writeWidth(tiny) == math.min(8, par))
+    // a frame whose estimate clears width*bytesPerTask caps at
+    // defaultParallelism — a 100 TB rollup saturates the cluster
+    spark.conf.set("spark.graft.write.bytesPerTask", "1")
+    try {
+      val big = spark.range(1000000).select(col("id"),
+        col("id").cast("string").as("__part"))
+      assert(PreAggStore.writeWidth(big) == par)
+    } finally spark.conf.unset("spark.graft.write.bytesPerTask")
+  }
 }
