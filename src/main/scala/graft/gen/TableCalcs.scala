@@ -32,6 +32,31 @@ object TableCalcs {
   private def part(partitionBy: Seq[String]) =
     Window.partitionBy(partitionBy.map(col): _*)
 
+  /** Global (no-partition) calcs take a plain single-partition
+    * WindowExec when the input's optimizer size estimate is under
+    * `spark.graft.tablecalc.globalWindowMaxBytes` (default 64 MiB,
+    * plan-time, no job): a table calc runs over a semantic RESULT set —
+    * a report-sized frame — and the decomposed prefix plans below pay
+    * 5-8 extra exchanges (each an AQE stage job, ~40 ms of fixed launch
+    * cost at any scale) to avoid a serial window that at this size
+    * sorts in microseconds. Profiled at sf0.1: q_tablecalc_moving_avg
+    * ran 11 jobs / 26 codegen stages for an 80-row frame, 0.17 CPU·s of
+    * real work under 0.55 s of wall. Above the threshold the decomposed
+    * distributed plans engage unchanged — a fact-grain frame never
+    * rides one task, and a 64 MiB-estimate frame is safe on one: the
+    * single-partition exchange moves less than one shuffle block.
+    * Values are unchanged on both sides of the gate: the sums ride
+    * decimals (exact) or the identical float expression, pinned by the
+    * oracle battery at every SF. */
+  private def smallGlobal(df: DataFrame): Boolean = {
+    val maxBytes = df.sparkSession.conf
+      .getOption("spark.graft.tablecalc.globalWindowMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)
+  }
+
+  private def globalWin(order: Seq[Column]) = Window.orderBy(order: _*)
+
   /** Range-partition by the global ordering and tag rows with the physical
     * partition id, so a global window decomposes into local windows plus
     * per-partition offsets. */
@@ -97,6 +122,11 @@ object TableCalcs {
       val prev = lag(col(value), 1).over(w).cast("double")
       df.withColumn(as,
         (col(value).cast("double") - prev) * 100 / when(prev =!= 0, prev))
+    } else if (smallGlobal(df)) {
+      val prev = lag(col(value), 1)
+        .over(globalWin(orderBy.map(col))).cast("double")
+      df.withColumn(as,
+        (col(value).cast("double") - prev) * 100 / when(prev =!= 0, prev))
     } else {
       val rn = "__tc_rn"
       val base = globalOrdinal(df, orderBy.map(col), rn)
@@ -116,6 +146,9 @@ object TableCalcs {
       val w = part(partitionBy).orderBy(orderBy.map(col): _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.withColumn(as, sum(col(value)).over(w))
+    } else if (smallGlobal(df)) {
+      df.withColumn(as, sum(col(value)).over(globalWin(orderBy.map(col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     } else {
       val order = orderBy.map(col)
       val t = ranged(df, order)
@@ -134,6 +167,8 @@ object TableCalcs {
     val o = if (ascending) col(value).asc else col(value).desc
     if (partitionBy.nonEmpty)
       df.withColumn(as, rank().over(part(partitionBy).orderBy(o)))
+    else if (smallGlobal(df))
+      df.withColumn(as, rank().over(globalWin(Seq(o))))
     else {
       // range partitioning keeps equal values in one partition, so a
       // local rank plus preceding-partition row counts IS the global rank
@@ -154,6 +189,8 @@ object TableCalcs {
     if (partitionBy.nonEmpty)
       df.withColumn(as,
         row_number().over(part(partitionBy).orderBy(orderBy.map(col): _*)))
+    else if (smallGlobal(df))
+      df.withColumn(as, row_number().over(globalWin(orderBy.map(col))))
     else globalOrdinal(df, orderBy.map(col), as)
       .withColumn(as, col(as).cast("int"))
 
@@ -186,6 +223,8 @@ object TableCalcs {
       partitionBy: Seq[String] = Nil): DataFrame =
     if (partitionBy.nonEmpty)
       df.withColumn(as, percent_rank().over(part(partitionBy).orderBy(col(value))))
+    else if (smallGlobal(df))
+      df.withColumn(as, percent_rank().over(globalWin(Seq(col(value).asc))))
     else {
       val o = col(value).asc
       val t = ranged(df, Seq(o))
@@ -209,6 +248,10 @@ object TableCalcs {
       val w = part(partitionBy).orderBy(orderBy.map(col): _*)
         .rowsBetween(-(n - 1L), Window.currentRow)
       df.withColumn(as, avg(col(value).cast("double")).over(w))
+    } else if (smallGlobal(df)) {
+      df.withColumn(as, avg(col(value).cast("double"))
+        .over(globalWin(orderBy.map(col)).rowsBetween(-(n - 1L),
+          Window.currentRow)))
     } else {
       // AVG over the trailing window = (S(i) − S(i−n)) / (C(i) − C(i−n))
       // on cumulative sum S and cumulative non-null count C — prefix

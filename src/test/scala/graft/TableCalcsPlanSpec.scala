@@ -8,33 +8,67 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Row}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The global (no-partition) table calcs must not funnel the frame
-  * through a single-partition WindowExec — they decompose into
-  * range-partition + broadcast-offset plans (TableCalcs Scaladoc). This
-  * pins both the plan shape on the driver queries and the value-level
-  * equivalence of the decomposition against the plain single-window
-  * forms, including nulls, ties, zeros, and the N=1 percentile edge. */
+/** The global (no-partition) table calcs are SIZE-GATED
+  * (`spark.graft.tablecalc.globalWindowMaxBytes`): a result-set-sized
+  * frame takes a plain single-partition WindowExec (the decomposed
+  * plans paid 5-8 extra exchanges/AQE jobs to avoid a microsecond
+  * sort), while a frame whose optimizer estimate clears the gate
+  * decomposes into range-partition + broadcast-offset plans (TableCalcs
+  * Scaladoc) and must NOT funnel through one task. This pins the plan
+  * shape on both sides of the gate and the value-level equivalence of
+  * the decomposition against the plain single-window forms, including
+  * nulls, ties, zeros, and the N=1 percentile edge. */
 class TableCalcsPlanSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+
+  private val GateConf = "spark.graft.tablecalc.globalWindowMaxBytes"
+
+  /** Run `body` with the gate forced shut — every global calc takes the
+    * decomposed distributed plan, as a fact-grain frame would. */
+  private def forceDecomposed[A](body: => A): A = {
+    spark.conf.set(GateConf, "0")
+    try body finally spark.conf.unset(GateConf)
+  }
 
   private def partitionlessWindows(df: DataFrame): Seq[WindowExec] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.sparkPlan.collect {
       case w: WindowExec if w.partitionSpec.isEmpty => w
     }
 
-  test("tablecalc driver queries plan no single-partition window") {
-    Seq("q_topn", "q_tablecalc_pct", "q_tablecalc_running",
-        "q_tablecalc_rank", "q_tablecalc_moving_avg").foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
-      val bad = partitionlessWindows(df)
-      assert(bad.isEmpty,
-        s"$name plans a partition-less WindowExec:\n${bad.mkString("\n")}")
-      assert(df.collect().nonEmpty, s"$name returned no rows")
+  test("above the size gate driver queries plan no single-partition window") {
+    forceDecomposed {
+      Seq("q_topn", "q_tablecalc_pct", "q_tablecalc_running",
+          "q_tablecalc_rank", "q_tablecalc_moving_avg").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        val bad = partitionlessWindows(df)
+        assert(bad.isEmpty,
+          s"$name plans a partition-less WindowExec:\n${bad.mkString("\n")}")
+        assert(df.collect().nonEmpty, s"$name returned no rows")
+      }
     }
   }
 
+  test("result-sized frames take the single-window fast path") {
+    // small result set: the gated fast path engages — the plan carries a
+    // partition-less window and NONE of the decomposition's machinery
+    // (range exchange, __tc_pid); values are pinned against the
+    // decomposed plan of the identical frame
+    import spark.implicits._
+    val df = Seq((1, 10.0), (2, 5.0), (3, 20.0), (4, 1.0)).toDF("id", "v")
+    val fast = TableCalcs.runningTotal(df, "v", Seq("id"), "x")
+    assert(partitionlessWindows(fast).nonEmpty,
+      "small frame did not take the single-window path")
+    assert(!fast.queryExecution.optimizedPlan.toString.contains("__tc_pid"),
+      "fast path still carries decomposition columns")
+    val slow = forceDecomposed(
+      TableCalcs.runningTotal(df, "v", Seq("id"), "x").collect().toSeq)
+    assert(fast.collect().toSeq == slow,
+      "gated paths disagree on running_total values")
+  }
+
   test("distributed global calcs match single-window reference semantics") {
+    forceDecomposed {
     import spark.implicits._
     val df = Seq(
       (1, Option(10.0)), (2, Option.empty[Double]), (3, Option(5.0)),
@@ -79,6 +113,7 @@ class TableCalcsPlanSpec extends AnyFunSuite {
     val one = Seq((1, 42.0)).toDF("id", "v")
     assert(byId(TableCalcs.percentileOf(one, "v", "x"), "x")
       == Map(1 -> Some(0.0)), "percent_rank single row")
+    }
   }
 
   test("percentileValue: constant interpolated quantile, numpy-style") {
