@@ -175,7 +175,10 @@ object Bpe {
         words = words.withColumn("sym",
           regexp_replace(col("sym"), mergePattern(l, r),
             java.util.regex.Matcher.quoteReplacement(l + r)))
-        if (rank % 4 == 0) words = words.localCheckpoint(true)
+        // lazy: the next rank's pairCounts argmax is the first consumer
+        // and materializes the checkpoint inside its own job — eager
+        // paid a separate barrier job per truncation
+        if (rank % 4 == 0) words = words.localCheckpoint(false)
         rank += 1
       }
     }

@@ -770,13 +770,18 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           col("label").as("prev"))
-      // pointer jump: follow the label to ITS label (halves chains)
+      // pointer jump: follow the label to ITS label (halves chains).
+      // LAZY checkpoint on purpose: the convergence count below is the
+      // round's first consumer, so it materializes the checkpoint inside
+      // its own job — an eager checkpoint here ran a separate barrier
+      // job first, doubling the per-round job count (~2 jobs × rounds of
+      // pure launch cost on converged-in-few-rounds dedup graphs)
       val jumped = stepped
         .join(labels.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), least(col("label"), coalesce(col("ll"), col("label")))
           .as("label"), col("prev"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = jumped.filter(col("label") =!= col("prev")).count()
       labels = jumped.select("id", "label")
     }
