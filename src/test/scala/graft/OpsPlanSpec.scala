@@ -87,12 +87,19 @@ class OpsPlanSpec extends AnyFunSuite {
   }
 
   test("sequence index cumsum stays distributed (no partition-less window)") {
-    val plan = sparkPlan(SparkEntry.queries("q_seq_pack")(spark, dir))
-    val bad = plan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }
-    assert(bad.isEmpty,
-      s"global cumsum must use the range-partition + offsets plan:\n$plan")
+    // above the TableCalcs size gate (forced shut here) the cumsum must
+    // keep the range-partition + offsets plan; at test SF the frame is
+    // result-sized and legitimately takes the gated single window
+    spark.conf.set("spark.graft.tablecalc.globalWindowMaxBytes", "0")
+    try {
+      val plan = sparkPlan(SparkEntry.queries("q_seq_pack")(spark, dir))
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"global cumsum must use the range-partition + offsets plan:\n$plan")
+    } finally
+      spark.conf.unset("spark.graft.tablecalc.globalWindowMaxBytes")
   }
 
   test("weighted sample plans the n-largest as a top-k heap over the scan") {
@@ -122,10 +129,16 @@ class OpsPlanSpec extends AnyFunSuite {
   }
 
   test("curriculum's two global orderings stay distributed") {
-    val plan = sparkPlan(SparkEntry.queries("q_curriculum")(spark, dir))
-    val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-    assert(bad.isEmpty,
-      s"rank/position must use range-partition + offsets, not a global window:\n$plan")
+    // same gate discipline as the cumsum pin above: the distributed
+    // shape is the above-gate contract, so force the gate shut
+    spark.conf.set("spark.graft.tablecalc.globalWindowMaxBytes", "0")
+    try {
+      val plan = sparkPlan(SparkEntry.queries("q_curriculum")(spark, dir))
+      val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"rank/position must use range-partition + offsets, not a global window:\n$plan")
+    } finally
+      spark.conf.unset("spark.graft.tablecalc.globalWindowMaxBytes")
   }
 
   test("skew join broadcasts the hot-key set on every split path") {
