@@ -749,43 +749,81 @@ object Dedup {
     * cluster_id is the component's minimum id. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
+    // LAZY checkpoint: the edge count below (the loop's execution-profile
+    // gate) is its first consumer and materializes it inside its own job
+    // — the eager form ran a separate barrier job for the same bytes
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
+    val nEdges = sym.count()
     var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var round = 0
-    var changed = 1L
-    while (changed > 0) {
-      round += 1
-      require(round <= maxRounds,
-        s"duplicateClusters did not converge in $maxRounds rounds")
-      // neighbor minimum: the smallest label adjacent to (or already on) id
-      val viaEdges = sym
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr"))
-      val stepped = labels.join(viaEdges, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          col("label").as("prev"))
-      // pointer jump: follow the label to ITS label (halves chains).
-      // LAZY checkpoint on purpose: the convergence count below is the
-      // round's first consumer, so it materializes the checkpoint inside
-      // its own job — an eager checkpoint here ran a separate barrier
-      // job first, doubling the per-round job count (~2 jobs × rounds of
-      // pure launch cost on converged-in-few-rounds dedup graphs)
-      val jumped = stepped
-        .join(labels.select(col("id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label")))
-          .as("label"), col("prev"))
-        .localCheckpoint(false)
-      changed = jumped.filter(col("label") =!= col("prev")).count()
-      labels = jumped.select("id", "label")
+      .select(col("id"), col("id").as("label")).localCheckpoint(false)
+    // Scoped execution profile for the propagation loop (guide §1.2: fix
+    // the job shape before per-task work). Under AQE every per-round
+    // exchange is a separate stage-materialization job — profiled at
+    // sf0.1 the loop ran 48 jobs (~5/round) of ~40 ms launch cost for
+    // 0.7 s of task time. On a SMALL graph (edge count known exactly
+    // from the checkpoint materialization above, a true row count — the
+    // optimizer's post-join byte estimates are multiplicative and
+    // useless here) the loop instead runs non-adaptively with
+    // single-partition shuffles: one job per round, whose handful of
+    // rows sort in microseconds. Above the gate the adaptive plans are
+    // untouched — a 100 TB pair graph keeps AQE's coalescing and skew
+    // handling (a converged giant component is a hot join key). Session
+    // confs are saved/restored; every consumer downstream of the loop
+    // plans under the caller's own settings (the returned frame reads
+    // the final round's checkpoint blocks, not a live plan).
+    val gateEdges = spark.conf
+      .getOption("spark.graft.clusters.inlineLoopMaxEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(1000000L)
+    val inline = nEdges <= gateEdges
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if (inline) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
+    try {
+      var round = 0
+      var changed = 1L
+      while (changed > 0) {
+        round += 1
+        require(round <= maxRounds,
+          s"duplicateClusters did not converge in $maxRounds rounds")
+        // neighbor minimum: the smallest label adjacent to (or already on) id
+        val viaEdges = sym
+          .join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr"))
+        val stepped = labels.join(viaEdges, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            col("label").as("prev"))
+        // pointer jump: follow the label to ITS label (halves chains).
+        // LAZY checkpoint on purpose: the convergence count below is the
+        // round's first consumer, so it materializes the checkpoint inside
+        // its own job — an eager checkpoint here ran a separate barrier
+        // job first, doubling the per-round job count (~2 jobs × rounds of
+        // pure launch cost on converged-in-few-rounds dedup graphs)
+        val jumped = stepped
+          .join(labels.select(col("id").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("ll"), col("label")))
+            .as("label"), col("prev"))
+          .localCheckpoint(false)
+        changed = jumped.filter(col("label") =!= col("prev")).count()
+        labels = jumped.select("id", "label")
+      }
+      labels.select(col("id"), col("label").as("cluster_id"))
+    } finally {
+      if (inline) {
+        spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+        spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      }
+    }
   }
 
   /** Keep one representative per duplicate cluster: drops every row whose

@@ -71,9 +71,9 @@ object DedupIndex {
     val kept = sized.filter(col("__bc") <= maxBucketSize)
     val dropped = sized.filter(col("__bc") > maxBucketSize)
       .select(col("band"), col("bucket")).distinct().count()
-    kept.select(col("id"), col("band"), col("bucket"), col("sig"),
-        partBucket(nBuckets))
-      .repartition(col("__pb"))
+    IndexFiles.writeShaped(
+        kept.select(col("id"), col("band"), col("bucket"), col("sig"),
+          partBucket(nBuckets)), col("__pb"))
       .write.mode("overwrite").partitionBy("__pb")
       .parquet(s"$path/keys")
     val fs = new Path(path).getFileSystem(
@@ -227,11 +227,11 @@ object DedupIndex {
     val receiptPath = s"$path/last_ingest"
     status.write.mode("overwrite").parquet(receiptPath)
     val receipt = spark.read.parquet(receiptPath)
-    bkeys.join(receipt.filter(col("status") === "appended")
-        .select(col("batch_id").as("id")), Seq("id"))
-      .select(col("id"), col("band"), col("bucket"), col("sig"),
-        col("__pb"))
-      .repartition(col("__pb"))
+    IndexFiles.writeShaped(
+        bkeys.join(receipt.filter(col("status") === "appended")
+          .select(col("batch_id").as("id")), Seq("id"))
+        .select(col("id"), col("band"), col("bucket"), col("sig"),
+          col("__pb")), col("__pb"))
       .write.mode("append").partitionBy("__pb")
       .parquet(s"$path/keys")
     bkeys.unpersist()

@@ -83,9 +83,10 @@ object ImageIndex {
     val sized = keys.withColumn("__bc", count(lit(1)).over(w))
     val dropped = sized.filter(col("__bc") > maxBlockSize)
       .select(col("c"), col("v")).distinct().count()
-    sized.filter(col("__bc") <= maxBlockSize)
-      .select(col("id"), col("c"), col("v"), col("sig"), partBucket(nBuckets))
-      .repartition(col("__pb"))
+    IndexFiles.writeShaped(
+        sized.filter(col("__bc") <= maxBlockSize)
+          .select(col("id"), col("c"), col("v"), col("sig"),
+            partBucket(nBuckets)), col("__pb"))
       .write.mode("overwrite").partitionBy("__pb")
       .parquet(s"$path/keys")
     val fs = new Path(path).getFileSystem(
@@ -218,9 +219,10 @@ object ImageIndex {
           .otherwise("fresh").as("verdict"))
     val survivors = verdicts.filter(col("verdict") === "fresh")
       .select(col("media_id").as("id"))
-    chunks.join(survivors, Seq("id"))
-      .select(col("id"), col("c"), col("v"), col("sig"), partBucket(nBuckets))
-      .repartition(col("__pb"))
+    IndexFiles.writeShaped(
+        chunks.join(survivors, Seq("id"))
+          .select(col("id"), col("c"), col("v"), col("sig"),
+            partBucket(nBuckets)), col("__pb"))
       .write.mode("append").partitionBy("__pb")
       .parquet(s"$path/keys")
     verdicts.write.mode("overwrite").parquet(s"$path/last_ingest")

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Shared file-layout maintenance for the three persisted indexes
   * ([[DedupIndex]] `keys/`, [[IvfIndex]] `cells/`, [[TextIndex]]
@@ -29,6 +29,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concurrently with an append/ingest.
   */
 private[graft] object IndexFiles {
+
+  /** Hash `df` on `keys` across a SCALE-ADAPTIVE task width before a
+    * `partitionBy(keys)` write — [[graft.preagg.PreAggStore.writeWidth]]
+    * applied to the index layouts. A bare `repartition(col(key))` plans a
+    * REPARTITION_BY_COL exchange that AQE coalesces to ONE task for a
+    * small index, and that task then opens every partition directory's
+    * parquet writer SEQUENTIALLY (profiled at sf0.1: the one-task
+    * compact/build writes spent 0.9 s serially initializing ~64 zstd
+    * writers; guide §6 small-files / §2.2 write sizing). The explicit
+    * width keeps writer inits parallel at the small end and saturates
+    * the cluster at the big end (width caps at defaultParallelism, one
+    * task per `spark.graft.write.bytesPerTask` of estimated bytes). Each
+    * task still owns whole key directories, so the file count per
+    * partition stays min(width, keys) — never tasks × dirs. */
+  def writeShaped(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(graft.preagg.PreAggStore.writeWidth(df), keys: _*)
 
   private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Long = {
@@ -73,7 +89,7 @@ private[graft] object IndexFiles {
   def compactSwap(spark: SparkSession, path: String, sub: String,
       partCol: String): DataFrame =
     compactWith(spark, path, sub) { df =>
-      df.repartition(col(partCol))
+      writeShaped(df, col(partCol))
         .write.mode("overwrite").partitionBy(partCol)
     }
 

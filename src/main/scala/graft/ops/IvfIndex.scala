@@ -34,8 +34,10 @@ object IvfIndex {
       corpus.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v")),
       "__id", cents)
-    corpus.select(col(idCol), col(vecCol))
-      .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol)
+    IndexFiles.writeShaped(
+        corpus.select(col(idCol), col(vecCol))
+          .join(assigned.select(col("__id").as(idCol), col("__cell")), idCol),
+        col("__cell"))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/cells")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

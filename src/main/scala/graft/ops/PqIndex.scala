@@ -95,10 +95,10 @@ object PqIndex {
     }
     val books = Pq.trainCodebooks(residTrain, idCol, "__resid", dim, m,
       kCodes, iters, trainSampleMod)
-    withCell.select(col(idCol),
-        VectorExprs.pqEncode(encIn, books).as("__codes"),
-        col(vecCol), col("__cell"))
-      .repartition(col("__cell"))
+    IndexFiles.writeShaped(
+        withCell.select(col(idCol),
+          VectorExprs.pqEncode(encIn, books).as("__codes"),
+          col(vecCol), col("__cell")), col("__cell"))
       .sortWithinPartitions(col(idCol))
       .write.mode("overwrite").partitionBy("__cell")
       .parquet(s"$path/cells")
@@ -353,7 +353,7 @@ object PqIndex {
     * [[recover]]. Returns (rows, files_before, files_after). */
   def compact(spark: SparkSession, path: String): DataFrame =
     IndexFiles.compactWith(spark, path, "cells") { df =>
-      df.repartition(col("__cell"))
+      IndexFiles.writeShaped(df, col("__cell"))
         .sortWithinPartitions(col(df.columns.head))
         .write.mode("overwrite").partitionBy("__cell")
     }

@@ -50,9 +50,10 @@ object TextIndex {
       .groupBy(col("doc_id"), col("doc_len"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = docTok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    docTok.join(dfreq, "token")
-      .withColumn("__tb", bucketOf(col("token"), nBuckets))
-      .repartition(col("__tb"))
+    IndexFiles.writeShaped(
+        docTok.join(dfreq, "token")
+          .withColumn("__tb", bucketOf(col("token"), nBuckets)),
+        col("__tb"))
       .write.mode("overwrite").partitionBy("__tb")
       .parquet(s"$path/postings")
     val stats = base.agg(count(lit(1)).cast("long").as("n"),
@@ -133,13 +134,14 @@ object TextIndex {
           .filter(col("token").isin(terms: _*))
           .groupBy(col("token")).agg(max(col("df")).as("__odf"))
       }
-    docTok.join(batchDf, "token")
-      .join(oldDf, Seq("token"), "left")
-      .withColumn("df", col("__bdf") + coalesce(col("__odf"), lit(0L)))
-      .select(col("doc_id"), col("doc_len"), col("token"), col("tf"),
-        col("df"))
-      .withColumn("__tb", bucketOf(col("token"), nBuckets))
-      .repartition(col("__tb"))
+    IndexFiles.writeShaped(
+        docTok.join(batchDf, "token")
+          .join(oldDf, Seq("token"), "left")
+          .withColumn("df", col("__bdf") + coalesce(col("__odf"), lit(0L)))
+          .select(col("doc_id"), col("doc_len"), col("token"), col("tf"),
+            col("df"))
+          .withColumn("__tb", bucketOf(col("token"), nBuckets)),
+        col("__tb"))
       .write.mode("append").partitionBy("__tb")
       .parquet(s"$path/postings")
     val bstats = base.agg(count(lit(1)).cast("long").as("bn"),

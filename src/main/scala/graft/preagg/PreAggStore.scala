@@ -480,11 +480,15 @@ object PreAggStore {
     val spark = rollup.sparkSession
     val perTask = math.max(1L,
       spark.conf.getOption("spark.graft.write.bytesPerTask")
-        .map(_.toLong).getOrElse(32L << 20))
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(32L << 20))
     val bytes = rollup.queryExecution.optimizedPlan.stats.sizeInBytes
-    val byBytes = (bytes / perTask).min(BigInt(Int.MaxValue)).toInt + 1
     val par = spark.sparkContext.defaultParallelism
-    math.min(par, math.max(byBytes, math.min(8, par)))
+    // clamp in BigInt BEFORE converting: Spark's non-CBO join stats
+    // multiply child sizes and routinely exceed Long range, and a
+    // `.toInt + 1` on a capped Int.MaxValue wraps to Int.MinValue —
+    // collapsing exactly the hugest-estimate rollups to the floor width
+    ((bytes / perTask) + 1).min(BigInt(par))
+      .max(BigInt(math.min(8, par))).toInt
   }
 }
 

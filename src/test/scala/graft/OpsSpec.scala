@@ -278,6 +278,29 @@ class OpsSpec extends AnyFunSuite {
       pairs.filter(col("id_a") < 0)).count() == corpus.count())
   }
 
+  test("duplicate clusters: inline and adaptive loop profiles agree, confs restored") {
+    // the propagation loop runs non-adaptively with single-partition
+    // shuffles below the edge-count gate (job-floor fix, r18); values
+    // must be identical on both sides of the gate and the session confs
+    // it scopes must come back exactly as they were
+    val pairs = ((1L until 10L).map(i => (i, i + 1)) :+ (20L, 21L))
+      .toDF("id_a", "id_b")
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    val inline = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqe0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parts0)
+    spark.conf.set("spark.graft.clusters.inlineLoopMaxEdges", "0")
+    try {
+      val adaptive = Dedup.duplicateClusters(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(inline.sameElements(adaptive))
+      assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqe0)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == parts0)
+    } finally spark.conf.unset("spark.graft.clusters.inlineLoopMaxEdges")
+  }
+
   test("ngram jaccard within blocks respects blocking") {
     val pairs = Dedup.ngramJaccardWithinBlocks(docs, "doc_id", "text", "source",
       n = 3, threshold = 0.5)

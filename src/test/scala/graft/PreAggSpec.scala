@@ -148,6 +148,28 @@ class PreAggSpec extends AnyFunSuite {
       val big = spark.range(1000000).select(col("id"),
         col("id").cast("string").as("__part"))
       assert(PreAggStore.writeWidth(big) == par)
+      // estimates beyond Long range (non-CBO join stats multiply child
+      // sizes) must still saturate the cluster, not wrap to the floor —
+      // the (bytes / perTask).toInt + 1 form overflowed to Int.MinValue
+      val huge = big.crossJoin(big.select(col("id").as("id2")))
+      assert(huge.queryExecution.optimizedPlan.stats.sizeInBytes >
+        BigInt(Int.MaxValue), "fixture must exercise the wrap range")
+      assert(PreAggStore.writeWidth(huge) == par)
     } finally spark.conf.unset("spark.graft.write.bytesPerTask")
+    // a malformed conf falls back to the default instead of throwing at
+    // plan-construction time
+    spark.conf.set("spark.graft.write.bytesPerTask", "not-a-number")
+    try assert(PreAggStore.writeWidth(tiny) == math.min(8, par))
+    finally spark.conf.unset("spark.graft.write.bytesPerTask")
+  }
+
+  test("writeShaped pins the scale-adaptive width into the exchange") {
+    import org.apache.spark.sql.functions._
+    val tiny = spark.range(10).select(col("id"),
+      (col("id") % 3).cast("string").as("__pb"))
+    val shaped = graft.ops.IndexFiles.writeShaped(tiny, col("__pb"))
+    // REPARTITION_BY_NUM with the writeWidth count: AQE may not coalesce
+    // it back to one task, so small-index writer inits stay parallel
+    assert(shaped.rdd.getNumPartitions == PreAggStore.writeWidth(tiny))
   }
 }
