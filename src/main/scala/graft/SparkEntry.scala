@@ -3354,16 +3354,29 @@ object SparkEntry {
       // arrangement — train on a sample, evaluate EVERYTHING): the twin
       // trains two codebook sets + the permutation, so the cap is what
       // keeps this verify row from dominating the sf1 battery
-      val perm = ops.Pq.trainPermutation(scaled, "vec_id", "v", 64, 8,
-        trainSampleMod = 4)
-      val permuted = scaled.select(col("vec_id"),
-        ops.Pq.permute(col("v"), perm).as("v"))
       def err(df: org.apache.spark.sql.DataFrame, name: String) =
         ops.Pq.reconstructionError(df, "vec_id", "v",
             ops.Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2,
               trainSampleMod = 4))
           .select(round(col("mean_sq_err"), 6).as(name))
-      err(scaled, "mse_contiguous").crossJoin(err(permuted, "mse_permuted"))
+      // the two trainer chains are INDEPENDENT driver-coordinated job
+      // sequences (contiguous codebooks; permutation -> permuted
+      // codebooks) — overlap them from driver threads (guide §2.6) so
+      // the second chain's jobs back-fill the first's single-task
+      // trainer stages; each chain is deterministic on its own, so the
+      // result is unchanged
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fContig = Future(err(scaled, "mse_contiguous"))
+      val fPerm = Future {
+        val perm = ops.Pq.trainPermutation(scaled, "vec_id", "v", 64, 8,
+          trainSampleMod = 4)
+        err(scaled.select(col("vec_id"),
+          ops.Pq.permute(col("v"), perm).as("v")), "mse_permuted")
+      }
+      Await.result(fContig, Duration.Inf)
+        .crossJoin(Await.result(fPerm, Duration.Inf))
         .select(col("mse_contiguous"), col("mse_permuted"),
           (col("mse_permuted") < col("mse_contiguous")).as("improved"))
     }),
@@ -3385,20 +3398,36 @@ object SparkEntry {
       // rotation's covariance moment pass, so the cap is what keeps it
       // from dominating the sf1 battery; reconstruction error is still
       // measured over the FULL corpus
-      val perm = ops.Pq.trainPermutation(mixed, "vec_id", "v", 64, 8,
-        trainSampleMod = 4)
-      val rot = ops.Pq.trainRotation(mixed, "vec_id", "v", 64, 8,
-        trainSampleMod = 4)
       def err(df: org.apache.spark.sql.DataFrame, name: String) =
         ops.Pq.reconstructionError(df, "vec_id", "v",
             ops.Pq.trainCodebooks(df, "vec_id", "v", 64, 8, 16, 2,
               trainSampleMod = 4))
           .select(round(col("mean_sq_err"), 6).as(name))
-      err(mixed, "mse_contiguous")
-        .crossJoin(err(mixed.select(col("vec_id"),
-          ops.Pq.permute(col("v"), perm).as("v")), "mse_permuted"))
-        .crossJoin(err(mixed.select(col("vec_id"),
-          ops.Pq.rotate(col("v"), rot).as("v")), "mse_rotated"))
+      // three INDEPENDENT trainer chains (contiguous; permutation ->
+      // permuted books; rotation -> rotated books), each a deterministic
+      // sequence of driver-coordinated jobs — overlapped from driver
+      // threads (guide §2.6) so one chain's jobs back-fill another's
+      // single-task trainer stages; wall ~ the longest chain instead of
+      // the sum of all three
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fContig = Future(err(mixed, "mse_contiguous"))
+      val fPerm = Future {
+        val perm = ops.Pq.trainPermutation(mixed, "vec_id", "v", 64, 8,
+          trainSampleMod = 4)
+        err(mixed.select(col("vec_id"),
+          ops.Pq.permute(col("v"), perm).as("v")), "mse_permuted")
+      }
+      val fRot = Future {
+        val rot = ops.Pq.trainRotation(mixed, "vec_id", "v", 64, 8,
+          trainSampleMod = 4)
+        err(mixed.select(col("vec_id"),
+          ops.Pq.rotate(col("v"), rot).as("v")), "mse_rotated")
+      }
+      Await.result(fContig, Duration.Inf)
+        .crossJoin(Await.result(fPerm, Duration.Inf))
+        .crossJoin(Await.result(fRot, Duration.Inf))
         .select(col("mse_contiguous"), col("mse_permuted"),
           col("mse_rotated"),
           (col("mse_rotated") < col("mse_contiguous") &&

@@ -74,12 +74,30 @@ object Pq {
       seeds.map(row => row.slice(s * dsub, (s + 1) * dsub)))
     for (_ <- 0 until iters) {
       val sCol = (col("__pos") / dsub).cast("int")
+      // The encode kernel is referenced exactly ONCE, inside the
+      // generator input: codes expanded to one per position and zipped
+      // with the vector. The previous shape — `select(pqEncode.as,
+      // posexplode(v))` then `filter(codes.isNotNull)` then
+      // `element_at(codes, s+1)` — left the optimizer two extra sites to
+      // clone the kernel into (guide §4.4): the pushed-down null filter
+      // re-ran the encode per INPUT row at the scan, and projection
+      // collapse moved the element_at's encode ABOVE the explode — once
+      // per EXPLODED row, dim+1 evaluations per vector (profiled: the PQ
+      // Lloyd stage cost ~5x the IVF stage on identical rows). A null
+      // codes array nulls the zip and the explode emits nothing, which
+      // is exactly the row set the old filter kept. Values and row
+      // multiset are bit-identical, so the decimal means (and every
+      // golden downstream) are unchanged.
       val means = v
-        .select(VectorExprs.pqEncode(col("__v"), books).as("__codes"),
-          posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .filter(col("__codes").isNotNull)
-        .select(sCol.as("__s"), element_at(col("__codes"), sCol + 1).as("__c"),
-          pmod(col("__pos"), lit(dsub)).cast("int").as("__p"), col("__x"))
+        .select(posexplode(arrays_zip(
+            col("__v").as("x"),
+            flatten(transform(
+              VectorExprs.pqEncode(col("__v"), books),
+              c => array_repeat(c, dsub))).as("c")))
+          .as(Seq("__pos", "__zx")))
+        .select(sCol.as("__s"), col("__zx.c").as("__c"),
+          pmod(col("__pos"), lit(dsub)).cast("int").as("__p"),
+          col("__zx.x").as("__x"))
         .groupBy(col("__s"), col("__c"), col("__p"))
         .agg((sum(col("__x").cast("decimal(30,12)")) / count(lit(1)))
           .cast("double").as("__m"))
