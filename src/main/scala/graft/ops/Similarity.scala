@@ -266,8 +266,13 @@ object Similarity {
       .orderBy(xxhash64(col("__id")), col("__id")).limit(k)
       .select(col("__v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 0 until iters) {
-      val assigned = assignCells(v, "__id", cents).join(v, "__id")
-      val means = assigned
+      // the cell rides the SAME projection as the vector — the previous
+      // `assignCells(v).join(v, "__id")` paid a shuffle/broadcast join
+      // and a second scan of the training slice per Lloyd round just to
+      // re-attach __v to its own row's cell (guide §2.4: remove the
+      // join, there is no second table). Cell values are the identical
+      // expression, so the decimal means are bit-identical.
+      val means = withCells(v, cents)
         .select(col("__cell"), posexplode(col("__v")).as(Seq("__p", "__x")))
         .groupBy(col("__cell"), col("__p"))
         .agg((sum(col("__x").cast("decimal(30,12)")) / count(lit(1)))
@@ -303,6 +308,23 @@ object Similarity {
     val cell = if (cents.size == 1) lit(0)
       else least(cellDists(cents): _*).getField("cell")
     withDots.select(col(idName), cell.as("__cell"))
+  }
+
+  /** [[assignCells]] with the vector kept on the row — (__id, __v,
+    * __cell) in ONE projection chain, for consumers that need both (the
+    * Lloyd means pass), so no join is needed to re-attach __v. The cell
+    * is the identical expression as [[assignCells]]'s. */
+  private def withCells(vecs: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    val dotCols = cents.indices.map(i =>
+      element_at(col("__dots"), i + 1).as(s"__dot$i"))
+    val withDots = vecs.filter(col("__v").isNotNull)
+      .select(col("__id"), col("__v"),
+        VectorExprs.matVecDots(col("__v"), cents).as("__dots"))
+      .select(Seq(col("__id"), col("__v")) ++ dotCols: _*)
+    val cell = if (cents.size == 1) lit(0)
+      else least(cellDists(cents): _*).getField("cell")
+    withDots.select(col("__id"), col("__v"), cell.as("__cell"))
   }
 
   /** (query_id, __cell) rows: each query's `nprobe` nearest cells via a
