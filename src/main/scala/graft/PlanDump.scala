@@ -42,10 +42,21 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    SparkEntry.queries.filter { case (k, _) => names(k) }
-      .toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val matched = SparkEntry.queries.filter { case (k, _) => names(k) }
+    // a requested name that matches no query is an evidence bug, not a
+    // silent no-op — the committed plans must cover what was asked for
+    (names -- matched.keySet).toSeq.sorted
+      .foreach(n => println(s"PLAN $n UNKNOWN: no such query"))
+    matched.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
+          // EXECUTE before dumping so the formatted plan is the AQE-final
+          // runtime plan the bench times (isFinalPlan=true: coalesced
+          // AQEShuffleReads, runtime join rewrites), not the initial
+          // speculative one. collect() — not a noop write — because the
+          // write would spawn its OWN QueryExecution and leave THIS one
+          // (the dumped one) unexecuted; results are report-sized.
+          df.collect()
           val txt = df.queryExecution
             .explainString(ExplainMode.fromString("formatted"))
           Files.write(Paths.get(outDir, s"$name$suffix.txt"),

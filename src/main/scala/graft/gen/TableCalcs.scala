@@ -49,9 +49,11 @@ object TableCalcs {
     * decimals (exact) or the identical float expression, pinned by the
     * oracle battery at every SF. */
   private def smallGlobal(df: DataFrame): Boolean = {
+    // malformed conf falls back to the default instead of throwing at
+    // plan-construction time
     val maxBytes = df.sparkSession.conf
       .getOption("spark.graft.tablecalc.globalWindowMaxBytes")
-      .map(_.toLong).getOrElse(64L << 20)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(64L << 20)
     df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(maxBytes)
   }
 
@@ -156,8 +158,13 @@ object TableCalcs {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = t.withColumn(as, sum(col(value)).over(w))
       val totals = t.groupBy(Pid).agg(sum(col(value)).as("__tc_sum"))
+      // normalize to the single-window branch's exact output type: the
+      // offset addition widens decimals (sum-of-sums precision), so
+      // without the cast the SAME query would change column types when
+      // the data crosses the size gate
+      val sumType = df.select(sum(col(value))).schema.head.dataType
       local.join(broadcast(prefixOffsets(totals, Seq("__tc_sum"))), Seq(Pid), "left")
-        .withColumn(as, offsetSum(col(as), col("__tc_sum_off")))
+        .withColumn(as, offsetSum(col(as), col("__tc_sum_off")).cast(sumType))
         .drop(Pid, "__tc_sum_off")
     }
 

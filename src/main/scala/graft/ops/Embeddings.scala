@@ -113,8 +113,16 @@ object Embeddings {
           "__id", cents)
         .groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nb = cellCounts(base)
-    val nn = cellCounts(newer)
+    // the two snapshot histograms are independent single-aggregate jobs —
+    // overlap them from driver threads (guide §2.6) so the second is not
+    // serialized behind the first's scheduling floor
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fb = Future(cellCounts(base))
+    val fn = Future(cellCounts(newer))
+    val nb = Await.result(fb, Duration.Inf)
+    val nn = Await.result(fn, Duration.Inf)
     val (totB, totN) = (nb.values.sum, nn.values.sum)
     val session = base.sparkSession
     import session.implicits._

@@ -67,6 +67,67 @@ class TableCalcsPlanSpec extends AnyFunSuite {
       "gated paths disagree on running_total values")
   }
 
+  test("both gate branches agree on SCHEMA, not just values") {
+    // the decomposed running total's offset addition widens decimals
+    // (sum-of-sums precision); without the normalizing cast the SAME
+    // query would change column types when the data crosses the size
+    // gate. Pin type equality for an int and a decimal measure, and for
+    // every gated calc on the int frame.
+    import spark.implicits._
+    val ints = Seq((1, 10), (2, 5), (3, 20)).toDF("id", "v")
+    // a NARROW decimal: sum-of-sums widening is what drifts (a 38-wide
+    // decimal is already precision-capped and cannot show it)
+    val decs = Seq((1, "10.50"), (2, "5.25"), (3, "20.00")).toDF("id", "v")
+      .select(col("id"), col("v").cast("decimal(12,2)").as("v"))
+    def both(f: DataFrame => DataFrame, df: DataFrame) =
+      (f(df), forceDecomposed(f(df)))
+    for (df <- Seq(ints, decs)) {
+      val (fast, slow) = both(TableCalcs.runningTotal(_, "v", Seq("id"), "x"), df)
+      assert(fast.schema == slow.schema,
+        s"running_total schema drifts across the gate:\n${fast.schema}\n${slow.schema}")
+      assert(fast.collect().map(_.toString).sorted
+        .sameElements(slow.collect().map(_.toString).sorted))
+    }
+    val calcs: Seq[DataFrame => DataFrame] = Seq(
+      TableCalcs.percentOfPrevious(_, "v", Seq("id"), "x"),
+      TableCalcs.rankBy(_, "v", "x"),
+      TableCalcs.rowNumberBy(_, Seq("id"), "x"),
+      TableCalcs.percentileOf(_, "v", "x"),
+      TableCalcs.movingAverage(_, "v", Seq("id"), 2, "x"))
+    // the remaining calcs: pin the column TYPES (nullability may differ —
+    // e.g. percent_rank is non-nullable while the decomposed division is
+    // nullable — which no reader's values can observe)
+    calcs.foreach { f =>
+      val (fast, slow) = both(f, ints)
+      assert(fast.schema.map(_.dataType) == slow.schema.map(_.dataType),
+        s"column types drift across the gate:\n${fast.schema}\n${slow.schema}")
+    }
+  }
+
+  test("misestimate guard: gate forced OPEN on a large frame is slow-not-wrong") {
+    // the gate reads the optimizer's size estimate; an undershooting
+    // estimate (filter-under-aggregate) can send a big frame down the
+    // single-window path. Simulate the misestimate by forcing the gate
+    // open over a 60k-row frame: the result must stay exactly correct
+    // (WindowExec sorts externally — it spills, it does not fail) and
+    // type-identical to the decomposed plan of the same frame.
+    import spark.implicits._
+    val big = spark.range(60000).select(col("id").cast("int").as("id"),
+      (col("id") % 97).cast("double").as("v"))
+    spark.conf.set(GateConf, Long.MaxValue.toString)
+    try {
+      val forced = TableCalcs.runningTotal(big, "v", Seq("id"), "x")
+      assert(partitionlessWindows(forced).nonEmpty,
+        "misestimate fixture did not take the single-window path")
+      val decomposed = forceDecomposed(
+        TableCalcs.runningTotal(big, "v", Seq("id"), "x"))
+      assert(forced.schema == decomposed.schema)
+      val a = forced.select("id", "x").collect().map(_.toString).sorted
+      val b = decomposed.select("id", "x").collect().map(_.toString).sorted
+      assert(a.sameElements(b), "forced single-window values diverge")
+    } finally spark.conf.unset(GateConf)
+  }
+
   test("distributed global calcs match single-window reference semantics") {
     forceDecomposed {
     import spark.implicits._
