@@ -218,18 +218,43 @@ object Bench {
     val warmup = (System.nanoTime() - t0) / 1e9
 
     val passes = 3
+    // Per-query summed TASK time rides next to the wall medians: at
+    // small SFs wall is dominated by scheduling floors and host-window
+    // noise (two rounds of regressions-that-weren't), while task-seconds
+    // is the window-invariant "did the distributed work shrink" signal.
+    // The listener only OBSERVES — the timed region (fn + count) is
+    // unchanged; the event-bus drain sits outside each measured window
+    // so late task-ends attribute to the right pass.
+    val passTaskNanos = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskInfo != null)
+            passTaskNanos.addAndGet(t.taskInfo.duration * 1000000L)
+      })
+    org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to passes).map { _ =>
+        passTaskNanos.set(0)
         val t = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t) / 1e9
-      }.sorted
-      (name, samples(passes / 2), samples.last - samples.head)
+        val wall = (System.nanoTime() - t) / 1e9
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        (wall, passTaskNanos.get / 1e9)
+      }.sortBy(_._1)
+      // task-seconds of the MEDIAN-wall pass — paired, not independently
+      // sorted, so the two numbers describe the same execution
+      (name, samples(passes / 2)._1,
+        samples.last._1 - samples.head._1, samples(passes / 2)._2)
     }
-    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, sp) => "\"" + k + "\":" + sp }
+    val spread = results.map { case (k, _, sp, _) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
+    val taskSecs = results.map { case (k, _, _, ts) => "\"" + k + "\":" + ts }
+      .mkString("{", ",", "}")
+    val taskTotal = results.map(_._4).sum
     val total = results.map(_._2).sum
     val battery = if (exact) "exact" else "default"
     // Stop the session BEFORE printing the contract lines: Spark's
@@ -240,7 +265,7 @@ object Bench {
     // capture (grep '"metric":"total_full"'). At 220 queries this line
     // runs ~10 KB, far beyond the driver's 2000-char stdout tail, so it
     // must NOT be the last line printed.
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"warmup_sec":$warmup,"battery":"$battery","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"task_sec":$taskSecs,"passes":$passes,"warmup_sec":$warmup,"battery":"$battery","sf":"$sfDir"}""")
     // The LAST line is the driver's contract shape — {"metric":"total",
     // value, unit, queries, sf} — kept self-contained and small (the
     // queries map holds the top-12 slowest only) so the 2000-char tail
@@ -249,7 +274,7 @@ object Bench {
     // and suppresses sbt's "[success] Total time" trailer (showSuccess
     // := false) so this line IS the sbt process's last stdout line.
     val top = results.sortBy(-_._2).take(12)
-      .map { case (k, med, _) => "\"" + k + f"\":$med%.3f" }
+      .map { case (k, med, _, _) => "\"" + k + f"\":$med%.3f" }
       .mkString("{", ",", "}")
     // Cite the newest committed frozen-battery capture alongside the
     // live number: the frozen corpus (checksummed, one-session
@@ -268,7 +293,7 @@ object Bench {
           .map(m => s""","frozen_ref":{"file":"${f.getName}","round":$rnd,"value":${m.group(1)}}""")
       }.getOrElse("")
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,"n_queries":${results.size},"passes":$passes,"warmup_sec":$warmup%.1f,"battery":"$battery","sf":"$sfDir"$frozenRef}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$top,"n_queries":${results.size},"passes":$passes,"warmup_sec":$warmup%.1f,"task_sec_total":$taskTotal%.3f,"battery":"$battery","sf":"$sfDir"$frozenRef}""")
     Console.flush()
   }
 }
