@@ -23,16 +23,6 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.codegen.aggregate.splitAggregateFunc.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // a sub-maxPartitionBytes input should not be force-split into
-      // defaultParallelism read tasks: minPartitionNum defaults to the
-      // core count, which turned every small parquet scan into 27-32
-      // tasks of ~30-180 ms fixed cost each (reader init, deserialize,
-      // GC) — profiled 5.1 CPU·s to read 150 k rows for a 0.4 s query.
-      // A floor of 4 keeps CPU-dense scans (signature fronts, trainer
-      // passes) parallel while letting tiny file sets pack into a few
-      // splits; large inputs are unaffected (their split count is
-      // maxPartitionBytes-bound, guide §6.1).
-      .config("spark.sql.files.minPartitionNum", "4")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",

@@ -125,7 +125,7 @@ object DedupIndex {
     // a corpus whose every bucket crossed the build cap writes an empty
     // dataset (no parquet footers to infer from) — that index matches
     // nothing, which is exactly what an empty result says
-    val index = try spark.read.parquet(s"$path/keys")
+    val index = try IndexFiles.readShaped(spark, s"$path/keys")
       .select(col("id").as("corpus_id"), col("band"), col("bucket"),
         col("__pb"), col("sig").as("__csig"))
     catch { case _: org.apache.spark.sql.AnalysisException =>

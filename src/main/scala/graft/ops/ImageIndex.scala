@@ -144,7 +144,7 @@ object ImageIndex {
     val empty = probes.limit(0).select(col("batch_id").as("corpus_id"),
       col("batch_id"), lit(0L).as("hamming"))
     if (pbs.isEmpty) return empty
-    spark.read.parquet(s"$path/keys")
+    IndexFiles.readShaped(spark, s"$path/keys")
       .filter(col("__pb").isin(pbs: _*))
       .join(broadcast(probes), Seq("__pb", "c", "v"))
       .select(col("id").as("corpus_id"), col("batch_id"),

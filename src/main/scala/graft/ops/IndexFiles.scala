@@ -46,6 +46,33 @@ private[graft] object IndexFiles {
   def writeShaped(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(graft.preagg.PreAggStore.writeWidth(df), keys: _*)
 
+  /** Store-scoped read coalescing for a persisted index/rollup layout.
+    * Spark's leaf-parallelism floor (`spark.sql.files.minPartitionNum` =
+    * core count) splits a small fragmented store — 64 partition dirs of
+    * kilobyte files after an ingest tail — into 27-32 read tasks of
+    * ~30-180 ms fixed cost each (reader init, deserialize, GC; profiled
+    * 2.0 CPU·s to read 6.5 k index rows). A SESSION-level floor change
+    * was measured and rejected: it also de-parallelized CPU-dense SOURCE
+    * scans (the zipfian sf1 battery's collapse fronts regressed 2×), so
+    * the fix is scoped to reads of layouts WE wrote, which are
+    * fixed-cost-bound by construction. Below
+    * `spark.graft.read.coalesceMaxBytes` (default 64 MiB estimate) the
+    * scan is coalesced — no shuffle — to one task per
+    * `spark.graft.read.bytesPerTask` (default 8 MiB); above the gate the
+    * scan's own splits stand, so a cluster-scale store keeps full read
+    * parallelism. */
+  def readShaped(spark: SparkSession, path: String): DataFrame = {
+    def conf(k: String, dflt: Long): Long = spark.conf.getOption(k)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(dflt)
+    val df = spark.read.parquet(path)
+    val gate = conf("spark.graft.read.coalesceMaxBytes", 64L << 20)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(gate)) return df
+    val perTask = math.max(1L, conf("spark.graft.read.bytesPerTask", 8L << 20))
+    val par = spark.sparkContext.defaultParallelism
+    df.coalesce(((bytes / perTask) + 1).min(BigInt(par)).toInt)
+  }
+
   private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Long = {
     val it = fs.listFiles(p, true)
@@ -107,8 +134,8 @@ private[graft] object IndexFiles {
     val tmp = new Path(s"$path/$sub.compact")
     val old = new Path(s"$path/$sub.old")
     val filesBefore = parquetFiles(fs, live)
-    write(spark.read.parquet(live.toString)).parquet(tmp.toString)
-    val rows = spark.read.parquet(tmp.toString).count()
+    write(readShaped(spark, live.toString)).parquet(tmp.toString)
+    val rows = readShaped(spark, tmp.toString).count()
     // a stale .old from a previous crashed swap would block the rename
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(live, old), s"rename $live -> $old failed")

@@ -129,7 +129,7 @@ object TextIndex {
         val bs = terms.toDF("token")
           .select(bucketOf(col("token"), nBuckets).as("b"))
           .collect().map(_.getInt(0)).distinct.toSeq
-        spark.read.parquet(s"$path/postings")
+        IndexFiles.readShaped(spark, s"$path/postings")
           .filter(col("__tb").isin(bs: _*))
           .filter(col("token").isin(terms: _*))
           .groupBy(col("token")).agg(max(col("df")).as("__odf"))
@@ -192,7 +192,7 @@ object TextIndex {
     val buckets = terms.toDF("token")
       .select(bucketOf(col("token"), nBuckets).as("b"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val p = spark.read.parquet(s"$path/postings")
+    val p = IndexFiles.readShaped(spark, s"$path/postings")
       .filter(col("__tb").isin(buckets: _*))
       .filter(col("token").isin(terms: _*))
     val tf = col("tf").cast("double")
@@ -232,7 +232,7 @@ object TextIndex {
       explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
     val terms = qterms.select(col("token")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val base = spark.read.parquet(s"$path/postings")
+    val base = IndexFiles.readShaped(spark, s"$path/postings")
     val pruned =
       if (terms.isEmpty) base.limit(0)
       else if (terms.length <= maxPrunedTerms) {

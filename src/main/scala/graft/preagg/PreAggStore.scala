@@ -375,7 +375,7 @@ final class PreAggStore(spark: SparkSession, cat: Catalog, basePath: String) {
     * caller falls back to the base-table plan (the reference's fallback-
     * with-recompile, semantic_layer.py:798-849). */
   def plan(q: SemanticQuery): Option[DataFrame] = matchQuery(q).map { mt =>
-    var df = spark.read.parquet(mt.path)
+    var df = graft.ops.IndexFiles.readShaped(spark, mt.path)
     // rewrite query filters into rollup scope
     mt.ownFilters.foreach { f =>
       val e = Exprs.rewriteRelativeDates(

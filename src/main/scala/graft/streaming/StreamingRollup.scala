@@ -70,7 +70,7 @@ final class StreamingRollup(spark: SparkSession, cat: Catalog,
     val path = store.rollupPath(modelName, pa)
     if (!store.rollupExists(path)) return
     val merged = store.mergeComponents(pa, m,
-      spark.read.parquet(path).drop("__batch"))
+      graft.ops.IndexFiles.readShaped(spark, path).drop("__batch"))
     val compacted = merged.repartition(
       PreAggStore.writeWidth(merged), col("__part"))
     val tmp = s"${path}__compacting"
