@@ -205,8 +205,14 @@ object Dedup {
     val grouped = nn.groupBy(col("__k"))
       .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__fam"),
         first(col(textCol)).as(textCol))
+    // LAZY checkpoints (the clusters-loop pattern): the first consumer
+    // materializes the blocks inside its own job instead of a separate
+    // eager barrier job per frame — profiled at sf1-skew the two eager
+    // barriers were 2 of the routed path's 15 sequential jobs. Single
+    // execution still holds: blocks materialize once, every later
+    // consumer reads them.
     val fams = (if (pinPar > 0) grouped.repartition(pinPar) else grouped)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // reps re-reads the checkpoint per consumer: no shuffle, no corpus
     // scan, cluster-width blocks
     val reps = fams.select(col("__rep").as(idCol), col(textCol))
@@ -225,7 +231,7 @@ object Dedup {
     // checkpoint makes those single-execution; a caller that consumes
     // members exactly ONCE (semDedup's propagation join) skips it and
     // saves the eager corpus-scan job
-    (reps, if (checkpointMembers) members.localCheckpoint(true) else members)
+    (reps, if (checkpointMembers) members.localCheckpoint(false) else members)
   }
 
   /** The 128-bit family identity: two INDEPENDENTLY seeded native
